@@ -1,13 +1,58 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.transit._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY §2 (and the training-pipeline
+  * extensions) surfaces here as a named query over the driver's parquet
+  * tables, paired with equivalent DuckDB SQL in [[oracleSql]] where the
+  * semantics are ANSI-SQL-expressible.
+  */
 object SparkEntry {
+
+  private def transit(sfDir: String)(implicit spark: SparkSession): TransitTables =
+    TransitTables.fromTpch(spark, sfDir)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Queries.q1BusiestStops(
+      TransitTables.fromTpch(spark, "/root/testdata/sf0.001"),
+      ServiceFilter.Weekday)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2 Q1–Q4 transit parity (GTFS views derived from the TPC-H tables;
+    // whole-week trichotomy per SURVEY §1.5)
+    "transit_q1_weekday" -> ((s, dir) =>
+      Queries.q1BusiestStops(TransitTables.fromTpch(s, dir), ServiceFilter.Weekday)),
+    "transit_q1_week" -> ((s, dir) =>
+      Queries.q1BusiestStops(TransitTables.fromTpch(s, dir), ServiceFilter.WholeWeek)),
+    "transit_q2_weekday" -> ((s, dir) =>
+      Queries.q2RouteStats(TransitTables.fromTpch(s, dir), ServiceFilter.Weekday)),
+    "transit_q2_week" -> ((s, dir) =>
+      Queries.q2RouteStats(TransitTables.fromTpch(s, dir), ServiceFilter.WholeWeek)),
+    "transit_q3_weekday" -> ((s, dir) =>
+      Queries.q3TransferPoints(TransitTables.fromTpch(s, dir), ServiceFilter.Weekday)),
+    "transit_q3_week" -> ((s, dir) =>
+      Queries.q3TransferPoints(TransitTables.fromTpch(s, dir), ServiceFilter.WholeWeek)),
+    "transit_q4_weekday" -> ((s, dir) =>
+      Queries.q4ServiceFrequency(TransitTables.fromTpch(s, dir), ServiceFilter.Weekday)),
+    "transit_q4_week" -> ((s, dir) =>
+      Queries.q4ServiceFrequency(TransitTables.fromTpch(s, dir), ServiceFilter.WholeWeek)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "transit_q1_weekday" -> TransitOracles.q1Weekday,
+    "transit_q1_week" -> TransitOracles.q1WholeWeek,
+    "transit_q2_weekday" -> TransitOracles.q2Weekday,
+    "transit_q2_week" -> TransitOracles.q2WholeWeek,
+    "transit_q3_weekday" -> TransitOracles.q3Weekday,
+    "transit_q3_week" -> TransitOracles.q3WholeWeek,
+    "transit_q4_weekday" -> TransitOracles.q4Weekday,
+    "transit_q4_week" -> TransitOracles.q4WholeWeek,
+  )
 }

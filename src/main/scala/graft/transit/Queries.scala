@@ -1,0 +1,212 @@
+package graft.transit
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The four reference analytics queries, Spark-first.
+  *
+  * Semantics from the reference SQL specs (`SQL/Q1_busiest_stop.sql`,
+  * `SQL/Q2 average duration.sql`, `SQL/Q3 transfer points.sql`,
+  * `SQL/Q4 service frequency.sql`) and their batch re-implementations
+  * (`SQL/generate_csv.py`). Architecture is NOT a translation: each query is
+  * one declarative plan — Catalyst provides the pushdown / late-limit /
+  * pre-aggregation tricks the reference hand-rolls (reference
+  * `Reporting/Poster_Report.md:205-213`), and top-k compiles to
+  * `TakeOrderedAndProjectExec` (per-partition heap + merge, no global sort).
+  *
+  * Scale design (100 TB target): `stop_times` is the fact table; `stops` and
+  * `routes` are key-derived dims and get broadcast, so the only shuffles are
+  * the per-key aggregations. The fact⋈trips join keys on `trip_id`; at real
+  * scale `trips` may exceed broadcast size, in which case AQE picks
+  * shuffle-hash and its skew-split handles hub-stop skew.
+  *
+  * Determinism: every top-k appends a unique tie-break key (the reference's
+  * top-k is tie-unstable among equal counts — SURVEY §2.5; row order among
+  * ties is engine-dependent there, fixed here).
+  */
+object Queries {
+
+  /** Apply the day-type filter to trips at plan-build time (never a runtime
+    * disjunction — reference builds `(:sid IS NULL OR ...)` SQL, we resolve
+    * the optional before the plan exists, SURVEY §2.2 P3). */
+  private def filteredTrips(t: TransitTables, service: ServiceFilter): DataFrame =
+    service.sid.fold(t.trips)(sid => t.trips.filter(col("service_id") === sid))
+
+  /** Q1 — busiest stops: trip events + distinct routes per stop.
+    * Whole-week = unfiltered count (a trip event counts once).
+    *
+    * We aggregate on `stop_id` BEFORE joining the stops dim: grouping on
+    * `(stop_id, name, lat, lon)` like the reference would drag a float into
+    * the grouping key (SURVEY §7.4 risk 5) and widen shuffle rows; the dim
+    * join after the agg touches at most |stops| rows and broadcasts.
+    */
+  def q1BusiestStops(t: TransitTables, service: ServiceFilter, limit: Limit = Limit.default): DataFrame = {
+    val counts = t.stopTimes
+      .join(filteredTrips(t, service).select("trip_id", "route_id"), "trip_id")
+      .groupBy(col("stop_id"))
+      .agg(
+        count(lit(1)).as("total_trip_events"),
+        countDistinct(col("route_id")).as("num_unique_routes"))
+    counts
+      .join(broadcast(t.stops), Seq("stop_id"))
+      .select(
+        col("stop_id"), col("stop_code"), col("stop_name"),
+        round(col("stop_lat"), 6).as("stop_lat"),
+        round(col("stop_lon"), 6).as("stop_lon"),
+        col("total_trip_events"), col("num_unique_routes"))
+      .orderBy(col("total_trip_events").desc, col("stop_id"))
+      .transform(limit.apply)
+  }
+
+  /** Q2 CTE `trip_stats`: per-trip duration (secs, from >24h-safe seconds
+    * ints) and distance span, keeping trips longer than 60 s (data-quality
+    * HAVING, reference `SQL/Q2 average duration.sql:17`). */
+  def tripStats(t: TransitTables, service: ServiceFilter): DataFrame =
+    t.stopTimes
+      .join(filteredTrips(t, service).select("trip_id", "route_id", "service_id"), "trip_id")
+      .groupBy(col("trip_id"), col("route_id"), col("service_id"))
+      .agg(
+        (max(col("arr_secs")) - min(col("dep_secs"))).as("trip_duration_seconds"),
+        (max(col("shape_dist")) - min(col("shape_dist"))).as("trip_distance"))
+      .filter(col("trip_duration_seconds") > 60)
+
+  /** Q2 — per-route duration / distance / speed stats.
+    *
+    * Single-service: one aggregation over `trip_stats`.
+    * WholeWeek: trip-count-weighted mean of the per-service rows with
+    * `duration_stddev_min = NULL` (reference `SQL/generate_csv.py:96-106`).
+    * MySQL STDDEV is population stddev → `stddev_pop` (SURVEY §2.4 A6).
+    *
+    * Averages of the integer duration are computed as exact-long-sum / count
+    * so the DuckDB oracle hash-matches bit-for-bit; double-valued stats are
+    * rounded to 4 dp in both engines (summation-order noise is ~1e-12
+    * relative). The reference groups by route_long_name alone (invalid under
+    * strict SQL); we group by (route_id → names), deterministic always
+    * (SURVEY §7.1 note).
+    */
+  def q2RouteStats(t: TransitTables, service: ServiceFilter, limit: Limit = Limit.default): DataFrame = {
+    val speed = col("trip_distance") / nullif(col("trip_duration_seconds").cast("double"), lit(0.0)) * 3600.0
+    val stats = service match {
+      case ServiceFilter.WholeWeek =>
+        val perService = tripStats(t, ServiceFilter.WholeWeek)
+          .groupBy(col("route_id"), col("service_id"))
+          .agg(
+            count(lit(1)).as("num_trips"),
+            avg(col("trip_distance")).as("avg_trip_distance_km"),
+            (sum(col("trip_duration_seconds")).cast("double") / count(lit(1)) / 60.0).as("avg_duration_min"),
+            avg(speed).as("avg_speed_kmh"))
+        perService
+          .groupBy(col("route_id"))
+          .agg(
+            sum(col("num_trips")).as("num_trips"),
+            (sum(col("avg_trip_distance_km") * col("num_trips")) / sum(col("num_trips"))).as("avg_trip_distance_km"),
+            (sum(col("avg_duration_min") * col("num_trips")) / sum(col("num_trips"))).as("avg_duration_min"),
+            lit(null).cast("double").as("duration_stddev_min"),
+            (sum(col("avg_speed_kmh") * col("num_trips")) / sum(col("num_trips"))).as("avg_speed_kmh"))
+      case _ =>
+        tripStats(t, service)
+          .groupBy(col("route_id"))
+          .agg(
+            count(lit(1)).as("num_trips"),
+            avg(col("trip_distance")).as("avg_trip_distance_km"),
+            (sum(col("trip_duration_seconds")).cast("double") / count(lit(1)) / 60.0).as("avg_duration_min"),
+            (stddev_pop(col("trip_duration_seconds").cast("double")) / 60.0).as("duration_stddev_min"),
+            avg(speed).as("avg_speed_kmh"))
+    }
+    stats
+      .join(broadcast(t.routes), Seq("route_id"))
+      .select(
+        col("route_id"), col("route_long_name"), col("route_short_name"),
+        col("num_trips"),
+        round(col("avg_trip_distance_km"), 4).as("avg_trip_distance_km"),
+        round(col("avg_duration_min"), 4).as("avg_duration_min"),
+        round(col("duration_stddev_min"), 4).as("duration_stddev_min"),
+        round(col("avg_speed_kmh"), 4).as("avg_speed_kmh"))
+      .orderBy(col("avg_duration_min").desc, col("route_id"))
+      .transform(limit.apply)
+  }
+
+  /** Overall banner for Q2: trip-count-weighted mean over the top-k routes
+    * (reference `SQL/sql_utils.py:246-254,284-290`; `max(Σtrips,1)`
+    * zero-guard). One agg expression — no UDAF needed (SURVEY §2.4 A10). */
+  def q2Overall(routeStats: DataFrame): DataFrame =
+    routeStats.agg(
+      (sum(col("avg_duration_min") * col("num_trips")) /
+        greatest(sum(col("num_trips")), lit(1L))).as("overall_avg_duration_min"),
+      (sum(col("avg_speed_kmh") * col("num_trips")) /
+        greatest(sum(col("num_trips")), lit(1L))).as("overall_avg_speed_kmh"),
+      sum(col("num_trips")).as("total_trips"))
+
+  /** Q3 CTE `UniqueStopRoutes`: deduped (stop, route) pairs — the manual
+    * pre-aggregation the reference adds "to avoid query timeout"
+    * (`Reporting/Poster_Report.md:205-207`); here it is simply a declared
+    * `.distinct()` that also shrinks the shuffle. */
+  def uniqueStopRoutes(t: TransitTables, service: ServiceFilter): DataFrame =
+    t.stopTimes.select("trip_id", "stop_id")
+      .join(filteredTrips(t, service).select("trip_id", "route_id"), "trip_id")
+      .select("stop_id", "route_id")
+      .distinct()
+
+  /** Q3 — transfer points: stops served by ≥ 2 distinct routes.
+    * Whole-week = unfiltered, same as Q1. */
+  def q3TransferPoints(t: TransitTables, service: ServiceFilter, limit: Limit = Limit.default): DataFrame =
+    uniqueStopRoutes(t, service)
+      .groupBy(col("stop_id"))
+      .agg(count(col("route_id")).as("num_unique_routes"))
+      .filter(col("num_unique_routes") >= 2)
+      .join(broadcast(t.stops), Seq("stop_id"))
+      .select(
+        col("stop_id"), col("stop_name"),
+        round(col("stop_lat"), 6).as("stop_lat"),
+        round(col("stop_lon"), 6).as("stop_lon"),
+        col("num_unique_routes"))
+      .orderBy(col("num_unique_routes").desc, col("stop_id"))
+      .transform(limit.apply)
+
+  /** GTFS hour bucket: `floor(dep_secs/3600)` — legitimately 24..28+ for
+    * after-midnight service; never `hour()` on a timestamp (SURVEY §2.8 F1). */
+  private def hourOfDay(c: Column): Column = floor(c / 3600.0).cast("long")
+
+  /** Q4 view `vw_hourly_frequency`: distinct trips per (route, service, hour)
+    * (reference `SQL/Q4 Create View.sql:3-14`). Cache at the serving layer to
+    * mirror the reference's materialized view reuse (SURVEY §4 R3). */
+  def hourlyFrequency(t: TransitTables): DataFrame =
+    t.stopTimes.select("trip_id", "dep_secs")
+      .join(t.trips.select("trip_id", "route_id", "service_id"), "trip_id")
+      .groupBy(col("route_id"), col("service_id"), hourOfDay(col("dep_secs")).as("hour_of_day"))
+      .agg(countDistinct(col("trip_id")).as("trips_per_hour"))
+
+  /** Q4 — busiest routes by daily trips, with an ordered "hour:count | ..."
+    * profile string (ordered GROUP_CONCAT ≡ collect_list + array_sort +
+    * transform + concat_ws, SURVEY §2.4 A9).
+    *
+    * Single-service: straight rollup of the hourly view.
+    * WholeWeek: SUM across service_ids per (route, hour) first (reference
+    * `SQL/generate_csv.py:119-124`) — the third, distinct '4' semantics.
+    */
+  def q4ServiceFrequency(t: TransitTables, service: ServiceFilter, limit: Limit = Limit.default): DataFrame = {
+    val hf = hourlyFrequency(t)
+    val perHour = service match {
+      case ServiceFilter.WholeWeek =>
+        hf.groupBy(col("route_id"), col("hour_of_day"))
+          .agg(sum(col("trips_per_hour")).as("trips_per_hour"))
+      case s =>
+        hf.filter(col("service_id") === s.sid.get)
+          .select("route_id", "hour_of_day", "trips_per_hour")
+    }
+    perHour
+      .groupBy(col("route_id"))
+      .agg(
+        sum(col("trips_per_hour")).as("total_daily_trips"),
+        concat_ws(" | ",
+          transform(
+            array_sort(collect_list(struct(col("hour_of_day"), col("trips_per_hour")))),
+            x => concat(x("hour_of_day").cast("string"), lit(":"), x("trips_per_hour").cast("string")))
+        ).as("hourly_profile"))
+      .join(broadcast(t.routes), Seq("route_id"))
+      .select(col("route_id"), col("route_long_name"), col("route_short_name"),
+        col("total_daily_trips"), col("hourly_profile"))
+      .orderBy(col("total_daily_trips").desc, col("route_id"))
+      .transform(limit.apply)
+  }
+}

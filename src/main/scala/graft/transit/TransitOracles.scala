@@ -1,0 +1,136 @@
+package graft.transit
+
+/** DuckDB oracle SQL mirroring each transit query, built on
+  * [[TransitTables.sqlPrelude]]. Kept adjacent to the Spark plans so the two
+  * stay in lock-step; every aggregate alias matches the Spark column name
+  * (the driver's compare sorts columns by name before hashing).
+  *
+  * Numeric parity rules used throughout:
+  *  - counts / integer sums stay integral; DuckDB `SUM(int)` returns HUGEINT
+  *    so oracles cast back to BIGINT to match Spark's LongType;
+  *  - averages over integer seconds are written as exact-long-sum / count in
+  *    BOTH engines; order-dependent double stats are rounded to 4 dp in both.
+  */
+object TransitOracles {
+  private val P = TransitTables.sqlPrelude
+
+  private def q1(where: String): String =
+    s"""$P, counts AS (
+       |  SELECT st.stop_id,
+       |         COUNT(*) AS total_trip_events,
+       |         COUNT(DISTINCT t.route_id) AS num_unique_routes
+       |  FROM stop_times st JOIN trips t ON t.trip_id = st.trip_id
+       |  $where
+       |  GROUP BY st.stop_id)
+       |SELECT c.stop_id, s.stop_code, s.stop_name,
+       |       ROUND(s.stop_lat, 6) AS stop_lat,
+       |       ROUND(s.stop_lon, 6) AS stop_lon,
+       |       c.total_trip_events, c.num_unique_routes
+       |FROM counts c JOIN stops s ON s.stop_id = c.stop_id
+       |ORDER BY total_trip_events DESC, c.stop_id
+       |LIMIT 20""".stripMargin
+
+  val q1Weekday: String = q1("WHERE t.service_id = '1'")
+  val q1WholeWeek: String = q1("")
+
+  private def q2TripStats(where: String): String =
+    s"""trip_stats AS (
+       |  SELECT st.trip_id, t.route_id, t.service_id,
+       |         MAX(st.arr_secs) - MIN(st.dep_secs) AS trip_duration_seconds,
+       |         MAX(st.shape_dist) - MIN(st.shape_dist) AS trip_distance
+       |  FROM stop_times st JOIN trips t ON t.trip_id = st.trip_id
+       |  $where
+       |  GROUP BY st.trip_id, t.route_id, t.service_id
+       |  HAVING MAX(st.arr_secs) - MIN(st.dep_secs) > 60)""".stripMargin
+
+  private val q2Tail: String =
+    s"""SELECT s.route_id, r.route_long_name, r.route_short_name, s.num_trips,
+       |       ROUND(s.avg_trip_distance_km, 4) AS avg_trip_distance_km,
+       |       ROUND(s.avg_duration_min, 4) AS avg_duration_min,
+       |       ROUND(s.duration_stddev_min, 4) AS duration_stddev_min,
+       |       ROUND(s.avg_speed_kmh, 4) AS avg_speed_kmh
+       |FROM stats s JOIN routes r ON r.route_id = s.route_id
+       |ORDER BY avg_duration_min DESC, s.route_id
+       |LIMIT 20""".stripMargin
+
+  val q2Weekday: String =
+    s"""$P, ${q2TripStats("WHERE t.service_id = '1'")},
+       |stats AS (
+       |  SELECT route_id,
+       |         COUNT(*) AS num_trips,
+       |         AVG(trip_distance) AS avg_trip_distance_km,
+       |         CAST(SUM(trip_duration_seconds) AS DOUBLE) / COUNT(*) / 60.0 AS avg_duration_min,
+       |         STDDEV_POP(CAST(trip_duration_seconds AS DOUBLE)) / 60.0 AS duration_stddev_min,
+       |         AVG(trip_distance / NULLIF(CAST(trip_duration_seconds AS DOUBLE), 0.0) * 3600.0) AS avg_speed_kmh
+       |  FROM trip_stats GROUP BY route_id)
+       |$q2Tail""".stripMargin
+
+  val q2WholeWeek: String =
+    s"""$P, ${q2TripStats("")},
+       |per_service AS (
+       |  SELECT route_id, service_id,
+       |         COUNT(*) AS num_trips,
+       |         AVG(trip_distance) AS avg_trip_distance_km,
+       |         CAST(SUM(trip_duration_seconds) AS DOUBLE) / COUNT(*) / 60.0 AS avg_duration_min,
+       |         AVG(trip_distance / NULLIF(CAST(trip_duration_seconds AS DOUBLE), 0.0) * 3600.0) AS avg_speed_kmh
+       |  FROM trip_stats GROUP BY route_id, service_id),
+       |stats AS (
+       |  SELECT route_id,
+       |         CAST(SUM(num_trips) AS BIGINT) AS num_trips,
+       |         SUM(avg_trip_distance_km * num_trips) / CAST(SUM(num_trips) AS DOUBLE) AS avg_trip_distance_km,
+       |         SUM(avg_duration_min * num_trips) / CAST(SUM(num_trips) AS DOUBLE) AS avg_duration_min,
+       |         CAST(NULL AS DOUBLE) AS duration_stddev_min,
+       |         SUM(avg_speed_kmh * num_trips) / CAST(SUM(num_trips) AS DOUBLE) AS avg_speed_kmh
+       |  FROM per_service GROUP BY route_id)
+       |$q2Tail""".stripMargin
+
+  private def q3(where: String): String =
+    s"""$P, usr AS (
+       |  SELECT DISTINCT st.stop_id, t.route_id
+       |  FROM stop_times st JOIN trips t ON t.trip_id = st.trip_id
+       |  $where),
+       |counts AS (
+       |  SELECT stop_id, COUNT(route_id) AS num_unique_routes
+       |  FROM usr GROUP BY stop_id
+       |  HAVING COUNT(route_id) >= 2)
+       |SELECT c.stop_id, s.stop_name,
+       |       ROUND(s.stop_lat, 6) AS stop_lat,
+       |       ROUND(s.stop_lon, 6) AS stop_lon,
+       |       c.num_unique_routes
+       |FROM counts c JOIN stops s ON s.stop_id = c.stop_id
+       |ORDER BY num_unique_routes DESC, c.stop_id
+       |LIMIT 20""".stripMargin
+
+  val q3Weekday: String = q3("WHERE t.service_id = '1'")
+  val q3WholeWeek: String = q3("")
+
+  private val q4Hf: String =
+    s"""hf AS (
+       |  SELECT t.route_id, t.service_id,
+       |         CAST(FLOOR(st.dep_secs / 3600.0) AS BIGINT) AS hour_of_day,
+       |         COUNT(DISTINCT st.trip_id) AS trips_per_hour
+       |  FROM stop_times st JOIN trips t ON t.trip_id = st.trip_id
+       |  GROUP BY t.route_id, t.service_id, CAST(FLOOR(st.dep_secs / 3600.0) AS BIGINT))""".stripMargin
+
+  private def q4(perHour: String): String =
+    s"""$P, $q4Hf,
+       |per_hour AS ($perHour),
+       |agg AS (
+       |  SELECT route_id,
+       |         CAST(SUM(trips_per_hour) AS BIGINT) AS total_daily_trips,
+       |         STRING_AGG(CAST(hour_of_day AS VARCHAR) || ':' || CAST(trips_per_hour AS VARCHAR),
+       |                    ' | ' ORDER BY hour_of_day) AS hourly_profile
+       |  FROM per_hour GROUP BY route_id)
+       |SELECT a.route_id, r.route_long_name, r.route_short_name,
+       |       a.total_daily_trips, a.hourly_profile
+       |FROM agg a JOIN routes r ON r.route_id = a.route_id
+       |ORDER BY total_daily_trips DESC, a.route_id
+       |LIMIT 20""".stripMargin
+
+  val q4Weekday: String =
+    q4("SELECT route_id, hour_of_day, trips_per_hour FROM hf WHERE service_id = '1'")
+
+  val q4WholeWeek: String = q4(
+    """SELECT route_id, hour_of_day, CAST(SUM(trips_per_hour) AS BIGINT) AS trips_per_hour
+      |   FROM hf GROUP BY route_id, hour_of_day""".stripMargin)
+}
