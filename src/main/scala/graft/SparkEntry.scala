@@ -41,6 +41,17 @@ object SparkEntry {
       Queries.q4ServiceFrequency(TransitTables.fromTpch(s, dir), ServiceFilter.Weekday)),
     "transit_q4_week" -> ((s, dir) =>
       Queries.q4ServiceFrequency(TransitTables.fromTpch(s, dir), ServiceFilter.WholeWeek)),
+    // §2 timetable store (A12/S6-S8) — nested build proven via its flat face
+    "transit_timetable_flat" -> ((s, dir) =>
+      Timetable.flattened(Timetable.buildStopTimetables(TransitTables.fromTpch(s, dir)))),
+    "transit_stops_list" -> ((s, dir) =>
+      Timetable.getStops(Timetable.buildStopTimetables(TransitTables.fromTpch(s, dir)))),
+    "transit_routes_for_stop" -> ((s, dir) =>
+      Timetable.getRoutesForStop(
+        Timetable.buildStopTimetables(TransitTables.fromTpch(s, dir)), 42L)),
+    "transit_arrivals_grouped" -> ((s, dir) =>
+      Timetable.getArrivalsGrouped(
+        Timetable.buildStopTimetables(TransitTables.fromTpch(s, dir)), 42L)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -54,5 +65,9 @@ object SparkEntry {
     "transit_q3_week" -> TransitOracles.q3WholeWeek,
     "transit_q4_weekday" -> TransitOracles.q4Weekday,
     "transit_q4_week" -> TransitOracles.q4WholeWeek,
+    "transit_timetable_flat" -> TransitOracles.timetableFlat,
+    "transit_stops_list" -> TransitOracles.stopsList,
+    "transit_routes_for_stop" -> TransitOracles.routesForStop(42L),
+    "transit_arrivals_grouped" -> TransitOracles.arrivalsGrouped(42L),
   )
 }

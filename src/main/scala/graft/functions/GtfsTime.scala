@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** GTFS time handling — the single most load-bearing utility (SURVEY §7.4).
+  *
+  * GTFS times run 0–28+ hours ("25:45:00" = 1:45 am next service day,
+  * reference `SQL/Q4 Create View.sql:2`), so they are NEVER TimestampType:
+  * the canonical representation is an integer seconds-since-midnight column,
+  * with strings only at the edges. All builders are plain `functions._`
+  * compositions → whole-stage-codegen'd, no UDF.
+  */
+object GtfsTime {
+
+  /** Parse "HH:MM:SS" (H may be 1-3 digits, value may exceed 24h) → seconds. */
+  def gtfsSeconds(t: Column): Column = {
+    val p = split(t, ":")
+    (p.getItem(0).cast("long") * 3600L +
+      p.getItem(1).cast("long") * 60L +
+      p.getItem(2).cast("long"))
+  }
+
+  /** Hour bucket of a seconds column — legitimately 24..28+ (never `hour()`). */
+  def hourOfDay(secs: Column): Column = floor(secs / 3600.0).cast("long")
+
+  private def two(c: Column): Column = lpad(c.cast("string"), 2, "0")
+
+  /** Seconds → canonical GTFS string, hours NOT wrapped ("25:45:00"). */
+  def gtfsString(secs: Column): Column =
+    concat_ws(":",
+      two(floor(secs / 3600.0).cast("long")),
+      two(floor(secs % 3600L / 60.0).cast("long")),
+      two(secs % 60L))
+
+  /** Seconds → reference *display* string with the hour wrapped into 0–23.
+    *
+    * Reproduces the reference pipeline's `"1 days 03:00:00"` → `"03:00:00"`
+    * strip (reference `Mongo/app.py:96-100,176-181`) — including its accepted
+    * quirk that wrapped after-midnight times string-sort before late-evening
+    * times (SURVEY §2.5 O9 / §7.4 risk 1). Do not "fix". */
+  def displayString(secs: Column): Column =
+    concat_ws(":",
+      two(floor(secs / 3600.0).cast("long") % 24L),
+      two(floor(secs % 3600L / 60.0).cast("long")),
+      two(secs % 60L))
+}

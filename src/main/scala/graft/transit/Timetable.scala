@@ -1,0 +1,135 @@
+package graft.transit
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.GtfsTime
+
+/** Denormalized per-stop timetable store + endpoint queries.
+  *
+  * Replaces the reference's chunked LIMIT/OFFSET ETL into MongoDB
+  * (reference `Mongo/denormalization.py:48-138`) with ONE declarative job:
+  * the `$setOnInsert` + `$push`-across-chunks upsert trick exists only
+  * because a stop's rows span chunk boundaries; under a single
+  * `groupBy(stop_id).agg(collect_list(struct(...)))` that hazard is gone and
+  * the whole build is one shuffle (SURVEY §3.3).
+  *
+  * Scale: one row per stop with an array of services. Hub stops make the
+  * arrays skewed; the shuffle is by `stop_id` so AQE's skew-split handles
+  * the reduce side, and the array payload per stop is bounded by schedule
+  * size (thousands), not data volume. At 100 TB the build stays one
+  * wide-shuffle job; the endpoints below read the materialized table.
+  */
+object Timetable {
+
+  /** One document per stop, services sorted by (dep_secs, trip_id) — the
+    * reference's `ORDER BY stop_id, departure_time` extraction order
+    * (reference `Mongo/denormalization.sql:18`), made total for determinism.
+    * `location` is the GeoJSON Point struct (reference
+    * `Mongo/denormalization.py:118-121`). */
+  def buildStopTimetables(t: TransitTables): DataFrame = {
+    val joined = t.stopTimes
+      .join(t.trips, "trip_id")
+      .join(broadcast(t.routes), Seq("route_id"))
+    joined
+      .groupBy(col("stop_id"))
+      .agg(
+        array_sort(collect_list(struct(
+          col("dep_secs"), // first field = array_sort key
+          col("trip_id"),
+          col("stop_sequence"),
+          col("route_id"), col("route_short_name"), col("route_long_name"),
+          col("trip_headsign"), col("service_id"), col("direction_id"),
+          GtfsTime.displayString(col("arr_secs")).as("arrival_time"),
+          GtfsTime.displayString(col("dep_secs")).as("departure_time")
+        ))).as("upcoming_services"))
+      .join(broadcast(t.stops), Seq("stop_id"))
+      .select(
+        col("stop_id"), col("stop_name"), col("stop_code"),
+        struct(
+          lit("Point").as("type"),
+          array(col("stop_lon"), col("stop_lat")).as("coordinates")).as("location"),
+        col("upcoming_services"))
+  }
+
+  /** `GET /get_stops`: projection + name sort (reference `Mongo/app.py:56-59`). */
+  def getStops(timetables: DataFrame): DataFrame =
+    timetables.select("stop_id", "stop_name", "stop_code")
+      .orderBy(col("stop_name"), col("stop_id"))
+
+  private def exploded(timetables: DataFrame): DataFrame =
+    timetables.select(col("stop_id"), col("stop_name"),
+      explode(col("upcoming_services")).as("svc"))
+
+  /** Public-service allow-list + NOT IN SERVICE / null exclusions applied by
+    * every arrivals-style endpoint (reference `Mongo/app.py:131-145,183-227`). */
+  private def publicOnly(df: DataFrame): DataFrame =
+    df.filter(
+      col("svc.service_id").isin(ServiceFilter.publicServices: _*) &&
+        col("svc.trip_headsign").isNotNull &&
+        col("svc.trip_headsign") =!= "NOT IN SERVICE")
+
+  /** `GET /get_routes_for_stop`: distinct (route_short_name, headsign) pairs,
+    * null short names dropped, sorted (reference `Mongo/app.py:116-149`). */
+  def getRoutesForStop(timetables: DataFrame, stopId: Any): DataFrame =
+    publicOnly(exploded(timetables.filter(col("stop_id") === lit(stopId))))
+      .filter(col("svc.route_short_name").isNotNull)
+      .select(
+        col("svc.route_short_name").as("route_short_name"),
+        col("svc.trip_headsign").as("trip_headsign"))
+      .distinct()
+      .orderBy(col("route_short_name"), col("trip_headsign"))
+
+  /** `GET /get_arrivals`, grouped mode: per (route, headsign) group the
+    * sorted display times + count, groups sorted by (short_name, headsign)
+    * (reference `Mongo/app.py:206-244`). Display times sort as strings —
+    * the reference's accepted day-wrap quirk, reproduced. */
+  def getArrivalsGrouped(timetables: DataFrame, stopId: Any,
+      service: ServiceFilter = ServiceFilter.WholeWeek): DataFrame = {
+    val base = publicOnly(exploded(timetables.filter(col("stop_id") === lit(stopId))))
+    val filtered = service.sid.fold(base)(sid => base.filter(col("svc.service_id") === sid))
+    filtered
+      .groupBy(
+        col("svc.route_short_name").as("route_short_name"),
+        col("svc.trip_headsign").as("trip_headsign"))
+      .agg(
+        count(lit(1)).as("n_arrivals"),
+        // comma-joined rather than an array column so the oracle (and any
+        // JSON layer) compares it as one string; string-sorted per O9
+        concat_ws(",", array_sort(collect_list(col("svc.departure_time")))).as("departure_times"))
+      .orderBy(col("route_short_name"), col("trip_headsign"))
+  }
+
+  /** `GET /get_arrivals`, flat mode (route + headsign given): the sorted
+    * times list (reference `Mongo/app.py:186-204`). */
+  def getArrivalsFlat(timetables: DataFrame, stopId: Any,
+      routeShortName: String, headsign: String,
+      service: ServiceFilter = ServiceFilter.WholeWeek): DataFrame = {
+    val base = publicOnly(exploded(timetables.filter(col("stop_id") === lit(stopId))))
+      .filter(col("svc.route_short_name") === routeShortName &&
+        col("svc.trip_headsign") === headsign)
+    val filtered = service.sid.fold(base)(sid => base.filter(col("svc.service_id") === sid))
+    filtered
+      .select(col("svc.departure_time").as("departure_time"),
+        col("svc.trip_id").as("trip_id"))
+      .orderBy(col("departure_time"), col("trip_id"))
+  }
+
+  /** Flatten the nested store back to rows (collect_list ∘ explode round
+    * trip) — the oracle-checkable face of the build. */
+  def flattened(timetables: DataFrame): DataFrame =
+    exploded(timetables)
+      .select(
+        col("stop_id"), col("stop_name"),
+        col("svc.trip_id").as("trip_id"),
+        col("svc.stop_sequence").as("stop_sequence"),
+        col("svc.route_id").as("route_id"),
+        col("svc.route_long_name").as("route_long_name"),
+        col("svc.route_short_name").as("route_short_name"),
+        col("svc.trip_headsign").as("trip_headsign"),
+        col("svc.service_id").as("service_id"),
+        col("svc.direction_id").as("direction_id"),
+        col("svc.dep_secs").as("dep_secs"),
+        col("svc.arrival_time").as("arrival_time"),
+        col("svc.departure_time").as("departure_time"))
+      .orderBy(col("stop_id"), col("trip_id"), col("stop_sequence"))
+}

@@ -133,4 +133,58 @@ object TransitOracles {
   val q4WholeWeek: String = q4(
     """SELECT route_id, hour_of_day, CAST(SUM(trips_per_hour) AS BIGINT) AS trips_per_hour
       |   FROM hf GROUP BY route_id, hour_of_day""".stripMargin)
+
+  /** Display-time SQL mirroring GtfsTime.displayString (hour wrapped to 0-23). */
+  private def displayTime(secs: String): String =
+    s"""LPAD(CAST(CAST(FLOOR($secs / 3600.0) AS BIGINT) % 24 AS VARCHAR), 2, '0')
+       | || ':' || LPAD(CAST(CAST(FLOOR($secs % 3600 / 60.0) AS BIGINT) AS VARCHAR), 2, '0')
+       | || ':' || LPAD(CAST($secs % 60 AS VARCHAR), 2, '0')""".stripMargin.replace("\n", "")
+
+  /** Flat face of the nested timetable build (collect_list ∘ explode ≡ the
+    * plain 4-table join). */
+  val timetableFlat: String =
+    s"""$P
+       |SELECT st.stop_id, s.stop_name, st.trip_id, st.stop_sequence,
+       |       t.route_id, r.route_long_name, r.route_short_name,
+       |       t.trip_headsign, t.service_id, t.direction_id,
+       |       st.dep_secs,
+       |       ${displayTime("st.arr_secs")} AS arrival_time,
+       |       ${displayTime("st.dep_secs")} AS departure_time
+       |FROM stop_times st
+       |JOIN trips t ON t.trip_id = st.trip_id
+       |JOIN stops s ON s.stop_id = st.stop_id
+       |JOIN routes r ON r.route_id = t.route_id
+       |ORDER BY st.stop_id, st.trip_id, st.stop_sequence""".stripMargin
+
+  val stopsList: String =
+    s"""$P
+       |SELECT stop_id, stop_name, stop_code FROM stops
+       |ORDER BY stop_name, stop_id""".stripMargin
+
+  def routesForStop(stopId: Long): String =
+    s"""$P
+       |SELECT DISTINCT r.route_short_name, t.trip_headsign
+       |FROM stop_times st
+       |JOIN trips t ON t.trip_id = st.trip_id
+       |JOIN routes r ON r.route_id = t.route_id
+       |WHERE st.stop_id = $stopId
+       |  AND t.service_id IN ('1','2','3')
+       |  AND t.trip_headsign IS NOT NULL AND t.trip_headsign <> 'NOT IN SERVICE'
+       |  AND r.route_short_name IS NOT NULL
+       |ORDER BY route_short_name, trip_headsign""".stripMargin
+
+  def arrivalsGrouped(stopId: Long): String =
+    s"""$P
+       |SELECT r.route_short_name, t.trip_headsign,
+       |       COUNT(*) AS n_arrivals,
+       |       STRING_AGG(${displayTime("st.dep_secs")}, ','
+       |                  ORDER BY ${displayTime("st.dep_secs")}) AS departure_times
+       |FROM stop_times st
+       |JOIN trips t ON t.trip_id = st.trip_id
+       |JOIN routes r ON r.route_id = t.route_id
+       |WHERE st.stop_id = $stopId
+       |  AND t.service_id IN ('1','2','3')
+       |  AND t.trip_headsign IS NOT NULL AND t.trip_headsign <> 'NOT IN SERVICE'
+       |GROUP BY r.route_short_name, t.trip_headsign
+       |ORDER BY route_short_name NULLS FIRST, trip_headsign""".stripMargin
 }

@@ -1,0 +1,101 @@
+package graft.transit
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** Golden tests for Q1–Q4 over the hand-computed micro-fixture — every
+  * SURVEY §7.4 trap has an exact expected value here. */
+class QueriesSpec extends SparkSpec {
+  private def t = GtfsFixture.tables(spark)
+
+  private def rows(df: org.apache.spark.sql.DataFrame, cols: String*): Seq[Seq[Any]] =
+    df.select(cols.head, cols.tail: _*).collect().toSeq.map(_.toSeq)
+
+  test("Q1 weekday: event counts, distinct routes, tie-break order") {
+    val got = rows(Queries.q1BusiestStops(t, ServiceFilter.Weekday),
+      "stop_id", "total_trip_events", "num_unique_routes")
+    assert(got == Seq(
+      Seq("HUB", 5L, 3L),
+      Seq("A", 3L, 1L),
+      Seq("B", 3L, 1L),
+      Seq("C", 2L, 2L),
+      Seq("D", 1L, 1L)))
+  }
+
+  test("Q1 whole-week = unfiltered (trip event counts once)") {
+    val got = rows(Queries.q1BusiestStops(t, ServiceFilter.WholeWeek),
+      "stop_id", "total_trip_events")
+    assert(got == Seq(Seq("HUB", 7L), Seq("A", 5L), Seq("B", 3L), Seq("C", 2L), Seq("D", 1L)))
+  }
+
+  test("Q1 propagates null stop_code and rounds lat/lon to 6 dp") {
+    val byId = Queries.q1BusiestStops(t, ServiceFilter.Weekday)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(byId("B").isNullAt(1)) // stop_code null
+    val expLat = BigDecimal(43.6532985f.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(byId("C").getDouble(3) == expLat)
+  }
+
+  test("Q2 weekday: null-skipping avg, stddev_pop, HAVING>60 drops T6") {
+    val got = rows(Queries.q2RouteStats(t, ServiceFilter.Weekday),
+      "route_long_name", "num_trips", "avg_trip_distance_km",
+      "avg_duration_min", "duration_stddev_min", "avg_speed_kmh")
+    assert(got == Seq(
+      Seq("QUEEN", 1L, 3.0, 30.0, 0.0, 6.0),   // T6 (45s) excluded, T7 counted
+      Seq("NIGHT", 1L, 10.0, 25.0, 0.0, 24.0), // >24h times still 25 min
+      Seq("KING", 3L, 5.5, 14.0, 4.3205, 30.0))) // dist skips T8 null; stddev_pop
+  }
+
+  test("Q2 whole-week: trip-weighted means, stddev NULL") {
+    val got = Queries.q2RouteStats(t, ServiceFilter.WholeWeek).collect()
+    val king = got.find(_.getString(1) == "KING").get
+    assert(king.getLong(3) == 5L) // 3 weekday + sat + sun
+    assert(king.getDouble(5) == 12.0) // (14*3 + 10 + 8) / 5
+    assert(king.getDouble(4) == 5.1) // (5.5*3 + 5 + 4) / 5
+    assert(king.isNullAt(6)) // duration_stddev_min NULL on '4' rows
+    assert(king.getDouble(7) == 30.0)
+  }
+
+  test("Q2 overall banner: trip-count-weighted across routes") {
+    val overall = Queries.q2Overall(Queries.q2RouteStats(t, ServiceFilter.Weekday)).collect()(0)
+    // (30*1 + 25*1 + 14*3) / 5 = 97/5
+    assert(overall.getDouble(0) == 19.4)
+  }
+
+  test("Q3: transfer points need >= 2 distinct routes; whole-week unfiltered") {
+    val wd = rows(Queries.q3TransferPoints(t, ServiceFilter.Weekday),
+      "stop_id", "num_unique_routes")
+    assert(wd == Seq(Seq("HUB", 3L), Seq("C", 2L)))
+    val wk = rows(Queries.q3TransferPoints(t, ServiceFilter.WholeWeek),
+      "stop_id", "num_unique_routes")
+    assert(wk == wd) // services 2/3 add no new (stop, route) pairs
+  }
+
+  test("Q4 weekday: hour buckets pass 24h unwrapped; ordered profile string") {
+    val got = rows(Queries.q4ServiceFrequency(t, ServiceFilter.Weekday),
+      "route_long_name", "total_daily_trips", "hourly_profile")
+    assert(got == Seq(
+      Seq("KING", 3L, "8:1 | 9:1 | 14:1"),
+      Seq("QUEEN", 2L, "12:1 | 13:1"),
+      Seq("NIGHT", 2L, "25:1 | 26:1"))) // hours 25/26, never wrapped
+  }
+
+  test("Q4 whole-week: per-hour SUM across services") {
+    val got = rows(Queries.q4ServiceFrequency(t, ServiceFilter.WholeWeek),
+      "route_long_name", "total_daily_trips", "hourly_profile")
+    assert(got.head == Seq("KING", 5L, "8:1 | 9:1 | 10:1 | 11:1 | 14:1"))
+  }
+
+  test("param sanitization mirrors the reference API") {
+    assert(ServiceFilter.fromParam(Some("2")) == ServiceFilter.Saturday)
+    assert(ServiceFilter.fromParam(Some("4")) == ServiceFilter.WholeWeek)
+    assert(ServiceFilter.fromParam(Some("")) == ServiceFilter.WholeWeek)
+    assert(ServiceFilter.fromParam(None) == ServiceFilter.WholeWeek)
+    assert(Limit.fromParam(Some("all")) == Limit.All)
+    assert(Limit.fromParam(Some("50")) == Limit.TopN(50))
+    assert(Limit.fromParam(Some("0")) == Limit.TopN(20))
+    assert(Limit.fromParam(Some("garbage")) == Limit.TopN(20))
+    assert(Limit.fromParam(None) == Limit.TopN(20))
+  }
+}
