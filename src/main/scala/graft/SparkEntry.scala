@@ -22,7 +22,10 @@ object SparkEntry {
       ServiceFilter.Weekday)
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = transitQueries ++
+    graft.relational.RelationalQueries.all
+
+  private def transitQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2 Q1–Q4 transit parity (GTFS views derived from the TPC-H tables;
     // whole-week trichotomy per SURVEY §1.5)
     "transit_q1_weekday" -> ((s, dir) =>
@@ -69,5 +72,5 @@ object SparkEntry {
     "transit_stops_list" -> TransitOracles.stopsList,
     "transit_routes_for_stop" -> TransitOracles.routesForStop(42L),
     "transit_arrivals_grouped" -> TransitOracles.arrivalsGrouped(42L),
-  )
+  ) ++ graft.relational.RelationalOracles.all
 }

@@ -1,0 +1,154 @@
+package graft.relational
+
+/** DuckDB oracles for [[RelationalQueries]] — aliases match the Spark
+  * column names exactly; integer sums cast back to BIGINT (DuckDB SUM(int)
+  * is HUGEINT); order-dependent double aggregates rounded identically. */
+object RelationalOracles {
+
+  val all: Map[String, String] = Map(
+    "rel_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |       COUNT(DISTINCT l_orderkey) AS n_orders,
+        |       COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "rel_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
+
+    "rel_dim_chain" ->
+      """SELECT r_name, COUNT(*) AS n_customers,
+        |       ROUND(AVG(c_acctbal), 4) AS avg_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name
+        |ORDER BY r_name""".stripMargin,
+
+    "rel_semi_topk" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |       ROUND(SUM(o_totalprice), 2) AS total_spent
+        |FROM orders
+        |WHERE o_custkey IN (
+        |  SELECT o_custkey FROM orders
+        |  GROUP BY o_custkey
+        |  ORDER BY COUNT(*) DESC, o_custkey
+        |  LIMIT 5)
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+
+    "rel_anti_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "rel_scalar_subquery" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+        |FROM lineitem
+        |WHERE l_orderkey = (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey
+        |  ORDER BY COUNT(*) DESC, l_orderkey
+        |  LIMIT 1)
+        |ORDER BY l_linenumber""".stripMargin,
+
+    "rel_union_total" ->
+      """SELECT status, CAST(n_orders AS BIGINT) AS n_orders FROM (
+        |  SELECT o_orderstatus AS status, COUNT(*) AS n_orders
+        |  FROM orders GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT 'ALL' AS status, COUNT(*) AS n_orders FROM orders)
+        |ORDER BY status""".stripMargin,
+
+    "rel_weighted_mean" ->
+      """WITH per AS (
+        |  SELECT c_nationkey, AVG(c_acctbal) AS avg_bal, COUNT(*) AS n
+        |  FROM customer GROUP BY c_nationkey)
+        |SELECT ROUND(SUM(avg_bal * n) / CAST(SUM(n) AS DOUBLE), 4) AS weighted_avg_acctbal,
+        |       CAST(SUM(n) AS BIGINT) AS n_customers
+        |FROM per""".stripMargin,
+
+    "rel_group_concat" ->
+      """SELECT r_name,
+        |       STRING_AGG(n_name, ', ' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name
+        |ORDER BY r_name""".stripMargin,
+
+    "rel_pivot" ->
+      """SELECT CAST(HOUR(ts) AS BIGINT) AS hour_of_day,
+        |       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events
+        |GROUP BY CAST(HOUR(ts) AS BIGINT)
+        |ORDER BY hour_of_day""".stripMargin,
+
+    "rel_collect_explode" ->
+      """SELECT o_custkey AS custkey, o_orderkey AS orderkey
+        |FROM orders
+        |ORDER BY custkey, orderkey""".stripMargin,
+
+    "rel_events_hourly" ->
+      """SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+        |       COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+        |FROM events
+        |GROUP BY DATE_TRUNC('hour', ts), event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    "rel_stddev" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |       ROUND(AVG(c_acctbal), 4) AS avg_bal,
+        |       ROUND(STDDEV_POP(c_acctbal), 4) AS stddev_bal
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "rel_nullif_div" ->
+      """SELECT l_returnflag,
+        |       ROUND(AVG(l_extendedprice / NULLIF(l_discount, 0.0)), 4) AS avg_price_per_discount,
+        |       COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "rel_isin_filter" ->
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+        |FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderstatus <> 'F'
+        |GROUP BY o_orderpriority, o_orderstatus
+        |ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
+
+    "rel_multi_sort" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier
+        |ORDER BY s_nationkey, s_acctbal DESC, s_suppkey""".stripMargin,
+
+    "rel_window_rank" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_orderstatus, rn""".stripMargin,
+
+    "rel_window_running" ->
+      """SELECT user_id, event_id,
+        |       ROUND(SUM(value) OVER (PARTITION BY user_id
+        |         ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+        |FROM events
+        |WHERE user_id < 20
+        |ORDER BY user_id, event_id""".stripMargin)
+}
