@@ -1,0 +1,100 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextHash
+import graft.sources.Tables
+
+/** Text-analysis operators over the `documents` table — the per-document
+  * scoring pass of a large-scale training-data pipeline (language ID,
+  * quality signals, token stats, fingerprints).
+  *
+  * All of these are narrow (per-row) transformations: at 100 TB they run
+  * map-only over the parquet scan with full column pruning — the scan reads
+  * only `doc_id` + `text` (verify via `.explain` ReadSchema) — and no
+  * shuffle except the final presentation orderBy, which callers drop in
+  * production (kept here so oracle comparison is total-order deterministic).
+  */
+object TextAnalysis {
+
+  /** Marker stopwords per language, scored by simple membership count —
+    * an n-gram-free variant of the classic stopword-profile language ID.
+    * Fixed iteration order (sorted keys) keeps the argmax deterministic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "es" -> Seq("el", "la", "de", "los", "que", "y"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "est"),
+    "zh" -> Seq("的", "是", "在", "了", "和"))
+
+  private def langScore(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(markers)))
+
+  /** Per-doc token statistics (token counting: whitespace tokenization). */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextHash.tokens(col("text"))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct_tokens"),
+      length(col("text")).as("n_chars_actual"),
+      round(
+        aggregate(toks, lit(0L), (s, t) => s + length(t)).cast("double") / size(toks),
+        4).as("avg_token_len"),
+      aggregate(toks, lit(0), (m, t) => greatest(m, length(t))).as("max_token_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: length, stopword ratio, lexical diversity, bucketed
+    * verdict — the heuristics a pretraining filter applies per document. */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextHash.tokens(col("text"))
+    val nTok = size(toks)
+    val stopRatio = langScore(toks, langMarkers.toMap.apply("en")).cast("double") / nTok
+    val diversity = size(array_distinct(toks)).cast("double") / nTok
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      round(stopRatio, 4).as("stopword_ratio"),
+      round(diversity, 4).as("lexical_diversity"),
+      round(length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+        length(col("text")), 4).as("alpha_ratio"),
+      when(nTok >= 20 && nTok <= 200 && stopRatio > 0.01, lit("good"))
+        .when(nTok >= 10, lit("fair"))
+        .otherwise(lit("poor")).as("quality_bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** Language ID by marker-stopword profile. Argmax over languages in fixed
+    * (alphabetical) order; all-zero scores → "und". */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextHash.tokens(col("text"))
+    val scores = langMarkers.map { case (l, ms) => l -> langScore(toks, ms) }
+    val best = greatest(scores.map(_._2): _*)
+    val pick = scores.foldRight(lit("und")) { case ((l, s), acc) =>
+      when(best > 0 && s === best, lit(l)).otherwise(acc)
+    }
+    // foldRight + overwrite-first-match keeps alphabetical priority: the
+    // first language (de) wins ties because its `when` is outermost.
+    Tables.documents(spark, dir).select(
+      col("doc_id") +: col("lang").as("declared_lang") +:
+        scores.map { case (l, s) => s.as(s"score_$l") } :+
+        pick.as("detected_lang"): _*)
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprints: md5, polynomial rolling hash, 32-bit SimHash. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      md5(col("text").cast("binary")).as("md5_fp"),
+      TextHash.strHash(col("text")).as("roll_hash"),
+      TextHash.simhash32(TextHash.tokenHashes(col("text"))).as("simhash"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_stats" -> tokenStats,
+    "text_quality" -> quality,
+    "text_lang_id" -> langId,
+    "text_fingerprint" -> fingerprint)
+}

@@ -1,0 +1,64 @@
+package graft.text
+
+import graft.functions.TextHashSql._
+
+/** DuckDB oracle SQL mirroring [[TextAnalysis]] (driver runs these over the
+  * same parquet tables and hash-compares — see Verify/tools/check.py). */
+object TextOracles {
+
+  private val toks = tokens("text")
+
+  private def langScoreSql(markers: Seq[String]): String =
+    s"len(list_filter(t.toks, x -> x IN (${markers.map(m => s"'$m'").mkString(", ")})))"
+
+  val tokenStats: String =
+    s"""SELECT doc_id,
+       |  len(t.toks) AS n_tokens,
+       |  len(list_distinct(t.toks)) AS n_distinct_tokens,
+       |  length(text) AS n_chars_actual,
+       |  round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(t.toks, x -> CAST(length(x) AS BIGINT))), (a,b) -> a+b) AS DOUBLE) / len(t.toks), 4) AS avg_token_len,
+       |  list_reduce(list_prepend(0, list_transform(t.toks, x -> length(x))), (a,b) -> greatest(a,b)) AS max_token_len
+       |FROM (SELECT doc_id, text, $toks AS toks FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+
+  val quality: String = {
+    val en = TextAnalysis.langMarkers.toMap.apply("en")
+    s"""SELECT doc_id,
+       |  len(t.toks) AS n_tokens,
+       |  round(CAST(${langScoreSql(en)} AS DOUBLE) / len(t.toks), 4) AS stopword_ratio,
+       |  round(CAST(len(list_distinct(t.toks)) AS DOUBLE) / len(t.toks), 4) AS lexical_diversity,
+       |  round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text), 4) AS alpha_ratio,
+       |  CASE WHEN len(t.toks) BETWEEN 20 AND 200
+       |         AND CAST(${langScoreSql(en)} AS DOUBLE) / len(t.toks) > 0.01 THEN 'good'
+       |       WHEN len(t.toks) >= 10 THEN 'fair' ELSE 'poor' END AS quality_bucket
+       |FROM (SELECT doc_id, text, $toks AS toks FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val langId: String = {
+    val scores = TextAnalysis.langMarkers.map { case (l, ms) => l -> langScoreSql(ms) }
+    val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+    val pick = scores.reverse.foldLeft("'und'") { case (acc, (l, s)) =>
+      s"CASE WHEN $best > 0 AND $s = $best THEN '$l' ELSE $acc END"
+    }
+    s"""SELECT doc_id, lang AS declared_lang,
+       |  ${scores.map { case (l, s) => s"$s AS score_$l" }.mkString(",\n  ")},
+       |  $pick AS detected_lang
+       |FROM (SELECT doc_id, lang, $toks AS toks FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val fingerprint: String =
+    s"""SELECT doc_id,
+       |  md5(text) AS md5_fp,
+       |  ${strHash("text")} AS roll_hash,
+       |  ${simhash32(tokenHashes("text"))} AS simhash
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  val all: Map[String, String] = Map(
+    "text_token_stats" -> tokenStats,
+    "text_quality" -> quality,
+    "text_lang_id" -> langId,
+    "text_fingerprint" -> fingerprint)
+}
