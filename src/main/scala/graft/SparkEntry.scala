@@ -24,7 +24,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = transitQueries ++
     graft.relational.RelationalQueries.all ++
-    graft.text.TextAnalysis.queries
+    graft.text.TextAnalysis.queries ++
+    graft.dedup.Dedup.queries
 
   private def transitQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2 Q1–Q4 transit parity (GTFS views derived from the TPC-H tables;
@@ -74,5 +75,6 @@ object SparkEntry {
     "transit_routes_for_stop" -> TransitOracles.routesForStop(42L),
     "transit_arrivals_grouped" -> TransitOracles.arrivalsGrouped(42L),
   ) ++ graft.relational.RelationalOracles.all ++
-    graft.text.TextOracles.all
+    graft.text.TextOracles.all ++
+    graft.dedup.DedupOracles.all
 }

@@ -1,0 +1,151 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextHash
+import graft.sources.Tables
+
+/** Deduplication operators over `documents` / `embeddings` — the dedup pass
+  * of a large-scale training-data pipeline.
+  *
+  * Scale design (the part that must survive 100 TB):
+  *  - Never all-pairs. Every near-dup variant blocks candidates first —
+  *    shared shingle (Jaccard), shared LSH band (MinHash), shared byte
+  *    slice (SimHash), shared hyperplane bucket (embeddings) — so the
+  *    shuffle is keyed by block id and the quadratic blow-up is confined
+  *    to within-block groups. AQE skew-join handles hot blocks.
+  *  - Signatures are computed map-side (higher-order functions, no UDF, no
+  *    shuffle), so the only wide stages are the block joins and final top-k
+  *    (`TakeOrderedAndProject`, no global sort).
+  *  - Top-k-by-similarity output (not threshold-filtered) keeps results
+  *    deterministic and non-degenerate at any SF; production would swap the
+  *    final `limit` for a threshold filter + connected-components pass.
+  */
+object Dedup {
+
+  import TextHash._
+
+  /** Exact dedup: hash-groupBy on normalized text. Representative = min
+    * doc_id; grouping key is md5 (not raw text) so the shuffle carries
+    * 16 bytes per row, not the document body. */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(lower(trim(col("text"))).cast("binary")).as("fp"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_copies"))
+      .select(col("rep_id"), col("n_copies"), col("fp"))
+      .orderBy("rep_id")
+
+  private def shingleSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"), shingleSet(col("text")).as("shs"))
+
+  /** N-gram Jaccard near-dup: block on shared shingle, count common
+    * shingles per pair, exact Jaccard, top-20. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val ex = shingleSets(spark, dir)
+      .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("s"))
+    ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.n").as("n1"), col("b.n").as("n2"))
+      .agg(count(lit(1)).as("n_common"))
+      .select(col("id1"), col("id2"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("n1") + col("n2") - col("n_common")), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("id1"), col("id2"))
+      .limit(20)
+  }
+
+  val MinhashK = 32
+  val Bands = 8
+  val RowsPerBand = 4
+
+  private def sigs(spark: SparkSession, dir: String): DataFrame =
+    shingleSets(spark, dir).select(
+      col("doc_id"), col("shs"), minhashSig(col("shs"), MinhashK).as("sig"))
+
+  /** MinHash LSH banding: (doc, band, band_hash) — the partition key a
+    * cluster-scale dedup shuffles on. Oracle-checked end to end. */
+  def minhashBands(spark: SparkSession, dir: String): DataFrame =
+    sigs(spark, dir).select(
+      col("doc_id"),
+      // `let` so the signature is evaluated once, not once per element_at
+      // (Project collapsing would otherwise inline `sig` 32×)
+      posexplode(let(col("sig"))(sig =>
+        transform(sequence(lit(0), lit(Bands - 1)), b => {
+          var acc: org.apache.spark.sql.Column = lit(17L)
+          for (k <- 0 until RowsPerBand)
+            acc = (acc * 131L + element_at(sig, b * RowsPerBand + k + 1)) % P
+          acc
+        }))))
+      .toDF("doc_id", "band", "band_hash")
+      .orderBy("doc_id", "band")
+
+  /** MinHash LSH candidate pairs: same (band, band_hash) → estimate
+    * similarity from signature agreement, verify with exact Jaccard.
+    * Sparse at the synthetic SFs (word-salad docs share few shingles) —
+    * the spec proves recall on constructed near-dups. */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val b = minhashBands(spark, dir)
+    val cand = b.as("x").join(b.as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2")).distinct()
+    val s = sigs(spark, dir)
+    cand
+      .join(s.as("s1"), col("id1") === col("s1.doc_id"))
+      .join(s.as("s2"), col("id2") === col("s2.doc_id"))
+      .select(col("id1"), col("id2"),
+        round(aggregate(zip_with(col("s1.sig"), col("s2.sig"),
+          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (a, v) => a + v)
+          .cast("double") / MinhashK, 6).as("est_sim"),
+        round(size(array_intersect(col("s1.shs"), col("s2.shs"))).cast("double") /
+          size(array_union(col("s1.shs"), col("s2.shs"))), 6).as("jaccard"))
+      .orderBy(col("est_sim").desc, col("id1"), col("id2"))
+  }
+
+  /** SimHash near-dup: block on any of the 4 byte-slices of the 32-bit
+    * simhash being equal (guarantees recall for hamming ≤ 3 by pigeonhole),
+    * then rank candidates by exact hamming distance. */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir).select(
+      col("doc_id"), simhash32(tokenHashes(col("text"))).as("sh"))
+    val slices = sh.select(col("doc_id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        k => (col("sh").cast("double") / pow(lit(2.0), k * 8)).cast("long") % 256L)))
+      .toDF("doc_id", "sh", "k", "slice")
+    slices.as("a").join(slices.as("b"),
+        col("a.k") === col("b.k") && col("a.slice") === col("b.slice") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        hamming(col("a.sh"), col("b.sh")).as("hamming_dist")).distinct()
+      .orderBy(col("hamming_dist"), col("id1"), col("id2"))
+      .limit(20)
+  }
+
+  val AnnPlanes = 6
+
+  /** Embedding-cosine near-dup: block on random-hyperplane LSH bucket
+    * (64 buckets here; at 100 TB, more planes + multi-probe), cosine within
+    * bucket, global top-20. */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(
+      col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), 64, AnnPlanes).as("bucket"))
+    e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        col("a.bucket").as("bucket"),
+        round(cosine(col("a.embedding"), col("b.embedding")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id1"), col("id2"))
+      .limit(20)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> exact,
+    "dedup_ngram_jaccard" -> ngramJaccard,
+    "dedup_minhash_bands" -> minhashBands,
+    "dedup_minhash_pairs" -> minhashPairs,
+    "dedup_simhash" -> simhashPairs,
+    "dedup_embedding_neardup" -> embeddingNearDup)
+}

@@ -1,0 +1,93 @@
+package graft.dedup
+
+import graft.functions.TextHashSql._
+
+/** DuckDB oracle SQL mirroring [[Dedup]]. Structure note: every query
+  * shares the CTE prelude that recomputes shingle sets / signatures with
+  * the exact integer formulas of graft.functions.TextHash. */
+object DedupOracles {
+
+  private val shinglePrelude =
+    s"""WITH sh AS (
+       |  SELECT doc_id, list_distinct(${shingleHashes(tokenHashes("text"))}) AS shs
+       |  FROM documents),
+       |sigs AS (
+       |  SELECT doc_id, shs, ${minhashSig("shs", Dedup.MinhashK)} AS sig FROM sh),
+       |bands AS (
+       |  SELECT doc_id, band, ${(0 until Dedup.RowsPerBand)
+            .foldLeft("CAST(17 AS BIGINT)") { (acc, k) =>
+              s"(($acc)*131 + sig[CAST(band*${Dedup.RowsPerBand} + ${k + 1} AS INT)]) % $P"
+            }} AS band_hash
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(0, ${Dedup.Bands})) AS band))
+       |""".stripMargin
+
+  val exact: String =
+    """SELECT min(doc_id) AS rep_id, CAST(count(*) AS BIGINT) AS n_copies,
+      |       md5(lower(trim(text))) AS fp
+      |FROM documents GROUP BY md5(lower(trim(text)))
+      |ORDER BY rep_id""".stripMargin
+
+  val ngramJaccard: String =
+    shinglePrelude +
+      s""", ex AS (SELECT doc_id, len(shs) AS n, unnest(shs) AS s FROM sh)
+         |SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |       CAST(count(*) AS BIGINT) AS n_common,
+         |       round(CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)), 6) AS jaccard
+         |FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id, a.n, b.n
+         |ORDER BY jaccard DESC, id1, id2
+         |LIMIT 20""".stripMargin
+
+  val minhashBands: String =
+    shinglePrelude +
+      """SELECT doc_id, CAST(band AS INT) AS band, band_hash FROM bands
+        |ORDER BY doc_id, band""".stripMargin
+
+  val minhashPairs: String =
+    shinglePrelude +
+      s""", cand AS (
+         |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id)
+         |SELECT id1, id2,
+         |  round(CAST(len(list_filter(range(1, ${Dedup.MinhashK + 1}),
+         |    i -> s1.sig[i] = s2.sig[i])) AS DOUBLE) / ${Dedup.MinhashK}, 6) AS est_sim,
+         |  round(CAST(len(list_intersect(s1.shs, s2.shs)) AS DOUBLE) /
+         |    len(list_distinct(list_concat(s1.shs, s2.shs))), 6) AS jaccard
+         |FROM cand JOIN sigs s1 ON cand.id1 = s1.doc_id
+         |          JOIN sigs s2 ON cand.id2 = s2.doc_id
+         |ORDER BY est_sim DESC, id1, id2""".stripMargin
+
+  val simhashPairs: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, ${simhash32(tokenHashes("text"))} AS sh FROM documents),
+       |sl AS (
+       |  SELECT doc_id, sh, k,
+       |         (sh // CAST(floor(pow(2, 8*k)) AS BIGINT)) % 256 AS slice
+       |  FROM s CROSS JOIN (SELECT unnest(range(0, 4)) AS k))
+       |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+       |       ${hamming("a.sh", "b.sh")} AS hamming_dist
+       |FROM sl a JOIN sl b
+       |  ON a.k = b.k AND a.slice = b.slice AND a.doc_id < b.doc_id
+       |ORDER BY hamming_dist, id1, id2
+       |LIMIT 20""".stripMargin
+
+  val embeddingNearDup: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         ${lshBucket("embedding", 64, Dedup.AnnPlanes)} AS bucket
+       |  FROM embeddings)
+       |SELECT a.vec_id AS id1, b.vec_id AS id2, a.bucket AS bucket,
+       |       round(${cosine("a.embedding", "b.embedding")}, 6) AS cos_sim
+       |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |ORDER BY cos_sim DESC, id1, id2
+       |LIMIT 20""".stripMargin
+
+  val all: Map[String, String] = Map(
+    "dedup_exact" -> exact,
+    "dedup_ngram_jaccard" -> ngramJaccard,
+    "dedup_minhash_bands" -> minhashBands,
+    "dedup_minhash_pairs" -> minhashPairs,
+    "dedup_simhash" -> simhashPairs,
+    "dedup_embedding_neardup" -> embeddingNearDup)
+}

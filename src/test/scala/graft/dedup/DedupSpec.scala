@@ -1,0 +1,78 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+import graft.functions.TextHash._
+
+/** Recall/precision checks for the near-dup machinery on constructed
+  * near-duplicates (the synthetic driver docs are word-salad, so real
+  * near-dups are proven here, cross-engine equality in the oracle gate). */
+class DedupSpec extends AnyFunSuite with SparkSpec {
+
+  private def docsDf(docs: Seq[(Long, String)]) = {
+    import spark.implicits._
+    docs.toDF("doc_id", "text")
+  }
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away " +
+    "while the moon rises slowly over the quiet hills tonight"
+
+  test("minhash LSH finds planted near-duplicates and skips unrelated docs") {
+    val docs = docsDf(Seq(
+      1L -> base,
+      2L -> base.replace("quiet", "silent"), // one-token edit → high jaccard
+      3L -> base,                            // exact dup
+      4L -> "completely different content about spark catalyst optimizer rules and tungsten memory format internals"))
+    val sig = docs.select(col("doc_id"),
+      minhashSig(shingleSet(col("text"))).as("sig"))
+    val bands = sig.select(col("doc_id"),
+      posexplode(let(col("sig"))(s =>
+        transform(sequence(lit(0), lit(7)), b => {
+          var acc: org.apache.spark.sql.Column = lit(17L)
+          for (k <- 0 until 4) acc = (acc * 131L + element_at(s, b * 4 + k + 1)) % P
+          acc
+        })))).toDF("doc_id", "band", "band_hash")
+    val pairs = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L)), "exact dup must collide in every band")
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L)),
+      "one-token edit should collide in at least one of 8 bands")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      "unrelated doc must not produce candidates")
+  }
+
+  test("simhash hamming distance is 0 for dups and large for unrelated docs") {
+    val docs = docsDf(Seq(
+      1L -> base, 2L -> base,
+      3L -> "completely different content about catalyst optimizer rules entirely"))
+    val sh = docs.select(col("doc_id"),
+      simhash32(tokenHashes(col("text"))).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) > 4)
+  }
+
+  test("cosine of identical vectors is 1; orthogonal is 0") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 0.0f, 2.0f), Array(1.0f, 0.0f, 2.0f)),
+      (Array(1.0f, 0.0f, 0.0f), Array(0.0f, 5.0f, 0.0f)))
+      .toDF("a", "b")
+      .select(round(cosine(col("a"), col("b")), 9).as("c"))
+    assert(df.collect().map(_.getDouble(0)).toSeq == Seq(1.0, 0.0))
+  }
+
+  test("exact jaccard via shingle sets matches hand computation") {
+    // doc1/doc2 share all but the shingles touching the edited token
+    val docs = docsDf(Seq(1L -> "a b c d e", 2L -> "a b c d x"))
+    val sh = docs.select(col("doc_id"), shingleSet(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // 5 tokens → 3 trigram shingles; docs differ in last token → share 2 of 4 union
+    assert(sh(1L).size == 3 && sh(2L).size == 3)
+    assert(sh(1L).intersect(sh(2L)).size == 2)
+  }
+}
