@@ -25,7 +25,9 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = transitQueries ++
     graft.relational.RelationalQueries.all ++
     graft.text.TextAnalysis.queries ++
-    graft.dedup.Dedup.queries
+    graft.dedup.Dedup.queries ++
+    graft.similarity.Similarity.queries ++
+    graft.multimodal.Multimodal.queries
 
   private def transitQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2 Q1–Q4 transit parity (GTFS views derived from the TPC-H tables;
@@ -76,5 +78,7 @@ object SparkEntry {
     "transit_arrivals_grouped" -> TransitOracles.arrivalsGrouped(42L),
   ) ++ graft.relational.RelationalOracles.all ++
     graft.text.TextOracles.all ++
-    graft.dedup.DedupOracles.all
+    graft.dedup.DedupOracles.all ++
+    graft.similarity.SimilarityOracles.all ++
+    graft.multimodal.MultimodalOracles.all
 }

@@ -1,0 +1,112 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextHash, TextHashSql}
+import graft.sources.Tables
+
+/** Multimodal-column plumbing: opaque binary payloads + typed metadata,
+  * decoded partition-wise.
+  *
+  * The decode step is a clearly-marked STUB (no image/audio codecs in this
+  * environment): a deterministic byte-fold stands in for "decode + feature
+  * extract". Everything around it is the real production shape —
+  *  - media rows are `Dataset[MediaBlob]` with a `binary` payload column
+  *    and typed metadata, carried through parquet-friendly schemas;
+  *  - decoding runs in `mapPartitions` (the JVM analog of `mapInPandas`:
+  *    one invocation per partition, batch iteration inside, so a real
+  *    decoder would amortize model/codec init per partition, not per row);
+  *  - partitioning: payloads stay where they are (narrow map), features
+  *    are small and shuffle-friendly downstream.
+  *
+  * The stub's integer math is mirrored in the DuckDB oracle, so even the
+  * mapPartitions path is oracle-checked end to end (payloads here are
+  * ASCII text bytes, making byte-fold == char-fold).
+  */
+object Multimodal {
+
+  final case class MediaBlob(doc_id: Long, kind: String, payload: Array[Byte])
+  final case class MediaFeatures(
+      doc_id: Long, kind: String, n_bytes: Int, checksum: Long,
+      width: Int, height: Int, f0: Double, f1: Double, f2: Double, f3: Double)
+
+  /** Synthesize the media table: payload = document bytes, kind assigned
+    * round-robin (image/audio/video) — stands in for a real blob store
+    * scan where parquet carries (id, kind, binary, metadata). */
+  def blobs(spark: SparkSession, dir: String): Dataset[MediaBlob] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3).cast("int") + 1).as("kind"),
+      col("text").cast("binary").as("payload"))
+      .as[MediaBlob]
+  }
+
+  /** STUB decoder: a real pipeline would decode `payload` with a codec and
+    * run feature extraction here; we fold bytes deterministically instead.
+    * The surrounding batch shape (per-partition init, row iteration, typed
+    * output schema) is the real thing. */
+  def decodeFeatures(media: Dataset[MediaBlob]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition decoder init would go here (codec / model load)
+      rows.map { b =>
+        val cs = b.payload.foldLeft(7L)((h, byte) => (h * 31 + (byte & 0xff)) % TextHash.P)
+        MediaFeatures(
+          b.doc_id, b.kind, b.payload.length, cs,
+          width = 64 + (cs % 192).toInt,
+          height = 64 + ((cs / 192) % 192).toInt,
+          f0 = (cs % 1000) / 1000.0, f1 = (cs * 2 % 1000) / 1000.0,
+          f2 = (cs * 3 % 1000) / 1000.0, f3 = (cs * 4 % 1000) / 1000.0)
+      }
+    }
+  }
+
+  def decode(spark: SparkSession, dir: String): DataFrame =
+    decodeFeatures(blobs(spark, dir)).toDF().orderBy("doc_id")
+
+  /** Frame sampling over a "video" payload: every 3rd frame of
+    * n_bytes/100+1 frames — the explode-shaped half of the multimodal
+    * path (one row per sampled frame, offset into the payload). */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    decodeFeatures(blobs(spark, dir)).toDF()
+      .filter(col("kind") === "video")
+      .select(col("doc_id"), col("n_bytes"),
+        explode(sequence(lit(0L),
+          floor(col("n_bytes") / 100).cast("long"), lit(3L))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * 100L).as("frame_offset"))
+      .orderBy("doc_id", "frame_idx")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_decode" -> decode,
+    "mm_frame_sample" -> frameSample)
+}
+
+object MultimodalOracles {
+
+  private val kind =
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+  private val cs = TextHashSql.strHash("text")
+
+  val decode: String =
+    s"""SELECT doc_id, $kind AS kind,
+       |  CAST(length(text) AS INT) AS n_bytes, t.cs AS checksum,
+       |  CAST(64 + t.cs % 192 AS INT) AS width,
+       |  CAST(64 + (t.cs // 192) % 192 AS INT) AS height,
+       |  (t.cs % 1000) / 1000.0 AS f0, (t.cs * 2 % 1000) / 1000.0 AS f1,
+       |  (t.cs * 3 % 1000) / 1000.0 AS f2, (t.cs * 4 % 1000) / 1000.0 AS f3
+       |FROM (SELECT doc_id, text, $cs AS cs FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+
+  val frameSample: String =
+    s"""SELECT doc_id, frame_idx, frame_idx * 100 AS frame_offset
+       |FROM (SELECT doc_id, unnest(range(0, length(text) // 100 + 1, 3)) AS frame_idx
+       |      FROM documents WHERE $kind = 'video')
+       |ORDER BY doc_id, frame_idx""".stripMargin
+
+  val all: Map[String, String] = Map(
+    "mm_decode" -> decode,
+    "mm_frame_sample" -> frameSample)
+}

@@ -1,0 +1,101 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextHash._
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  * Two paths, same output shape (query id, rank, neighbor id, cosine):
+  *  - brute: exact baseline — query set broadcast against all candidates
+  *    (BroadcastNestedLoopJoin), per-query top-k via window rank. At scale
+  *    the candidate side stays partitioned and never shuffles: cost is one
+  *    pass over the corpus per query batch.
+  *  - lsh: random-hyperplane bucket equi-join — candidates shrink by the
+  *    bucket fan-out (×1/2^planes expected); the join becomes a hash join
+  *    keyed on bucket. The production scale path (more planes + multi-probe
+  *    over neighboring buckets); brute is its recall oracle in the spec.
+  *
+  * Cosine is a sequential double fold (TextHash.dot) so the DuckDB oracle
+  * ranks on bit-identical values.
+  */
+object Similarity {
+
+  val QuerySet = 10 // vec_id < 10 are the query vectors
+  val TopK = 5
+
+  private def ranked(scored: DataFrame): DataFrame =
+    scored
+      .withColumn("neighbor_rank",
+        row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("raw").desc, col("cid"))))
+      .filter(col("neighbor_rank") <= TopK)
+      .select(col("qid"), col("neighbor_rank"), col("cid"),
+        round(col("raw"), 6).as("cos_sim"))
+      .orderBy(col("qid"), col("neighbor_rank"))
+
+  /** Exact top-k by brute-force cosine. */
+  def knnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < QuerySet)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    ranked(broadcast(q).join(c, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("raw")))
+  }
+
+  /** LSH-bucketed ANN: candidates restricted to the query's hyperplane
+    * bucket. */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(
+      col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), 64, graft.dedup.Dedup.AnnPlanes).as("bucket"))
+    val q = e.filter(col("vec_id") < QuerySet)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("bucket"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"), col("bucket"))
+    ranked(q.join(c, Seq("bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("raw")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_knn_brute" -> knnBrute,
+    "sim_ann_lsh" -> annLsh)
+}
+
+object SimilarityOracles {
+  import graft.functions.TextHashSql
+
+  private def rankedSql(scoredCte: String): String =
+    s"""$scoredCte
+       |SELECT qid, neighbor_rank, cid, round(raw, 6) AS cos_sim FROM (
+       |  SELECT qid, cid, raw,
+       |         row_number() OVER (PARTITION BY qid ORDER BY raw DESC, cid) AS neighbor_rank
+       |  FROM s)
+       |WHERE neighbor_rank <= ${Similarity.TopK}
+       |ORDER BY qid, neighbor_rank""".stripMargin
+
+  val knnBrute: String = rankedSql(
+    s"""WITH s AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |         ${TextHashSql.cosine("q.embedding", "c.embedding")} AS raw
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < ${Similarity.QuerySet})""".stripMargin)
+
+  val annLsh: String = rankedSql(
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         ${TextHashSql.lshBucket("embedding", 64, graft.dedup.Dedup.AnnPlanes)} AS bucket
+       |  FROM embeddings),
+       |s AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |         ${TextHashSql.cosine("q.embedding", "c.embedding")} AS raw
+       |  FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < ${Similarity.QuerySet})""".stripMargin)
+
+  val all: Map[String, String] = Map(
+    "sim_knn_brute" -> knnBrute,
+    "sim_ann_lsh" -> annLsh)
+}
