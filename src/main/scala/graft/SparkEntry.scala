@@ -27,7 +27,8 @@ object SparkEntry {
     graft.text.TextAnalysis.queries ++
     graft.dedup.Dedup.queries ++
     graft.similarity.Similarity.queries ++
-    graft.multimodal.Multimodal.queries
+    graft.multimodal.Multimodal.queries ++
+    graft.streaming.Streams.queries
 
   private def transitQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2 Q1–Q4 transit parity (GTFS views derived from the TPC-H tables;
@@ -80,5 +81,6 @@ object SparkEntry {
     graft.text.TextOracles.all ++
     graft.dedup.DedupOracles.all ++
     graft.similarity.SimilarityOracles.all ++
-    graft.multimodal.MultimodalOracles.all
+    graft.multimodal.MultimodalOracles.all ++
+    graft.streaming.StreamOracles.all
 }

@@ -1,0 +1,134 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.sources.Tables
+
+/** Structured Streaming surface over the `events` table.
+  *
+  * Both operators are written once and run in BOTH modes:
+  *  - [[hourlyByType]] is mode-agnostic: the same plan aggregates a static
+  *    DataFrame (oracle-checked below) or a stream (watermark + tumbling
+  *    event-time window; late data beyond 2 h dropped, state bounded).
+  *  - sessionization has a batch face (window functions — the oracle) and
+  *    a streaming face (flatMapGroupsWithState) asserted equivalent in the
+  *    spec. State per user is O(1) (start/last/n/sum), keyed shuffle on
+  *    user_id — the layout that scales to 1000 executors.
+  */
+object Streams {
+
+  /** Tumbling 1-hour event-time windows per event type. On a stream, a
+    * 2-hour watermark bounds state; on a batch frame the same expression
+    * is a plain hash aggregate. */
+  def hourlyByType(events: DataFrame): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", "2 hours") else events
+    src
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
+  def hourlyBatch(spark: SparkSession, dir: String): DataFrame =
+    hourlyByType(Tables.events(spark, dir))
+      .orderBy("window_start", "event_type")
+
+  val SessionGapUs: Long = 30L * 60 * 1000000 // 30 min in microseconds
+
+  /** Batch sessionization: lag → new-session flag → running session number
+    * → per-session aggregate. This is the oracle semantics for the
+    * streaming path. */
+  def sessionizeBatch(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    events
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("us") - col("prev") > SessionGapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_no", sum(col("new_sess"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+        count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("user_id"), col("session_no"),
+        col("start_us"), (col("end_us") - col("start_us")).as("duration_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_no")
+  }
+
+  def sessionsBatch(spark: SparkSession, dir: String): DataFrame =
+    sessionizeBatch(Tables.events(spark, dir))
+
+  // ---- streaming sessionization (custom state machine) ----
+
+  final case class Ev(user_id: Long, us: Long, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  final case class Session(user_id: Long, start_us: Long, duration_us: Long,
+      n_events: Long, sum_value: Double)
+
+  /** Streaming face: one O(1) state per user; emits a session whenever a
+    * gap > 30 min is observed (within a micro-batch or across them). The
+    * final open session stays in state (flushed by a later event or, in
+    * production, a ProcessingTime/EventTime timeout). */
+  def sessionizeStreaming(events: Dataset[Ev]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(_.us)
+          var cur = state.getOption.orNull
+          val out = Seq.newBuilder[Session]
+          for (e <- sorted) {
+            if (cur == null) cur = SessionState(e.us, e.us, 1L, e.value)
+            else if (e.us - cur.last > SessionGapUs) {
+              out += Session(user, cur.start, cur.last - cur.start, cur.n,
+                math.round(cur.sum * 10000.0) / 10000.0)
+              cur = SessionState(e.us, e.us, 1L, e.value)
+            } else cur = SessionState(cur.start, e.us, cur.n + 1, cur.sum + e.value)
+          }
+          if (cur != null) state.update(cur)
+          out.result().iterator
+      }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_hourly_by_type" -> hourlyBatch,
+    "stream_sessions" -> sessionsBatch)
+}
+
+object StreamOracles {
+
+  val hourlyBatch: String =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin
+
+  val sessionsBatch: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
+       |flagged AS (
+       |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+       |                   OR us - lag(us) OVER w > ${Streams.SessionGapUs}
+       |                 THEN 1 ELSE 0 END AS new_sess
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |numbered AS (
+       |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+       |  FROM flagged)
+       |SELECT user_id, session_no, min(us) AS start_us,
+       |       max(us) - min(us) AS duration_us,
+       |       CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 4) AS sum_value
+       |FROM numbered GROUP BY user_id, session_no
+       |ORDER BY user_id, session_no""".stripMargin
+
+  val all: Map[String, String] = Map(
+    "stream_hourly_by_type" -> hourlyBatch,
+    "stream_sessions" -> sessionsBatch)
+}
