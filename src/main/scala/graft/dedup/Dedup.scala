@@ -109,10 +109,14 @@ object Dedup {
     * then rank candidates by exact hamming distance. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = Tables.documents(spark, dir).select(
-      col("doc_id"), simhash32(tokenHashes(col("text"))).as("sh"))
+      col("doc_id"),
+      graft.functions.GraftFunctions
+        .simhash32(spark, tokenHashes(col("text"))).as("sh"))
+    // let-bound so the simhash inlined by Project-collapsing is evaluated
+    // once per row, not once per slice
     val slices = sh.select(col("doc_id"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        k => (col("sh").cast("double") / pow(lit(2.0), k * 8)).cast("long") % 256L)))
+      posexplode(let(col("sh"))(s => transform(sequence(lit(0), lit(3)),
+        k => (s.cast("double") / pow(lit(2.0), k * 8)).cast("long") % 256L))))
       .toDF("doc_id", "sh", "k", "slice")
     slices.as("a").join(slices.as("b"),
         col("a.k") === col("b.k") && col("a.slice") === col("b.slice") &&
@@ -130,13 +134,14 @@ object Dedup {
     * bucket, global top-20. */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(
-      col("vec_id"), col("embedding"),
+      col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"),
       lshBucket(col("embedding"), 64, AnnPlanes).as("bucket"))
     e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
         col("a.bucket").as("bucket"),
-        round(cosine(col("a.embedding"), col("b.embedding")), 6).as("cos_sim"))
+        round(dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("id1"), col("id2"))
       .limit(20)
   }

@@ -35,9 +35,18 @@ object TextHash {
   /** Whitespace tokenization — single source of truth for every text op. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Polynomial char fold: h = fold(7, (h,c) => (h*31 + code(c)) % P).
-    * DuckDB mirror: list_reduce(list_prepend(7, codes), (a,b)->(a*31+b)%P). */
+  /** Fast cross-engine string hash: first 48 bits of md5, mod P. md5 and
+    * conv are native codegen'd expressions (no per-char array allocation —
+    * the polynomial [[rollHash]] was the hot-path bottleneck: UTF8String
+    * splitting per evaluation). DuckDB reproduces it by folding the same
+    * 12 hex chars (TextHashSql.strHash). */
   def strHash(s: Column): Column =
+    conv(substring(md5(s.cast("binary")), 1, 12), 16, 10).cast("long") % P
+
+  /** Polynomial char fold: h = fold(7, (h,c) => (h*31 + code(c)) % P) —
+    * the classic rolling hash; kept as the `roll_hash` fingerprint (one
+    * eval per document, off the hot path). */
+  def rollHash(s: Column): Column =
     aggregate(split(s, ""), lit(7L), (acc, c) => (acc * 31L + ascii(c)) % P)
 
   /** Hash of every token — the unit for shingles and SimHash. */
@@ -81,18 +90,22 @@ object TextHash {
   }
 
   /** 32-bit SimHash over token hashes: bit b is set iff the sum of
-    * (+1 if bit b of token hash else -1) over tokens is positive. */
+    * (+1 if bit b of token hash else -1) over tokens is positive.
+    * The 2^b constants are hoisted into a let-bound array so the inner
+    * (bit × token) loop is pure integer div/mod — no pow per step. */
   def simhash32(th0: Column): Column = let(th0) { th =>
-    aggregate(
-      sequence(lit(0), lit(31)),
-      lit(0L),
-      (acc, b) => {
-        val pow2b = floor(pow(lit(2.0), b)).cast("long")
-        val vote = aggregate(th, lit(0L),
-          (s, h) => s + when((h.cast("long") / pow2b.cast("double")).cast("long") % 2L === 1L, 1L)
-            .otherwise(-1L))
-        acc + when(vote > 0L, pow2b).otherwise(0L)
-      })
+    let(transform(sequence(lit(0), lit(31)),
+      b => floor(pow(lit(2.0), b)).cast("long"))) { pows =>
+      aggregate(
+        pows,
+        lit(0L),
+        (acc, p) => {
+          val vote = aggregate(th, lit(0L),
+            (s, h) => s + when((h.cast("long") / p.cast("double")).cast("long") % 2L === 1L, 1L)
+              .otherwise(-1L))
+          acc + when(vote > 0L, p).otherwise(0L)
+        })
+    }
   }
 
   /** Hamming distance between two simhash values (bit_count of xor). */
@@ -136,7 +149,14 @@ object TextHashSql {
   def tokens(text: String): String =
     s"regexp_split_to_array(trim($text), '\\s+')"
 
+  /** First 48 bits of md5 mod P: fold the 12 hex chars to an int. */
   def strHash(s: String): String =
+    s"(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, 13), i -> CAST(ascii(substr(md5($s), CAST(i AS INT), 1)) AS BIGINT) " +
+      s"- CASE WHEN substr(md5($s), CAST(i AS INT), 1) BETWEEN '0' AND '9' THEN 48 ELSE 87 END)), " +
+      s"(a, b) -> a*16 + b) % $P)"
+
+  def rollHash(s: String): String =
     s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +
       s"list_transform(range(1, length($s)+1), i -> CAST(ascii(substr($s, CAST(i AS INT), 1)) AS BIGINT))), " +
       s"(a, b) -> (a*31 + b) % $P)"

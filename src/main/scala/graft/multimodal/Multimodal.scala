@@ -88,7 +88,7 @@ object MultimodalOracles {
 
   private val kind =
     "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
-  private val cs = TextHashSql.strHash("text")
+  private val cs = TextHashSql.rollHash("text") // byte-fold == char-fold (ASCII)
 
   val decode: String =
     s"""SELECT doc_id, $kind AS kind,

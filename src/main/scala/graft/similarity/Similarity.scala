@@ -36,28 +36,35 @@ object Similarity {
         round(col("raw"), 6).as("cos_sim"))
       .orderBy(col("qid"), col("neighbor_rank"))
 
-  /** Exact top-k by brute-force cosine. */
+  /** Exact top-k by brute-force cosine. Norms are precomputed per vector
+    * (once per row, not once per pair): the pair loop does one dot fold. */
   def knnBrute(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val q = e.filter(col("vec_id") < QuerySet)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        l2norm(col("embedding")).as("qn"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+      l2norm(col("embedding")).as("cn"))
     ranked(broadcast(q).join(c, col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("raw")))
+      .select(col("qid"), col("cid"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("raw")))
   }
 
   /** LSH-bucketed ANN: candidates restricted to the query's hyperplane
-    * bucket. */
+    * bucket; norms precomputed like [[knnBrute]]. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(
-      col("vec_id"), col("embedding"),
+      col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"),
       lshBucket(col("embedding"), 64, graft.dedup.Dedup.AnnPlanes).as("bucket"))
     val q = e.filter(col("vec_id") < QuerySet)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("bucket"))
-    val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"), col("bucket"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("nrm").as("qn"), col("bucket"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+      col("nrm").as("cn"), col("bucket"))
     ranked(q.join(c, Seq("bucket"))
       .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("raw")))
+      .select(col("qid"), col("cid"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("raw")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

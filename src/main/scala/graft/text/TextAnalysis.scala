@@ -83,13 +83,16 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** Document fingerprints: md5, polynomial rolling hash, 32-bit SimHash. */
+  /** Document fingerprints: md5, polynomial rolling hash, 32-bit SimHash
+    * (the codegen'd native expression; TextHash.simhash32 is its
+    * interpreted executable spec). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
       md5(col("text").cast("binary")).as("md5_fp"),
-      TextHash.strHash(col("text")).as("roll_hash"),
-      TextHash.simhash32(TextHash.tokenHashes(col("text"))).as("simhash"))
+      TextHash.rollHash(col("text")).as("roll_hash"),
+      graft.functions.GraftFunctions
+        .simhash32(spark, TextHash.tokenHashes(col("text"))).as("simhash"))
       .orderBy("doc_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

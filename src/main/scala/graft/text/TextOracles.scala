@@ -51,7 +51,7 @@ object TextOracles {
   val fingerprint: String =
     s"""SELECT doc_id,
        |  md5(text) AS md5_fp,
-       |  ${strHash("text")} AS roll_hash,
+       |  ${rollHash("text")} AS roll_hash,
        |  ${simhash32(tokenHashes("text"))} AS simhash
        |FROM documents
        |ORDER BY doc_id""".stripMargin

@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** The native codegen'd SimHash must agree with the interpreted
+  * higher-order formulation (which the DuckDB oracle mirrors). */
+class NativeExpressionsSpec extends AnyFunSuite with SparkSpec {
+
+  test("SimHash32Expr equals TextHash.simhash32 on varied inputs") {
+    import spark.implicits._
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a", "a a a a a a", "x y z w v u t s r q p o n m",
+      "completely different content about catalyst optimizer rules")
+      .toDF("text")
+    val th = TextHash.tokenHashes(col("text"))
+    val both = docs.select(
+      GraftFunctions.simhash32(spark, th).as("native"),
+      TextHash.simhash32(th).as("interp"))
+    assert(both.filter(col("native") =!= col("interp")).count() == 0)
+    // and codegen path == interpreted path of the native expr itself
+    val vals = both.collect().map(_.getLong(0))
+    assert(vals.distinct.length > 1) // non-degenerate
+  }
+
+  test("SimHash32Expr of empty token array is 0") {
+    import spark.implicits._
+    val r = Seq(Seq.empty[Long]).toDF("th")
+      .select(GraftFunctions.simhash32(spark, col("th")))
+      .collect().head.getLong(0)
+    assert(r == 0L)
+  }
+}
