@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.transit.{Queries, ServiceFilter, TransitTables}
+
+/** Physical-plan assertions: the properties the 100 TB design depends on
+  * must hold in the compiled plans, not just in intent.
+  *
+  * Guards against regressions like a projection that drags all columns
+  * through the scan, a dim join that silently becomes sort-merge, or a
+  * top-k that plans as global sort + limit.
+  */
+class PlanQualitySpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("text analysis scans prune to doc_id + text (ReadSchema)") {
+    val p = plan("text_token_stats")
+    val scanLine = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scanLine.contains("doc_id") && scanLine.contains("text"))
+    assert(!scanLine.contains("source") && !scanLine.contains("n_chars"),
+      s"unpruned scan: $scanLine")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not global sort") {
+    assert(plan("rel_topk").contains("TakeOrderedAndProject"))
+    assert(plan("transit_q1_weekday").contains("TakeOrderedAndProject"))
+  }
+
+  test("dim joins broadcast (stops/routes side)") {
+    assert(plan("transit_q1_weekday").contains("BroadcastHashJoin"))
+    assert(plan("rel_dim_chain").contains("BroadcastHashJoin"))
+  }
+
+  test("aggregations are partial+final (map-side combine)") {
+    val p = plan("rel_agg")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(500))
+  }
+
+  test("q1 aggregates before the stops dim join (shuffle carries ids, not names)") {
+    val p = Queries.q1BusiestStops(
+      TransitTables.fromTpch(spark, sf), ServiceFilter.Weekday)
+      .queryExecution.optimizedPlan.toString
+    // the Aggregate must sit below the stops join: stop_name appears only
+    // above/at the join, never in the grouping expressions
+    val aggLine = p.linesIterator.find(_.contains("Aggregate [")).getOrElse("")
+    assert(aggLine.nonEmpty && !aggLine.contains("stop_name"), aggLine)
+  }
+
+  test("whole-stage codegen covers the relational spine") {
+    // AQE finalizes the plan lazily — execute first, then inspect
+    def finalPlan(name: String): String = {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    // codegen spans render as "*(n) Operator" in the compact plan string
+    assert("""\*\(\d+\)""".r.findAllIn(finalPlan("rel_agg")).length >= 3)
+    assert("""\*\(\d+\)""".r.findAllIn(finalPlan("transit_q2_weekday")).length >= 3)
+  }
+
+  test("parquet filter pushdown reaches the scan for pushable predicates") {
+    val p = plan("rel_isin_filter")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("In(") || pushed.contains("Or("), pushed)
+  }
+}
