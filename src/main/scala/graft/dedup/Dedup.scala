@@ -134,13 +134,14 @@ object Dedup {
     * bucket, global top-20. */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(
-      col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"),
+      col("vec_id"), col("embedding"),
+      graft.functions.GraftFunctions.l2norm(spark, col("embedding")).as("nrm"),
       lshBucket(col("embedding"), 64, AnnPlanes).as("bucket"))
     e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
         col("a.bucket").as("bucket"),
-        round(dot(col("a.embedding"), col("b.embedding")) /
+        round(graft.functions.GraftFunctions.dot(spark, col("a.embedding"), col("b.embedding")) /
           (col("a.nrm") * col("b.nrm")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("id1"), col("id2"))
       .limit(20)

@@ -75,27 +75,82 @@ case class SimHash32Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native dot product over two array<float> columns, accumulated in double
+  * in element order — bit-identical to the sequential fold of
+  * [[TextHash.dot]] (and therefore to the DuckDB oracle's list_reduce),
+  * but one tight loop under whole-stage codegen instead of ~300
+  * interpreted nodes per pair. */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var s = 0.0
+    var i = 0
+    val n = math.min(x.numElements(), y.numElements())
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |${ev.value} = 0.0;
+         |int $n = Math.min($x.numElements(), $y.numElements());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value} += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Session-level registration for graft native expressions. Idempotent;
-  * query builders call [[GraftFunctions.simhash32]] which registers on
-  * first use per session. (Production would instead wire these through
+  * query builders call the accessors which register on first use per
+  * session. (Production would instead wire these through
   * `SparkSessionExtensions.injectFunction`.) */
 object GraftFunctions {
 
-  private val name = "graft_simhash32"
+  private val fns: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("graft_simhash32", classOf[SimHash32Expr],
+      (es: Seq[Expression]) => SimHash32Expr(es.head)),
+    ("graft_dot", classOf[DotProductExpr],
+      (es: Seq[Expression]) => DotProductExpr(es(0), es(1))))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(FunctionIdentifier(name))) {
-      registry.registerFunction(
-        FunctionIdentifier(name),
-        new ExpressionInfo(classOf[SimHash32Expr].getName, name),
-        (exprs: Seq[Expression]) => SimHash32Expr(exprs.head))
-    }
+    for ((name, cls, builder) <- fns)
+      if (!registry.functionExists(FunctionIdentifier(name))) {
+        registry.registerFunction(
+          FunctionIdentifier(name),
+          new ExpressionInfo(cls.getName, name), builder)
+      }
   }
 
   /** Codegen'd SimHash over an array<bigint> column of token hashes. */
   def simhash32(spark: SparkSession, tokenHashes: Column): Column = {
     register(spark)
-    call_function(name, tokenHashes)
+    call_function("graft_simhash32", tokenHashes)
   }
+
+  /** Codegen'd float-array dot product (double accumulation). */
+  def dot(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("graft_dot", a, b)
+  }
+
+  def l2norm(spark: SparkSession, a: Column): Column =
+    org.apache.spark.sql.functions.sqrt(dot(spark, a, a))
 }

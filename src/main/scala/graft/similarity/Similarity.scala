@@ -42,19 +42,19 @@ object Similarity {
     val e = Tables.embeddings(spark, dir)
     val q = e.filter(col("vec_id") < QuerySet)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-        l2norm(col("embedding")).as("qn"))
+        graft.functions.GraftFunctions.l2norm(spark, col("embedding")).as("qn"))
     val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"),
-      l2norm(col("embedding")).as("cn"))
+      graft.functions.GraftFunctions.l2norm(spark, col("embedding")).as("cn"))
     ranked(broadcast(q).join(c, col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("raw")))
+        (graft.functions.GraftFunctions.dot(spark, col("qv"), col("cv")) / (col("qn") * col("cn"))).as("raw")))
   }
 
   /** LSH-bucketed ANN: candidates restricted to the query's hyperplane
     * bucket; norms precomputed like [[knnBrute]]. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(
-      col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"),
+      col("vec_id"), col("embedding"), graft.functions.GraftFunctions.l2norm(spark, col("embedding")).as("nrm"),
       lshBucket(col("embedding"), 64, graft.dedup.Dedup.AnnPlanes).as("bucket"))
     val q = e.filter(col("vec_id") < QuerySet)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
@@ -64,7 +64,7 @@ object Similarity {
     ranked(q.join(c, Seq("bucket"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("raw")))
+        (graft.functions.GraftFunctions.dot(spark, col("qv"), col("cv")) / (col("qn") * col("cn"))).as("raw")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
