@@ -154,3 +154,20 @@ object GraftFunctions {
   def l2norm(spark: SparkSession, a: Column): Column =
     org.apache.spark.sql.functions.sqrt(dot(spark, a, a))
 }
+
+/** Production wiring: `--conf spark.sql.extensions=graft.functions.GraftSparkExtensions`
+  * injects the native functions into every session at build time (no
+  * per-session lazy registration needed). The lazy [[GraftFunctions.register]]
+  * path remains for sessions created without the conf (tests, driver). */
+class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash32"),
+      new ExpressionInfo(classOf[SimHash32Expr].getName, "graft_simhash32"),
+      (es: Seq[Expression]) => SimHash32Expr(es.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
+      (es: Seq[Expression]) => DotProductExpr(es(0), es(1))))
+  }
+}

@@ -1,0 +1,35 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Result sinks (SURVEY §2.1 S4/S6): materialized query snapshots.
+  *
+  * The reference writes four result CSVs as its serving fast path
+  * (reference `SQL/generate_csv.py:37,75,108,125`) and bulk-upserts the
+  * timetable store into MongoDB (`Mongo/denormalization.py:83-131`). Here
+  * both become overwrite-mode writes of the already-computed DataFrames:
+  *
+  *  - [[resultCsv]] — small, human-readable result snapshot (coalesced to
+  *    one file like the reference's single CSV; results are top-k-sized,
+  *    so the coalesce is bounded and deliberate).
+  *  - [[snapshotParquet]] — the production result cache (R4): partitioned
+  *    parquet, readable back as a serving table.
+  *  - [[timetableParquet]] — the nested timetable store (replaces the
+  *    Mongo collection); bucketing by stop_id would co-locate point
+  *    lookups, plain parquet keeps it portable here.
+  */
+object Writers {
+
+  def resultCsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(path)
+
+  def snapshotParquet(df: DataFrame, path: String,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  def timetableParquet(timetables: DataFrame, path: String): Unit =
+    timetables.write.mode("overwrite").parquet(path)
+}
