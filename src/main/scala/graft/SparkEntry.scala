@@ -60,6 +60,15 @@ object SparkEntry {
     "transit_arrivals_grouped" -> ((s, dir) =>
       Timetable.getArrivalsGrouped(
         Timetable.buildStopTimetables(TransitTables.fromTpch(s, dir)), 42L)),
+    "transit_stop_search" -> ((s, dir) =>
+      Timetable.stopSearch(
+        Timetable.buildStopTimetables(TransitTables.fromTpch(s, dir)), "stop_1")),
+    "transit_next_departure" -> ((s, dir) =>
+      Timetable.nextDeparture(
+        Timetable.buildStopTimetables(TransitTables.fromTpch(s, dir)), 42L, 50000L)),
+    "transit_q2_overall" -> ((s, dir) =>
+      Queries.q2Overall(
+        Queries.q2RouteStats(TransitTables.fromTpch(s, dir), ServiceFilter.Weekday))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -77,6 +86,9 @@ object SparkEntry {
     "transit_stops_list" -> TransitOracles.stopsList,
     "transit_routes_for_stop" -> TransitOracles.routesForStop(42L),
     "transit_arrivals_grouped" -> TransitOracles.arrivalsGrouped(42L),
+    "transit_stop_search" -> TransitOracles.stopSearch("stop_1"),
+    "transit_next_departure" -> TransitOracles.nextDeparture(42L, 50000L),
+    "transit_q2_overall" -> TransitOracles.q2Overall(TransitOracles.q2Weekday),
   ) ++ graft.relational.RelationalOracles.all ++
     graft.text.TextOracles.all ++
     graft.dedup.DedupOracles.all ++

@@ -131,10 +131,10 @@ object Queries {
     * zero-guard). One agg expression — no UDAF needed (SURVEY §2.4 A10). */
   def q2Overall(routeStats: DataFrame): DataFrame =
     routeStats.agg(
-      (sum(col("avg_duration_min") * col("num_trips")) /
-        greatest(sum(col("num_trips")), lit(1L))).as("overall_avg_duration_min"),
-      (sum(col("avg_speed_kmh") * col("num_trips")) /
-        greatest(sum(col("num_trips")), lit(1L))).as("overall_avg_speed_kmh"),
+      round(sum(col("avg_duration_min") * col("num_trips")) /
+        greatest(sum(col("num_trips")), lit(1L)), 4).as("overall_avg_duration_min"),
+      round(sum(col("avg_speed_kmh") * col("num_trips")) /
+        greatest(sum(col("num_trips")), lit(1L)), 4).as("overall_avg_speed_kmh"),
       sum(col("num_trips")).as("total_trips"))
 
   /** Q3 CTE `UniqueStopRoutes`: deduped (stop, route) pairs — the manual

@@ -114,6 +114,25 @@ object Timetable {
       .orderBy(col("departure_time"), col("trip_id"))
   }
 
+  /** Stop-name autocomplete (SURVEY §2.8 F11, the client-side
+    * case-insensitive substring search, served engine-side). */
+  def stopSearch(timetables: DataFrame, q: String): DataFrame =
+    timetables
+      .filter(lower(col("stop_name")).contains(q.toLowerCase))
+      .select("stop_id", "stop_name", "stop_code")
+      .orderBy("stop_name", "stop_id")
+
+  /** Next departure at a stop (SURVEY §2.8 F12): first service with
+    * dep_secs >= now, else the first of the day — one ORDER BY with the
+    * >=now flag leading, so no two-pass union. */
+  def nextDeparture(timetables: DataFrame, stopId: Any, nowSecs: Long): DataFrame =
+    publicOnly(exploded(timetables.filter(col("stop_id") === lit(stopId))))
+      .select(col("stop_id"), col("svc.trip_id").as("trip_id"),
+        col("svc.dep_secs").as("dep_secs"),
+        col("svc.departure_time").as("departure_time"))
+      .orderBy((col("dep_secs") >= nowSecs).desc, col("dep_secs"), col("trip_id"))
+      .limit(1)
+
   /** Flatten the nested store back to rows (collect_list ∘ explode round
     * trip) — the oracle-checkable face of the build. */
   def flattened(timetables: DataFrame): DataFrame =

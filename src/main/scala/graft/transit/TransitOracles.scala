@@ -156,6 +156,32 @@ object TransitOracles {
        |JOIN routes r ON r.route_id = t.route_id
        |ORDER BY st.stop_id, st.trip_id, st.stop_sequence""".stripMargin
 
+  def stopSearch(q: String): String =
+    s"""$P
+       |SELECT stop_id, stop_name, stop_code FROM stops
+       |WHERE lower(stop_name) LIKE '%${q.toLowerCase}%'
+       |ORDER BY stop_name, stop_id""".stripMargin
+
+  def nextDeparture(stopId: Long, nowSecs: Long): String =
+    s"""$P
+       |SELECT st.stop_id, st.trip_id, st.dep_secs,
+       |       ${displayTime("st.dep_secs")} AS departure_time
+       |FROM stop_times st JOIN trips t ON t.trip_id = st.trip_id
+       |WHERE st.stop_id = $stopId
+       |  AND t.service_id IN ('1','2','3')
+       |  AND t.trip_headsign IS NOT NULL AND t.trip_headsign <> 'NOT IN SERVICE'
+       |ORDER BY (st.dep_secs >= $nowSecs) DESC, st.dep_secs, st.trip_id
+       |LIMIT 1""".stripMargin
+
+  def q2Overall(inner: String): String =
+    s"""WITH ranked AS ($inner)
+       |SELECT round(sum(avg_duration_min * num_trips) / greatest(sum(num_trips), 1), 4)
+       |         AS overall_avg_duration_min,
+       |       round(sum(avg_speed_kmh * num_trips) / greatest(sum(num_trips), 1), 4)
+       |         AS overall_avg_speed_kmh,
+       |       CAST(sum(num_trips) AS BIGINT) AS total_trips
+       |FROM ranked""".stripMargin
+
   val stopsList: String =
     s"""$P
        |SELECT stop_id, stop_name, stop_code FROM stops
