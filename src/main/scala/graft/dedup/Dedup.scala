@@ -63,10 +63,12 @@ object Dedup {
   private def sigs(spark: SparkSession, dir: String): DataFrame =
     shingleSets(spark, dir).select(
       col("doc_id"), col("shs"), minhashSig(col("shs"), MinhashK).as("sig"))
+      // explicit barrier: every consumer (band sides x/y, sig sides s1/s2)
+      // reads this one exchange via ReuseExchange instead of recomputing
+      // the signature pipeline per reference — measured 7 scans → 1
+      .repartition(col("doc_id"))
 
-  /** MinHash LSH banding: (doc, band, band_hash) — the partition key a
-    * cluster-scale dedup shuffles on. Oracle-checked end to end. */
-  def minhashBands(spark: SparkSession, dir: String): DataFrame =
+  private def bandsRaw(spark: SparkSession, dir: String): DataFrame =
     sigs(spark, dir).select(
       col("doc_id"),
       // `let` so the signature is evaluated once, not once per element_at
@@ -79,14 +81,20 @@ object Dedup {
           acc
         }))))
       .toDF("doc_id", "band", "band_hash")
-      .orderBy("doc_id", "band")
+
+  /** MinHash LSH banding: (doc, band, band_hash) — the partition key a
+    * cluster-scale dedup shuffles on. Oracle-checked end to end.
+    * (The orderBy is the oracle-face presentation sort; [[minhashPairs]]
+    * joins the unsorted frame.) */
+  def minhashBands(spark: SparkSession, dir: String): DataFrame =
+    bandsRaw(spark, dir).orderBy("doc_id", "band")
 
   /** MinHash LSH candidate pairs: same (band, band_hash) → estimate
     * similarity from signature agreement, verify with exact Jaccard.
     * Sparse at the synthetic SFs (word-salad docs share few shingles) —
     * the spec proves recall on constructed near-dups. */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val b = minhashBands(spark, dir)
+    val b = bandsRaw(spark, dir)
     val cand = b.as("x").join(b.as("y"),
         col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
           col("x.doc_id") < col("y.doc_id"))
