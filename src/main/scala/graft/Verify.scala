@@ -12,6 +12,9 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // local[32]/128GB: let mid-size dims (trips at sf0.1) broadcast; on a
+      // real cluster AQE re-decides per stage from runtime sizes
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
