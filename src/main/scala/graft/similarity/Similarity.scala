@@ -67,9 +67,48 @@ object Similarity {
         (graft.functions.GraftFunctions.dot(spark, col("qv"), col("cv")) / (col("qn") * col("cn"))).as("raw")))
   }
 
+  val IvfCells = 8
+
+  /** IVF-style coarse quantization: cell = argmax_j dot(v, centroid_j)
+    * over [[IvfCells]] deterministic pseudo-centroids
+    * (centroid j, dim i: ((i·13 + j·29) % 15 − 7) / 10). */
+  def ivfCell(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val dots = (0 until IvfCells).map { j =>
+      aggregate(
+        transform(sequence(lit(1), lit(64)),
+          i => (((i * 13 + lit(j * 29)) % 15 - 7).cast("double") / 10.0) *
+            element_at(v, i).cast("double")),
+        lit(0.0), (s, x) => s + x)
+    }
+    // first index of the max dot (1-based array_position), ties → lowest j
+    let(array(dots: _*))(ds => array_position(ds, array_max(ds)) - 1)
+  }
+
+  /** IVF ANN: candidates restricted to the query's coarse cell (nprobe=1;
+    * production probes the top-n cells by centroid dot). Same shape as
+    * [[annLsh]] — IVF partitions by data-dependent direction, LSH by
+    * oblivious hyperplanes. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(
+      col("vec_id"), col("embedding"),
+      graft.functions.GraftFunctions.l2norm(spark, col("embedding")).as("nrm"),
+      ivfCell(col("embedding")).as("cell"))
+    val q = e.filter(col("vec_id") < QuerySet)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("nrm").as("qn"), col("cell"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+      col("nrm").as("cn"), col("cell"))
+    ranked(q.join(c, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (graft.functions.GraftFunctions.dot(spark, col("qv"), col("cv")) /
+          (col("qn") * col("cn"))).as("raw")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_knn_brute" -> knnBrute,
-    "sim_ann_lsh" -> annLsh)
+    "sim_ann_lsh" -> annLsh,
+    "sim_ann_ivf" -> annIvf)
 }
 
 object SimilarityOracles {
@@ -102,7 +141,29 @@ object SimilarityOracles {
        |  FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
        |  WHERE q.vec_id < ${Similarity.QuerySet})""".stripMargin)
 
+  val annIvf: String = {
+    val dots = (0 until Similarity.IvfCells).map { j =>
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), " +
+        s"i -> (CAST((i*13 + ${j * 29}) % 15 - 7 AS DOUBLE) / 10.0) * " +
+        s"CAST(embedding[i] AS DOUBLE))), (s, x) -> s + x)"
+    }
+    rankedSql(
+      s"""WITH d AS (
+         |  SELECT vec_id, embedding, [${dots.mkString(",\n    ")}] AS ds
+         |  FROM embeddings),
+         |e AS (
+         |  SELECT vec_id, embedding,
+         |         list_position(ds, list_aggregate(ds, 'max')) - 1 AS cell
+         |  FROM d),
+         |s AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |         ${TextHashSql.cosine("q.embedding", "c.embedding")} AS raw
+         |  FROM e q JOIN e c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < ${Similarity.QuerySet})""".stripMargin)
+  }
+
   val all: Map[String, String] = Map(
     "sim_knn_brute" -> knnBrute,
-    "sim_ann_lsh" -> annLsh)
+    "sim_ann_lsh" -> annLsh,
+    "sim_ann_ivf" -> annIvf)
 }
