@@ -106,6 +106,15 @@ object RelationalOracles {
         |GROUP BY DATE_TRUNC('hour', ts), event_type
         |ORDER BY window_start, event_type""".stripMargin,
 
+    "rel_events_enriched" ->
+      """SELECT c_mktsegment, event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       ROUND(SUM(value), 4) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c_mktsegment, event_type
+        |ORDER BY c_mktsegment, event_type""".stripMargin,
+
     "rel_stddev" ->
       """SELECT c_mktsegment, COUNT(*) AS n,
         |       ROUND(AVG(c_acctbal), 4) AS avg_bal,

@@ -206,6 +206,19 @@ object RelationalQueries {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Fact-stream ⋈ customer dim enrichment (broadcast) + segment rollup —
+    * the events-table face of the J1-J3 fact⋈dim pattern. */
+  def eventsEnriched(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .orderBy(col("c_mktsegment"), col("event_type"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_agg" -> agg,
     "rel_topk" -> topK,
@@ -219,6 +232,7 @@ object RelationalQueries {
     "rel_pivot" -> pivot,
     "rel_collect_explode" -> collectExplode,
     "rel_events_hourly" -> eventsHourly,
+    "rel_events_enriched" -> eventsEnriched,
     "rel_stddev" -> stddev,
     "rel_nullif_div" -> nullifDiv,
     "rel_isin_filter" -> isinFilter,
