@@ -126,6 +126,9 @@ object Dedup {
       posexplode(let(col("sh"))(s => transform(sequence(lit(0), lit(3)),
         k => (s.cast("double") / pow(lit(2.0), k * 8)).cast("long") % 256L))))
       .toDF("doc_id", "sh", "k", "slice")
+      // barrier: both self-join sides reuse one computed exchange instead
+      // of re-hashing every document (same pattern as Dedup.sigs)
+      .repartition(col("k"), col("slice"))
     slices.as("a").join(slices.as("b"),
         col("a.k") === col("b.k") && col("a.slice") === col("b.slice") &&
           col("a.doc_id") < col("b.doc_id"))
