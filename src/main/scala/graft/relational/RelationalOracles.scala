@@ -115,6 +115,29 @@ object RelationalOracles {
         |GROUP BY c_mktsegment, event_type
         |ORDER BY c_mktsegment, event_type""".stripMargin,
 
+    "rel_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "rel_set_ops" ->
+      """WITH u AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |     h AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+        |SELECT o_custkey, 'both' AS set_op FROM (SELECT * FROM u INTERSECT SELECT * FROM h)
+        |UNION ALL
+        |SELECT o_custkey, 'urgent_only' AS set_op FROM (SELECT * FROM u EXCEPT SELECT * FROM h)
+        |ORDER BY set_op, o_custkey""".stripMargin,
+
+    "rel_asof_join" ->
+      """SELECT c.event_id AS click_id, c.user_id, v.event_id AS view_id,
+        |       epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id AND v.ts <= c.ts
+        |ORDER BY click_id""".stripMargin,
+
     "rel_stddev" ->
       """SELECT c_mktsegment, COUNT(*) AS n,
         |       ROUND(AVG(c_acctbal), 4) AS avg_bal,

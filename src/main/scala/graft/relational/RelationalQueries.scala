@@ -219,6 +219,53 @@ object RelationalQueries {
         round(sum(col("value")), 4).as("sum_value"))
       .orderBy(col("c_mktsegment"), col("event_type"))
 
+  /** ROLLUP over (returnflag, linestatus): hierarchical subtotals + grand
+    * total — beyond the reference surface, standard warehouse shape. */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** INTERSECT / EXCEPT over per-priority customer key sets. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def keys(p: String) =
+      o.filter(col("o_orderpriority") === p).select(col("o_custkey")).distinct()
+    val urgent = keys("1-URGENT")
+    val high = keys("2-HIGH")
+    urgent.intersect(high).withColumn("set_op", lit("both"))
+      .unionByName(urgent.except(high).withColumn("set_op", lit("urgent_only")))
+      .orderBy(col("set_op"), col("o_custkey"))
+  }
+
+  /** As-of join (no built-in Spark operator): for each click, the latest
+    * view at-or-before it per user — composed from a union + running
+    * `last(..., ignoreNulls)` window, the (a)-tier realization of SURVEY
+    * §7.3's custom-operator preference order. The DuckDB oracle uses its
+    * native ASOF JOIN, cross-checking the rewrite against a first-class
+    * implementation. Views sort before clicks at equal timestamps to match
+    * ASOF's inclusive (v.ts <= c.ts) bound. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), when(col("event_type") === "view", 0).otherwise(1))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("last_view",
+        last(when(col("event_type") === "view",
+          struct(col("us"), col("event_id"))), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("last_view.event_id").as("view_id"),
+        (col("us") - col("last_view.us")).as("gap_us"))
+      .orderBy(col("click_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_agg" -> agg,
     "rel_topk" -> topK,
@@ -233,6 +280,9 @@ object RelationalQueries {
     "rel_collect_explode" -> collectExplode,
     "rel_events_hourly" -> eventsHourly,
     "rel_events_enriched" -> eventsEnriched,
+    "rel_rollup" -> rollupAgg,
+    "rel_set_ops" -> setOps,
+    "rel_asof_join" -> asofJoin,
     "rel_stddev" -> stddev,
     "rel_nullif_div" -> nullifDiv,
     "rel_isin_filter" -> isinFilter,
