@@ -138,6 +138,15 @@ object RelationalOracles {
         |  ON c.user_id = v.user_id AND v.ts <= c.ts
         |ORDER BY click_id""".stripMargin,
 
+    "rel_range_join" ->
+      """SELECT b.r_regionkey AS band_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       ROUND(SUM(e.value), 4) AS sum_value
+        |FROM events e JOIN region b
+        |  ON e.value >= b.r_regionkey * 100.0 AND e.value < (b.r_regionkey + 1) * 100.0
+        |GROUP BY b.r_regionkey
+        |ORDER BY band_id""".stripMargin,
+
     "rel_stddev" ->
       """SELECT c_mktsegment, COUNT(*) AS n,
         |       ROUND(AVG(c_acctbal), 4) AS avg_bal,

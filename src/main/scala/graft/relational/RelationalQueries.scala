@@ -266,6 +266,25 @@ object RelationalQueries {
       .orderBy(col("click_id"))
   }
 
+  /** Range (band) join: events matched to value bands by interval
+    * containment — a non-equi join Spark plans as broadcast nested loop
+    * with the range predicate. Scale path: precompute band = floor(v/width)
+    * and equi-join (turning the interval join into a hash join), which the
+    * aggregation here is equivalent to; the explicit range predicate keeps
+    * the operator shape honest. Bands derive from the region dim (5 rows,
+    * broadcast). */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val bands = Tables.region(spark, dir).select(
+      col("r_regionkey").as("band_id"),
+      (col("r_regionkey") * 100.0).as("lo"),
+      ((col("r_regionkey") + 1) * 100.0).as("hi"))
+    Tables.events(spark, dir)
+      .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .orderBy(col("band_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_agg" -> agg,
     "rel_topk" -> topK,
@@ -283,6 +302,7 @@ object RelationalQueries {
     "rel_rollup" -> rollupAgg,
     "rel_set_ops" -> setOps,
     "rel_asof_join" -> asofJoin,
+    "rel_range_join" -> rangeJoin,
     "rel_stddev" -> stddev,
     "rel_nullif_div" -> nullifDiv,
     "rel_isin_filter" -> isinFilter,
