@@ -69,6 +69,10 @@ object SparkEntry {
     "transit_q2_overall" -> ((s, dir) =>
       Queries.q2Overall(
         Queries.q2RouteStats(TransitTables.fromTpch(s, dir), ServiceFilter.Weekday))),
+    "transit_arrivals_flat" -> ((s, dir) =>
+      Timetable.getArrivalsFlat(
+        Timetable.buildStopTimetables(TransitTables.fromTpch(s, dir)),
+        42L, "26", "3-MEDIUM")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -89,6 +93,7 @@ object SparkEntry {
     "transit_stop_search" -> TransitOracles.stopSearch("stop_1"),
     "transit_next_departure" -> TransitOracles.nextDeparture(42L, 50000L),
     "transit_q2_overall" -> TransitOracles.q2Overall(TransitOracles.q2Weekday),
+    "transit_arrivals_flat" -> TransitOracles.arrivalsFlat(42L, "26", "3-MEDIUM"),
   ) ++ graft.relational.RelationalOracles.all ++
     graft.text.TextOracles.all ++
     graft.dedup.DedupOracles.all ++

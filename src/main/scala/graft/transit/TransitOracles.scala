@@ -156,6 +156,20 @@ object TransitOracles {
        |JOIN routes r ON r.route_id = t.route_id
        |ORDER BY st.stop_id, st.trip_id, st.stop_sequence""".stripMargin
 
+  /** Flat arrivals (route+headsign given): string-sorted display times —
+    * the reference's accepted day-wrap sort quirk (SURVEY §2.5 O9). */
+  def arrivalsFlat(stopId: Long, shortName: String, headsign: String): String =
+    s"""$P
+       |SELECT ${displayTime("st.dep_secs")} AS departure_time, st.trip_id
+       |FROM stop_times st
+       |JOIN trips t ON t.trip_id = st.trip_id
+       |JOIN routes r ON r.route_id = t.route_id
+       |WHERE st.stop_id = $stopId
+       |  AND t.service_id IN ('1','2','3')
+       |  AND t.trip_headsign IS NOT NULL AND t.trip_headsign <> 'NOT IN SERVICE'
+       |  AND r.route_short_name = '$shortName' AND t.trip_headsign = '$headsign'
+       |ORDER BY departure_time, st.trip_id""".stripMargin
+
   def stopSearch(q: String): String =
     s"""$P
        |SELECT stop_id, stop_name, stop_code FROM stops
