@@ -20,8 +20,9 @@ import graft.sources.Tables
   *    are small and shuffle-friendly downstream.
   *
   * The stub's integer math is mirrored in the DuckDB oracle, so even the
-  * mapPartitions path is oracle-checked end to end (payloads here are
-  * ASCII text bytes, making byte-fold == char-fold).
+  * mapPartitions path is oracle-checked end to end (byte lengths via
+  * DuckDB `strlen`, checksum via a code-point fold — both engines agree
+  * for arbitrary UTF-8 payloads, not just ASCII).
   */
 object Multimodal {
 
@@ -44,15 +45,23 @@ object Multimodal {
   }
 
   /** STUB decoder: a real pipeline would decode `payload` with a codec and
-    * run feature extraction here; we fold bytes deterministically instead.
+    * run feature extraction here; we fold deterministically instead.
     * The surrounding batch shape (per-partition init, row iteration, typed
-    * output schema) is the real thing. */
+    * output schema) is the real thing.
+    *
+    * Cross-engine parity: `n_bytes` is the raw payload byte length (DuckDB
+    * `strlen`), while `checksum` folds the decoded text's Unicode code
+    * points (DuckDB's char-wise `ascii(substr(...))` fold) — so both stay
+    * oracle-exact even for multi-byte UTF-8 documents. */
   def decodeFeatures(media: Dataset[MediaBlob]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition decoder init would go here (codec / model load)
       rows.map { b =>
-        val cs = b.payload.foldLeft(7L)((h, byte) => (h * 31 + (byte & 0xff)) % TextHash.P)
+        val text = new String(b.payload, java.nio.charset.StandardCharsets.UTF_8)
+        var cs = 7L
+        val cps = text.codePoints().iterator()
+        while (cps.hasNext) cs = (cs * 31 + cps.next()) % TextHash.P
         MediaFeatures(
           b.doc_id, b.kind, b.payload.length, cs,
           width = 64 + (cs % 192).toInt,
@@ -88,11 +97,11 @@ object MultimodalOracles {
 
   private val kind =
     "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
-  private val cs = TextHashSql.rollHash("text") // byte-fold == char-fold (ASCII)
+  private val cs = TextHashSql.rollHash("text") // code-point fold, matches the stub
 
   val decode: String =
     s"""SELECT doc_id, $kind AS kind,
-       |  CAST(length(text) AS INT) AS n_bytes, t.cs AS checksum,
+       |  CAST(strlen(text) AS INT) AS n_bytes, t.cs AS checksum,
        |  CAST(64 + t.cs % 192 AS INT) AS width,
        |  CAST(64 + (t.cs // 192) % 192 AS INT) AS height,
        |  (t.cs % 1000) / 1000.0 AS f0, (t.cs * 2 % 1000) / 1000.0 AS f1,
@@ -102,7 +111,7 @@ object MultimodalOracles {
 
   val frameSample: String =
     s"""SELECT doc_id, frame_idx, frame_idx * 100 AS frame_offset
-       |FROM (SELECT doc_id, unnest(range(0, length(text) // 100 + 1, 3)) AS frame_idx
+       |FROM (SELECT doc_id, unnest(range(0, strlen(text) // 100 + 1, 3)) AS frame_idx
        |      FROM documents WHERE $kind = 'video')
        |ORDER BY doc_id, frame_idx""".stripMargin
 

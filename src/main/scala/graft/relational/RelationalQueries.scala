@@ -246,14 +246,18 @@ object RelationalQueries {
     * §7.3's custom-operator preference order. The DuckDB oracle uses its
     * native ASOF JOIN, cross-checking the rewrite against a first-class
     * implementation. Views sort before clicks at equal timestamps to match
-    * ASOF's inclusive (v.ts <= c.ts) bound. */
+    * ASOF's inclusive (v.ts <= c.ts) bound; event_id is the final order
+    * key so ties among same-timestamp views resolve deterministically to
+    * the max event_id (the oracle dedupes its view side the same way —
+    * DuckDB's ASOF picks arbitrarily among exact-tie views otherwise). */
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .filter(col("event_type").isin("click", "view"))
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("us"))
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("us"), when(col("event_type") === "view", 0).otherwise(1))
+      .orderBy(col("us"), when(col("event_type") === "view", 0).otherwise(1),
+        col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ev
       .withColumn("last_view",

@@ -66,34 +66,64 @@ object Streams {
   // ---- streaming sessionization (custom state machine) ----
 
   final case class Ev(user_id: Long, us: Long, value: Double)
+  final case class EvT(user_id: Long, us: Long, value: Double,
+      event_ts: java.sql.Timestamp)
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class Session(user_id: Long, start_us: Long, duration_us: Long,
       n_events: Long, sum_value: Double)
 
+  private def emit(user: Long, s: SessionState): Session =
+    Session(user, s.start, s.last - s.start, s.n,
+      math.round(s.sum * 10000.0) / 10000.0)
+
   /** Streaming face: one O(1) state per user; emits a session whenever a
-    * gap > 30 min is observed (within a micro-batch or across them). The
-    * final open session stays in state (flushed by a later event or, in
-    * production, a ProcessingTime/EventTime timeout). */
+    * gap > 30 min is observed (within a micro-batch or across them), and
+    * flushes the final open session via an event-time timeout once the
+    * watermark passes session end + gap — no future event required.
+    *
+    * Out-of-order handling: within a micro-batch rows are sorted by event
+    * time; across batches the watermark (delay = the session gap) bounds
+    * lateness, and an event at-or-before the state's `last` is folded into
+    * the open session without moving `last` backwards — so a late-but-
+    * within-watermark event can extend a session's count/sum but never
+    * reorders its boundaries (the batch face, which sees all rows sorted,
+    * is the oracle for in-order input). */
   def sessionizeStreaming(events: Dataset[Ev]): Dataset[Session] = {
     import events.sparkSession.implicits._
-    events
+    events.toDF()
+      .withColumn("event_ts", timestamp_micros(col("us")))
+      .withWatermark("event_ts", "30 minutes")
+      .as[EvT]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[Ev], state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(_.us)
-          var cur = state.getOption.orNull
-          val out = Seq.newBuilder[Session]
-          for (e <- sorted) {
-            if (cur == null) cur = SessionState(e.us, e.us, 1L, e.value)
-            else if (e.us - cur.last > SessionGapUs) {
-              out += Session(user, cur.start, cur.last - cur.start, cur.n,
-                math.round(cur.sum * 10000.0) / 10000.0)
-              cur = SessionState(e.us, e.us, 1L, e.value)
-            } else cur = SessionState(cur.start, e.us, cur.n + 1, cur.sum + e.value)
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[EvT], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val done = emit(user, state.get)
+            state.remove()
+            Iterator.single(done)
+          } else {
+            val sorted = rows.toSeq.sortBy(_.us)
+            var cur = state.getOption.orNull
+            val out = Seq.newBuilder[Session]
+            for (e <- sorted) {
+              if (cur == null) cur = SessionState(e.us, e.us, 1L, e.value)
+              else if (e.us - cur.last > SessionGapUs) {
+                out += emit(user, cur)
+                cur = SessionState(e.us, e.us, 1L, e.value)
+              } else cur = SessionState(cur.start, math.max(cur.last, e.us),
+                cur.n + 1, cur.sum + e.value)
+            }
+            if (cur != null) {
+              state.update(cur)
+              // flush when the watermark passes last + gap (clamped above
+              // the current watermark — required by the timeout contract)
+              state.setTimeoutTimestamp(math.max(
+                cur.last / 1000L + SessionGapUs / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            }
+            out.result().iterator
           }
-          if (cur != null) state.update(cur)
-          out.result().iterator
       }
   }
 

@@ -100,11 +100,16 @@ object Timetable {
   }
 
   /** `GET /get_arrivals`, flat mode (route + headsign given): the sorted
-    * times list (reference `Mongo/app.py:186-204`). */
+    * times list (reference `Mongo/app.py:186-204`). The reference's flat
+    * path applies only the public-service allow-list plus the exact
+    * route/headsign equality — no NOT-IN-SERVICE exclusion (that filter
+    * belongs to the grouped/routes paths, `Mongo/app.py:131-145,206-244`);
+    * querying headsign='NOT IN SERVICE' legitimately returns rows. */
   def getArrivalsFlat(timetables: DataFrame, stopId: Any,
       routeShortName: String, headsign: String,
       service: ServiceFilter = ServiceFilter.WholeWeek): DataFrame = {
-    val base = publicOnly(exploded(timetables.filter(col("stop_id") === lit(stopId))))
+    val base = exploded(timetables.filter(col("stop_id") === lit(stopId)))
+      .filter(col("svc.service_id").isin(ServiceFilter.publicServices: _*))
       .filter(col("svc.route_short_name") === routeShortName &&
         col("svc.trip_headsign") === headsign)
     val filtered = service.sid.fold(base)(sid => base.filter(col("svc.service_id") === sid))

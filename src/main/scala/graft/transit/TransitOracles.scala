@@ -157,7 +157,10 @@ object TransitOracles {
        |ORDER BY st.stop_id, st.trip_id, st.stop_sequence""".stripMargin
 
   /** Flat arrivals (route+headsign given): string-sorted display times —
-    * the reference's accepted day-wrap sort quirk (SURVEY §2.5 O9). */
+    * the reference's accepted day-wrap sort quirk (SURVEY §2.5 O9). The
+    * reference's flat path applies only the service allow-list plus the
+    * exact route/headsign match — no NOT-IN-SERVICE exclusion (reference
+    * `Mongo/app.py:186-204`), unlike the grouped path. */
   def arrivalsFlat(stopId: Long, shortName: String, headsign: String): String =
     s"""$P
        |SELECT ${displayTime("st.dep_secs")} AS departure_time, st.trip_id
@@ -166,14 +169,15 @@ object TransitOracles {
        |JOIN routes r ON r.route_id = t.route_id
        |WHERE st.stop_id = $stopId
        |  AND t.service_id IN ('1','2','3')
-       |  AND t.trip_headsign IS NOT NULL AND t.trip_headsign <> 'NOT IN SERVICE'
        |  AND r.route_short_name = '$shortName' AND t.trip_headsign = '$headsign'
        |ORDER BY departure_time, st.trip_id""".stripMargin
 
+  /** Literal substring match via contains() — LIKE would treat '_'/'%' in
+    * the query as wildcards, diverging from the Spark side's contains(). */
   def stopSearch(q: String): String =
     s"""$P
        |SELECT stop_id, stop_name, stop_code FROM stops
-       |WHERE lower(stop_name) LIKE '%${q.toLowerCase}%'
+       |WHERE contains(lower(stop_name), '${q.toLowerCase.replace("'", "''")}')
        |ORDER BY stop_name, stop_id""".stripMargin
 
   def nextDeparture(stopId: Long, nowSecs: Long): String =

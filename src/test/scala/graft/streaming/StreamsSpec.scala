@@ -37,26 +37,29 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val min = 60L * 1000000L
+    val base = 1000 * min // off epoch 0: ts <= the initial watermark is late
     // user 1: two sessions (gap 40 min between minute 50 and 90); user 2: one
     val evs = Seq(
-      Ev(1, 0 * min, 1.0), Ev(1, 10 * min, 2.0), Ev(1, 50 * min, 4.0),
-      Ev(1, 90 * min, 8.0), Ev(2, 5 * min, 16.0), Ev(2, 20 * min, 32.0))
-    // sentinel events far in the future flush the final open sessions
-    val flush = Seq(Ev(1, 1000 * min, 0.0), Ev(2, 1000 * min, 0.0))
+      Ev(1, base + 0 * min, 1.0), Ev(1, base + 10 * min, 2.0),
+      Ev(1, base + 50 * min, 4.0), Ev(1, base + 90 * min, 8.0),
+      Ev(2, base + 5 * min, 16.0), Ev(2, base + 20 * min, 32.0))
 
     val stream = MemoryStream[Ev]
     val q = sessionizeStreaming(stream.toDS()).writeStream
       .format("memory").queryName("sessions_test").outputMode("append").start()
     try {
-      stream.addData(evs.take(3): _*) // split across micro-batches on purpose
+      stream.addData(evs: _*)
       q.processAllAvailable()
-      stream.addData(evs.drop(3): _*)
+      // trailing sessions flush via EVENT-TIME TIMEOUT, not future events
+      // for those users: a different user's event advances the watermark
+      stream.addData(Ev(3, base + 1000 * min, 0.0)) // wm +60min → flushes user 2
       q.processAllAvailable()
-      stream.addData(flush: _*)
+      stream.addData(Ev(3, base + 2000 * min, 0.0)) // wm +970min → flushes user 1
       q.processAllAvailable()
     } finally q.stop()
 
     val streamed = spark.table("sessions_test")
+      .filter($"user_id" <= 2) // user 3 is only the watermark driver
       .select("user_id", "start_us", "duration_us", "n_events", "sum_value")
       .orderBy("user_id", "start_us").collect().toSeq
 
