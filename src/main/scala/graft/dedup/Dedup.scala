@@ -44,6 +44,10 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val ex = shingleSets(spark, dir)
       .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("s"))
+      // barrier: both self-join sides read one computed exchange
+      // (ReuseExchange), so the shingle pipeline runs once per document,
+      // not once per side — same pattern as [[sigs]]
+      .repartition(col("s"))
     ex.as("a").join(ex.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
@@ -62,7 +66,10 @@ object Dedup {
 
   private def sigs(spark: SparkSession, dir: String): DataFrame =
     shingleSets(spark, dir).select(
-      col("doc_id"), col("shs"), minhashSig(col("shs"), MinhashK).as("sig"))
+      col("doc_id"), col("shs"),
+      // native codegen'd signature (MinHashSigExpr); TextHash.minhashSig
+      // remains the interpreted executable spec it is asserted against
+      graft.functions.GraftFunctions.minhash32(spark, col("shs")).as("sig"))
       // explicit barrier: every consumer (band sides x/y, sig sides s1/s2)
       // reads this one exchange via ReuseExchange instead of recomputing
       // the signature pipeline per reference — measured 7 scans → 1
@@ -129,11 +136,28 @@ object Dedup {
       // barrier: both self-join sides reuse one computed exchange instead
       // of re-hashing every document (same pattern as Dedup.sigs)
       .repartition(col("k"), col("slice"))
-    slices.as("a").join(slices.as("b"),
+    val pairs = slices.as("a").join(slices.as("b"),
         col("a.k") === col("b.k") && col("a.slice") === col("b.slice") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        hamming(col("a.sh"), col("b.sh")).as("hamming_dist")).distinct()
+      .select(col("a.k").as("k"), col("a.slice").as("slice"),
+        col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        hamming(col("a.sh"), col("b.sh")).as("hamming_dist"))
+    // Per-block top-k prune before the global dedup: a pair occurs at most
+    // once per (k, slice) block, and the order (hamming, id1, id2) is a
+    // strict total order, so any pair in the global top-20 has ≤19 pairs
+    // ahead of it globally — hence ≤19 ahead within its own block, hence
+    // rank ≤ 20 there. The window runs on the join output's existing
+    // (k, slice) hash partitioning (no new exchange, in-partition sort
+    // only), collapsing the distinct+top-k input from all candidate pairs
+    // (~5M at sf0.1 — the synthetic docs' simhashes cluster heavily) to
+    // ≤ 20 per block.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k"), col("slice"))
+      .orderBy(col("hamming_dist"), col("id1"), col("id2"))
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .select(col("id1"), col("id2"), col("hamming_dist")).distinct()
       .orderBy(col("hamming_dist"), col("id1"), col("id2"))
       .limit(20)
   }

@@ -75,6 +75,78 @@ case class SimHash32Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native MinHash signature over an array<bigint> of shingle hashes.
+  *
+  * Semantics identical to [[TextHash.minhashSig]] (k=32), which remains the
+  * executable spec and the DuckDB oracle's mirror:
+  * sig[j] = min over shingles s of ((2j+1)·s + 12345j + 7) % P, j = 0..31;
+  * empty shingle set → all-P signature.
+  *
+  * Why native: the interpreted higher-order formulation costs
+  * k × |shingles| expression-node evaluations per document (≈1,500 for a
+  * 300-char doc) plus a lambda-variable rebind per step; this is one tight
+  * two-level loop under whole-stage codegen. Measured: the signature stage
+  * drops from seconds (with multi-second GC variance) to well under a
+  * second at sf0.1.
+  */
+case class MinHashSigExpr(child: Expression) extends UnaryExpression {
+
+  private val K = 32
+  private val P = TextHash.P
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash32"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = new Array[Long](K)
+    java.util.Arrays.fill(sig, P)
+    val n = arr.numElements()
+    var j = 0
+    while (j < K) {
+      val a = 2L * j + 1L
+      val b = 12345L * j + 7L
+      var m = P
+      var i = 0
+      while (i < n) {
+        val v = (a * arr.getLong(i) + b) % P
+        if (v < m) m = v
+        i += 1
+      }
+      sig(j) = m
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val sig = ctx.freshName("sig")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val m = ctx.freshName("m")
+      val v = ctx.freshName("v")
+      val n = ctx.freshName("n")
+      s"""
+         |long[] $sig = new long[$K];
+         |int $n = $c.numElements();
+         |for (int $j = 0; $j < $K; $j++) {
+         |  long $m = ${P}L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $v = ((2L * $j + 1L) * $c.getLong($i) + 12345L * $j + 7L) % ${P}L;
+         |    if ($v < $m) $m = $v;
+         |  }
+         |  $sig[$j] = $m;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
 /** Native dot product over two array<float> columns, accumulated in double
   * in element order — bit-identical to the sequential fold of
   * [[TextHash.dot]] (and therefore to the DuckDB oracle's list_reduce),
@@ -126,6 +198,8 @@ object GraftFunctions {
   private val fns: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     ("graft_simhash32", classOf[SimHash32Expr],
       (es: Seq[Expression]) => SimHash32Expr(es.head)),
+    ("graft_minhash32", classOf[MinHashSigExpr],
+      (es: Seq[Expression]) => MinHashSigExpr(es.head)),
     ("graft_dot", classOf[DotProductExpr],
       (es: Seq[Expression]) => DotProductExpr(es(0), es(1))))
 
@@ -143,6 +217,13 @@ object GraftFunctions {
   def simhash32(spark: SparkSession, tokenHashes: Column): Column = {
     register(spark)
     call_function("graft_simhash32", tokenHashes)
+  }
+
+  /** Codegen'd 32-hash MinHash signature over an array<bigint> of shingle
+    * hashes. */
+  def minhash32(spark: SparkSession, shingles: Column): Column = {
+    register(spark)
+    call_function("graft_minhash32", shingles)
   }
 
   /** Codegen'd float-array dot product (double accumulation). */
@@ -165,6 +246,10 @@ class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions 
       FunctionIdentifier("graft_simhash32"),
       new ExpressionInfo(classOf[SimHash32Expr].getName, "graft_simhash32"),
       (es: Seq[Expression]) => SimHash32Expr(es.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash32"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash32"),
+      (es: Seq[Expression]) => MinHashSigExpr(es.head)))
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),

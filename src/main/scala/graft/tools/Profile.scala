@@ -22,16 +22,19 @@ object Profile {
       "tokenHashes" -> size(TextHash.tokenHashes(col("text"))),
       "simhash_native" -> GraftFunctions.simhash32(spark, TextHash.tokenHashes(col("text"))),
       "simhash_interp" -> TextHash.simhash32(TextHash.tokenHashes(col("text"))))
-    for ((name, c) <- cases) {
-      val t0 = System.nanoTime()
-      docs.select(c.as("x")).write.format("noop").mode("overwrite").save()
-      println(f"[profile] $name%-16s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    if (args.isEmpty) {
+      for ((name, c) <- cases) {
+        val t0 = System.nanoTime()
+        docs.select(c.as("x")).write.format("noop").mode("overwrite").save()
+        println(f"[profile] $name%-16s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
     }
-    for (i <- 1 to 3) {
+    // args = registered query names: run each twice (cold, warm)
+    for (q <- args; i <- 1 to 2) {
       val t0 = System.nanoTime()
-      graft.SparkEntry.queries("text_fingerprint")(spark, sfDir)
+      graft.SparkEntry.queries(q)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      println(f"[profile] text_fingerprint run$i ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      println(f"[profile] $q%-28s run$i ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
     spark.stop()
   }

