@@ -193,5 +193,82 @@ object RelationalOracles {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
         |FROM events
         |WHERE user_id < 20
-        |ORDER BY user_id, event_id""".stripMargin)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    // Spark grouping_id: leftmost cube column = most significant bit
+    "rel_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       COUNT(*) AS n_orders,
+        |       ROUND(SUM(o_totalprice), 2) AS total_price,
+        |       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
+
+    "rel_lead_lag" ->
+      """SELECT user_id, event_id,
+        |       epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w AS gap_prev_us,
+        |       LEAD(epoch_us(ts), 1) OVER w - epoch_us(ts) AS gap_next_us
+        |FROM events
+        |WHERE user_id < 10
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "rel_ntile" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |       CAST(NTILE(4) OVER w AS INT) AS quartile,
+        |       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+        |       ROUND(CUME_DIST() OVER w, 6) AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        |QUALIFY c_custkey % 97 = 0
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+
+    "rel_percentiles" ->
+      """SELECT o_orderpriority,
+        |       ROUND(QUANTILE_CONT(o_totalprice, 0.25), 4) AS p25,
+        |       ROUND(QUANTILE_CONT(o_totalprice, 0.5), 4) AS p50,
+        |       ROUND(QUANTILE_CONT(o_totalprice, 0.75), 4) AS p75,
+        |       COUNT(*) AS n
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "rel_full_outer" ->
+      """WITH c AS (SELECT c_custkey AS custkey, c_mktsegment
+        |           FROM customer WHERE c_custkey % 7 = 0),
+        |     o AS (SELECT o_custkey AS custkey, COUNT(*) AS n_orders
+        |           FROM orders WHERE o_custkey % 5 = 0 GROUP BY o_custkey)
+        |SELECT CASE WHEN c.c_mktsegment IS NOT NULL THEN 'present' ELSE 'absent' END
+        |         AS customer_side,
+        |       CASE WHEN o.n_orders IS NOT NULL THEN 'present' ELSE 'absent' END
+        |         AS orders_side,
+        |       COUNT(*) AS n_keys,
+        |       CAST(SUM(COALESCE(o.n_orders, 0)) AS BIGINT) AS total_orders
+        |FROM c FULL OUTER JOIN o ON c.custkey = o.custkey
+        |GROUP BY 1, 2
+        |ORDER BY customer_side, orders_side""".stripMargin,
+
+    "rel_exists_subquery" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey
+        |                    AND o2.o_orderstatus = 'F')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    // map build + explode round trip ≡ the per-(custkey,status) counts,
+    // with the map's cardinality as a per-key window count
+    "rel_map_entries" ->
+      """WITH per AS (
+        |  SELECT o_custkey AS custkey, o_orderstatus AS status, COUNT(*) AS n
+        |  FROM orders GROUP BY o_custkey, o_orderstatus)
+        |SELECT custkey, status, CAST(n AS BIGINT) AS n,
+        |       CAST(COUNT(*) OVER (PARTITION BY custkey) AS INT) AS n_statuses
+        |FROM per
+        |ORDER BY custkey, status""".stripMargin)
 }

@@ -289,6 +289,113 @@ object RelationalQueries {
       .orderBy(col("band_id"))
   }
 
+  /** CUBE over (status, priority) with grouping_id — all four grouping
+    * sets in one Expand+hash-agg pass (beyond-reference, standard
+    * warehouse shape alongside [[rollupAgg]]). */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
+
+  /** lead/lag window frame: per-user previous/next event gap in
+    * microseconds (the change-point shape every sessionizer builds on). */
+  def leadLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("user_id") < 10)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .select(col("user_id"), col("event_id"),
+        (col("us") - lag(col("us"), 1).over(w)).as("gap_prev_us"),
+        (lead(col("us"), 1).over(w) - col("us")).as("gap_next_us"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Rank-family windows: ntile quartiles + percent_rank + cume_dist per
+    * market segment (exact rational outputs — deterministic across
+    * engines; rounded 6 dp only to absorb double formatting). */
+  def ntileRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .filter(col("c_custkey") % 97 === 0)
+      .orderBy(col("c_mktsegment"), col("c_custkey"))
+  }
+
+  /** Exact percentiles (linear interpolation) per group — the sort-based
+    * exact aggregate; production at 100 TB would swap in
+    * approx_percentile's t-digest sketch (mergeable, one pass). */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  /** FULL OUTER join with both-side nulls, summarized by presence flags
+    * (left-only / right-only / both row classes all exercised). */
+  def fullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_custkey") % 5 === 0)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    c.join(o, Seq("custkey"), "full_outer")
+      .groupBy(
+        when(col("c_mktsegment").isNotNull, lit("present")).otherwise(lit("absent"))
+          .as("customer_side"),
+        when(col("n_orders").isNotNull, lit("present")).otherwise(lit("absent"))
+          .as("orders_side"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(coalesce(col("n_orders"), lit(0L))).as("total_orders"))
+      .orderBy(col("customer_side"), col("orders_side"))
+  }
+
+  /** Correlated EXISTS / NOT EXISTS via the SQL face (Catalyst rewrites
+    * both to semi/anti joins — same physical shape as [[antiJoin]]). */
+  def existsSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("v_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("v_orders")
+    spark.sql(
+      """SELECT c_mktsegment, COUNT(*) AS n_customers
+        |FROM v_customer c
+        |WHERE EXISTS (SELECT 1 FROM v_orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM v_orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey
+        |                    AND o2.o_orderstatus = 'F')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  /** Map-typed column round trip: per-customer map(status → count) via
+    * map_from_entries, exploded back to rows with the map's cardinality
+    * carried along (MapType construction, explode, size). */
+  def mapEntries(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("custkey"), col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"))
+    per.groupBy(col("custkey"))
+      .agg(map_from_entries(array_sort(collect_list(struct(col("status"), col("n")))))
+        .as("status_counts"))
+      .select(col("custkey"), size(col("status_counts")).as("n_statuses"),
+        explode(col("status_counts")).as(Seq("status", "n")))
+      .select(col("custkey"), col("status"), col("n"), col("n_statuses"))
+      .orderBy(col("custkey"), col("status"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_agg" -> agg,
     "rel_topk" -> topK,
@@ -312,5 +419,12 @@ object RelationalQueries {
     "rel_isin_filter" -> isinFilter,
     "rel_multi_sort" -> multiSort,
     "rel_window_rank" -> windowRank,
-    "rel_window_running" -> windowRunning)
+    "rel_window_running" -> windowRunning,
+    "rel_cube" -> cubeAgg,
+    "rel_lead_lag" -> leadLag,
+    "rel_ntile" -> ntileRank,
+    "rel_percentiles" -> percentiles,
+    "rel_full_outer" -> fullOuter,
+    "rel_exists_subquery" -> existsSubquery,
+    "rel_map_entries" -> mapEntries)
 }

@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
 
 /** Result sinks (SURVEY §2.1 S4/S6): materialized query snapshots.
   *
@@ -32,4 +33,26 @@ object Writers {
 
   def timetableParquet(timetables: DataFrame, path: String): Unit =
     timetables.write.mode("overwrite").parquet(path)
+
+  /** Line-delimited JSON sink — the API-layer serialization surface (the
+    * reference serves every endpoint as JSON). Nested structs/arrays (the
+    * timetable documents) serialize losslessly. */
+  def resultJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Schema-explicit JSON source (engine rule: no runtime inference —
+    * SURVEY §1.4; pass the schema the sink's frame had). */
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Bucketed managed table: pre-shuffles once at write time so every
+    * later equi-join/aggregation on `bucketCol` reads co-located buckets
+    * with NO exchange — the Spark analog of the reference's B-tree
+    * "index selection" (SURVEY §4 R5) and the cluster-scale answer for a
+    * fact table joined repeatedly on the same key. */
+  def bucketedTable(df: DataFrame, table: String, bucketCol: String,
+      nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+      .format("parquet").saveAsTable(table)
 }

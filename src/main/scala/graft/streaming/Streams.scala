@@ -127,9 +127,87 @@ object Streams {
       }
   }
 
+  /** Batch face of streaming dedup-keep-first: the earliest event per
+    * (user, type) in (event-time, event_id) order, with the key's total
+    * event count. The streaming face is `dropDuplicates` on the key with
+    * a watermark (state = one fingerprint per key, bounded by the
+    * watermark) — asserted against this face in the spec. */
+  def dedupFirst(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_events",
+        count(lit(1)).over(Window.partitionBy(col("user_id"), col("event_type"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("first_event_id"), col("us").as("first_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  def dedupFirstBatch(spark: SparkSession, dir: String): DataFrame =
+    dedupFirst(Tables.events(spark, dir))
+
+  val AttribWindowUs: Long = 10L * 60 * 1000000 // 10 min
+
+  /** Batch face of the stream-stream interval join: each click joined to
+    * the views by the same user in the preceding 10 minutes (inclusive),
+    * aggregated to (n_views, min gap). The streaming face is a
+    * watermarked stream-stream inner join with the same time-range
+    * predicate — asserted equivalent in the spec. At scale both sides
+    * shuffle on user_id and the watermark bounds the join state. */
+  def clickAttribution(events: DataFrame): DataFrame = {
+    val base = events.select(col("user_id"), col("event_id"),
+      col("event_type"), unix_micros(col("ts")).as("us"))
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("us").as("click_us"))
+    val views = base.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("us").as("view_us"))
+    clicks.join(views,
+        clicks("user_id") === views("user_id") &&
+          col("view_us") <= col("click_us") &&
+          col("click_us") - col("view_us") <= AttribWindowUs)
+      .groupBy(col("click_id"))
+      .agg(count(lit(1)).as("n_views"),
+        min(col("click_us") - col("view_us")).as("min_gap_us"))
+      .orderBy(col("click_id"))
+  }
+
+  def clickAttributionBatch(spark: SparkSession, dir: String): DataFrame =
+    clickAttribution(Tables.events(spark, dir))
+
+  /** Streaming faces for the spec: dedup-keep-first via dropDuplicates
+    * (watermark bounds key state), and the watermarked stream-stream
+    * interval join. */
+  def dedupStreaming(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+
+  def clickAttributionStreaming(events: DataFrame): DataFrame = {
+    val base = events.select(col("user_id"), col("event_id"),
+      col("event_type"), col("ts"))
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "30 minutes")
+    val views = base.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "30 minutes")
+    clicks.join(views,
+      col("c_user") === col("v_user") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL ${AttribWindowUs / 1000000} SECONDS"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_hourly_by_type" -> hourlyBatch,
-    "stream_sessions" -> sessionsBatch)
+    "stream_sessions" -> sessionsBatch,
+    "stream_dedup_first" -> dedupFirstBatch,
+    "stream_click_attrib" -> clickAttributionBatch)
 }
 
 object StreamOracles {
@@ -158,7 +236,33 @@ object StreamOracles {
        |FROM numbered GROUP BY user_id, session_no
        |ORDER BY user_id, session_no""".stripMargin
 
+  val dedupFirst: String =
+    """WITH keyed AS (
+      |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |                            ORDER BY epoch_us(ts), event_id) AS rn,
+      |         COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_events
+      |  FROM events)
+      |SELECT user_id, event_type, event_id AS first_event_id, us AS first_us,
+      |       n_events
+      |FROM keyed WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
+  val clickAttrib: String =
+    s"""SELECT c.event_id AS click_id,
+       |       COUNT(*) AS n_views,
+       |       MIN(epoch_us(c.ts) - epoch_us(v.ts)) AS min_gap_us
+       |FROM (SELECT * FROM events WHERE event_type = 'click') c
+       |JOIN (SELECT * FROM events WHERE event_type = 'view') v
+       |  ON c.user_id = v.user_id
+       | AND epoch_us(v.ts) <= epoch_us(c.ts)
+       | AND epoch_us(c.ts) - epoch_us(v.ts) <= ${Streams.AttribWindowUs}
+       |GROUP BY c.event_id
+       |ORDER BY click_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "stream_hourly_by_type" -> hourlyBatch,
-    "stream_sessions" -> sessionsBatch)
+    "stream_sessions" -> sessionsBatch,
+    "stream_dedup_first" -> dedupFirst,
+    "stream_click_attrib" -> clickAttrib)
 }

@@ -95,9 +95,34 @@ object TextAnalysis {
         .simhash32(spark, TextHash.tokenHashes(col("text"))).as("simhash"))
       .orderBy("doc_id")
 
+  /** BPE-style pre-tokenization: the regex split a byte-pair-encoding
+    * tokenizer applies before merges — letter runs, digit runs, and
+    * single punctuation marks each become one pre-token. Counts per class
+    * plus the distinct-pretoken cardinality (the vocabulary the BPE merge
+    * table would train on). */
+  val PreTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def bpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      // group 0 = the whole match (Spark defaults to capture group 1)
+      TextHash.let(regexp_extract_all(col("text"), lit(PreTokenPattern), lit(0)))(ts =>
+        struct(
+          size(ts).as("n_pretokens"),
+          size(filter(ts, t => t.rlike("^[A-Za-z]+$"))).as("n_word"),
+          size(filter(ts, t => t.rlike("^[0-9]+$"))).as("n_number"),
+          size(filter(ts, t => !t.rlike("^[A-Za-z0-9]"))).as("n_punct"),
+          size(array_distinct(ts)).as("n_vocab"))).as("s"))
+      .select(col("doc_id"), col("s.n_pretokens").as("n_pretokens"),
+        col("s.n_word").as("n_word"), col("s.n_number").as("n_number"),
+        col("s.n_punct").as("n_punct"), col("s.n_vocab").as("n_vocab"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_stats" -> tokenStats,
     "text_quality" -> quality,
     "text_lang_id" -> langId,
-    "text_fingerprint" -> fingerprint)
+    "text_fingerprint" -> fingerprint,
+    "text_bpe_pretokens" -> bpeTokens)
 }

@@ -56,9 +56,22 @@ object TextOracles {
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
+  val bpeTokens: String = {
+    val pat = TextAnalysis.PreTokenPattern // \s is valid in both regex engines
+    s"""SELECT doc_id,
+       |  len(t.ts) AS n_pretokens,
+       |  len(list_filter(t.ts, x -> regexp_full_match(x, '[A-Za-z]+'))) AS n_word,
+       |  len(list_filter(t.ts, x -> regexp_full_match(x, '[0-9]+'))) AS n_number,
+       |  len(list_filter(t.ts, x -> NOT regexp_matches(x, '^[A-Za-z0-9]'))) AS n_punct,
+       |  len(list_distinct(t.ts)) AS n_vocab
+       |FROM (SELECT doc_id, regexp_extract_all(text, '$pat') AS ts FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "text_token_stats" -> tokenStats,
     "text_quality" -> quality,
     "text_lang_id" -> langId,
-    "text_fingerprint" -> fingerprint)
+    "text_fingerprint" -> fingerprint,
+    "text_bpe_pretokens" -> bpeTokens)
 }

@@ -24,4 +24,37 @@ class WritersSpec extends AnyFunSuite with SparkSpec {
     Writers.snapshotParquet(df.filter($"id" === 1L), s"$dir/pq")
     assert(spark.read.parquet(s"$dir/pq").count() == 1)
   }
+
+  test("JSON sink round-trips nested structs with explicit schema") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("id", "tag")
+      .groupBy($"id")
+      .agg(collect_list(struct($"tag", length($"tag").as("n"))).as("tags"))
+    val dir = Files.createTempDirectory("graft-json").toString
+    Writers.resultJson(df, s"$dir/j")
+    val back = Writers.readJson(spark, s"$dir/j", df.schema)
+    // JSON relaxes nullability on read (every field is optional in JSON);
+    // names and types must survive exactly
+    assert(back.schema.simpleString == df.schema.simpleString)
+    assert(back.count() == 2)
+    val tags = back.filter($"id" === 1L)
+      .selectExpr("size(tags)").collect().head.getInt(0)
+    assert(tags == 2)
+  }
+
+  test("bucketed table join on the bucket key plans no shuffle on the bucketed side") {
+    import spark.implicits._
+    val facts = (1L to 1000L).map(i => (i % 50, i, i * 1.5))
+      .toDF("key", "id", "v")
+    Writers.bucketedTable(facts, "graft_bucketed_facts", "key", 8)
+    try {
+      val t = spark.table("graft_bucketed_facts")
+      val agg = t.groupBy($"key").agg(org.apache.spark.sql.functions.sum($"v").as("s"))
+      val plan = agg.queryExecution.executedPlan.toString
+      // bucketed layout satisfies the aggregation's distribution: no Exchange
+      assert(!plan.contains("Exchange hashpartitioning(key"), plan)
+      assert(agg.count() == 50)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_bucketed_facts")
+  }
 }

@@ -79,4 +79,68 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     t.setNanos(((us % 1000000L) * 1000L).toInt)
     t
   }
+
+  test("streaming dropDuplicates keeps one row per key, matching batch dedup keys") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // (event_id, minute, user, type): duplicates for (1,click) and (2,view)
+    val rows = Seq(
+      (1L, 5L, 1L, "click"), (2L, 9L, 1L, "click"), (3L, 7L, 1L, "view"),
+      (4L, 10L, 2L, "view"), (5L, 30L, 2L, "view"), (6L, 40L, 2L, "purchase"))
+    def toDf(s: Seq[(Long, Long, Long, String)]) =
+      s.map { case (id, m, u, t) => (id, ts(m), u, t) }
+        .toDF("event_id", "ts", "user_id", "event_type")
+
+    val stream = MemoryStream[(Long, Long, Long, String)]
+    stream.addData(rows: _*)
+    val sdf = stream.toDF.toDF("event_id", "min", "user_id", "event_type")
+      .select(col("event_id"), expr("timestamp_millis(min * 60000)").as("ts"),
+        col("user_id"), col("event_type"))
+    val q = Streams.dedupStreaming(sdf).writeStream
+      .format("memory").queryName("dedup_test").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamedKeys = spark.table("dedup_test")
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = Streams.dedupFirst(toDf(rows)).collect()
+    val batchKeys = batch.map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamedKeys == batchKeys)
+    assert(spark.table("dedup_test").count() == batchKeys.size)
+    // batch face is exact: first event by (us, event_id) per key
+    val first = batch.map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    assert(first((1L, "click")) == 1L && first((2L, "view")) == 4L)
+  }
+
+  test("watermarked stream-stream interval join equals batch click attribution") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // clicks at minute 10, 25; views at 2, 8, 9, 24 (10-min window)
+    val rows = Seq(
+      (1L, 2L, 1L, "view"), (2L, 8L, 1L, "view"), (3L, 9L, 1L, "view"),
+      (4L, 10L, 1L, "click"), (5L, 24L, 1L, "view"), (6L, 25L, 1L, "click"),
+      (7L, 3L, 2L, "view"), (8L, 30L, 2L, "click")) // view outside window
+    def toDf(s: Seq[(Long, Long, Long, String)]) =
+      s.map { case (id, m, u, t) => (u, id, t, ts(m)) }
+        .toDF("user_id", "event_id", "event_type", "ts")
+
+    val stream = MemoryStream[(Long, Long, Long, String)]
+    stream.addData(rows: _*)
+    val sdf = stream.toDF.toDF("event_id", "min", "user_id", "event_type")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("timestamp_millis(min * 60000)").as("ts"))
+    val q = Streams.clickAttributionStreaming(sdf).writeStream
+      .format("memory").queryName("attrib_test").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("attrib_test")
+      .groupBy(col("click_id"))
+      .agg(count(lit(1)).as("n_views"),
+        min(expr("unix_micros(click_ts) - unix_micros(view_ts)")).as("min_gap_us"))
+      .orderBy("click_id").collect().toSeq
+    val batch = Streams.clickAttribution(toDf(rows))
+      .orderBy("click_id").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.map(_.getLong(0)) == Seq(4L, 6L)) // click 8 has no view in window
+  }
 }
