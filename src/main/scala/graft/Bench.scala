@@ -26,6 +26,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Unmeasured warmup: touch every table (parquet footers, FileIndex)
+    // and run one small agg+join so JIT/codegen infra reaches steady state
+    // before the first measured query — otherwise several seconds of
+    // one-time JVM warmup land entirely on the alphabetically-first entry.
+    graft.sources.Tables.names.foreach { n =>
+      try spark.read.parquet(s"$sfDir/$n.parquet").limit(64).count()
+      catch { case _: Throwable => () }
+    }
+    try {
+      import org.apache.spark.sql.functions._
+      val c = graft.sources.Tables.customer(spark, sfDir)
+      graft.sources.Tables.orders(spark, sfDir)
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment")).count()
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -396,7 +396,25 @@ object RelationalQueries {
       .orderBy(col("custkey"), col("status"))
   }
 
+  /** Sketch aggregates — the 100 TB form of distinct-count and quantiles:
+    * HyperLogLog++ (approx_count_distinct) and t-digest
+    * (approx_percentile) are single-pass and mergeable, so they partial-
+    * aggregate map-side where exact distinct/percentile must shuffle raw
+    * values. No DuckDB oracle (sketch estimates are implementation-
+    * specific — driver records the rows-only check); the spec asserts
+    * <5% relative error against the exact aggregates instead. */
+  def approxAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
+        round(expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 4)
+          .as("approx_median_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_approx_agg" -> approxAgg,
     "rel_agg" -> agg,
     "rel_topk" -> topK,
     "rel_dim_chain" -> dimChain,

@@ -67,4 +67,20 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
     assert(pushed.contains("In(") || pushed.contains("Or("), pushed)
   }
+
+  test("sketch aggregates land within 5% of exact (HLL distinct, t-digest median)") {
+    import org.apache.spark.sql.functions._
+    val approx = SparkEntry.queries("rel_approx_agg")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("d"),
+        expr("percentile(l_extendedprice, 0.5)").as("m"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    for ((flag, (d, m)) <- exact) {
+      val (ad, am) = approx(flag)
+      assert(math.abs(ad - d).toDouble / d < 0.05, s"$flag distinct: $ad vs $d")
+      assert(math.abs(am - m) / m < 0.05, s"$flag median: $am vs $m")
+    }
+  }
 }
