@@ -261,6 +261,56 @@ object RelationalOracles {
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
 
+    "rel_array_ops" ->
+      """WITH g AS (
+        |  SELECT l_orderkey, list_sort(list(l_quantity)) AS qs
+        |  FROM lineitem WHERE l_orderkey % 1000 = 0
+        |  GROUP BY l_orderkey)
+        |SELECT l_orderkey,
+        |       CAST(len(qs) AS INT) AS n,
+        |       qs[1] AS q_min,
+        |       qs[-1] AS q_max,
+        |       array_to_string(qs[1:3], ',') AS first3,
+        |       list_contains(qs, 1.0) AS has_one,
+        |       len(list_filter(qs, x -> x > 40.0)) > 0 AS any_gt40,
+        |       len(list_filter(qs, x -> NOT (x > 0.0))) = 0 AS all_pos,
+        |       CAST(len(list_distinct(qs)) AS INT) AS n_distinct
+        |FROM g
+        |ORDER BY l_orderkey""".stripMargin,
+
+    // DuckDB dayofweek is 0=Sunday..6; Spark is 1=Sunday..7
+    "rel_datetime_ops" ->
+      """SELECT event_id,
+        |       CAST(year(ts) AS INT) AS y,
+        |       CAST(quarter(ts) AS INT) AS q,
+        |       CAST(month(ts) AS INT) AS m,
+        |       CAST(day(ts) AS INT) AS d,
+        |       CAST(hour(ts) AS INT) AS h,
+        |       CAST(minute(ts) AS INT) AS mi,
+        |       CAST(dayofweek(ts) + 1 AS INT) AS dow,
+        |       CAST(dayofyear(ts) AS INT) AS doy,
+        |       date_trunc('day', ts) AS day_start,
+        |       CAST(CAST(ts AS DATE) + 30 AS VARCHAR) AS plus30,
+        |       CAST(last_day(CAST(ts AS DATE)) AS VARCHAR) AS month_end
+        |FROM events
+        |WHERE user_id < 3
+        |ORDER BY event_id""".stripMargin,
+
+    "rel_string_ops" ->
+      """SELECT c_custkey,
+        |       upper(c_name) AS name_upper,
+        |       CAST(length(c_name) AS INT) AS name_len,
+        |       substr(c_name, 1, 8) AS name_prefix,
+        |       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+        |       translate(c_name, '#', '-') AS name_dashed,
+        |       regexp_replace(c_name, '[0-9]', '', 'g') AS name_nodigits,
+        |       CAST(instr(c_name, '0') AS INT) AS first_zero_pos,
+        |       reverse(c_mktsegment) AS segment_rev,
+        |       CAST(levenshtein(c_mktsegment, 'MACHINERY') AS INT) AS seg_dist
+        |FROM customer
+        |WHERE c_custkey % 100 = 0
+        |ORDER BY c_custkey""".stripMargin,
+
     // map build + explode round trip ≡ the per-(custkey,status) counts,
     // with the map's cardinality as a per-key window count
     "rel_map_entries" ->

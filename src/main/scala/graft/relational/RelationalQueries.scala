@@ -413,8 +413,73 @@ object RelationalQueries {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** Array function suite: build a sorted array per order and exercise
+    * element access, slicing, membership, higher-order exists/forall and
+    * distinct — the ArrayType surface the dedup/similarity pipelines are
+    * built from, isolated as its own oracle-checked face. */
+  def arrayOps(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % 1000 === 0)
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_list(col("l_quantity"))).as("qs"))
+      .select(
+        col("l_orderkey"),
+        size(col("qs")).as("n"),
+        element_at(col("qs"), 1).as("q_min"),
+        element_at(col("qs"), -1).as("q_max"),
+        array_join(slice(col("qs"), 1, 3), ",").as("first3"),
+        array_contains(col("qs"), lit(1.0)).as("has_one"),
+        exists(col("qs"), _ > 40.0).as("any_gt40"),
+        forall(col("qs"), _ > 0.0).as("all_pos"),
+        size(array_distinct(col("qs"))).as("n_distinct"))
+      .orderBy(col("l_orderkey"))
+
+  /** Date/time function suite over event timestamps: calendar extracts,
+    * truncation, and date arithmetic (never applied to GTFS times — those
+    * stay seconds-ints per SURVEY §7.4). */
+  def datetimeOps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("user_id") < 3)
+      .select(
+        col("event_id"),
+        year(col("ts")).as("y"),
+        quarter(col("ts")).as("q"),
+        month(col("ts")).as("m"),
+        dayofmonth(col("ts")).as("d"),
+        hour(col("ts")).as("h"),
+        minute(col("ts")).as("mi"),
+        dayofweek(col("ts")).as("dow"), // 1=Sunday..7
+        dayofyear(col("ts")).as("doy"),
+        date_trunc("day", col("ts")).as("day_start"),
+        // DATE columns render differently across engine→pandas paths
+        // (datetime.date vs datetime64); compare as ISO strings
+        date_add(col("ts").cast("date"), 30).cast("string").as("plus30"),
+        last_day(col("ts").cast("date")).cast("string").as("month_end"))
+      .orderBy(col("event_id"))
+
+  /** String function suite over customer names/addresses: case mapping,
+    * padding, substring/position, translate/replace, edit distance. */
+  def stringOps(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 100 === 0)
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_upper"),
+        length(col("c_name")).as("name_len"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("key_padded"),
+        translate(col("c_name"), "#", "-").as("name_dashed"),
+        regexp_replace(col("c_name"), "[0-9]", "").as("name_nodigits"),
+        instr(col("c_name"), "0").as("first_zero_pos"),
+        reverse(col("c_mktsegment")).as("segment_rev"),
+        levenshtein(col("c_mktsegment"), lit("MACHINERY")).as("seg_dist"))
+      .orderBy(col("c_custkey"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_approx_agg" -> approxAgg,
+    "rel_array_ops" -> arrayOps,
+    "rel_datetime_ops" -> datetimeOps,
+    "rel_string_ops" -> stringOps,
     "rel_agg" -> agg,
     "rel_topk" -> topK,
     "rel_dim_chain" -> dimChain,

@@ -105,9 +105,36 @@ object Similarity {
           (col("qn") * col("cn"))).as("raw")))
   }
 
+  /** Multi-probe LSH: each query additionally probes every bucket at
+    * Hamming distance 1 (one hyperplane bit flipped) — the standard
+    * recall/cost dial for hyperplane LSH. Probes are distinct bucket
+    * values and a candidate lives in exactly one bucket, so the probe
+    * explode creates no duplicate pairs; the join stays a bucket-keyed
+    * equi-join with (planes+1)× the probe fan-out, NOT a wider scan. */
+  def annLshMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val planes = graft.dedup.Dedup.AnnPlanes
+    val e = Tables.embeddings(spark, dir).select(
+      col("vec_id"), col("embedding"),
+      graft.functions.GraftFunctions.l2norm(spark, col("embedding")).as("nrm"),
+      lshBucket(col("embedding"), 64, planes).as("bucket"))
+    val probes = array(col("bucket") +:
+      (0 until planes).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)
+    val q = e.filter(col("vec_id") < QuerySet)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("nrm").as("qn"), explode(probes).as("bucket"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+      col("nrm").as("cn"), col("bucket"))
+    ranked(q.join(c, Seq("bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (graft.functions.GraftFunctions.dot(spark, col("qv"), col("cv")) /
+          (col("qn") * col("cn"))).as("raw")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_knn_brute" -> knnBrute,
     "sim_ann_lsh" -> annLsh,
+    "sim_ann_lsh_multiprobe" -> annLshMultiprobe,
     "sim_ann_ivf" -> annIvf)
 }
 
@@ -162,8 +189,27 @@ object SimilarityOracles {
          |  WHERE q.vec_id < ${Similarity.QuerySet})""".stripMargin)
   }
 
+  val annLshMultiprobe: String = {
+    val planes = graft.dedup.Dedup.AnnPlanes
+    val probes = ("q.bucket" +:
+      (0 until planes).map(j => s"xor(q.bucket, ${1L << j})")).mkString(", ")
+    rankedSql(
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |         ${TextHashSql.lshBucket("embedding", 64, planes)} AS bucket
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT q.vec_id, q.embedding, unnest([$probes]) AS probe
+         |  FROM e q WHERE q.vec_id < ${Similarity.QuerySet}),
+         |s AS (
+         |  SELECT p.vec_id AS qid, c.vec_id AS cid,
+         |         ${TextHashSql.cosine("p.embedding", "c.embedding")} AS raw
+         |  FROM p JOIN e c ON p.probe = c.bucket AND p.vec_id <> c.vec_id)""".stripMargin)
+  }
+
   val all: Map[String, String] = Map(
     "sim_knn_brute" -> knnBrute,
     "sim_ann_lsh" -> annLsh,
+    "sim_ann_lsh_multiprobe" -> annLshMultiprobe,
     "sim_ann_ivf" -> annIvf)
 }

@@ -22,6 +22,7 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       hits.sum / hits.size
     }
     val lsh = recall(neighborSets(Similarity.annLsh(spark, sf)))
+    val multi = recall(neighborSets(Similarity.annLshMultiprobe(spark, sf)))
     val ivf = recall(neighborSets(Similarity.annIvf(spark, sf)))
     // deterministic data + deterministic buckets → these are fixed numbers
     // (observed: lsh=0.12, ivf=0.30 at sf0.01); floors sit under them.
@@ -30,7 +31,10 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     // multi-probe; the brute path remains the exact fallback.
     assert(lsh >= 0.08, s"LSH recall $lsh")
     assert(ivf >= 0.08, s"IVF recall $ivf")
-    info(f"recall@5: lsh=$lsh%.2f ivf=$ivf%.2f")
+    // Hamming-1 multi-probe strictly widens the candidate set, so its
+    // recall can only improve on single-probe
+    assert(multi >= lsh, s"multiprobe $multi < single $lsh")
+    info(f"recall@5: lsh=$lsh%.2f multiprobe=$multi%.2f ivf=$ivf%.2f")
   }
 
   test("ANN results are always true pairs from the corpus with valid ranks") {
