@@ -73,6 +73,9 @@ object SparkEntry {
       Timetable.getArrivalsFlat(
         Timetable.buildStopTimetables(TransitTables.fromTpch(s, dir)),
         42L, "26", "3-MEDIUM")),
+    "transit_timetable_grouped" -> ((s, dir) =>
+      Timetable.getTimetable(
+        Timetable.buildStopTimetables(TransitTables.fromTpch(s, dir)), 42L)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -94,6 +97,7 @@ object SparkEntry {
     "transit_next_departure" -> TransitOracles.nextDeparture(42L, 50000L),
     "transit_q2_overall" -> TransitOracles.q2Overall(TransitOracles.q2Weekday),
     "transit_arrivals_flat" -> TransitOracles.arrivalsFlat(42L, "26", "3-MEDIUM"),
+    "transit_timetable_grouped" -> TransitOracles.timetableGrouped(42L),
   ) ++ graft.relational.RelationalOracles.all ++
     graft.text.TextOracles.all ++
     graft.dedup.DedupOracles.all ++

@@ -137,6 +137,23 @@ object Timetable {
       .orderBy(col("departure_time"), col("trip_id"))
   }
 
+  /** `GET /get_timetable`: the full document grouped by
+    * (route_long_name, trip_headsign) with string-sorted time lists
+    * (reference `Mongo/app.py:64-112`). Unlike the arrivals endpoints this
+    * path applies NO service allow-list and NO NOT-IN-SERVICE exclusion —
+    * it renders the whole document; null group keys pass through as the
+    * reference's None keys do. */
+  def getTimetable(timetables: DataFrame, stopId: Any): DataFrame =
+    exploded(timetables.filter(col("stop_id") === lit(stopId)))
+      .groupBy(
+        col("svc.route_long_name").as("route_long_name"),
+        col("svc.trip_headsign").as("trip_headsign"))
+      .agg(
+        count(lit(1)).as("n_times"),
+        concat_ws(",", array_sort(collect_list(col("svc.departure_time"))))
+          .as("departure_times"))
+      .orderBy(col("route_long_name"), col("trip_headsign"))
+
   /** Stop-name autocomplete (SURVEY §2.8 F11, the client-side
     * case-insensitive substring search, served engine-side). */
   def stopSearch(timetables: DataFrame, q: String): DataFrame =

@@ -217,6 +217,21 @@ object TransitOracles {
        |  AND r.route_short_name IS NOT NULL
        |ORDER BY route_short_name, trip_headsign""".stripMargin
 
+  /** Whole-document timetable grouping — no service allow-list, no
+    * NOT-IN-SERVICE exclusion (reference `Mongo/app.py:64-112`). */
+  def timetableGrouped(stopId: Long): String =
+    s"""$P
+       |SELECT r.route_long_name, t.trip_headsign,
+       |       COUNT(*) AS n_times,
+       |       STRING_AGG(${displayTime("st.dep_secs")}, ','
+       |                  ORDER BY ${displayTime("st.dep_secs")}) AS departure_times
+       |FROM stop_times st
+       |JOIN trips t ON t.trip_id = st.trip_id
+       |JOIN routes r ON r.route_id = t.route_id
+       |WHERE st.stop_id = $stopId
+       |GROUP BY r.route_long_name, t.trip_headsign
+       |ORDER BY route_long_name, trip_headsign""".stripMargin
+
   def arrivalsGrouped(stopId: Long): String =
     s"""$P
        |SELECT r.route_short_name, t.trip_headsign,

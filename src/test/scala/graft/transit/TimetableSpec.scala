@@ -57,6 +57,18 @@ class TimetableSpec extends SparkSpec {
       (Some("504"), "Downtown", 2L, "08:05:00,09:06:00")))
   }
 
+  test("getTimetable: whole document grouped, NO service or headsign filtering") {
+    val got = Timetable.getTimetable(docs, "HUB").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(3))).toSeq
+    // NOT IN SERVICE and all services included (unlike arrivals endpoints);
+    // T5's 25:45 renders day-stripped as 01:45:00 and string-sorts first
+    assert(got == Seq(
+      ("KING", "Downtown", "08:05:00,09:06:00,10:10:00,11:08:00"),
+      ("NIGHT", "Night Owl", "01:45:00"),
+      ("QUEEN", "Beaches", "12:00:00"),
+      ("QUEEN", "NOT IN SERVICE", "13:00:00")))
+  }
+
   test("getArrivalsFlat: filtered, time-sorted list") {
     val got = Timetable.getArrivalsFlat(docs, "A", "504", "Downtown", ServiceFilter.Weekday)
       .collect().map(_.getString(0)).toSeq
