@@ -76,6 +76,8 @@ object SparkEntry {
     "transit_timetable_grouped" -> ((s, dir) =>
       Timetable.getTimetable(
         Timetable.buildStopTimetables(TransitTables.fromTpch(s, dir)), 42L)),
+    "transit_q2_path" -> ((s, dir) =>
+      Queries.q2TripPath(TransitTables.fromTpch(s, dir), "ROUTE_26")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -98,6 +100,7 @@ object SparkEntry {
     "transit_q2_overall" -> TransitOracles.q2Overall(TransitOracles.q2Weekday),
     "transit_arrivals_flat" -> TransitOracles.arrivalsFlat(42L, "26", "3-MEDIUM"),
     "transit_timetable_grouped" -> TransitOracles.timetableGrouped(42L),
+    "transit_q2_path" -> TransitOracles.q2TripPath("ROUTE_26"),
   ) ++ graft.relational.RelationalOracles.all ++
     graft.text.TextOracles.all ++
     graft.dedup.DedupOracles.all ++

@@ -137,6 +137,32 @@ object Queries {
         greatest(sum(col("num_trips")), lit(1L)), 4).as("overall_avg_speed_kmh"),
       sum(col("num_trips")).as("total_trips"))
 
+  /** Q2's path display (SURVEY J6/O6/O7): the stop path of the "longest"
+    * trip of a named route+service — scalar-subquery join realized as a
+    * top-1 join. The reference CTE (`SQL/Q2 average duration.sql:40-49`)
+    * orders by COUNT(*) over trips⋈routes rows, which is 1 per trip —
+    * despite its own "most stops" comment; we implement the evident
+    * intent (count stop_times rows per trip) and add trip_id as a
+    * deterministic tie-break, since MySQL's LIMIT 1 among ties is
+    * engine-arbitrary. */
+  def q2TripPath(t: TransitTables, routeLongName: String,
+      service: ServiceFilter = ServiceFilter.Weekday): DataFrame = {
+    val longest = t.stopTimes.select("trip_id")
+      .join(filteredTrips(t, service).select("trip_id", "route_id"), "trip_id")
+      .join(broadcast(t.routes.filter(col("route_long_name") === routeLongName)
+        .select("route_id")), Seq("route_id"))
+      .groupBy(col("trip_id")).agg(count(lit(1)).as("n_stops"))
+      .orderBy(col("n_stops").desc, col("trip_id")).limit(1)
+      .select("trip_id")
+    t.stopTimes.join(longest, "trip_id")
+      .join(broadcast(t.stops), Seq("stop_id"))
+      .select(
+        round(col("stop_lat"), 6).as("stop_lat"),
+        round(col("stop_lon"), 6).as("stop_lon"),
+        col("stop_sequence"))
+      .orderBy(col("stop_sequence"))
+  }
+
   /** Q3 CTE `UniqueStopRoutes`: deduped (stop, route) pairs — the manual
     * pre-aggregation the reference adds "to avoid query timeout"
     * (`Reporting/Poster_Report.md:205-207`); here it is simply a declared

@@ -217,6 +217,27 @@ object TransitOracles {
        |  AND r.route_short_name IS NOT NULL
        |ORDER BY route_short_name, trip_headsign""".stripMargin
 
+  /** Q2 path display: stop path of the longest (most stop_times rows)
+    * trip of a route+service, trip_id tie-break (see Queries.q2TripPath
+    * on the deviation from the reference CTE's trips-rows count). */
+  def q2TripPath(routeLongName: String): String =
+    s"""$P, longest AS (
+       |  SELECT st.trip_id
+       |  FROM stop_times st
+       |  JOIN trips t ON t.trip_id = st.trip_id
+       |  JOIN routes r ON r.route_id = t.route_id
+       |  WHERE r.route_long_name = '$routeLongName' AND t.service_id = '1'
+       |  GROUP BY st.trip_id
+       |  ORDER BY COUNT(*) DESC, st.trip_id
+       |  LIMIT 1)
+       |SELECT ROUND(s.stop_lat, 6) AS stop_lat,
+       |       ROUND(s.stop_lon, 6) AS stop_lon,
+       |       st.stop_sequence
+       |FROM stop_times st
+       |JOIN stops s ON s.stop_id = st.stop_id
+       |WHERE st.trip_id = (SELECT trip_id FROM longest)
+       |ORDER BY st.stop_sequence""".stripMargin
+
   /** Whole-document timetable grouping — no service allow-list, no
     * NOT-IN-SERVICE exclusion (reference `Mongo/app.py:64-112`). */
   def timetableGrouped(stopId: Long): String =

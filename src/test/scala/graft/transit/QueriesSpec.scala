@@ -22,6 +22,16 @@ class QueriesSpec extends SparkSpec {
       Seq("D", 1L, 1L)))
   }
 
+  test("Q2 path: longest trip of a route by stop count, trip_id tie-break") {
+    // QUEEN (R2) weekday trips: T6 (HUB,C) and T7 (HUB,D) both have 2
+    // stops → tie-break picks T6; path ordered by stop_sequence
+    val got = rows(Queries.q2TripPath(t, "QUEEN"), "stop_sequence", "stop_lat")
+    assert(got.map(_.head) == Seq(1, 2))
+    // KING (R1) longest weekday trip is any 3-stop trip; T1 wins the tie
+    val king = Queries.q2TripPath(t, "KING").collect()
+    assert(king.length == 3 && king.map(_.getInt(2)).toSeq == Seq(1, 2, 3))
+  }
+
   test("Q1 whole-week = unfiltered (trip event counts once)") {
     val got = rows(Queries.q1BusiestStops(t, ServiceFilter.WholeWeek),
       "stop_id", "total_trip_events")
