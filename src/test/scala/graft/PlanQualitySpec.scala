@@ -68,6 +68,25 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(pushed.contains("In(") || pushed.contains("Or("), pushed)
   }
 
+  test("dedup self-joins reuse one computed exchange (signatures computed once)") {
+    // AQE finalizes lazily — execute, then check the final plan reuses the
+    // repartition exchange instead of re-running the signature pipeline
+    // per self-join side
+    for (q <- Seq("dedup_simhash", "dedup_minhash_pairs", "dedup_ngram_jaccard")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange"), s"$q plan lost exchange reuse")
+    }
+  }
+
+  test("simhash prunes per block before the global distinct (WindowGroupLimit)") {
+    val df = SparkEntry.queries("dedup_simhash")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
+
   test("sketch aggregates land within 5% of exact (HLL distinct, t-digest median)") {
     import org.apache.spark.sql.functions._
     val approx = SparkEntry.queries("rel_approx_agg")(spark, sf).collect()
