@@ -119,7 +119,33 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Deterministic train/valid/test split: assignment is a pure function
+    * of doc_id (salted md5-derived hash mod 100 → 80/10/10), so the split
+    * is reproducible across engines, runs, and cluster sizes — the
+    * property a training-data pipeline needs so re-materializing a split
+    * never leaks test docs into train. */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val h = TextHash.strHash(concat(lit("split:"), col("doc_id").cast("string"))) % 100
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      h.as("split_hash"),
+      when(h < 80, "train").when(h < 90, "valid").otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** Token-length histogram (width-10 buckets) — the corpus-shape summary
+    * behind length filtering; one narrow map + tiny keyed agg. */
+  def lengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select((floor(size(TextHash.tokens(col("text"))) / 10) * 10)
+        .cast("long").as("bucket_lo"))
+      .groupBy(col("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("bucket_lo")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_split_assign" -> splitAssign,
+    "text_length_histogram" -> lengthHistogram,
     "text_token_stats" -> tokenStats,
     "text_quality" -> quality,
     "text_lang_id" -> langId,

@@ -68,7 +68,24 @@ object TextOracles {
        |ORDER BY doc_id""".stripMargin
   }
 
+  val splitAssign: String = {
+    val h = s"(${strHash("'split:' || CAST(doc_id AS VARCHAR)")} % 100)"
+    s"""SELECT doc_id, $h AS split_hash,
+       |  CASE WHEN $h < 80 THEN 'train'
+       |       WHEN $h < 90 THEN 'valid' ELSE 'test' END AS split
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val lengthHistogram: String =
+    s"""SELECT (len($toks) // 10) * 10 AS bucket_lo, COUNT(*) AS n_docs
+       |FROM documents
+       |GROUP BY 1
+       |ORDER BY bucket_lo""".stripMargin
+
   val all: Map[String, String] = Map(
+    "text_split_assign" -> splitAssign,
+    "text_length_histogram" -> lengthHistogram,
     "text_token_stats" -> tokenStats,
     "text_quality" -> quality,
     "text_lang_id" -> langId,
