@@ -78,6 +78,8 @@ object SparkEntry {
         Timetable.buildStopTimetables(TransitTables.fromTpch(s, dir)), 42L)),
     "transit_q2_path" -> ((s, dir) =>
       Queries.q2TripPath(TransitTables.fromTpch(s, dir), "ROUTE_26")),
+    "transit_q4_nested" -> ((s, dir) =>
+      Queries.q4Nested(TransitTables.fromTpch(s, dir))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -101,6 +103,7 @@ object SparkEntry {
     "transit_arrivals_flat" -> TransitOracles.arrivalsFlat(42L, "26", "3-MEDIUM"),
     "transit_timetable_grouped" -> TransitOracles.timetableGrouped(42L),
     "transit_q2_path" -> TransitOracles.q2TripPath("ROUTE_26"),
+    "transit_q4_nested" -> TransitOracles.q4Nested,
   ) ++ graft.relational.RelationalOracles.all ++
     graft.text.TextOracles.all ++
     graft.dedup.DedupOracles.all ++

@@ -235,4 +235,44 @@ object Queries {
       .orderBy(col("total_daily_trips").desc, col("route_id"))
       .transform(limit.apply)
   }
+
+  /** Q4's whole-week NESTED response shape (reference
+    * `SQL/sql_utils.py:354-417`): per top-k route, the hourly profile
+    * summed across services, per-service totals (the A11 pivot), and
+    * `average_daily_trips = (t1+t2+t3)/3.0` with the reference's FIXED
+    * denominator 3 (SURVEY §1.5/§7.4 trap 3 — NOT divided by the number
+    * of services present). `max_hour` is the global maximum over ALL
+    * routes, computed before the top-k selection (A13,
+    * `SQL/sql_utils.py:359-366`) — realized as a broadcast scalar. */
+  def q4Nested(t: TransitTables, limit: Limit = Limit.default): DataFrame = {
+    val hf = hourlyFrequency(t)
+    val maxHour = hf.agg(max(col("hour_of_day")).as("max_hour"))
+    val perHour = hf.groupBy(col("route_id"), col("hour_of_day"))
+      .agg(sum(col("trips_per_hour")).as("trips"))
+    val profile = perHour.groupBy(col("route_id"))
+      .agg(
+        sum(col("trips")).as("total_daily_trips"),
+        concat_ws(" | ",
+          transform(
+            array_sort(collect_list(struct(col("hour_of_day"), col("trips")))),
+            x => concat(x("hour_of_day").cast("string"), lit(":"),
+              x("trips").cast("string")))).as("hourly_profile"))
+    def svcTotal(sid: String) =
+      sum(when(col("service_id") === sid, col("trips_per_hour")).otherwise(0L))
+    val bySvc = hf.groupBy(col("route_id")).agg(
+      svcTotal("1").as("trips_weekday"),
+      svcTotal("2").as("trips_saturday"),
+      svcTotal("3").as("trips_sunday"))
+    profile.join(bySvc, Seq("route_id"))
+      .crossJoin(broadcast(maxHour))
+      .withColumn("average_daily_trips",
+        (col("trips_weekday") + col("trips_saturday") + col("trips_sunday")) / 3.0)
+      .join(broadcast(t.routes), Seq("route_id"))
+      .select(col("route_id"), col("route_long_name"), col("route_short_name"),
+        col("total_daily_trips"), col("trips_weekday"), col("trips_saturday"),
+        col("trips_sunday"), col("average_daily_trips"), col("hourly_profile"),
+        col("max_hour"))
+      .orderBy(col("total_daily_trips").desc, col("route_id"))
+      .transform(limit.apply)
+  }
 }

@@ -217,6 +217,36 @@ object TransitOracles {
        |  AND r.route_short_name IS NOT NULL
        |ORDER BY route_short_name, trip_headsign""".stripMargin
 
+  /** Q4 nested whole-week response: per-service totals, fixed /3.0
+    * average, global pre-selection max_hour (see Queries.q4Nested). */
+  val q4Nested: String =
+    s"""$P, $q4Hf,
+       |per_hour AS (
+       |  SELECT route_id, hour_of_day, CAST(SUM(trips_per_hour) AS BIGINT) AS trips
+       |  FROM hf GROUP BY route_id, hour_of_day),
+       |profile AS (
+       |  SELECT route_id,
+       |         CAST(SUM(trips) AS BIGINT) AS total_daily_trips,
+       |         STRING_AGG(CAST(hour_of_day AS VARCHAR) || ':' || CAST(trips AS VARCHAR),
+       |                    ' | ' ORDER BY hour_of_day) AS hourly_profile
+       |  FROM per_hour GROUP BY route_id),
+       |by_svc AS (
+       |  SELECT route_id,
+       |         CAST(SUM(CASE WHEN service_id = '1' THEN trips_per_hour ELSE 0 END) AS BIGINT) AS trips_weekday,
+       |         CAST(SUM(CASE WHEN service_id = '2' THEN trips_per_hour ELSE 0 END) AS BIGINT) AS trips_saturday,
+       |         CAST(SUM(CASE WHEN service_id = '3' THEN trips_per_hour ELSE 0 END) AS BIGINT) AS trips_sunday
+       |  FROM hf GROUP BY route_id)
+       |SELECT p.route_id, r.route_long_name, r.route_short_name,
+       |       p.total_daily_trips, s.trips_weekday, s.trips_saturday, s.trips_sunday,
+       |       (s.trips_weekday + s.trips_saturday + s.trips_sunday) / 3.0 AS average_daily_trips,
+       |       p.hourly_profile,
+       |       (SELECT MAX(hour_of_day) FROM hf) AS max_hour
+       |FROM profile p
+       |JOIN by_svc s ON s.route_id = p.route_id
+       |JOIN routes r ON r.route_id = p.route_id
+       |ORDER BY total_daily_trips DESC, p.route_id
+       |LIMIT 20""".stripMargin
+
   /** Q2 path display: stop path of the longest (most stop_times rows)
     * trip of a route+service, trip_id tie-break (see Queries.q2TripPath
     * on the deviation from the reference CTE's trips-rows count). */

@@ -32,6 +32,19 @@ class QueriesSpec extends SparkSpec {
     assert(king.length == 3 && king.map(_.getInt(2)).toSeq == Seq(1, 2, 3))
   }
 
+  test("Q4 nested: per-service pivot, FIXED /3.0 average, global >24h max_hour") {
+    val got = rows(Queries.q4Nested(t),
+      "route_id", "total_daily_trips", "trips_weekday", "trips_saturday",
+      "trips_sunday", "average_daily_trips", "hourly_profile", "max_hour")
+    assert(got == Seq(
+      Seq("R1", 5L, 3L, 1L, 1L, 5 / 3.0, "8:1 | 9:1 | 10:1 | 11:1 | 14:1", 26L),
+      // R2 runs weekdays only: the average still divides by 3, not by the
+      // number of services present (the reference's fixed denominator)
+      Seq("R2", 2L, 2L, 0L, 0L, 2 / 3.0, "12:1 | 13:1", 26L),
+      // T5 spans hours 25 and 26 (>24h GTFS times stay unwrapped)
+      Seq("R3", 2L, 2L, 0L, 0L, 2 / 3.0, "25:1 | 26:1", 26L)))
+  }
+
   test("Q1 whole-week = unfiltered (trip event counts once)") {
     val got = rows(Queries.q1BusiestStops(t, ServiceFilter.WholeWeek),
       "stop_id", "total_trip_events")
