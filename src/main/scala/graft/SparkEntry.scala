@@ -80,6 +80,8 @@ object SparkEntry {
       Queries.q2TripPath(TransitTables.fromTpch(s, dir), "ROUTE_26")),
     "transit_q4_nested" -> ((s, dir) =>
       Queries.q4Nested(TransitTables.fromTpch(s, dir))),
+    "transit_q2_detail" -> ((s, dir) =>
+      Queries.q2ServiceDetail(TransitTables.fromTpch(s, dir))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -104,6 +106,7 @@ object SparkEntry {
     "transit_timetable_grouped" -> TransitOracles.timetableGrouped(42L),
     "transit_q2_path" -> TransitOracles.q2TripPath("ROUTE_26"),
     "transit_q4_nested" -> TransitOracles.q4Nested,
+    "transit_q2_detail" -> TransitOracles.q2Detail,
   ) ++ graft.relational.RelationalOracles.all ++
     graft.text.TextOracles.all ++
     graft.dedup.DedupOracles.all ++

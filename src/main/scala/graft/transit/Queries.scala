@@ -126,6 +126,38 @@ object Queries {
       .transform(limit.apply)
   }
 
+  /** Q2's whole-week per-service DETAIL rows for the top-k globally-ranked
+    * routes — the reference computes the rank query, collects the selected
+    * route names in Python, and filters the per-service rows against that
+    * set (reference `SQL/sql_utils.py:230-243`); here the app-side set
+    * membership is the J5 `left_semi` join against the rank frame. */
+  def q2ServiceDetail(t: TransitTables, limit: Limit = Limit.default): DataFrame = {
+    val speed = col("trip_distance") /
+      nullif(col("trip_duration_seconds").cast("double"), lit(0.0)) * 3600.0
+    val topRoutes = q2RouteStats(t, ServiceFilter.WholeWeek, limit)
+      .select("route_id")
+    tripStats(t, ServiceFilter.WholeWeek)
+      .groupBy(col("route_id"), col("service_id"))
+      .agg(
+        count(lit(1)).as("num_trips"),
+        avg(col("trip_distance")).as("avg_trip_distance_km"),
+        (sum(col("trip_duration_seconds")).cast("double") / count(lit(1)) / 60.0)
+          .as("avg_duration_min"),
+        (stddev_pop(col("trip_duration_seconds").cast("double")) / 60.0)
+          .as("duration_stddev_min"),
+        avg(speed).as("avg_speed_kmh"))
+      .join(topRoutes, Seq("route_id"), "left_semi")
+      .join(broadcast(t.routes), Seq("route_id"))
+      .select(
+        col("route_id"), col("route_long_name"), col("route_short_name"),
+        col("service_id"), col("num_trips"),
+        round(col("avg_trip_distance_km"), 4).as("avg_trip_distance_km"),
+        round(col("avg_duration_min"), 4).as("avg_duration_min"),
+        round(col("duration_stddev_min"), 4).as("duration_stddev_min"),
+        round(col("avg_speed_kmh"), 4).as("avg_speed_kmh"))
+      .orderBy(col("route_id"), col("service_id"))
+  }
+
   /** Overall banner for Q2: trip-count-weighted mean over the top-k routes
     * (reference `SQL/sql_utils.py:246-254,284-290`; `max(Σtrips,1)`
     * zero-guard). One agg expression — no UDAF needed (SURVEY §2.4 A10). */

@@ -84,6 +84,39 @@ object TransitOracles {
        |  FROM per_service GROUP BY route_id)
        |$q2Tail""".stripMargin
 
+  /** Whole-week per-service detail rows, semi-joined against the global
+    * top-20 ranking (see Queries.q2ServiceDetail). */
+  val q2Detail: String =
+    s"""$P, ${q2TripStats("")},
+       |per_service AS (
+       |  SELECT route_id, service_id,
+       |         COUNT(*) AS num_trips,
+       |         AVG(trip_distance) AS avg_trip_distance_km,
+       |         CAST(SUM(trip_duration_seconds) AS DOUBLE) / COUNT(*) / 60.0 AS avg_duration_min,
+       |         STDDEV_POP(CAST(trip_duration_seconds AS DOUBLE)) / 60.0 AS duration_stddev_min,
+       |         AVG(trip_distance / NULLIF(CAST(trip_duration_seconds AS DOUBLE), 0.0) * 3600.0) AS avg_speed_kmh
+       |  FROM trip_stats GROUP BY route_id, service_id),
+       |stats AS (
+       |  SELECT route_id,
+       |         CAST(SUM(num_trips) AS BIGINT) AS num_trips,
+       |         SUM(avg_duration_min * num_trips) / CAST(SUM(num_trips) AS DOUBLE) AS avg_duration_min
+       |  FROM per_service GROUP BY route_id),
+       |ranked AS (
+       |  SELECT route_id FROM stats
+       |  ORDER BY ROUND(avg_duration_min, 4) DESC, route_id
+       |  LIMIT 20)
+       |SELECT ps.route_id, r.route_long_name, r.route_short_name,
+       |       ps.service_id,
+       |       CAST(ps.num_trips AS BIGINT) AS num_trips,
+       |       ROUND(ps.avg_trip_distance_km, 4) AS avg_trip_distance_km,
+       |       ROUND(ps.avg_duration_min, 4) AS avg_duration_min,
+       |       ROUND(ps.duration_stddev_min, 4) AS duration_stddev_min,
+       |       ROUND(ps.avg_speed_kmh, 4) AS avg_speed_kmh
+       |FROM per_service ps
+       |JOIN routes r ON r.route_id = ps.route_id
+       |WHERE ps.route_id IN (SELECT route_id FROM ranked)
+       |ORDER BY ps.route_id, ps.service_id""".stripMargin
+
   private def q3(where: String): String =
     s"""$P, usr AS (
        |  SELECT DISTINCT st.stop_id, t.route_id
