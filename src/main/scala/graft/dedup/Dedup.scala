@@ -182,7 +182,77 @@ object Dedup {
       .limit(20)
   }
 
+  /** Minimum signature-agreement fraction for an edge in the dedup graph
+    * (exact integer/32 agreement — deterministic in both engines). */
+  val MinClusterSim = 0.25
+
+  /** Dedup cluster assignment: connected components over the thresholded
+    * MinHash candidate graph — the pass that turns candidate PAIRS into
+    * per-document cluster ids (representative = min doc_id in the
+    * component). This is the production follow-on to [[minhashPairs]]:
+    * transitive near-duplicates (A~B, B~C) land in one cluster even when
+    * A,C share no band.
+    *
+    * Implementation: iterative min-label propagation — each round every
+    * node takes the min label among itself and its neighbors; converges
+    * in graph-diameter rounds (driver loop with a convergence check, the
+    * standard DataFrame realization of CC). Scale path: candidate graphs
+    * are sparse and shatter into small components, so rounds are few; at
+    * extreme diameters swap in the doubling "large-star/small-star"
+    * variant. The DuckDB oracle computes components independently via a
+    * recursive-CTE transitive closure, cross-checking the iteration
+    * against a first-class fixpoint. */
+  def clusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(spark, dir)
+      .filter(col("est_sim") >= MinClusterSim)
+      .select(col("id1"), col("id2"))
+    // undirected edge list + every endpoint as a node; checkpointed so the
+    // signature pipeline is computed once and every round's plan starts
+    // from the materialized edge list
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .cache()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val viaNeighbor = edges
+        .join(labels, col("src") === col("doc_id"))
+        .select(col("dst").as("doc_id"), col("cluster_id"))
+      // pointer jumping: also adopt the label OF my current label —
+      // halves the remaining diameter each round (O(log n) rounds
+      // instead of O(diameter))
+      val viaParent = labels.as("x")
+        .join(labels.as("y"), col("x.cluster_id") === col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_id"), col("y.cluster_id").as("cluster_id"))
+      // localCheckpoint(eager): materializes the round AND truncates the
+      // logical plan — without it each round's plan embeds the previous
+      // round's (self-join + unions triple it), and Catalyst re-analysis
+      // grows exponentially (measured: round 4 alone took ~1 min at
+      // sf0.1; checkpointed, the whole fixpoint runs in seconds).
+      val next = labels.unionByName(viaNeighbor).unionByName(viaParent)
+        .groupBy(col("doc_id"))
+        .agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
+        .filter(col("cluster_id") < col("prev")).count()
+      converged = changed == 0
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    labels
+      .withColumn("n_members",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster_id"))))
+      .orderBy(col("cluster_id"), col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> clusters,
     "dedup_exact" -> exact,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_minhash_bands" -> minhashBands,

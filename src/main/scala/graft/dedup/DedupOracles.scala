@@ -7,13 +7,17 @@ import graft.functions.TextHashSql._
   * the exact integer formulas of graft.functions.TextHash. */
 object DedupOracles {
 
+  // AS MATERIALIZED: DuckDB inlines CTEs per reference, so the signature
+  // pipeline would otherwise recompute multiplicatively through the band
+  // self-joins (the same re-evaluation hazard TextHash.let solves on the
+  // Spark side) — measured minutes vs seconds on 500 docs
   private val shinglePrelude =
-    s"""WITH sh AS (
-       |  SELECT doc_id, list_distinct(${shingleHashes(tokenHashes("text"))}) AS shs
-       |  FROM documents),
-       |sigs AS (
+    s"""WITH sh AS MATERIALIZED (
+       |  SELECT doc_id, list_distinct(${shingleHashes("th")}) AS shs
+       |  FROM (SELECT doc_id, ${tokenHashes("text")} AS th FROM documents)),
+       |sigs AS MATERIALIZED (
        |  SELECT doc_id, shs, ${minhashSig("shs", Dedup.MinhashK)} AS sig FROM sh),
-       |bands AS (
+       |bands AS MATERIALIZED (
        |  SELECT doc_id, band, ${(0 until Dedup.RowsPerBand)
             .foldLeft("CAST(17 AS BIGINT)") { (acc, k) =>
               s"(($acc)*131 + sig[CAST(band*${Dedup.RowsPerBand} + ${k + 1} AS INT)]) % $P"
@@ -58,9 +62,46 @@ object DedupOracles {
          |          JOIN sigs s2 ON cand.id2 = s2.doc_id
          |ORDER BY est_sim DESC, id1, id2""".stripMargin
 
+  /** Connected components over the thresholded candidate graph via a
+    * recursive-CTE transitive closure (UNION dedups rows, so the
+    * recursion reaches the reachability fixpoint and stops); cluster id =
+    * min reachable doc_id. Cross-checks Dedup.clusters' iterative
+    * min-label propagation against an independent fixpoint formulation. */
+  val clusters: String =
+    "WITH RECURSIVE" + shinglePrelude.stripPrefix("WITH") +
+      s""", cand AS (
+         |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+         |edges AS (
+         |  SELECT id1, id2 FROM (
+         |    SELECT cand.id1, cand.id2,
+         |      CAST(len(list_filter(range(1, ${Dedup.MinhashK + 1}),
+         |        i -> s1.sig[i] = s2.sig[i])) AS DOUBLE) / ${Dedup.MinhashK} AS est_sim
+         |    FROM cand JOIN sigs s1 ON cand.id1 = s1.doc_id
+         |              JOIN sigs s2 ON cand.id2 = s2.doc_id)
+         |  WHERE est_sim >= ${Dedup.MinClusterSim}),
+         |undirected AS MATERIALIZED (
+         |  -- MATERIALIZED: the recursive term re-evaluates referenced CTEs
+         |  -- per iteration; without this the whole shingle/signature
+         |  -- prelude recomputes every round
+         |  SELECT id1 AS src, id2 AS dst FROM edges
+         |  UNION SELECT id2, id1 FROM edges),
+         |reach AS (
+         |  SELECT src, src AS dst FROM undirected
+         |  UNION
+         |  SELECT r.src, u.dst FROM reach r JOIN undirected u ON r.dst = u.src),
+         |comp AS (
+         |  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+         |SELECT doc_id, cluster_id,
+         |       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+         |FROM comp
+         |ORDER BY cluster_id, doc_id""".stripMargin
+
   val simhashPairs: String =
-    s"""WITH s AS (
-       |  SELECT doc_id, ${simhash32(tokenHashes("text"))} AS sh FROM documents),
+    s"""WITH s AS MATERIALIZED (
+       |  SELECT doc_id, ${simhash32("th")} AS sh
+       |  FROM (SELECT doc_id, ${tokenHashes("text")} AS th FROM documents)),
        |sl AS (
        |  SELECT doc_id, sh, k,
        |         (sh // CAST(floor(pow(2, 8*k)) AS BIGINT)) % 256 AS slice
@@ -84,6 +125,7 @@ object DedupOracles {
        |LIMIT 20""".stripMargin
 
   val all: Map[String, String] = Map(
+    "dedup_clusters" -> clusters,
     "dedup_exact" -> exact,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_minhash_bands" -> minhashBands,

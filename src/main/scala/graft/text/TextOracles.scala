@@ -52,8 +52,8 @@ object TextOracles {
     s"""SELECT doc_id,
        |  md5(text) AS md5_fp,
        |  ${rollHash("text")} AS roll_hash,
-       |  ${simhash32(tokenHashes("text"))} AS simhash
-       |FROM documents
+       |  ${simhash32("th")} AS simhash
+       |FROM (SELECT doc_id, text, ${tokenHashes("text")} AS th FROM documents)
        |ORDER BY doc_id""".stripMargin
 
   val bpeTokens: String = {

@@ -45,6 +45,23 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       "unrelated doc must not produce candidates")
   }
 
+  test("clusters: connected components over sf0.01 candidates, min-id representative") {
+    val sf = "/root/testdata/sf0.01"
+    val cl = Dedup.clusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = Dedup.minhashPairs(spark, sf)
+      .filter(col("est_sim") >= Dedup.MinClusterSim)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty)
+    // every thresholded pair lands in one cluster (transitivity included)
+    edges.foreach { case (a, b) => assert(cl(a) == cl(b), s"$a,$b split") }
+    // the representative is the minimum member of its own cluster
+    cl.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid, s"cluster $cid rep not min")
+    }
+  }
+
   test("simhash hamming distance is 0 for dups and large for unrelated docs") {
     val docs = docsDf(Seq(
       1L -> base, 2L -> base,
