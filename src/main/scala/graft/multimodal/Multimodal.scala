@@ -88,9 +88,28 @@ object Multimodal {
         (col("frame_idx") * 100L).as("frame_offset"))
       .orderBy("doc_id", "frame_idx")
 
+  /** Resize planning for image payloads: fit the decoded (width, height)
+    * into a 224×224 budget preserving aspect ratio — pure integer math
+    * (scale by 224/longest-side) so the oracle reproduces it exactly.
+    * A real pipeline would hand (doc_id, new_w, new_h) to the pixel
+    * resampler; the planning arithmetic and the narrow-map shape are the
+    * production part. */
+  def resize(spark: SparkSession, dir: String): DataFrame = {
+    val longest = greatest(col("width"), col("height"))
+    decodeFeatures(blobs(spark, dir)).toDF()
+      .filter(col("kind") === "image")
+      .select(col("doc_id"), col("width"), col("height"),
+        // integer `div`, not `/` (Spark / on ints is double division)
+        expr("CAST(width * 224 DIV greatest(width, height) AS INT)").as("new_w"),
+        expr("CAST(height * 224 DIV greatest(width, height) AS INT)").as("new_h"),
+        (longest > 224).as("downscaled"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode" -> decode,
-    "mm_frame_sample" -> frameSample)
+    "mm_frame_sample" -> frameSample,
+    "mm_resize" -> resize)
 }
 
 object MultimodalOracles {
@@ -115,7 +134,22 @@ object MultimodalOracles {
        |      FROM documents WHERE $kind = 'video')
        |ORDER BY doc_id, frame_idx""".stripMargin
 
+  val resize: String =
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |         CAST(64 + t.cs % 192 AS INT) AS width,
+       |         CAST(64 + (t.cs // 192) % 192 AS INT) AS height
+       |  FROM (SELECT doc_id, $cs AS cs FROM documents
+       |        WHERE $kind = 'image') t)
+       |SELECT doc_id, width, height,
+       |       CAST(width * 224 // greatest(width, height) AS INT) AS new_w,
+       |       CAST(height * 224 // greatest(width, height) AS INT) AS new_h,
+       |       greatest(width, height) > 224 AS downscaled
+       |FROM f
+       |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "mm_decode" -> decode,
-    "mm_frame_sample" -> frameSample)
+    "mm_frame_sample" -> frameSample,
+    "mm_resize" -> resize)
 }

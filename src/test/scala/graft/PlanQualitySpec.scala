@@ -87,6 +87,18 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(800))
   }
 
+  test("join strategy hints are honored (the cluster-scale control knob)") {
+    import org.apache.spark.sql.functions._
+    val o = graft.sources.Tables.orders(spark, sf)
+    val c = graft.sources.Tables.customer(spark, sf)
+    def planWith(hint: String): String =
+      o.join(c.hint(hint), o("o_custkey") === c("c_custkey"))
+        .queryExecution.executedPlan.toString
+    assert(planWith("broadcast").contains("BroadcastHashJoin"))
+    assert(planWith("shuffle_hash").contains("ShuffledHashJoin"))
+    assert(planWith("merge").contains("SortMergeJoin"))
+  }
+
   test("sketch aggregates land within 5% of exact (HLL distinct, t-digest median)") {
     import org.apache.spark.sql.functions._
     val approx = SparkEntry.queries("rel_approx_agg")(spark, sf).collect()
