@@ -251,7 +251,26 @@ object Dedup {
       .orderBy(col("cluster_id"), col("doc_id"))
   }
 
+  /** Apply exact dedup: the surviving corpus after keeping one
+    * representative (min doc_id) per md5 group — the step that actually
+    * shrinks the training set. Output is the per-language survivor
+    * summary so the result is small at any scale; the semi-join against
+    * representatives is the full-corpus application. */
+  def applyExact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val reps = docs
+      .groupBy(md5(lower(trim(col("text"))).cast("binary")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    docs.join(reps, Seq("doc_id"), "left_semi")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("n_chars"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_apply_exact" -> applyExact,
     "dedup_clusters" -> clusters,
     "dedup_exact" -> exact,
     "dedup_ngram_jaccard" -> ngramJaccard,

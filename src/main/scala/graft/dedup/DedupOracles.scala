@@ -124,7 +124,17 @@ object DedupOracles {
        |ORDER BY cos_sim DESC, id1, id2
        |LIMIT 20""".stripMargin
 
+  val applyExact: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |       CAST(SUM(length(text)) AS BIGINT) AS n_chars
+      |FROM documents
+      |WHERE doc_id IN (
+      |  SELECT min(doc_id) FROM documents GROUP BY md5(lower(trim(text))))
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   val all: Map[String, String] = Map(
+    "dedup_apply_exact" -> applyExact,
     "dedup_clusters" -> clusters,
     "dedup_exact" -> exact,
     "dedup_ngram_jaccard" -> ngramJaccard,

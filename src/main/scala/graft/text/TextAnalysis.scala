@@ -143,7 +143,26 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("bucket_lo")
 
+  /** Quality deciles: rank documents by a composite quality score and
+    * bucket into ntile(10) — the shape behind "keep the top-N% of the
+    * corpus" filtering. Score = lexical diversity × log(1+tokens),
+    * deterministic; decile 1 = best. */
+  def qualityDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextHash.tokens(col("text"))
+    val score = round(
+      (size(array_distinct(toks)).cast("double") / size(toks)) *
+        log(lit(1.0) + size(toks)), 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), score.as("score"))
+      .withColumn("decile", ntile(10).over(w))
+      .filter(col("doc_id") % 10 === 0) // sample the output; ranks use all docs
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality_deciles" -> qualityDeciles,
     "text_split_assign" -> splitAssign,
     "text_length_histogram" -> lengthHistogram,
     "text_token_stats" -> tokenStats,

@@ -83,7 +83,20 @@ object TextOracles {
        |GROUP BY 1
        |ORDER BY bucket_lo""".stripMargin
 
+  val qualityDeciles: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id,
+       |         round((CAST(len(list_distinct(t.toks)) AS DOUBLE) / len(t.toks))
+       |               * ln(1.0 + len(t.toks)), 6) AS score
+       |  FROM (SELECT doc_id, $toks AS toks FROM documents) t)
+       |SELECT doc_id, score,
+       |       CAST(NTILE(10) OVER (ORDER BY score DESC, doc_id) AS INT) AS decile
+       |FROM scored
+       |QUALIFY doc_id % 10 = 0
+       |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, String] = Map(
+    "text_quality_deciles" -> qualityDeciles,
     "text_split_assign" -> splitAssign,
     "text_length_histogram" -> lengthHistogram,
     "text_token_stats" -> tokenStats,
