@@ -20,12 +20,14 @@ object GtfsReader {
   /** Explicit GTFS schemas (reference `SQL/transit schema.sql:16-95`; ids are
     * strings, never ints). */
   val schemas: Map[String, StructType] = Map(
+    // day flags are GTFS "1"/"0" (the reference's TINYINT(1)); dates are
+    // GTFS yyyyMMdd — readTable sets the matching dateFormat
     "calendar" -> StructType(Seq(
       StructField("service_id", StringType, nullable = false),
-      StructField("monday", BooleanType), StructField("tuesday", BooleanType),
-      StructField("wednesday", BooleanType), StructField("thursday", BooleanType),
-      StructField("friday", BooleanType), StructField("saturday", BooleanType),
-      StructField("sunday", BooleanType),
+      StructField("monday", ShortType), StructField("tuesday", ShortType),
+      StructField("wednesday", ShortType), StructField("thursday", ShortType),
+      StructField("friday", ShortType), StructField("saturday", ShortType),
+      StructField("sunday", ShortType),
       StructField("start_date", DateType), StructField("end_date", DateType))),
     "routes" -> StructType(Seq(
       StructField("route_id", StringType, nullable = false),
@@ -67,6 +69,7 @@ object GtfsReader {
   def readTable(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read
       .option("header", "true")
+      .option("dateFormat", "yyyyMMdd") // GTFS date encoding (calendar)
       .schema(schemas(name))
       .csv(s"$dir/$name.txt")
 
@@ -86,6 +89,21 @@ object GtfsReader {
     val routes = readTable(spark, dir, "routes")
       .select("route_id", "route_long_name", "route_short_name")
     TransitTables(st, trips, stops, routes)
+  }
+
+  /** The one semantic the `calendar` table enables (reference
+    * `SQL/transit schema.sql:16-28`; no reference query touches it, but
+    * the data model declares it): which service_ids run on a given date —
+    * the day-of-week flag is set AND the date falls in
+    * [start_date, end_date]. */
+  def servicesActiveOn(calendar: DataFrame, date: java.time.LocalDate): DataFrame = {
+    val flag = Seq("monday", "tuesday", "wednesday", "thursday",
+      "friday", "saturday", "sunday")(date.getDayOfWeek.getValue - 1)
+    val d = lit(java.sql.Date.valueOf(date))
+    calendar
+      .filter(col(flag) === 1 && d.between(col("start_date"), col("end_date")))
+      .select("service_id")
+      .orderBy("service_id")
   }
 
   /** Result CSV sink (reference S4, `SQL/generate_csv.py:37,...`): single

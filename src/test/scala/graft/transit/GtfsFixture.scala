@@ -16,6 +16,12 @@ object GtfsFixture {
 
   def feedDir(): String = {
     val dir = Files.createTempDirectory("gtfs_fixture")
+    write(dir, "calendar.txt",
+      """service_id,monday,tuesday,wednesday,thursday,friday,saturday,sunday,start_date,end_date
+        |1,1,1,1,1,1,0,0,20250101,20251231
+        |2,0,0,0,0,0,1,0,20250101,20251231
+        |3,0,0,0,0,0,0,1,20250101,20251231
+        |9,1,1,1,1,1,1,1,20240101,20240630""")
     write(dir, "routes.txt",
       """route_id,agency_id,route_short_name,route_long_name,route_desc,route_type,route_color
         |R1,,504,KING,,0,
