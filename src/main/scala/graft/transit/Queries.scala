@@ -134,9 +134,13 @@ object Queries {
   def q2ServiceDetail(t: TransitTables, limit: Limit = Limit.default): DataFrame = {
     val speed = col("trip_distance") /
       nullif(col("trip_duration_seconds").cast("double"), lit(0.0)) * 3600.0
-    val topRoutes = q2RouteStats(t, ServiceFilter.WholeWeek, limit)
-      .select("route_id")
-    tripStats(t, ServiceFilter.WholeWeek)
+    // one per-service aggregation feeds BOTH the global rank and the
+    // detail rows. Catalyst column-prunes the rank side down to
+    // (num_trips, avg_duration) — so the two sides compile to different
+    // (cheaper) exchanges rather than one reused one; that trade
+    // (pruned double-scan over unpruned shared exchange) is the right
+    // one for columnar sources
+    val perService = tripStats(t, ServiceFilter.WholeWeek)
       .groupBy(col("route_id"), col("service_id"))
       .agg(
         count(lit(1)).as("num_trips"),
@@ -146,6 +150,17 @@ object Queries {
         (stddev_pop(col("trip_duration_seconds").cast("double")) / 60.0)
           .as("duration_stddev_min"),
         avg(speed).as("avg_speed_kmh"))
+      .repartition(col("route_id"))
+    // same rank criterion as q2RouteStats(WholeWeek): trip-count-weighted
+    // mean duration, rounded to 4 dp, route_id tie-break
+    val topRoutes = perService
+      .groupBy(col("route_id"))
+      .agg((sum(col("avg_duration_min") * col("num_trips")) / sum(col("num_trips")))
+        .as("w_avg"))
+      .orderBy(round(col("w_avg"), 4).desc, col("route_id"))
+      .transform(limit.apply)
+      .select("route_id")
+    perService
       .join(topRoutes, Seq("route_id"), "left_semi")
       .join(broadcast(t.routes), Seq("route_id"))
       .select(
