@@ -195,6 +195,21 @@ object RelationalOracles {
         |WHERE user_id < 20
         |ORDER BY user_id, event_id""".stripMargin,
 
+    // <=> ≡ IS NOT DISTINCT FROM: the null-short-name group must join
+    "rel_null_safe_join" ->
+      (graft.transit.TransitTables.sqlPrelude +
+        """, counts AS (
+          |  SELECT r.route_short_name, COUNT(*) AS n_trips
+          |  FROM trips t JOIN routes r ON r.route_id = t.route_id
+          |  GROUP BY r.route_short_name),
+          |names AS (
+          |  SELECT route_short_name, COUNT(*) AS n_routes
+          |  FROM routes GROUP BY route_short_name)
+          |SELECT c.route_short_name, c.n_trips, CAST(n.n_routes AS BIGINT) AS n_routes
+          |FROM counts c JOIN names n
+          |  ON c.route_short_name IS NOT DISTINCT FROM n.route_short_name
+          |ORDER BY c.route_short_name""".stripMargin),
+
     // Spark grouping_id: leftmost cube column = most significant bit
     "rel_cube" ->
       """SELECT o_orderstatus, o_orderpriority,

@@ -289,6 +289,25 @@ object RelationalQueries {
       .orderBy(col("band_id"))
   }
 
+  /** Null-safe equality join (<=>): nulls match nulls — unlike plain `=`,
+    * which drops null keys from both sides. Exercised on the nullable
+    * route_short_name dim key; Spark plans <=> as a hash join (null-safe
+    * keys are still hashable), not a nested loop. */
+  def nullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.transit.TransitTables.fromTpch(spark, dir)
+    val counts = t.trips
+      .join(broadcast(t.routes), Seq("route_id"))
+      .groupBy(col("route_short_name")).agg(count(lit(1)).as("n_trips"))
+    val names = t.routes
+      .groupBy(col("route_short_name")).agg(count(lit(1)).as("n_routes"))
+    counts.as("c")
+      .join(names.as("n"),
+        col("c.route_short_name") <=> col("n.route_short_name"))
+      .select(col("c.route_short_name").as("route_short_name"),
+        col("n_trips"), col("n_routes"))
+      .orderBy(col("route_short_name"))
+  }
+
   /** CUBE over (status, priority) with grouping_id — all four grouping
     * sets in one Expand+hash-agg pass (beyond-reference, standard
     * warehouse shape alongside [[rollupAgg]]). */
@@ -504,6 +523,7 @@ object RelationalQueries {
     "rel_window_rank" -> windowRank,
     "rel_window_running" -> windowRunning,
     "rel_cube" -> cubeAgg,
+    "rel_null_safe_join" -> nullSafeJoin,
     "rel_lead_lag" -> leadLag,
     "rel_ntile" -> ntileRank,
     "rel_percentiles" -> percentiles,
