@@ -121,43 +121,74 @@ object Dedup {
 
   /** SimHash near-dup: block on any of the 4 byte-slices of the 32-bit
     * simhash being equal (guarantees recall for hamming ≤ 3 by pigeonhole),
-    * then rank candidates by exact hamming distance. */
+    * then rank candidates by exact hamming distance.
+    *
+    * Executed over DISTINCT simhash values, not documents: similar corpora
+    * collapse many documents onto few simhashes, so the quadratic block
+    * self-join runs on the value table (3,810 values vs 5,000 docs at
+    * sf0.1; the gap widens with duplication — exactly the regime dedup
+    * targets) and doc ids are re-attached only for surviving value pairs.
+    * Every prune below is exact for the top-20 output:
+    *  - 21-smallest-ids truncation per value: a pair using the 22nd+
+    *    smallest id of its value has ≥20 strictly smaller same-block pairs
+    *    (swap in each smaller id), so it can't reach the global top 20.
+    *  - per-block value-pair rank ≤ 20 by (hamming, best doc pair): a doc
+    *    pair determines its value pair uniquely, so 20 strictly-better
+    *    value pairs in one block contribute ≥20 strictly-better doc pairs.
+    *  - best doc pair of a value pair = (least, greatest) of the two
+    *    per-value minimum ids (any other cross pair replaces one id with a
+    *    larger one). */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = Tables.documents(spark, dir).select(
       col("doc_id"),
       graft.functions.GraftFunctions
         .simhash32(spark, tokenHashes(col("text"))).as("sh"))
-    // let-bound so the simhash inlined by Project-collapsing is evaluated
-    // once per row, not once per slice
-    val slices = sh.select(col("doc_id"), col("sh"),
+    val vals = sh.groupBy(col("sh"))
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, 21).as("ids"))
+      // barrier: the slice sides and the id re-attach joins all reuse this
+      // one computed exchange (ReuseExchange) instead of re-hashing every
+      // document per consumer (same pattern as Dedup.sigs)
+      .repartition(col("sh"))
+    // intra-value pairs: identical simhash, hamming 0
+    val intra = vals.filter(size(col("ids")) >= 2)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("id1"), y.as("id2")))))).as("p"))
+      .select(col("p.id1"), col("p.id2"), lit(0).as("hamming_dist"))
+    // inter-value pairs: block distinct values on the 4 byte slices
+    val vslices = vals.select(col("sh"), element_at(col("ids"), 1).as("mid"),
       posexplode(let(col("sh"))(s => transform(sequence(lit(0), lit(3)),
         k => (s.cast("double") / pow(lit(2.0), k * 8)).cast("long") % 256L))))
-      .toDF("doc_id", "sh", "k", "slice")
-      // barrier: both self-join sides reuse one computed exchange instead
-      // of re-hashing every document (same pattern as Dedup.sigs)
+      .toDF("sh", "mid", "k", "slice")
       .repartition(col("k"), col("slice"))
-    val pairs = slices.as("a").join(slices.as("b"),
+    val vpairs = vslices.as("a").join(vslices.as("b"),
         col("a.k") === col("b.k") && col("a.slice") === col("b.slice") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.sh") < col("b.sh"))
       .select(col("a.k").as("k"), col("a.slice").as("slice"),
-        col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        hamming(col("a.sh"), col("b.sh")).as("hamming_dist"))
-    // Per-block top-k prune before the global dedup: a pair occurs at most
-    // once per (k, slice) block, and the order (hamming, id1, id2) is a
-    // strict total order, so any pair in the global top-20 has ≤19 pairs
-    // ahead of it globally — hence ≤19 ahead within its own block, hence
-    // rank ≤ 20 there. The window runs on the join output's existing
-    // (k, slice) hash partitioning (no new exchange, in-partition sort
-    // only), collapsing the distinct+top-k input from all candidate pairs
-    // (~5M at sf0.1 — the synthetic docs' simhashes cluster heavily) to
-    // ≤ 20 per block.
+        col("a.sh").as("sh1"), col("b.sh").as("sh2"),
+        hamming(col("a.sh"), col("b.sh")).as("hamming_dist"),
+        least(col("a.mid"), col("b.mid")).as("b1"),
+        greatest(col("a.mid"), col("b.mid")).as("b2"))
+    // the window runs on the join output's existing (k, slice) hash
+    // partitioning — no new exchange, in-partition sort only
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("k"), col("slice"))
-      .orderBy(col("hamming_dist"), col("id1"), col("id2"))
-    pairs
+      .orderBy(col("hamming_dist"), col("b1"), col("b2"))
+    val kept = vpairs
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 20)
-      .select(col("id1"), col("id2"), col("hamming_dist")).distinct()
+      .select(col("sh1"), col("sh2"), col("hamming_dist")).distinct()
+    val inter = kept
+      .join(vals.as("v1"), col("sh1") === col("v1.sh"))
+      .join(vals.as("v2"), col("sh2") === col("v2.sh"))
+      .select(explode(flatten(transform(col("v1.ids"), x =>
+        transform(col("v2.ids"), y => struct(
+          least(x, y).as("id1"), greatest(x, y).as("id2")))))).as("p"),
+        col("hamming_dist"))
+      .select(col("p.id1"), col("p.id2"), col("hamming_dist"))
+    // disjoint by construction (intra: equal sh; inter: distinct sh) and a
+    // doc pair maps to exactly one value pair, so no global dedup needed
+    intra.unionByName(inter)
       .orderBy(col("hamming_dist"), col("id1"), col("id2"))
       .limit(20)
   }
