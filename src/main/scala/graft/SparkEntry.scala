@@ -82,6 +82,12 @@ object SparkEntry {
       Queries.q4Nested(TransitTables.fromTpch(s, dir))),
     "transit_q2_detail" -> ((s, dir) =>
       Queries.q2ServiceDetail(TransitTables.fromTpch(s, dir))),
+    // §2.1 S1: the GTFS CSV source exercised end-to-end — land the bundle
+    // as a real feed (string ids, >24h HH:MM:SS times), read it back
+    // through GtfsReader's explicit-schema scan, run Q4 on the result
+    "transit_gtfs_q4" -> ((s, dir) =>
+      Queries.q4ServiceFrequency(
+        graft.sources.GtfsWriter.roundtrip(s, dir), ServiceFilter.Weekday)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -107,6 +113,9 @@ object SparkEntry {
     "transit_q2_path" -> TransitOracles.q2TripPath("ROUTE_26"),
     "transit_q4_nested" -> TransitOracles.q4Nested,
     "transit_q2_detail" -> TransitOracles.q2Detail,
+    // the round trip is lossless for everything Q4 touches, so the oracle
+    // is exactly the direct-path Q4 weekday SQL
+    "transit_gtfs_q4" -> TransitOracles.q4Weekday,
   ) ++ graft.relational.RelationalOracles.all ++
     graft.text.TextOracles.all ++
     graft.dedup.DedupOracles.all ++

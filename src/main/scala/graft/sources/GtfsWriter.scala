@@ -1,0 +1,109 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.functions.GtfsTime
+import graft.transit.TransitTables
+
+/** GTFS feed sink + round-trip: materialize a [[TransitTables]] bundle as a
+  * real GTFS feed directory (headered CSV `.txt`, string ids, canonical
+  * `HH:MM:SS` times that may exceed 24h) and read it back with
+  * [[GtfsReader]].
+  *
+  * This is the engine's S1 source surface (reference `README.md:104-105` —
+  * the reference loads these files via MySQL's import wizard) exercised as a
+  * first-class registered query path, not just a spec fixture: the write is
+  * a distributed `df.write.csv` (one directory per table, partition-parallel
+  * part files — NOT a driver-side single-file collect), and the read-back
+  * goes through the explicit-schema scan + `GtfsTime.gtfsSeconds` parse.
+  *
+  * Scale note: at 100 TB the CSV feed is the *ingest* format only — first
+  * job reads `.txt` once and lands Parquet; every query after that scans
+  * Parquet. The round-trip query deliberately measures the ingest leg.
+  */
+object GtfsWriter {
+
+  /** Write the bundle as a GTFS feed under `dir` (overwrites). Ids and
+    * times become their GTFS string encodings. Every column of
+    * [[GtfsReader.schemas]] is written, in schema order, with nulls for
+    * fields the bundle does not carry — explicit-schema CSV scans resolve
+    * columns by position, so the files must match the schema exactly. */
+  def writeFeed(t: TransitTables, dir: String): Unit = {
+    def out(name: String) = s"$dir/$name.txt"
+    def csv(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      df.write.mode("overwrite").option("header", "true").csv(out(name))
+
+    csv(t.stopTimes.select(
+      col("trip_id").cast("string").as("trip_id"),
+      GtfsTime.gtfsString(col("arr_secs")).as("arrival_time"),
+      GtfsTime.gtfsString(col("dep_secs")).as("departure_time"),
+      col("stop_id").cast("string").as("stop_id"),
+      col("stop_sequence").cast("int").as("stop_sequence"),
+      lit(null).cast("string").as("stop_headsign"),
+      lit(null).cast("short").as("pickup_type"),
+      lit(null).cast("short").as("drop_off_type"),
+      col("shape_dist").cast("float").as("shape_dist_traveled")), "stop_times")
+
+    csv(t.trips.select(
+      col("trip_id").cast("string").as("trip_id"),
+      col("route_id").cast("string").as("route_id"),
+      col("service_id").cast("string").as("service_id"),
+      col("trip_headsign"),
+      col("direction_id").cast("short").as("direction_id"),
+      lit(null).cast("short").as("wheelchair_accessible"),
+      lit(null).cast("short").as("bikes_allowed"),
+      lit(null).cast("string").as("shape_id")), "trips")
+
+    csv(t.stops.select(
+      col("stop_id").cast("string").as("stop_id"),
+      col("stop_code"),
+      col("stop_name"),
+      lit(null).cast("string").as("stop_desc"),
+      col("stop_lat").cast("float").as("stop_lat"),
+      col("stop_lon").cast("float").as("stop_lon"),
+      lit(null).cast("string").as("zone_id"),
+      lit(null).cast("short").as("wheelchair_boarding")), "stops")
+
+    csv(t.routes.select(
+      col("route_id").cast("string").as("route_id"),
+      lit(null).cast("string").as("agency_id"),
+      col("route_short_name"),
+      col("route_long_name"),
+      lit(null).cast("string").as("route_desc"),
+      lit(null).cast("short").as("route_type"),
+      lit(null).cast("string").as("route_color")), "routes")
+  }
+
+  /** Cast a read-back feed's GTFS string ids to the TPC-H-derived long-id
+    * schema so downstream queries and their DuckDB oracles compare exactly.
+    * Lossless for ids (longs survive the string round trip); lat/lon and
+    * shape_dist pass through GTFS's FloatType, so float-precision-sensitive
+    * consumers must not ride this path (Q4 touches neither). */
+  def toTpchTypes(t: TransitTables): TransitTables = TransitTables(
+    stopTimes = t.stopTimes.select(
+      col("trip_id").cast("long").as("trip_id"),
+      col("stop_id").cast("long").as("stop_id"),
+      col("stop_sequence"), col("dep_secs"), col("arr_secs"),
+      col("shape_dist")),
+    trips = t.trips.select(
+      col("trip_id").cast("long").as("trip_id"),
+      col("route_id").cast("long").as("route_id"),
+      col("service_id"), col("trip_headsign"),
+      col("direction_id").cast("int").as("direction_id")),
+    stops = t.stops.select(
+      col("stop_id").cast("long").as("stop_id"),
+      col("stop_name"), col("stop_code"), col("stop_lat"), col("stop_lon")),
+    routes = t.routes.select(
+      col("route_id").cast("long").as("route_id"),
+      col("route_long_name"), col("route_short_name")))
+
+  /** Full round trip: derive the bundle from the TPC-H parquet, land it as
+    * a GTFS feed (under the build's scratch dir, keyed by SF so sf0.01
+    * verify and sf0.1 bench don't clobber each other), read it back through
+    * the real source path, and restore the long-id schema. */
+  def roundtrip(spark: org.apache.spark.sql.SparkSession, sfDir: String): TransitTables = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val feedDir = s"target/tmp/gtfs_feed_$key"
+    writeFeed(TransitTables.fromTpch(spark, sfDir), feedDir)
+    toTpchTypes(GtfsReader.readFeed(spark, feedDir))
+  }
+}

@@ -293,12 +293,18 @@ object Queries {
     * `SQL/sql_utils.py:359-366`) — realized as a broadcast scalar. */
   def q4Nested(t: TransitTables, limit: Limit = Limit.default): DataFrame = {
     val hf = hourlyFrequency(t)
-    val maxHour = hf.agg(max(col("hour_of_day")).as("max_hour"))
     val perHour = hf.groupBy(col("route_id"), col("hour_of_day"))
       .agg(sum(col("trips_per_hour")).as("trips"))
+    // max_hour (the A13 global max over ALL routes, pre-top-k) rides the
+    // same aggregation: per-route max here, then an unpartitioned window
+    // max over the ~|routes| aggregated rows. A separate
+    // `hf.agg(max(hour_of_day))` branch looks cheaper but Catalyst prunes
+    // its countDistinct away, so the subtree stops matching the profile
+    // branch and ReuseExchange is lost — it re-scans the fact table.
     val profile = perHour.groupBy(col("route_id"))
       .agg(
         sum(col("trips")).as("total_daily_trips"),
+        max(col("hour_of_day")).as("route_max_hour"),
         concat_ws(" | ",
           transform(
             array_sort(collect_list(struct(col("hour_of_day"), col("trips")))),
@@ -311,7 +317,8 @@ object Queries {
       svcTotal("2").as("trips_saturday"),
       svcTotal("3").as("trips_sunday"))
     profile.join(bySvc, Seq("route_id"))
-      .crossJoin(broadcast(maxHour))
+      .withColumn("max_hour", max(col("route_max_hour")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
       .withColumn("average_daily_trips",
         (col("trips_weekday") + col("trips_saturday") + col("trips_sunday")) / 3.0)
       .join(broadcast(t.routes), Seq("route_id"))
