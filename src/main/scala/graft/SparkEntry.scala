@@ -51,7 +51,7 @@ object SparkEntry {
       Queries.q4ServiceFrequency(TransitTables.fromTpch(s, dir), ServiceFilter.WholeWeek)),
     // §2 timetable store (A12/S6-S8) — nested build proven via its flat face
     "transit_timetable_flat" -> ((s, dir) =>
-      Timetable.flattened(Timetable.buildStopTimetables(TransitTables.fromTpch(s, dir)))),
+      Timetable.flattenedFromTables(TransitTables.fromTpch(s, dir))),
     "transit_stops_list" -> ((s, dir) =>
       Timetable.getStops(Timetable.buildStopTimetables(TransitTables.fromTpch(s, dir)))),
     "transit_routes_for_stop" -> ((s, dir) =>

@@ -119,9 +119,21 @@ object Dedup {
       .orderBy(col("est_sim").desc, col("id1"), col("id2"))
   }
 
-  /** SimHash near-dup: block on any of the 4 byte-slices of the 32-bit
-    * simhash being equal (guarantees recall for hamming ≤ 3 by pigeonhole),
-    * then rank candidates by exact hamming distance.
+  /** Near-dup contract of [[simhashPairs]]: pairs at hamming distance ≤ 3.
+    * 4 byte-slices of a 32-bit hash guarantee (pigeonhole) that any such
+    * pair shares an untouched slice, so slice-blocking is EXACT for this
+    * threshold — and the DuckDB oracle verifies it blocking-free, by
+    * brute-force distance over all doc pairs. */
+  val MaxHamming = 3
+
+  /** SimHash near-dup: all pairs with hamming ≤ [[MaxHamming]], ranked by
+    * exact distance, top-20. Blocking: any of the 4 byte-slices equal —
+    * exact for the threshold (see [[MaxHamming]]). The threshold rides the
+    * blocked join's ON clause, so skewed slice blocks (the top byte of a
+    * simhash concentrates: similar corpora → similar sign patterns —
+    * measured 2.1M slice-equal pairs at sf0.1) are cut to the few thousand
+    * genuinely-near pairs BEFORE anything materializes; the per-block
+    * window prune then runs on survivors only (was: a 2.1M-row sort).
     *
     * Executed over DISTINCT simhash values, not documents: similar corpora
     * collapse many documents onto few simhashes, so the quadratic block
@@ -163,7 +175,8 @@ object Dedup {
       .repartition(col("k"), col("slice"))
     val vpairs = vslices.as("a").join(vslices.as("b"),
         col("a.k") === col("b.k") && col("a.slice") === col("b.slice") &&
-          col("a.sh") < col("b.sh"))
+          col("a.sh") < col("b.sh") &&
+          hamming(col("a.sh"), col("b.sh")) <= MaxHamming)
       .select(col("a.k").as("k"), col("a.slice").as("slice"),
         col("a.sh").as("sh1"), col("b.sh").as("sh2"),
         hamming(col("a.sh"), col("b.sh")).as("hamming_dist"),

@@ -98,18 +98,17 @@ object DedupOracles {
          |FROM comp
          |ORDER BY cluster_id, doc_id""".stripMargin
 
+  /** Blocking-FREE brute force over all doc pairs at hamming ≤ 3 — an
+    * independent check that the Spark side's slice-blocked LSH join loses
+    * no pair within the threshold (Dedup.MaxHamming pigeonhole bound). */
   val simhashPairs: String =
     s"""WITH s AS MATERIALIZED (
        |  SELECT doc_id, ${simhash32("th")} AS sh
-       |  FROM (SELECT doc_id, ${tokenHashes("text")} AS th FROM documents)),
-       |sl AS (
-       |  SELECT doc_id, sh, k,
-       |         (sh // CAST(floor(pow(2, 8*k)) AS BIGINT)) % 256 AS slice
-       |  FROM s CROSS JOIN (SELECT unnest(range(0, 4)) AS k))
-       |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+       |  FROM (SELECT doc_id, ${tokenHashes("text")} AS th FROM documents))
+       |SELECT a.doc_id AS id1, b.doc_id AS id2,
        |       ${hamming("a.sh", "b.sh")} AS hamming_dist
-       |FROM sl a JOIN sl b
-       |  ON a.k = b.k AND a.slice = b.slice AND a.doc_id < b.doc_id
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE ${hamming("a.sh", "b.sh")} <= ${graft.dedup.Dedup.MaxHamming}
        |ORDER BY hamming_dist, id1, id2
        |LIMIT 20""".stripMargin
 

@@ -23,51 +23,52 @@ object StageTime {
       println(f"[stage] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s$extra")
     }
 
-    // ---- simhash shape ----
+    // ---- simhash phase decomposition ----
     val docs = Tables.documents(spark, sfDir)
     time("docs")(docs.count())
     val sh = docs.select(
       col("doc_id"),
       GraftFunctions.simhash32(spark, tokenHashes(col("text"))).as("sh"))
-      .cache()
-    time("distinct sh")(sh.select("sh").distinct().count())
-    val groups = sh.groupBy("sh").count()
-    time("pairs within identical sh")(
-      groups.agg(sum((col("count") * (col("count") - 1) / 2).cast("long"))).collect()(0).getLong(0))
-    // per-slice block sizes on DISTINCT sh values
-    val vals = sh.groupBy("sh").agg(count(lit(1)).as("cnt"))
-    val vslices = vals.select(col("sh"), col("cnt"),
+    time("sh compute (noop)")(
+      sh.write.format("noop").mode("overwrite").save())
+    time("sh compute again")(
+      sh.write.format("noop").mode("overwrite").save())
+    val vals = sh.groupBy(col("sh"))
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, 21).as("ids"))
+      .repartition(col("sh"))
+    time("vals (noop)")(vals.write.format("noop").mode("overwrite").save())
+    val vc = vals.cache()
+    time("vals materialize")(vc.count())
+    val vslices = vc.select(col("sh"), element_at(col("ids"), 1).as("mid"),
       posexplode(let(col("sh"))(s => transform(sequence(lit(0), lit(3)),
         k => (s.cast("double") / pow(lit(2.0), k * 8)).cast("long") % 256L))))
-      .toDF("sh", "cnt", "k", "slice")
-    time("distinct-value slice join rows")(
-      vslices.as("a").join(vslices.as("b"),
+      .toDF("sh", "mid", "k", "slice")
+      .repartition(col("k"), col("slice"))
+    val vpairs = vslices.as("a").join(vslices.as("b"),
         col("a.k") === col("b.k") && col("a.slice") === col("b.slice") &&
-          col("a.sh") < col("b.sh")).count())
-
-    // ---- minhash band shape ----
-    val ss = docs.select(col("doc_id"), shingleSet(col("text")).as("shs"))
-    val sigd = ss.select(col("doc_id"),
-      GraftFunctions.minhash32(spark, col("shs")).as("sig"))
-    val bands = sigd.select(col("doc_id"),
-      posexplode(let(col("sig"))(sig =>
-        transform(sequence(lit(0), lit(7)), b => {
-          var acc: org.apache.spark.sql.Column = lit(17L)
-          for (k <- 0 until 4)
-            acc = (acc * 131L + element_at(sig, b.cast("int") * 4 + k + 1)) % P
-          acc
-        }))))
-      .toDF("doc_id", "band", "band_hash")
-    time("band join rows")(
-      bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
-          col("x.doc_id") < col("y.doc_id")).count())
-
-    // ---- ngram shape ----
-    val ex = ss.select(col("doc_id"), explode(col("shs")).as("s"))
-    time("shingle join rows")(
-      ex.as("a").join(ex.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id")).count())
+          col("a.sh") < col("b.sh"))
+      .select(col("a.k").as("k"), col("a.slice").as("slice"),
+        col("a.sh").as("sh1"), col("b.sh").as("sh2"),
+        hamming(col("a.sh"), col("b.sh")).as("hamming_dist"),
+        least(col("a.mid"), col("b.mid")).as("b1"),
+        greatest(col("a.mid"), col("b.mid")).as("b2"))
+    time("vpairs from cached vals")(vpairs.count())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k"), col("slice"))
+      .orderBy(col("hamming_dist"), col("b1"), col("b2"))
+    val kept = vpairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .select(col("sh1"), col("sh2"), col("hamming_dist")).distinct()
+    time("kept from cached vals")(kept.count())
+    val inter = kept
+      .join(vc.as("v1"), col("sh1") === col("v1.sh"))
+      .join(vc.as("v2"), col("sh2") === col("v2.sh"))
+      .select(explode(flatten(transform(col("v1.ids"), x =>
+        transform(col("v2.ids"), y => struct(
+          least(x, y).as("id1"), greatest(x, y).as("id2")))))).as("p"),
+        col("hamming_dist"))
+      .select(col("p.id1"), col("p.id2"), col("hamming_dist"))
+    time("inter from cached vals")(inter.count())
     spark.stop()
   }
 }

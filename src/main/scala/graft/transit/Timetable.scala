@@ -27,26 +27,7 @@ object Timetable {
     * `location` is the GeoJSON Point struct (reference
     * `Mongo/denormalization.py:118-121`). */
   def buildStopTimetables(t: TransitTables): DataFrame = {
-    val joined = t.stopTimes
-      .join(t.trips, "trip_id")
-      .join(broadcast(t.routes), Seq("route_id"))
-    // Two-phase build: collect/sort a struct that carries raw seconds, then
-    // render the display-time strings per element AFTER the aggregation.
-    // The shuffle and the collect_list buffers move ints where they would
-    // otherwise move formatted strings — measured ~2× faster at sf0.1, and
-    // at 100 TB the groupBy(stop_id) exchange is the whole job, so shuffle
-    // bytes are the build's cost model.
-    joined
-      .groupBy(col("stop_id"))
-      .agg(
-        array_sort(collect_list(struct(
-          col("dep_secs"), // first field = array_sort key
-          col("trip_id"),
-          col("stop_sequence"),
-          col("route_id"), col("route_short_name"), col("route_long_name"),
-          col("trip_headsign"), col("service_id"), col("direction_id"),
-          col("arr_secs")
-        ))).as("raw"))
+    buildRaw(t)
       .select(col("stop_id"), transform(col("raw"), s => struct(
         s("dep_secs").as("dep_secs"),
         s("trip_id").as("trip_id"),
@@ -68,6 +49,30 @@ object Timetable {
           array(col("stop_lon"), col("stop_lat")).as("coordinates")).as("location"),
         col("upcoming_services"))
   }
+
+  /** The store's aggregation phase: one row per stop with the sorted array
+    * of RAW service structs (ints + dimension strings, no display strings).
+    * Two-phase build: the shuffle and collect_list buffers move int seconds
+    * where they would otherwise move formatted strings — measured ~2× faster
+    * at sf0.1 — and rendering happens per FACE: the nested document face
+    * runs the `transform` above, the full-flatten face renders post-explode
+    * under whole-stage codegen ([[flattenedFromTables]]). At 100 TB the
+    * groupBy(stop_id) exchange is the whole job, so shuffle bytes are the
+    * build's cost model. */
+  private def buildRaw(t: TransitTables): DataFrame =
+    t.stopTimes
+      .join(t.trips, "trip_id")
+      .join(broadcast(t.routes), Seq("route_id"))
+      .groupBy(col("stop_id"))
+      .agg(
+        array_sort(collect_list(struct(
+          col("dep_secs"), // first field = array_sort key
+          col("trip_id"),
+          col("stop_sequence"),
+          col("route_id"), col("route_short_name"), col("route_long_name"),
+          col("trip_headsign"), col("service_id"), col("direction_id"),
+          col("arr_secs")
+        ))).as("raw"))
 
   /** `GET /get_stops`: projection + name sort (reference `Mongo/app.py:56-59`). */
   def getStops(timetables: DataFrame): DataFrame =
@@ -173,8 +178,36 @@ object Timetable {
       .orderBy((col("dep_secs") >= nowSecs).desc, col("dep_secs"), col("trip_id"))
       .limit(1)
 
-  /** Flatten the nested store back to rows (collect_list ∘ explode round
-    * trip) — the oracle-checkable face of the build. */
+  /** Full flatten of the store built from `t` — the oracle-checkable face
+    * of the build (collect_list ∘ array_sort ∘ explode round trip over
+    * every stop). Rendering of the display-time strings happens AFTER the
+    * explode: `transform` is a higher-order function and evaluates
+    * interpreted (one struct copy per element outside codegen — the
+    * measured hot spot of the old path), while the identical
+    * [[GtfsTime.displayString]] expression over the exploded seconds
+    * columns stays inside whole-stage codegen. [[TimetableSpec]] asserts
+    * this face ≡ `flattened(buildStopTimetables(t))` row for row. */
+  def flattenedFromTables(t: TransitTables): DataFrame =
+    buildRaw(t)
+      .join(broadcast(t.stops.select(col("stop_id"), col("stop_name"))), Seq("stop_id"))
+      .select(col("stop_id"), col("stop_name"), explode(col("raw")).as("svc"))
+      .select(
+        col("stop_id"), col("stop_name"),
+        col("svc.trip_id").as("trip_id"),
+        col("svc.stop_sequence").as("stop_sequence"),
+        col("svc.route_id").as("route_id"),
+        col("svc.route_long_name").as("route_long_name"),
+        col("svc.route_short_name").as("route_short_name"),
+        col("svc.trip_headsign").as("trip_headsign"),
+        col("svc.service_id").as("service_id"),
+        col("svc.direction_id").as("direction_id"),
+        col("svc.dep_secs").as("dep_secs"),
+        GtfsTime.displayString(col("svc.arr_secs")).as("arrival_time"),
+        GtfsTime.displayString(col("svc.dep_secs")).as("departure_time"))
+      .orderBy(col("stop_id"), col("trip_id"), col("stop_sequence"))
+
+  /** Flatten an already-rendered nested store back to rows (the generic
+    * document-consumer path; [[flattenedFromTables]] is the bulk face). */
   def flattened(timetables: DataFrame): DataFrame =
     exploded(timetables)
       .select(

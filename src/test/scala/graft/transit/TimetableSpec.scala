@@ -79,4 +79,12 @@ class TimetableSpec extends SparkSpec {
     val flat = Timetable.flattened(docs)
     assert(flat.count() == 18L) // all stop_times rows
   }
+
+  test("flattenedFromTables (codegen render path) ≡ flattened(rendered store)") {
+    val t = GtfsFixture.tables(spark)
+    val fast = Timetable.flattenedFromTables(t)
+    val slow = Timetable.flattened(Timetable.buildStopTimetables(t))
+    assert(fast.columns.toSeq == slow.columns.toSeq)
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
+  }
 }
