@@ -37,7 +37,10 @@ object Dedup {
 
   private def shingleSets(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
-      col("doc_id"), shingleSet(col("text")).as("shs"))
+      col("doc_id"),
+      // native fused pass (ShingleSetExpr); TextHash.shingleSet remains
+      // the interpreted executable spec it is asserted against
+      graft.functions.GraftFunctions.shingleSet(spark, col("text")).as("shs"))
 
   /** N-gram Jaccard near-dup: block on shared shingle, count common
     * shingles per pair, exact Jaccard, top-20. */
@@ -154,7 +157,8 @@ object Dedup {
     val sh = Tables.documents(spark, dir).select(
       col("doc_id"),
       graft.functions.GraftFunctions
-        .simhash32(spark, tokenHashes(col("text"))).as("sh"))
+        .simhash32(spark,
+          graft.functions.GraftFunctions.tokenHashes(spark, col("text"))).as("sh"))
     val vals = sh.groupBy(col("sh"))
       .agg(slice(sort_array(collect_list(col("doc_id"))), 1, 21).as("ids"))
       // barrier: the slice sides and the id re-attach joins all reuse this

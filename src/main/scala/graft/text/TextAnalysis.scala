@@ -92,7 +92,8 @@ object TextAnalysis {
       md5(col("text").cast("binary")).as("md5_fp"),
       TextHash.rollHash(col("text")).as("roll_hash"),
       graft.functions.GraftFunctions
-        .simhash32(spark, TextHash.tokenHashes(col("text"))).as("simhash"))
+        .simhash32(spark, graft.functions.GraftFunctions
+          .tokenHashes(spark, col("text"))).as("simhash"))
       .orderBy("doc_id")
 
   /** BPE-style pre-tokenization: the regex split a byte-pair-encoding

@@ -23,52 +23,41 @@ object StageTime {
       println(f"[stage] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s$extra")
     }
 
-    // ---- simhash phase decomposition ----
+    // ---- minhash phase decomposition ----
     val docs = Tables.documents(spark, sfDir)
     time("docs")(docs.count())
-    val sh = docs.select(
-      col("doc_id"),
-      GraftFunctions.simhash32(spark, tokenHashes(col("text"))).as("sh"))
-    time("sh compute (noop)")(
-      sh.write.format("noop").mode("overwrite").save())
-    time("sh compute again")(
-      sh.write.format("noop").mode("overwrite").save())
-    val vals = sh.groupBy(col("sh"))
-      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, 21).as("ids"))
-      .repartition(col("sh"))
-    time("vals (noop)")(vals.write.format("noop").mode("overwrite").save())
-    val vc = vals.cache()
-    time("vals materialize")(vc.count())
-    val vslices = vc.select(col("sh"), element_at(col("ids"), 1).as("mid"),
-      posexplode(let(col("sh"))(s => transform(sequence(lit(0), lit(3)),
-        k => (s.cast("double") / pow(lit(2.0), k * 8)).cast("long") % 256L))))
-      .toDF("sh", "mid", "k", "slice")
-      .repartition(col("k"), col("slice"))
-    val vpairs = vslices.as("a").join(vslices.as("b"),
-        col("a.k") === col("b.k") && col("a.slice") === col("b.slice") &&
-          col("a.sh") < col("b.sh"))
-      .select(col("a.k").as("k"), col("a.slice").as("slice"),
-        col("a.sh").as("sh1"), col("b.sh").as("sh2"),
-        hamming(col("a.sh"), col("b.sh")).as("hamming_dist"),
-        least(col("a.mid"), col("b.mid")).as("b1"),
-        greatest(col("a.mid"), col("b.mid")).as("b2"))
-    time("vpairs from cached vals")(vpairs.count())
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("k"), col("slice"))
-      .orderBy(col("hamming_dist"), col("b1"), col("b2"))
-    val kept = vpairs.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 20)
-      .select(col("sh1"), col("sh2"), col("hamming_dist")).distinct()
-    time("kept from cached vals")(kept.count())
-    val inter = kept
-      .join(vc.as("v1"), col("sh1") === col("v1.sh"))
-      .join(vc.as("v2"), col("sh2") === col("v2.sh"))
-      .select(explode(flatten(transform(col("v1.ids"), x =>
-        transform(col("v2.ids"), y => struct(
-          least(x, y).as("id1"), greatest(x, y).as("id2")))))).as("p"),
-        col("hamming_dist"))
-      .select(col("p.id1"), col("p.id2"), col("hamming_dist"))
-    time("inter from cached vals")(inter.count())
+    val ss = docs.select(col("doc_id"), shingleSet(col("text")).as("shs"))
+    time("shingleSet (noop)")(ss.write.format("noop").mode("overwrite").save())
+    val sigs = ss.select(col("doc_id"), col("shs"),
+      GraftFunctions.minhash32(spark, col("shs")).as("sig"))
+      .repartition(col("doc_id"))
+    time("sigs (noop)")(sigs.write.format("noop").mode("overwrite").save())
+    val sc2 = sigs.cache()
+    time("sigs materialize")(sc2.count())
+    val bands = sc2.select(col("doc_id"),
+      posexplode(let(col("sig"))(sig =>
+        transform(sequence(lit(0), lit(7)), b => {
+          var acc: org.apache.spark.sql.Column = lit(17L)
+          for (k <- 0 until 4)
+            acc = (acc * 131L + element_at(sig, b.cast("int") * 4 + k + 1)) % P
+          acc
+        }))))
+      .toDF("doc_id", "band", "band_hash")
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2")).distinct()
+    time("cand from cached sigs")(cand.count())
+    val res = cand
+      .join(sc2.as("s1"), col("id1") === col("s1.doc_id"))
+      .join(sc2.as("s2"), col("id2") === col("s2.doc_id"))
+      .select(col("id1"), col("id2"),
+        round(aggregate(zip_with(col("s1.sig"), col("s2.sig"),
+          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (a, v) => a + v)
+          .cast("double") / 32, 6).as("est_sim"),
+        round(size(array_intersect(col("s1.shs"), col("s2.shs"))).cast("double") /
+          size(array_union(col("s1.shs"), col("s2.shs"))), 6).as("jaccard"))
+    time("verify join from cached")(res.count())
     spark.stop()
   }
 }

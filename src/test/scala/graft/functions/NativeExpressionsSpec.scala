@@ -43,6 +43,35 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkSpec {
     assert(sigs.map(_.toVector).distinct.length > 2)
   }
 
+  test("TokenHashesExpr equals TextHash.tokenHashes (per-token md5 mod P)") {
+    import spark.implicits._
+    val docs = Seq(
+      "the quick brown fox", "", "  padded   whitespace  ",
+      "unicode tökens żółw 中文 here",
+      "repeated repeated repeated").toDF("text")
+    val both = docs.select(
+      GraftFunctions.tokenHashes(spark, col("text")).as("native"),
+      TextHash.tokenHashes(col("text")).as("interp"))
+    assert(both.filter(col("native") =!= col("interp")).count() == 0)
+  }
+
+  test("ShingleSetExpr equals TextHash.shingleSet incl. first-occurrence order") {
+    import spark.implicits._
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog and then some more words",
+      "a b c a b c a b c a b c", // repeated shingles → dedup path
+      "one two three", "short one", "",
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa").toDF("text")
+    val both = docs.select(
+      GraftFunctions.shingleSet(spark, col("text")).as("native"),
+      TextHash.shingleSet(col("text")).as("interp"))
+    assert(both.filter(col("native") =!= col("interp")).count() == 0)
+    // non-degenerate: repeated-shingle doc actually exercised dedup
+    val sizes = docs.select(size(GraftFunctions.shingleSet(spark, col("text"))))
+      .collect().map(_.getInt(0))
+    assert(sizes.contains(3) && sizes.contains(0))
+  }
+
   test("SimHash32Expr of empty token array is 0") {
     import spark.implicits._
     val r = Seq(Seq.empty[Long]).toDF("th")
