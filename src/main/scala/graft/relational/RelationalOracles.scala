@@ -177,6 +177,14 @@ object RelationalOracles {
         |FROM supplier
         |ORDER BY s_nationkey, s_acctbal DESC, s_suppkey""".stripMargin,
 
+    "rel_topk_per_group" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, rn FROM (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |           ORDER BY l_extendedprice DESC, l_linenumber) AS INT) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 2
+        |ORDER BY l_orderkey, rn""".stripMargin,
     "rel_window_rank" ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_orderstatus, o_orderkey, o_totalprice,

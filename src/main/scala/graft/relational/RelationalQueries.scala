@@ -194,6 +194,24 @@ object RelationalQueries {
       .orderBy(col("o_orderstatus"), col("rn"))
   }
 
+  /** Top-k per HIGH-cardinality group — top-2 line items by price per
+    * order (~|orders| groups) — written as the standard `row_number <= k`
+    * window idiom and left to Catalyst: Spark 4's InferWindowGroupLimit
+    * turns it into a partial/final `WindowGroupLimit` pair, so at most k
+    * rows per group per map partition reach the shuffle (the partial-
+    * aggregation analog for order-based selection; plan shape asserted in
+    * WindowGroupLimitSpec). This is deliberately NOT a custom operator —
+    * the built-in already has the right 100 TB shuffle shape. */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_linenumber"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 2)
+      .orderBy(col("l_orderkey"), col("rn"))
+  }
+
   /** §2.6 extension: running (cumulative) sum per key in event-time order. */
   def windowRunning(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
@@ -521,6 +539,7 @@ object RelationalQueries {
     "rel_isin_filter" -> isinFilter,
     "rel_multi_sort" -> multiSort,
     "rel_window_rank" -> windowRank,
+    "rel_topk_per_group" -> topkPerGroup,
     "rel_window_running" -> windowRunning,
     "rel_cube" -> cubeAgg,
     "rel_null_safe_join" -> nullSafeJoin,
