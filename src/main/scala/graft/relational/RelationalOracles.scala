@@ -130,6 +130,16 @@ object RelationalOracles {
         |SELECT o_custkey, 'urgent_only' AS set_op FROM (SELECT * FROM u EXCEPT SELECT * FROM h)
         |ORDER BY set_op, o_custkey""".stripMargin,
 
+    "rel_asof_join_native" ->
+      """SELECT c.event_id AS click_id, c.user_id, v.event_id AS view_id,
+        |       epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS event_id
+        |                FROM events WHERE event_type = 'view'
+        |                GROUP BY user_id, ts) v
+        |  ON c.user_id = v.user_id AND v.ts <= c.ts
+        |ORDER BY click_id""".stripMargin,
+
     "rel_asof_join" ->
       """SELECT c.event_id AS click_id, c.user_id, v.event_id AS view_id,
         |       epoch_us(c.ts) - epoch_us(v.ts) AS gap_us

@@ -288,6 +288,31 @@ object RelationalQueries {
       .orderBy(col("click_id"))
   }
 
+  /** The same as-of join through the engine's native operator
+    * ([[graft.plans.AsOfJoin]]: custom LogicalPlan + Strategy + merge-scan
+    * SparkPlan) — one streaming pass over co-partitioned (key, time)-sorted
+    * sides, O(1) state, no union, no window. Same oracle as
+    * [[asofJoin]] (DuckDB native ASOF LEFT JOIN); AsOfJoinSpec asserts
+    * operator ≡ window face row for row. The right side pre-aggregates
+    * max event_id per (user, ts) so exact-timestamp ties are deterministic
+    * on both engines (round-1 ADVICE). */
+  def asofJoinNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("us"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("v_user"), col("us").as("v_us"))
+      .agg(max(col("event_id")).as("v_id"))
+    graft.plans.AsOfJoin.backward(clicks, views,
+        Seq(clicks("user_id")), Seq(views("v_user")),
+        clicks("us"), views("v_us"))
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("v_id").as("view_id"), (col("us") - col("v_us")).as("gap_us"))
+      .orderBy(col("click_id"))
+  }
+
   /** Range (band) join: events matched to value bands by interval
     * containment — a non-equi join Spark plans as broadcast nested loop
     * with the range predicate. Scale path: precompute band = floor(v/width)
@@ -533,6 +558,7 @@ object RelationalQueries {
     "rel_rollup" -> rollupAgg,
     "rel_set_ops" -> setOps,
     "rel_asof_join" -> asofJoin,
+    "rel_asof_join_native" -> asofJoinNative,
     "rel_range_join" -> rangeJoin,
     "rel_stddev" -> stddev,
     "rel_nullif_div" -> nullifDiv,
