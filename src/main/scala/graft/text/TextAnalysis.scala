@@ -162,7 +162,54 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-language top-5 terms by frequency — the corpus word-count,
+    * shaped for scale: explode → one (lang, word) hash agg (map-side
+    * partials carry (lang, word, count), never text), then the
+    * `row_number <= k` idiom that Spark plans as a partial/final
+    * WindowGroupLimit pair, so only 5 rows per language reach the final
+    * shuffle. Ties break lexicographically for a total order. */
+  def topkWords(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n").desc, col("word"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(TextHash.tokens(col("text"))).as("word"))
+      .groupBy(col("lang"), col("word"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("lang"), col("word"), col("n"), row_number().over(w).as("rn"))
+      .filter(col("rn") <= 5)
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  /** Corpus TF-IDF: per-doc term frequency, corpus document frequency,
+    * idf = ln((N+1)/(df+1)); reports each word's df, idf, and the max
+    * tf·idf any document reaches (top-20 words by df). Three hash aggs —
+    * (doc, word), doc length, and word df — plus a doc-keyed and a
+    * word-keyed join; the corpus size N rides in as a broadcast scalar.
+    * Doubles rounded to 4 dp on both engines (ln ulp differences). */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tok = docs.select(col("doc_id"),
+      explode(TextHash.tokens(col("text"))).as("word"))
+    val tf = tok.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("m"))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val idf = log((col("n") + 1.0) / (col("df") + 1.0))
+    tf.join(dl, "doc_id")
+      .join(dfreq, "word")
+      .crossJoin(broadcast(n))
+      .groupBy(col("word"), col("df"), col("n"))
+      .agg(max(col("c").cast("double") / col("m") * idf).as("max_raw"))
+      .select(col("word"), col("df"),
+        round(idf, 4).as("idf"),
+        round(col("max_raw"), 4).as("max_tfidf"))
+      .orderBy(col("df").desc, col("word"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_topk_words" -> topkWords,
+    "text_tfidf" -> tfidf,
     "text_quality_deciles" -> qualityDeciles,
     "text_split_assign" -> splitAssign,
     "text_length_histogram" -> lengthHistogram,

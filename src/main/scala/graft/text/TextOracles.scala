@@ -95,7 +95,36 @@ object TextOracles {
        |QUALIFY doc_id % 10 = 0
        |ORDER BY doc_id""".stripMargin
 
+  val topkWords: String =
+    s"""SELECT lang, word, n, rn FROM (
+       |  SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS n,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+       |           ORDER BY COUNT(*) DESC, word) AS INT) AS rn
+       |  FROM (SELECT lang, unnest($toks) AS word FROM documents)
+       |  GROUP BY lang, word)
+       |WHERE rn <= 5
+       |ORDER BY lang, rn""".stripMargin
+
+  val tfidf: String =
+    s"""WITH tok AS (SELECT doc_id, unnest($toks) AS word FROM documents),
+       |tf AS (SELECT doc_id, word, COUNT(*) AS c FROM tok GROUP BY doc_id, word),
+       |dl AS (SELECT doc_id, COUNT(*) AS m FROM tok GROUP BY doc_id),
+       |dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+       |n AS (SELECT COUNT(*) AS n FROM documents)
+       |SELECT f.word, CAST(f.df AS BIGINT) AS df,
+       |       ROUND(LN((n.n + 1.0) / (f.df + 1.0)), 4) AS idf,
+       |       ROUND(MAX((tf.c * 1.0 / dl.m) * LN((n.n + 1.0) / (f.df + 1.0))), 4) AS max_tfidf
+       |FROM tf
+       |JOIN dl USING (doc_id)
+       |JOIN dfreq f ON tf.word = f.word
+       |CROSS JOIN n
+       |GROUP BY f.word, f.df, n.n
+       |ORDER BY f.df DESC, f.word
+       |LIMIT 20""".stripMargin
+
   val all: Map[String, String] = Map(
+    "text_topk_words" -> topkWords,
+    "text_tfidf" -> tfidf,
     "text_quality_deciles" -> qualityDeciles,
     "text_split_assign" -> splitAssign,
     "text_length_histogram" -> lengthHistogram,

@@ -25,6 +25,23 @@ class WritersSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(s"$dir/pq").count() == 1)
   }
 
+  test("partitioned snapshot prunes partitions on a partition-key filter") {
+    import spark.implicits._
+    val df = Seq.tabulate(40)(i => (i.toLong, s"lang${i % 4}", i * 1.5))
+      .toDF("id", "lang", "v")
+    val dir = Files.createTempDirectory("graft-prune").toString
+    Writers.snapshotParquet(df, s"$dir/pq", partitionBy = Seq("lang"))
+    val q = spark.read.parquet(s"$dir/pq").filter($"lang" === "lang2")
+    // the filter must reach the file index as a PartitionFilter (only the
+    // lang=lang2 directory is read), not a post-scan Filter over all rows
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("lang2"),
+      s"partition filter not pushed:\n$scan")
+    assert(q.count() == 10)
+    // at 100 TB this is the difference between reading one day/lang slice
+    // and the whole corpus; the same mechanic drives date-partitioned facts
+  }
+
   test("JSON sink round-trips nested structs with explicit schema") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
