@@ -131,11 +131,52 @@ object Similarity {
           (col("qn") * col("cn"))).as("raw")))
   }
 
+  /** Affine int8 scalar quantization of the embedding corpus — the memory
+    * side of ANN at scale (4× smaller vectors, dot products on codes).
+    * Two passes, both declarative: (1) per-dimension global min/max (one
+    * posexplode + tiny hash agg), collected into ONE broadcast row of
+    * ranges; (2) per-vector quantize→dequantize→error via zip_with against
+    * the broadcast ranges — map-only over the corpus, no shuffle. Output
+    * aggregates reconstruction error per label (count, avg/max of the
+    * per-vector max error, avg of the per-vector mean error), proving the
+    * codes reconstruct within 1/510 of each dimension's range.
+    * `floor(x + 0.5)` rather than round() so both engines use identical
+    * midpoint semantics; all arithmetic in double, identical association
+    * order to the DuckDB oracle. */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val rng = e.select(posexplode(col("embedding"))).toDF("i", "v")
+      .groupBy(col("i"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .agg(array_sort(collect_list(struct(col("i"), col("mn"), col("mx")))).as("rng"))
+    val perVec = e.crossJoin(broadcast(rng)).select(
+      col("vec_id"), col("label"),
+      zip_with(col("embedding"), col("rng"), (v, r) => {
+        val vd = v.cast("double")
+        val mn = r("mn").cast("double")
+        val mx = r("mx").cast("double")
+        val code = when(mx === mn, lit(0.0))
+          .otherwise(floor((vd - mn) / (mx - mn) * 255.0 + 0.5))
+        abs(vd - (mn + code / 255.0 * (mx - mn)))
+      }).as("errv"))
+      .select(col("label"),
+        aggregate(col("errv"), lit(0.0), (a, x) => greatest(a, x)).as("max_err"),
+        (aggregate(col("errv"), lit(0.0), (a, x) => a + x) /
+          size(col("errv"))).as("avg_err"))
+    perVec.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(avg(col("max_err")), 4).as("avg_max_err"),
+        round(max(col("max_err")), 6).as("worst_err"),
+        round(avg(col("avg_err")), 4).as("avg_mean_err"))
+      .orderBy(col("label"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_knn_brute" -> knnBrute,
     "sim_ann_lsh" -> annLsh,
     "sim_ann_lsh_multiprobe" -> annLshMultiprobe,
-    "sim_ann_ivf" -> annIvf)
+    "sim_ann_ivf" -> annIvf,
+    "sim_quantize_int8" -> quantizeInt8)
 }
 
 object SimilarityOracles {
@@ -207,9 +248,37 @@ object SimilarityOracles {
          |  FROM p JOIN e c ON p.probe = c.bucket AND p.vec_id <> c.vec_id)""".stripMargin)
   }
 
+  /** Mirrors [[Similarity.quantizeInt8]]: same floor(x+0.5) midpoint rule,
+    * same double association order; label-level averages rounded to 4 dp
+    * (hash-agg summation order), exact maxima to 6. */
+  val quantizeInt8: String =
+    """WITH u AS (
+      |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings),
+      |rng AS (SELECT i, min(v) AS mn, max(v) AS mx FROM u GROUP BY i),
+      |q AS (
+      |  SELECT u.vec_id, u.label,
+      |         abs(u.v - (rng.mn +
+      |           (CASE WHEN rng.mx = rng.mn THEN 0.0
+      |                 ELSE floor((u.v - rng.mn) / (rng.mx - rng.mn) * 255.0 + 0.5)
+      |            END) / 255.0 * (rng.mx - rng.mn))) AS err
+      |  FROM u JOIN rng USING (i)),
+      |pv AS (
+      |  SELECT vec_id, label, max(err) AS max_err, avg(err) AS avg_err
+      |  FROM q GROUP BY vec_id, label)
+      |SELECT label, COUNT(*) AS n_vectors,
+      |       ROUND(AVG(max_err), 4) AS avg_max_err,
+      |       ROUND(MAX(max_err), 6) AS worst_err,
+      |       ROUND(AVG(avg_err), 4) AS avg_mean_err
+      |FROM pv
+      |GROUP BY label
+      |ORDER BY label""".stripMargin
+
   val all: Map[String, String] = Map(
     "sim_knn_brute" -> knnBrute,
     "sim_ann_lsh" -> annLsh,
     "sim_ann_lsh_multiprobe" -> annLshMultiprobe,
-    "sim_ann_ivf" -> annIvf)
+    "sim_ann_ivf" -> annIvf,
+    "sim_quantize_int8" -> quantizeInt8)
 }

@@ -37,6 +37,21 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     info(f"recall@5: lsh=$lsh%.2f multiprobe=$multi%.2f ivf=$ivf%.2f")
   }
 
+  test("int8 quantization reconstructs within half a code step of each dim's range") {
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    // worst reconstruction error must be <= max_dim_range / 255 / 2 (+ulp)
+    val maxRange = e.select(posexplode(col("embedding"))).toDF("i", "v")
+      .groupBy("i").agg((max(col("v")) - min(col("v"))).as("r"))
+      .agg(max(col("r"))).head().getFloat(0).toDouble
+    val rows = Similarity.quantizeInt8(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val worst = rows.map(_.getAs[Double]("worst_err")).max
+    assert(worst <= maxRange / 255.0 / 2.0 + 1e-9,
+      s"worst_err $worst exceeds half-step bound ${maxRange / 510.0}")
+    assert(worst > 0.0) // non-degenerate: quantization actually lossy
+  }
+
   test("ANN results are always true pairs from the corpus with valid ranks") {
     val rows = Similarity.annIvf(spark, sf).collect()
     assert(rows.nonEmpty)
