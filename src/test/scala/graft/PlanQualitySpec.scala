@@ -87,6 +87,35 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(800))
   }
 
+  test("native as-of join plans as one merge exec over sorted clustered sides") {
+    val p = plan("rel_asof_join_native")
+    assert(p.contains("AsOfJoin"), s"custom exec missing:\n$p")
+    // both sides hash-clustered on user key and locally sorted (key, time)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size >= 2, p)
+    assert(p.linesIterator.count(_.trim.startsWith("+- Sort")) >= 2 ||
+      "\\bSort \\[".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("timetable flat face renders under codegen (no interpreted lambda)") {
+    val p = plan("transit_timetable_flat")
+    // the nested-store transform is a lambda (interpreted); the bulk flat
+    // face must not contain one — display strings render post-explode
+    assert(!p.contains("lambdafunction"), s"interpreted HOF in flat face:\n$p")
+    // one wide fact exchange (groupBy stop_id); the other hash exchanges
+    // are the bounded dim-derivation dedups (routes/stops built from the
+    // TPC-H tables via distinct — absent when reading a real GTFS feed)
+    assert(p.contains("partial_collect_list"), s"no map-side collect partial:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p)
+  }
+
+  test("topk words scan prunes to lang + text and group-limits before shuffle") {
+    val p = plan("text_topk_words")
+    val scanLine = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scanLine.contains("lang") && scanLine.contains("text") &&
+      !scanLine.contains("doc_id"), s"unpruned: $scanLine")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("join strategy hints are honored (the cluster-scale control knob)") {
     import org.apache.spark.sql.functions._
     val o = graft.sources.Tables.orders(spark, sf)
