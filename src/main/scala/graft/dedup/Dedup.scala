@@ -304,18 +304,20 @@ object Dedup {
     * shrinks the training set. Output is the per-language survivor
     * summary so the result is small at any scale; the semi-join against
     * representatives is the full-corpus application. */
-  def applyExact(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val reps = docs
-      .groupBy(md5(lower(trim(col("text"))).cast("binary")).as("fp"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    docs.join(reps, Seq("doc_id"), "left_semi")
-      .groupBy(col("lang"))
+  def applyExact(spark: SparkSession, dir: String): DataFrame =
+    // Single pass, no self-join: the survivor's (lang, n_chars) ride along
+    // with the min-doc_id pick via min_by, so the fp shuffle carries four
+    // narrow columns (fp, doc_id, lang, len) with map-side partials —
+    // never the document body, and never a second scan of the corpus.
+    Tables.documents(spark, dir)
+      .select(md5(lower(trim(col("text"))).cast("binary")).as("fp"),
+        col("doc_id"), col("lang"), length(col("text")).as("len"))
+      .groupBy(col("fp"))
+      .agg(min_by(struct(col("lang"), col("len")), col("doc_id")).as("s"))
+      .groupBy(col("s.lang").as("lang"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(length(col("text"))).as("n_chars"))
+        sum(col("s.len")).cast("long").as("n_chars"))
       .orderBy(col("lang"))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_apply_exact" -> applyExact,
