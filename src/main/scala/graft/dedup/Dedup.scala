@@ -304,6 +304,35 @@ object Dedup {
     * shrinks the training set. Output is the per-language survivor
     * summary so the result is small at any scale; the semi-join against
     * representatives is the full-corpus application. */
+  /** Canonical-document selection — the decision step after [[clusters]]:
+    * within every near-dup cluster keep the highest-quality member (score
+    * = lexical diversity × ln(1+tokens), the qualityDeciles score; ties →
+    * lowest doc_id, so byte-identical members resolve deterministically).
+    * Two-level max-then-min instead of an argmax-over-struct so both
+    * engines express the tie-break identically; score equality is
+    * bit-exact because MAX returns one of the per-row rounded values.
+    * Cost rides [[clusters]] plus one narrow score scan and two
+    * cluster-keyed aggs over cluster-membership-sized frames. */
+  def canonical(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextHash.tokens(col("text"))
+    val score = round(
+      (size(array_distinct(toks)).cast("double") / size(toks)) *
+        log(lit(1.0) + size(toks)), 6)
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), score.as("score"))
+    val j = clusters(spark, dir).select("doc_id", "cluster_id")
+      .join(scored, "doc_id")
+    val best = j.groupBy("cluster_id")
+      .agg(max(col("score")).as("best_score"), count(lit(1)).as("n_members"))
+    j.join(best, "cluster_id")
+      .filter(col("score") === col("best_score"))
+      .groupBy(col("cluster_id"), col("best_score"), col("n_members"))
+      .agg(min(col("doc_id")).as("canonical_id"))
+      .select(col("cluster_id"), col("canonical_id"), col("best_score"),
+        col("n_members"))
+      .orderBy("cluster_id")
+  }
+
   def applyExact(spark: SparkSession, dir: String): DataFrame =
     // Single pass, no self-join: the survivor's (lang, n_chars) ride along
     // with the min-doc_id pick via min_by, so the fp shuffle carries four
@@ -320,6 +349,7 @@ object Dedup {
       .orderBy(col("lang"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_canonical" -> canonical,
     "dedup_apply_exact" -> applyExact,
     "dedup_clusters" -> clusters,
     "dedup_exact" -> exact,

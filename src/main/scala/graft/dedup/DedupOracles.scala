@@ -67,7 +67,7 @@ object DedupOracles {
     * recursion reaches the reachability fixpoint and stops); cluster id =
     * min reachable doc_id. Cross-checks Dedup.clusters' iterative
     * min-label propagation against an independent fixpoint formulation. */
-  val clusters: String =
+  private val compPrelude: String =
     "WITH RECURSIVE" + shinglePrelude.stripPrefix("WITH") +
       s""", cand AS (
          |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
@@ -93,10 +93,35 @@ object DedupOracles {
          |  SELECT r.src, u.dst FROM reach r JOIN undirected u ON r.dst = u.src),
          |comp AS (
          |  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
-         |SELECT doc_id, cluster_id,
-         |       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
-         |FROM comp
-         |ORDER BY cluster_id, doc_id""".stripMargin
+         |""".stripMargin
+
+  val clusters: String =
+    compPrelude +
+      """SELECT doc_id, cluster_id,
+        |       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+        |FROM comp
+        |ORDER BY cluster_id, doc_id""".stripMargin
+
+  /** Canonical pick per cluster: max quality score, ties → min doc_id —
+    * same two-level max-then-min shape as the Spark side (score equality
+    * is bit-exact: both engines compute the identical rounded per-row
+    * score, and MAX selects one of those values). */
+  val canonical: String =
+    compPrelude.stripSuffix("\n") +
+      s""", scored AS (
+         |  SELECT doc_id,
+         |         round((CAST(len(list_distinct(t.toks)) AS DOUBLE) / len(t.toks))
+         |               * ln(1.0 + len(t.toks)), 6) AS score
+         |  FROM (SELECT doc_id, ${tokens("text")} AS toks FROM documents) t),
+         |j AS (SELECT comp.cluster_id, comp.doc_id, scored.score
+         |      FROM comp JOIN scored USING (doc_id)),
+         |best AS (SELECT cluster_id, MAX(score) AS best_score,
+         |                CAST(COUNT(*) AS BIGINT) AS n_members
+         |         FROM j GROUP BY cluster_id)
+         |SELECT b.cluster_id, MIN(j.doc_id) AS canonical_id, b.best_score, b.n_members
+         |FROM j JOIN best b ON j.cluster_id = b.cluster_id AND j.score = b.best_score
+         |GROUP BY b.cluster_id, b.best_score, b.n_members
+         |ORDER BY b.cluster_id""".stripMargin
 
   /** Blocking-FREE brute force over all doc pairs at hamming ≤ 3 — an
     * independent check that the Spark side's slice-blocked LSH join loses
@@ -134,6 +159,7 @@ object DedupOracles {
 
   val all: Map[String, String] = Map(
     "dedup_apply_exact" -> applyExact,
+    "dedup_canonical" -> canonical,
     "dedup_clusters" -> clusters,
     "dedup_exact" -> exact,
     "dedup_ngram_jaccard" -> ngramJaccard,

@@ -5,7 +5,22 @@ package graft.relational
   * is HUGEINT); order-dependent double aggregates rounded identically. */
 object RelationalOracles {
 
+  private def profileCol(c: String, numeric: Boolean): String = {
+    val mn = if (numeric) s"CAST(MIN($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+    val mx = if (numeric) s"CAST(MAX($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+    s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+       |       COUNT(*) - COUNT($c) AS n_nulls,
+       |       COUNT(DISTINCT $c) AS n_distinct,
+       |       $mn AS min_num, $mx AS max_num FROM orders""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
+    "rel_profile" ->
+      Seq("o_orderkey" -> true, "o_custkey" -> true,
+        "o_orderpriority" -> false, "o_totalprice" -> true)
+        .map { case (c, n) => profileCol(c, n) }
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name"),
+
     "rel_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       ROUND(SUM(l_quantity), 2) AS sum_qty,

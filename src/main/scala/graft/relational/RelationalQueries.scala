@@ -537,7 +537,40 @@ object RelationalQueries {
         levenshtein(col("c_mktsegment"), lit("MACHINERY")).as("seg_dist"))
       .orderBy(col("c_custkey"))
 
+  /** Column profiler over `orders` — the data-quality summary pass a
+    * pipeline runs before training ingestion (DuckDB's SUMMARIZE shape):
+    * per column, row/null/exact-distinct counts plus numeric min/max, as
+    * rows. One aggregation job over one scan; the multi-column exact
+    * COUNT(DISTINCT) makes Catalyst expand the input once per counted
+    * column — at 100 TB swap each to approx_count_distinct, collapsing
+    * the Expand into a single pass of mergeable HLL sketches. */
+  def profile(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+    val numeric = Set("o_orderkey", "o_custkey", "o_totalprice")
+    val aggs = count(lit(1)).as("n_rows") +:
+      (cols.flatMap { c =>
+        Seq(count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c"))
+      } ++ numeric.toSeq.sorted.flatMap { c =>
+        Seq(min(col(c)).cast("double").as(s"min_$c"),
+          max(col(c)).cast("double").as(s"max_$c"))
+      })
+    Tables.orders(spark, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map { c =>
+        struct(
+          lit(c).as("col_name"),
+          col("n_rows"),
+          (col("n_rows") - col(s"nn_$c")).as("n_nulls"),
+          col(s"nd_$c").as("n_distinct"),
+          (if (numeric(c)) col(s"min_$c") else lit(null).cast("double")).as("min_num"),
+          (if (numeric(c)) col(s"max_$c") else lit(null).cast("double")).as("max_num"))
+      }: _*)).as("p"))
+      .select("p.*")
+      .orderBy("col_name")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_profile" -> profile,
     "rel_approx_agg" -> approxAgg,
     "rel_array_ops" -> arrayOps,
     "rel_datetime_ops" -> datetimeOps,

@@ -134,6 +134,62 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-language sampling gates out of 1000 — the corpus-rebalancing
+    * knob: the dominant language (en) is downsampled hardest. */
+  val sampleRates: Seq[(String, Int)] = Seq(
+    "de" -> 800, "en" -> 400, "es" -> 800, "fr" -> 800, "zh" -> 600)
+
+  /** Stratified (per-language) sampling — `sampleBy` made deterministic:
+    * keep a doc iff hash(doc_id) mod 1000 < rate(lang). Pure map-only
+    * filter: no shuffle, no RNG state, so the sample is identical on any
+    * cluster size, retry, or re-materialization (the same reproducibility
+    * contract as [[splitAssign]]). At 100 TB this composes with the scan:
+    * the gate predicate evaluates per row group with full column pruning. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val h = TextHash.strHash(concat(lit("strat:"), col("doc_id").cast("string"))) % 1000
+    val rate = sampleRates.foldRight(lit(0)) { case ((l, r), acc) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), h.as("gate"))
+      .filter(col("gate") < rate)
+      .orderBy("doc_id")
+  }
+
+  /** Distributed sequence packing: documents in doc_id order concatenate
+    * into fixed token-budget packs (B = 512); a doc lands in pack
+    * floor(exclusive-prefix-sum / B) at offset (prefix mod B) — the
+    * chunked-concat packing a pretraining tokenizer shard performs.
+    *
+    * The prefix sum is computed scalably, not with one global-order window
+    * (which would funnel the corpus through a single partition): per-bucket
+    * local cumsums (one shuffle keyed by fixed-width doc_id bucket), plus a
+    * running total over per-bucket sums — a window over #buckets rows, tiny
+    * at any scale — broadcast-joined back onto the buckets. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = 512L
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(TextHash.tokens(col("text"))).cast("long").as("n_tokens"),
+        (col("doc_id") / 1000L).cast("long").as("bkt"))
+    val wLocal = Window.partitionBy("bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wBkt = Window.orderBy("bkt") // one partition of #buckets rows (tiny)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("bkt").agg(sum("n_tokens").as("tot"))
+      .withColumn("offset", coalesce(sum("tot").over(wBkt), lit(0L)))
+      .select("bkt", "offset")
+    base
+      .withColumn("local_excl", coalesce(sum("n_tokens").over(wLocal), lit(0L)))
+      .join(broadcast(offsets), "bkt")
+      .withColumn("excl", col("offset") + col("local_excl"))
+      .select(col("doc_id"), col("n_tokens"),
+        floor(col("excl") / lit(B.toDouble)).cast("long").as("pack_id"),
+        (col("excl") % B).as("pack_offset"))
+      .orderBy("doc_id")
+  }
+
   /** Token-length histogram (width-10 buckets) — the corpus-shape summary
     * behind length filtering; one narrow map + tiny keyed agg. */
   def lengthHistogram(spark: SparkSession, dir: String): DataFrame =
@@ -208,6 +264,8 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stratified_sample" -> stratifiedSample,
+    "text_pack_sequences" -> packSequences,
     "text_topk_words" -> topkWords,
     "text_tfidf" -> tfidf,
     "text_quality_deciles" -> qualityDeciles,

@@ -77,6 +77,29 @@ object TextOracles {
        |ORDER BY doc_id""".stripMargin
   }
 
+  val stratifiedSample: String = {
+    val h = s"(${strHash("'strat:' || CAST(doc_id AS VARCHAR)")} % 1000)"
+    val rate = TextAnalysis.sampleRates.reverse.foldLeft("0") {
+      case (acc, (l, r)) => s"CASE WHEN lang = '$l' THEN $r ELSE $acc END"
+    }
+    s"""SELECT doc_id, lang, $h AS gate
+       |FROM documents
+       |WHERE $h < $rate
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val packSequences: String =
+    s"""WITH t AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
+       |c AS (SELECT doc_id, n_tokens,
+       |        COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+       |      FROM t)
+       |SELECT doc_id, n_tokens,
+       |       CAST(FLOOR(excl / 512.0) AS BIGINT) AS pack_id,
+       |       excl % 512 AS pack_offset
+       |FROM c
+       |ORDER BY doc_id""".stripMargin
+
   val lengthHistogram: String =
     s"""SELECT (len($toks) // 10) * 10 AS bucket_lo, COUNT(*) AS n_docs
        |FROM documents
@@ -123,6 +146,8 @@ object TextOracles {
        |LIMIT 20""".stripMargin
 
   val all: Map[String, String] = Map(
+    "text_stratified_sample" -> stratifiedSample,
+    "text_pack_sequences" -> packSequences,
     "text_topk_words" -> topkWords,
     "text_tfidf" -> tfidf,
     "text_quality_deciles" -> qualityDeciles,

@@ -62,6 +62,32 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("canonical: per cluster, the max-score member wins, ties to min doc_id") {
+    val sf = "/root/testdata/sf0.01"
+    // recompute the quality score independently of the operator
+    val toks = graft.functions.TextHash.tokens(col("text"))
+    val score = round(
+      (size(array_distinct(toks)).cast("double") / size(toks)) *
+        log(lit(1.0) + size(toks)), 6)
+    val scores = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), score.as("s")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val members = Dedup.clusters(spark, sf).collect()
+      .groupBy(_.getLong(1)).view.mapValues(_.map(_.getLong(0)).toSeq).toMap
+    val got = Dedup.canonical(spark, sf).collect()
+    assert(got.nonEmpty && got.length == members.size)
+    got.foreach { r =>
+      val (cid, can, best, n) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+      val ms = members(cid)
+      assert(n == ms.length)
+      val wantBest = ms.map(scores).max
+      assert(best == wantBest, s"cluster $cid best score")
+      assert(can == ms.filter(scores(_) == wantBest).min,
+        s"cluster $cid canonical tie-break")
+    }
+  }
+
   test("simhash hamming distance is 0 for dups and large for unrelated docs") {
     val docs = docsDf(Seq(
       1L -> base, 2L -> base,

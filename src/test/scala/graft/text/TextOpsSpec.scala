@@ -1,0 +1,59 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** Behavior checks for the sampling/packing operators (the oracle gate
+  * proves cross-engine equality; these prove the semantics are the ones a
+  * training pipeline needs). */
+class TextOpsSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("stratified sample: deterministic, per-language rates honored") {
+    val s1 = TextAnalysis.stratifiedSample(spark, sf).collect()
+    val s2 = TextAnalysis.stratifiedSample(spark, sf).collect()
+    assert(s1.toSeq == s2.toSeq, "hash-gated sample must be reproducible")
+
+    val total = graft.sources.Tables.documents(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = s1.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    for ((lang, rate) <- TextAnalysis.sampleRates) {
+      val frac = kept.getOrElse(lang, 0).toDouble / total(lang)
+      assert(math.abs(frac - rate / 1000.0) < 0.2,
+        s"$lang kept $frac, want ~${rate / 1000.0}")
+    }
+    // the rebalancing actually rebalances: en (rate 400) keeps a smaller
+    // fraction than de (rate 800)
+    assert(kept("en").toDouble / total("en") < kept("de").toDouble / total("de"))
+  }
+
+  test("pack sequences: bucketed two-phase prefix sum == global-order cumsum") {
+    val rows = TextAnalysis.packSequences(spark, sf)
+      .collect().sortBy(_.getLong(0))
+    var excl = 0L
+    rows.foreach { r =>
+      val (id, n, pack, off) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(off >= 0 && off < 512, s"doc $id offset $off out of budget")
+      assert(pack == excl / 512 && off == excl % 512,
+        s"doc $id: got (pack=$pack, off=$off), want prefix $excl")
+      excl += n
+    }
+    assert(rows.length == 500)
+  }
+
+  test("pack sequences: pack budget is respected up to one straddling doc") {
+    // every pack's content is ≤ 512 tokens once the straddle-in and
+    // straddle-out portions are attributed to neighboring packs: the
+    // within-pack offsets are strictly increasing and below budget
+    val byPack = TextAnalysis.packSequences(spark, sf)
+      .collect().groupBy(_.getLong(2))
+    byPack.foreach { case (_, ds) =>
+      val offs = ds.sortBy(_.getLong(0)).map(_.getLong(3))
+      assert(offs.sameElements(offs.sorted) && offs.forall(_ < 512))
+    }
+  }
+}
