@@ -203,7 +203,29 @@ object Streams {
         col("view_ts") >= col("click_ts") - expr(s"INTERVAL ${AttribWindowUs / 1000000} SECONDS"))
   }
 
+  /** Stream-static enrichment — the classic "join the stream to a slowly-
+    * changing dimension" shape. The static customer side rides a broadcast
+    * hash join: no stream-side shuffle, no join state (stream-static joins
+    * are stateless by construction), so at scale each executor enriches
+    * its own event partitions against the replicated dim. One expression,
+    * both modes: batch (the oracle face) or watermarked windowed stream. */
+  def enriched(events: DataFrame, customer: DataFrame): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", "2 hours") else events
+    src.join(
+        broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("c_mktsegment"),
+        col("n_events"), col("sum_value"))
+  }
+
+  def enrichedBatch(spark: SparkSession, dir: String): DataFrame =
+    enriched(Tables.events(spark, dir), Tables.customer(spark, dir))
+      .orderBy("window_start", "c_mktsegment")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_enriched" -> enrichedBatch,
     "stream_hourly_by_type" -> hourlyBatch,
     "stream_sessions" -> sessionsBatch,
     "stream_dedup_first" -> dedupFirstBatch,
@@ -260,7 +282,15 @@ object StreamOracles {
        |GROUP BY c.event_id
        |ORDER BY click_id""".stripMargin
 
+  val enriched: String =
+    """SELECT date_trunc('hour', ts) AS window_start, c_mktsegment,
+      |       CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1, 2
+      |ORDER BY window_start, c_mktsegment""".stripMargin
+
   val all: Map[String, String] = Map(
+    "stream_enriched" -> enriched,
     "stream_hourly_by_type" -> hourlyBatch,
     "stream_sessions" -> sessionsBatch,
     "stream_dedup_first" -> dedupFirst,

@@ -112,6 +112,31 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(first((1L, "click")) == 1L && first((2L, "view")) == 4L)
   }
 
+  test("stream-static broadcast enrichment equals batch enrichment") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "AUTO"), (2L, "MACH")).toDF("c_custkey", "c_mktsegment")
+    // user 3 has no dim row → dropped by the inner join in both modes
+    val rows = Seq(
+      (1L, 5L, 1.0), (1L, 20L, 2.0), (2L, 61L, 4.0), (3L, 62L, 8.0),
+      (2L, 125L, 16.0))
+    val stream = MemoryStream[(Long, Long, Double)]
+    stream.addData(rows: _*)
+    val sdf = stream.toDF.toDF("user_id", "min", "value")
+      .select(col("user_id"), expr("timestamp_millis(min * 60000)").as("ts"),
+        col("value"))
+    val q = Streams.enriched(sdf, dim).writeStream
+      .format("memory").queryName("enrich_test").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("enrich_test")
+      .orderBy("window_start", "c_mktsegment").collect().toSeq
+    val batch = Streams.enriched(
+      rows.map { case (u, m, v) => (u, ts(m), v) }.toDF("user_id", "ts", "value"),
+      dim).orderBy("window_start", "c_mktsegment").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.size == 3) // (h0 AUTO), (h1 MACH), (h2 MACH); user 3 dropped
+  }
+
   test("watermarked stream-stream interval join equals batch click attribution") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
