@@ -116,6 +116,35 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // At cluster scale, Spark injects a bloom filter built from the
+    // selective (filtered) dim side into the fact-side scan, cutting the
+    // shuffle before it happens. The size thresholds that gate injection
+    // are tuned for real data volumes — lower them to demonstrate the
+    // 100 TB-shape plan on test-sized input.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      val o = graft.sources.Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val p = graft.sources.Tables.lineitem(spark, sf)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_quantity")))
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"), s"no runtime bloom filter:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("join strategy hints are honored (the cluster-scale control knob)") {
     import org.apache.spark.sql.functions._
     val o = graft.sources.Tables.orders(spark, sf)
