@@ -256,13 +256,18 @@ object Dedup {
       .select(col("id1"), col("id2"))
     // undirected edge list + every endpoint as a node; checkpointed so the
     // signature pipeline is computed once and every round's plan starts
-    // from the materialized edge list
+    // from the materialized edge list. Repartitioned down first: the
+    // thresholded edge list is O(duplicate pairs) — orders of magnitude
+    // smaller than the corpus — so the fixpoint's per-round task count
+    // should track ITS size, not the corpus join's reducer count (at
+    // cluster scale, size this by a cheap count of the edge frame).
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .repartition(8)
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .cache()
+      .localCheckpoint(true)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
@@ -275,21 +280,26 @@ object Dedup {
       val viaParent = labels.as("x")
         .join(labels.as("y"), col("x.cluster_id") === col("y.doc_id"))
         .select(col("x.doc_id").as("doc_id"), col("y.cluster_id").as("cluster_id"))
-      // localCheckpoint(eager): materializes the round AND truncates the
-      // logical plan — without it each round's plan embeds the previous
-      // round's (self-join + unions triple it), and Catalyst re-analysis
-      // grows exponentially (measured: round 4 alone took ~1 min at
-      // sf0.1; checkpointed, the whole fixpoint runs in seconds).
-      val next = labels.unionByName(viaNeighbor).unionByName(viaParent)
+      // The previous label rides the union as a tagged column, so the
+      // convergence check is a filter-count on the checkpointed result —
+      // no per-round join against the previous frame.
+      val next = labels.select(col("doc_id"), col("cluster_id"),
+          col("cluster_id").as("prev"))
+        .unionByName(viaNeighbor.select(col("doc_id"), col("cluster_id"),
+          lit(null).cast("long").as("prev")))
+        .unionByName(viaParent.select(col("doc_id"), col("cluster_id"),
+          lit(null).cast("long").as("prev")))
         .groupBy(col("doc_id"))
-        .agg(min(col("cluster_id")).as("cluster_id"))
+        .agg(min(col("cluster_id")).as("cluster_id"),
+          first(col("prev"), ignoreNulls = true).as("prev"))
+        // localCheckpoint(eager): materializes the round AND truncates the
+        // logical plan — without it each round's plan embeds the previous
+        // round's (self-join + unions triple it), and Catalyst re-analysis
+        // grows exponentially (measured: round 4 alone took ~1 min at
+        // sf0.1; checkpointed, the whole fixpoint runs in seconds).
         .localCheckpoint(true)
-      val changed = next
-        .join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
-        .filter(col("cluster_id") < col("prev")).count()
-      converged = changed == 0
-      labels.unpersist()
-      labels = next
+      converged = next.filter(col("cluster_id") < col("prev")).count() == 0
+      labels = next.select(col("doc_id"), col("cluster_id"))
       rounds += 1
     }
     labels

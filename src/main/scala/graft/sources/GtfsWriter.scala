@@ -31,6 +31,14 @@ object GtfsWriter {
     def out(name: String) = s"$dir/$name.txt"
     def csv(df: org.apache.spark.sql.DataFrame, name: String): Unit =
       df.write.mode("overwrite").option("header", "true").csv(out(name))
+    // Dimension tables are single-file by nature (a real GTFS bundle ships
+    // one trips.txt/stops.txt/routes.txt, and they fit one executor at any
+    // feed size); only the stop_times fact stays partition-parallel.
+    // Without the coalesce each dim fans into one near-empty file per
+    // shuffle partition — 3×32 write tasks and 3×32 read-back tasks of
+    // fixed overhead apiece.
+    def csvDim(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      csv(df.coalesce(1), name)
 
     csv(t.stopTimes.select(
       col("trip_id").cast("string").as("trip_id"),
@@ -43,7 +51,7 @@ object GtfsWriter {
       lit(null).cast("short").as("drop_off_type"),
       col("shape_dist").cast("float").as("shape_dist_traveled")), "stop_times")
 
-    csv(t.trips.select(
+    csvDim(t.trips.select(
       col("trip_id").cast("string").as("trip_id"),
       col("route_id").cast("string").as("route_id"),
       col("service_id").cast("string").as("service_id"),
@@ -53,7 +61,7 @@ object GtfsWriter {
       lit(null).cast("short").as("bikes_allowed"),
       lit(null).cast("string").as("shape_id")), "trips")
 
-    csv(t.stops.select(
+    csvDim(t.stops.select(
       col("stop_id").cast("string").as("stop_id"),
       col("stop_code"),
       col("stop_name"),
@@ -63,7 +71,7 @@ object GtfsWriter {
       lit(null).cast("string").as("zone_id"),
       lit(null).cast("short").as("wheelchair_boarding")), "stops")
 
-    csv(t.routes.select(
+    csvDim(t.routes.select(
       col("route_id").cast("string").as("route_id"),
       lit(null).cast("string").as("agency_id"),
       col("route_short_name"),
