@@ -253,6 +253,23 @@ object RelationalOracles {
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
 
+    "rel_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       COUNT(*) AS n_orders,
+        |       ROUND(SUM(o_totalprice), 2) AS total_price,
+        |       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
+
+    "rel_range_frame" ->
+      """SELECT event_id, event_type, epoch_us(ts) AS us,
+        |       ROUND(SUM(value) OVER (PARTITION BY event_type ORDER BY epoch_us(ts)
+        |         RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW), 4) AS rolling_10m
+        |FROM events
+        |WHERE user_id < 50
+        |ORDER BY event_id""".stripMargin,
+
     "rel_lead_lag" ->
       """SELECT user_id, event_id,
         |       epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w AS gap_prev_us,

@@ -362,6 +362,37 @@ object RelationalQueries {
         grouping_id().as("gid"))
       .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
 
+  /** Explicit GROUPING SETS (beyond cube/rollup): two one-dimension
+    * totals plus the grand total in a single Expand+hash-agg pass —
+    * what a dashboard's "by status / by priority / overall" panel runs
+    * as one job instead of three. */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
+
+  /** RANGE window frame (value-based, not row-based): per event type, the
+    * rolling 10-minute event-time sum — peers at equal timestamps share
+    * the frame, so the result is deterministic under ties (unlike a ROWS
+    * frame over a non-unique order key). One keyed shuffle. */
+  def rangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val TenMinUs = 600L * 1000000
+    val w = Window.partitionBy(col("event_type")).orderBy(col("us"))
+      .rangeBetween(-TenMinUs, 0)
+    Tables.events(spark, dir)
+      .filter(col("user_id") < 50)
+      .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"),
+        col("value"))
+      .select(col("event_id"), col("event_type"), col("us"),
+        round(sum(col("value")).over(w), 4).as("rolling_10m"))
+      .orderBy(col("event_id"))
+  }
+
   /** lead/lag window frame: per-user previous/next event gap in
     * microseconds (the change-point shape every sessionizer builds on). */
   def leadLag(spark: SparkSession, dir: String): DataFrame = {
@@ -601,6 +632,8 @@ object RelationalQueries {
     "rel_topk_per_group" -> topkPerGroup,
     "rel_window_running" -> windowRunning,
     "rel_cube" -> cubeAgg,
+    "rel_grouping_sets" -> groupingSetsAgg,
+    "rel_range_frame" -> rangeFrame,
     "rel_null_safe_join" -> nullSafeJoin,
     "rel_lead_lag" -> leadLag,
     "rel_ntile" -> ntileRank,
