@@ -224,6 +224,29 @@ object Streams {
     enriched(Tables.events(spark, dir), Tables.customer(spark, dir))
       .orderBy("window_start", "c_mktsegment")
 
+  /** LEFT OUTER variant of the stream-stream interval join: clicks with no
+    * view in the window still emit (null view columns) — but only once the
+    * watermark passes the end of their join window, because until then a
+    * matching view could still arrive. The spec drives the watermark
+    * forward with a second micro-batch to prove the deferred emission. */
+  def clickAttributionOuterStreaming(events: DataFrame): DataFrame = {
+    val base = events.select(col("user_id"), col("event_id"),
+      col("event_type"), col("ts"))
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "30 minutes")
+    val views = base.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "30 minutes")
+    clicks.join(views,
+      col("c_user") === col("v_user") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL ${AttribWindowUs / 1000000} SECONDS"),
+      "leftOuter")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_enriched" -> enrichedBatch,
     "stream_hourly_by_type" -> hourlyBatch,

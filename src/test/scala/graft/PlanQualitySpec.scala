@@ -145,6 +145,38 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
+    // The runtime answer to hot keys (alongside the explicit SkewJoin
+    // salting spec): AQE detects an oversized sort-merge partition and
+    // splits it. Thresholds are lowered to make test-sized data exhibit
+    // the cluster-scale behavior.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      // one hot key (0) carrying 50k rows; dim of 100 keys
+      val fact = spark.range(0, 50000).select(
+        when(col("id") % 10 =!= 0, col("id") % 100).otherwise(0L).as("k"),
+        col("id").as("v"))
+      val dim = spark.range(0, 100).select(col("id").as("k"),
+        concat(lit("name_"), col("id")).as("name"))
+      val joined = fact.join(dim, "k").groupBy(col("name")).agg(sum(col("v")))
+      joined.collect() // AQE finalizes the plan during execution
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), s"no skew split in final plan:\n${p.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("join strategy hints are honored (the cluster-scale control knob)") {
     import org.apache.spark.sql.functions._
     val o = graft.sources.Tables.orders(spark, sf)

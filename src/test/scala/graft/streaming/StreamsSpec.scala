@@ -137,6 +137,43 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.size == 3) // (h0 AUTO), (h1 MACH), (h2 MACH); user 3 dropped
   }
 
+  test("outer interval join emits unmatched clicks only after the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: click at 10 with views in window; user 2: click at 30, no view
+    val batch1 = Seq(
+      (1L, 2L, 1L, "view"), (2L, 8L, 1L, "view"), (4L, 10L, 1L, "click"),
+      (8L, 30L, 2L, "click"))
+    val stream = MemoryStream[(Long, Long, Long, String)]
+    stream.addData(batch1: _*)
+    val sdf = stream.toDF.toDF("event_id", "min", "user_id", "event_type")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("timestamp_millis(min * 60000)").as("ts"))
+    val q = Streams.clickAttributionOuterStreaming(sdf).writeStream
+      .format("memory").queryName("attrib_outer_test").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val early = spark.table("attrib_outer_test")
+        .filter(col("click_id") === 8L).count()
+      assert(early == 0,
+        "unmatched click must NOT emit while a matching view could still arrive")
+      // push the watermark far past click 8's window. The global watermark
+      // is the MIN across both join inputs, and each side's watermark
+      // advances only on events that survive its own filter — so the
+      // late batch needs both a view and a click (different users, so the
+      // late pair itself cannot match)
+      stream.addData((98L, 300L, 4L, "click"), (99L, 300L, 3L, "view"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("attrib_outer_test").collect()
+    val matched = rows.filter(r => !r.isNullAt(r.fieldIndex("view_id")))
+      .map(r => (r.getLong(r.fieldIndex("click_id")), r.getLong(r.fieldIndex("view_id")))).toSet
+    assert(matched == Set((4L, 1L), (4L, 2L)), s"matched=$matched")
+    val unmatched = rows.filter(r => r.isNullAt(r.fieldIndex("view_id")))
+      .map(_.getLong(1)).toSet
+    assert(unmatched == Set(8L), "click without views emits once, with null view")
+  }
+
   test("watermarked stream-stream interval join equals batch click attribution") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
