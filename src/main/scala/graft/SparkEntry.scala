@@ -63,6 +63,8 @@ object SparkEntry {
     "transit_stop_search" -> ((s, dir) =>
       Timetable.stopSearch(
         Timetable.buildStopTimetables(TransitTables.fromTpch(s, dir)), "stop_1")),
+    "transit_stops_near" -> ((s, dir) =>
+      Timetable.stopsNear(TransitTables.fromTpch(s, dir).stops, 43.6, -79.4, 10)),
     "transit_next_departure" -> ((s, dir) =>
       Timetable.nextDeparture(
         Timetable.buildStopTimetables(TransitTables.fromTpch(s, dir)), 42L, 50000L)),
@@ -106,6 +108,7 @@ object SparkEntry {
     "transit_routes_for_stop" -> TransitOracles.routesForStop(42L),
     "transit_arrivals_grouped" -> TransitOracles.arrivalsGrouped(42L),
     "transit_stop_search" -> TransitOracles.stopSearch("stop_1"),
+    "transit_stops_near" -> TransitOracles.stopsNear(43.6, -79.4, 10),
     "transit_next_departure" -> TransitOracles.nextDeparture(42L, 50000L),
     "transit_q2_overall" -> TransitOracles.q2Overall(TransitOracles.q2Weekday),
     "transit_arrivals_flat" -> TransitOracles.arrivalsFlat(42L, "26", "3-MEDIUM"),

@@ -167,6 +167,26 @@ object Timetable {
       .select("stop_id", "stop_name", "stop_code")
       .orderBy("stop_name", "stop_id")
 
+  /** Nearest stops to a point (SURVEY §2.1 S9: the reference creates a
+    * 2dsphere index on the stop location "for location queries" —
+    * `Mongo/denormalization.py:40-42` — but ships no endpoint over it;
+    * this is that capability served engine-side). Haversine great-circle
+    * distance over the stops dim, true top-k. The trig stays in identical
+    * operation order on both engines and the sort key is the ROUNDED
+    * distance (+ stop_id tie-break) so last-ulp libm differences cannot
+    * reorder neighbors. At scale: pre-filter with a bounding-box predicate
+    * (pushable to the scan) before the trig, then TakeOrderedAndProject. */
+  def stopsNear(stops: DataFrame, lat: Double, lon: Double, k: Int): DataFrame = {
+    val R2 = 2 * 6371.0088 // mean earth diameter, km
+    val h = pow(sin(radians(col("stop_lat") - lit(lat)) / 2), 2) +
+      cos(radians(lit(lat))) * cos(radians(col("stop_lat"))) *
+        pow(sin(radians(col("stop_lon") - lit(lon)) / 2), 2)
+    stops.select(col("stop_id"), col("stop_name"),
+        round(lit(R2) * asin(sqrt(h)), 4).as("dist_km"))
+      .orderBy(col("dist_km"), col("stop_id"))
+      .limit(k)
+  }
+
   /** Next departure at a stop (SURVEY §2.8 F12): first service with
     * dep_secs >= now, else the first of the day — one ORDER BY with the
     * >=now flag leading, so no two-pass union. */

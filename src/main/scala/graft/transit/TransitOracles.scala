@@ -205,6 +205,19 @@ object TransitOracles {
        |  AND r.route_short_name = '$shortName' AND t.trip_headsign = '$headsign'
        |ORDER BY departure_time, st.trip_id""".stripMargin
 
+  /** Haversine in the same operation order as Timetable.stopsNear; sort
+    * on the rounded distance so libm ulp differences cannot reorder. */
+  def stopsNear(lat: Double, lon: Double, k: Int): String =
+    s"""$P
+       |SELECT stop_id, stop_name,
+       |       round(2 * 6371.0088 * asin(sqrt(
+       |         pow(sin(radians(stop_lat - $lat) / 2), 2) +
+       |         cos(radians($lat)) * cos(radians(stop_lat)) *
+       |           pow(sin(radians(stop_lon - ($lon)) / 2), 2))), 4) AS dist_km
+       |FROM stops
+       |ORDER BY dist_km, stop_id
+       |LIMIT $k""".stripMargin
+
   /** Literal substring match via contains() — LIKE would treat '_'/'%' in
     * the query as wildcards, diverging from the Spark side's contains(). */
   def stopSearch(q: String): String =
