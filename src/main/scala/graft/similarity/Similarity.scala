@@ -171,11 +171,93 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  val PqM = 8   // subspaces (64 dims = 8 sub × 8 dims)
+  val PqK = 8   // codes per subspace
+  val PqSub = 8 // dims per subspace
+  // centroid grid scale: unit-vector components sit around ±1/√64, so the
+  // {-7..7} grid is divided to span ≈ that range — a grid 8× too coarse
+  // (the IVF /10) makes quantization error swamp the signal
+  val PqScale = 56.0
+
+  /** Deterministic pseudo-codebook, same family as [[ivfCell]]'s
+    * centroids: centroid value for global dim i, code j. */
+  private def pqCentroid(i: org.apache.spark.sql.Column, j: Int): org.apache.spark.sql.Column =
+    (((i * 13 + lit(j * 29)) % 15) - 7).cast("double") / PqScale
+
+  /** PQ encoding: per subspace, the index of the nearest centroid
+    * (squared L2, ties → lowest code). The corpus keeps ONLY these M
+    * small codes — at 100 TB that is the 32× memory cut that lets the
+    * whole index live in executor memory. */
+  def pqCodes(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(PqM - 1)), m => {
+      val dists = (0 until PqK).map { j =>
+        aggregate(sequence(lit(1), lit(PqSub)), lit(0.0), (s, t) => {
+          val i = m * PqSub + t
+          val d = element_at(v, i).cast("double") - pqCentroid(i, j)
+          s + d * d
+        })
+      }
+      let(array(dists: _*))(ds => array_position(ds, array_min(ds)) - 1)
+    })
+
+  /** Asymmetric-distance lookup table for one query: the M×K matrix of
+    * ||q_sub − centroid||², flattened m-major. Computed once per query,
+    * broadcast with it. */
+  def pqLut(q: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    flatten(transform(sequence(lit(0), lit(PqM - 1)), m =>
+      transform(sequence(lit(0), lit(PqK - 1)), j =>
+        aggregate(sequence(lit(1), lit(PqSub)), lit(0.0), (s, t) => {
+          val i = m * PqSub + t
+          val d = element_at(q, i).cast("double") -
+            (((i * 13 + j * 29) % 15) - 7).cast("double") / PqScale
+          s + d * d
+        }))))
+
+  /** ADC distance: M table lookups per pair — no vector math at scan
+    * time. This is the PQ trick that turns the candidate scan into pure
+    * integer indexing. */
+  private def pqAdc(lut: org.apache.spark.sql.Column,
+      codes: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
+      (s, m) => s + element_at(lut,
+        (m * PqK + element_at(codes, m + 1) + 1).cast("int")))
+
+  /** Product-quantization ANN: corpus compressed to M byte-codes per
+    * vector, queries carry full precision + their ADC lookup table; the
+    * pair scan is M table lookups. Ranked by approximate distance
+    * ascending; [[knnBrute]] is the recall oracle (spec-measured). At
+    * scale this composes with IVF ([[annIvf]] picks the cells, PQ scans
+    * inside them); interpreted HOFs here — a native Expression is the
+    * codegen path if encoding ever dominates. */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    // L2-normalize before encoding: on unit vectors ||a−b||² = 2−2·cos,
+    // so ADC's squared-L2 ranking IS the cosine ranking the brute oracle
+    // uses — without this, PQ would rank by a different metric entirely.
+    def unit(v: org.apache.spark.sql.Column) =
+      let(graft.functions.GraftFunctions.l2norm(spark, v))(n =>
+        transform(v, x => x.cast("double") / n))
+    val c = e.select(col("vec_id").as("cid"),
+      pqCodes(unit(col("embedding"))).as("codes"))
+    val q = e.filter(col("vec_id") < QuerySet)
+      .select(col("vec_id").as("qid"), pqLut(unit(col("embedding"))).as("lut"))
+    broadcast(q).join(c, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), pqAdc(col("lut"), col("codes")).as("raw"))
+      .withColumn("neighbor_rank",
+        row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("raw").asc, col("cid"))))
+      .filter(col("neighbor_rank") <= TopK)
+      .select(col("qid"), col("neighbor_rank"), col("cid"),
+        round(col("raw"), 6).as("adc_dist"))
+      .orderBy(col("qid"), col("neighbor_rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_knn_brute" -> knnBrute,
     "sim_ann_lsh" -> annLsh,
     "sim_ann_lsh_multiprobe" -> annLshMultiprobe,
     "sim_ann_ivf" -> annIvf,
+    "sim_ann_pq" -> annPq,
     "sim_quantize_int8" -> quantizeInt8)
 }
 
@@ -275,10 +357,53 @@ object SimilarityOracles {
       |GROUP BY label
       |ORDER BY label""".stripMargin
 
+  /** Mirrors Similarity.pqCodes/pqLut/pqAdc expression-for-expression
+    * (same fold order, same tie rules). */
+  val annPq: String = {
+    val M = Similarity.PqM; val K = Similarity.PqK; val S = Similarity.PqSub
+    // squared L2 between a vector's subspace m slice and centroid (m, j)
+    def subDist(vec: String, m: String, j: String) =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, ${S + 1}), t -> " +
+        TextHashSql.let(
+          s"CAST($vec[$m * $S + t] AS DOUBLE) - CAST(((($m * $S + t) * 13 + $j * 29) % 15) - 7 AS DOUBLE) / ${Similarity.PqScale}",
+          "dd")(d => s"$d * $d") +
+        s")), (a, b) -> a + b)"
+    // L2-normalize first, mirroring annPq's unit(): same fold order as
+    // the Spark side (norm once per vector via the let binding)
+    val unitExpr = TextHashSql.let(TextHashSql.l2norm("embedding"), "nn")(n =>
+      s"list_transform(embedding, x -> CAST(x AS DOUBLE) / $n)")
+    val codesExpr =
+      s"list_transform(range(0, $M), m -> " +
+        TextHashSql.let(
+          s"list_transform(range(0, $K), j -> ${subDist("nemb", "m", "j")})",
+          "dl")(dl => s"list_position($dl, list_min($dl)) - 1") + ")"
+    val lutExpr =
+      s"flatten(list_transform(range(0, $M), m -> " +
+        s"list_transform(range(0, $K), j -> ${subDist("nemb", "m", "j")})))"
+    val adcExpr =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(range(0, $M), m -> lut[m * $K + codes[m + 1] + 1])), (a, b) -> a + b)"
+    s"""WITH nrm AS MATERIALIZED (
+       |  SELECT vec_id, $unitExpr AS nemb FROM embeddings),
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id AS cid, $codesExpr AS codes FROM nrm),
+       |luts AS MATERIALIZED (
+       |  SELECT vec_id AS qid, $lutExpr AS lut FROM nrm
+       |  WHERE vec_id < ${Similarity.QuerySet}),
+       |s AS (SELECT qid, cid, $adcExpr AS raw FROM luts JOIN codes ON qid <> cid)
+       |SELECT qid, neighbor_rank, cid, round(raw, 6) AS adc_dist FROM (
+       |  SELECT qid, cid, raw,
+       |         row_number() OVER (PARTITION BY qid ORDER BY raw ASC, cid) AS neighbor_rank
+       |  FROM s)
+       |WHERE neighbor_rank <= ${Similarity.TopK}
+       |ORDER BY qid, neighbor_rank""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "sim_knn_brute" -> knnBrute,
     "sim_ann_lsh" -> annLsh,
     "sim_ann_lsh_multiprobe" -> annLshMultiprobe,
     "sim_ann_ivf" -> annIvf,
+    "sim_ann_pq" -> annPq,
     "sim_quantize_int8" -> quantizeInt8)
 }

@@ -37,6 +37,24 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     info(f"recall@5: lsh=$lsh%.2f multiprobe=$multi%.2f ivf=$ivf%.2f")
   }
 
+  test("PQ codes are valid and ADC ranking recalls true neighbors") {
+    val pq = Similarity.annPq(spark, sf)
+    val rows = pq.collect()
+    assert(rows.length == Similarity.QuerySet * Similarity.TopK)
+    // recall@5 against exact cosine. PQ approximates L2, queries are
+    // cosine-ranked — on unclustered synthetic data agreement is partial
+    // by construction; the floor pins the pseudo-codebook carrying real
+    // signal (random ranking would land ~TopK/corpus ≈ 0.01).
+    val brute = neighborSets(Similarity.knnBrute(spark, sf))
+    val pqSets = neighborSets(pq)
+    val hits = brute.map { case (q, truth) =>
+      pqSets.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val recall = hits.sum / hits.size
+    assert(recall >= 0.05, s"PQ recall $recall")
+    info(f"PQ recall@5 = $recall%.2f")
+  }
+
   test("int8 quantization reconstructs within half a code step of each dim's range") {
     import org.apache.spark.sql.functions._
     val e = graft.sources.Tables.embeddings(spark, sf)
