@@ -31,8 +31,13 @@ object Bench {
     // before the first measured query — otherwise several seconds of
     // one-time JVM warmup land entirely on the alphabetically-first entry.
     graft.sources.Tables.names.foreach { n =>
-      try spark.read.parquet(s"$sfDir/$n.parquet").limit(64).count()
-      catch { case _: Throwable => () }
+      // events needs its nanos-aware loader; a raw read throws on the
+      // TIMESTAMP(NANOS) column and would leave that table cold
+      try {
+        val df = if (n == "events") graft.sources.Tables.events(spark, sfDir)
+          else spark.read.parquet(s"$sfDir/$n.parquet")
+        df.limit(64).count()
+      } catch { case _: Throwable => () }
     }
     try {
       import org.apache.spark.sql.functions._
