@@ -237,10 +237,15 @@ object Similarity {
     def unit(v: org.apache.spark.sql.Column) =
       let(graft.functions.GraftFunctions.l2norm(spark, v))(n =>
         transform(v, x => x.cast("double") / n))
+    // let-bind the normalized array: pqCodes/pqLut reference their input
+    // hundreds of times (M×K×dims), and an unbound expression would be
+    // inlined and re-normalized at every reference (the TextHash.let
+    // hazard — measured 9.6 s → sub-second at sf0.1)
     val c = e.select(col("vec_id").as("cid"),
-      pqCodes(unit(col("embedding"))).as("codes"))
+      let(unit(col("embedding")))(u => pqCodes(u)).as("codes"))
     val q = e.filter(col("vec_id") < QuerySet)
-      .select(col("vec_id").as("qid"), pqLut(unit(col("embedding"))).as("lut"))
+      .select(col("vec_id").as("qid"),
+        let(unit(col("embedding")))(u => pqLut(u)).as("lut"))
     broadcast(q).join(c, col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), pqAdc(col("lut"), col("codes")).as("raw"))
       .withColumn("neighbor_rank",
