@@ -116,6 +116,19 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("stratified sample scans only doc_id + lang (no text)") {
+    val p = plan("text_stratified_sample")
+    val scanLine = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scanLine.contains("doc_id") && scanLine.contains("lang") &&
+      !scanLine.contains("text"), s"unpruned scan: $scanLine")
+  }
+
+  test("column profiler runs as one scan (Expand, no per-column jobs)") {
+    val p = plan("rel_profile")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(800))
+    assert(p.contains("Expand"), "multi-distinct should plan one Expand pass")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective dim join") {
     // At cluster scale, Spark injects a bloom filter built from the
     // selective (filtered) dim side into the fact-side scan, cutting the
