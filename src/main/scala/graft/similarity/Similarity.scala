@@ -229,14 +229,16 @@ object Similarity {
     * scale this composes with IVF ([[annIvf]] picks the cells, PQ scans
     * inside them); interpreted HOFs here — a native Expression is the
     * codegen path if encoding ever dominates. */
+  /** L2-normalize before encoding: on unit vectors ||a−b||² = 2−2·cos,
+    * so ADC's squared-L2 ranking IS the cosine ranking the brute oracle
+    * uses — without this, PQ would rank by a different metric entirely. */
+  private def unitVec(spark: SparkSession, v: org.apache.spark.sql.Column) =
+    let(graft.functions.GraftFunctions.l2norm(spark, v))(n =>
+      transform(v, x => x.cast("double") / n))
+
   def annPq(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    // L2-normalize before encoding: on unit vectors ||a−b||² = 2−2·cos,
-    // so ADC's squared-L2 ranking IS the cosine ranking the brute oracle
-    // uses — without this, PQ would rank by a different metric entirely.
-    def unit(v: org.apache.spark.sql.Column) =
-      let(graft.functions.GraftFunctions.l2norm(spark, v))(n =>
-        transform(v, x => x.cast("double") / n))
+    def unit(v: org.apache.spark.sql.Column) = unitVec(spark, v)
     // let-bind the normalized array: pqCodes/pqLut reference their input
     // hundreds of times (M×K×dims), and an unbound expression would be
     // inlined and re-normalized at every reference (the TextHash.let
@@ -257,12 +259,37 @@ object Similarity {
       .orderBy(col("qid"), col("neighbor_rank"))
   }
 
+  /** IVF+PQ — the production ANN composition at 100 TB: IVF cells bound
+    * the candidate set (a cell-keyed equi-join, no corpus-wide scan per
+    * query), PQ codes bound the memory (the scan inside a cell touches
+    * M byte-codes per candidate, never the vectors). Same two structures
+    * as [[annIvf]] and [[annPq]], composed. */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val c = e.select(col("vec_id").as("cid"), ivfCell(col("embedding")).as("cell"),
+      let(unitVec(spark, col("embedding")))(u => pqCodes(u)).as("codes"))
+    val q = e.filter(col("vec_id") < QuerySet)
+      .select(col("vec_id").as("qid"), ivfCell(col("embedding")).as("cell"),
+        let(unitVec(spark, col("embedding")))(u => pqLut(u)).as("lut"))
+    q.join(c, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), pqAdc(col("lut"), col("codes")).as("raw"))
+      .withColumn("neighbor_rank",
+        row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("raw").asc, col("cid"))))
+      .filter(col("neighbor_rank") <= TopK)
+      .select(col("qid"), col("neighbor_rank"), col("cid"),
+        round(col("raw"), 6).as("adc_dist"))
+      .orderBy(col("qid"), col("neighbor_rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_knn_brute" -> knnBrute,
     "sim_ann_lsh" -> annLsh,
     "sim_ann_lsh_multiprobe" -> annLshMultiprobe,
     "sim_ann_ivf" -> annIvf,
     "sim_ann_pq" -> annPq,
+    "sim_ann_ivfpq" -> annIvfPq,
     "sim_quantize_int8" -> quantizeInt8)
 }
 
@@ -362,46 +389,84 @@ object SimilarityOracles {
       |GROUP BY label
       |ORDER BY label""".stripMargin
 
-  /** Mirrors Similarity.pqCodes/pqLut/pqAdc expression-for-expression
-    * (same fold order, same tie rules). */
-  val annPq: String = {
-    val M = Similarity.PqM; val K = Similarity.PqK; val S = Similarity.PqSub
-    // squared L2 between a vector's subspace m slice and centroid (m, j)
-    def subDist(vec: String, m: String, j: String) =
-      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, ${S + 1}), t -> " +
-        TextHashSql.let(
-          s"CAST($vec[$m * $S + t] AS DOUBLE) - CAST(((($m * $S + t) * 13 + $j * 29) % 15) - 7 AS DOUBLE) / ${Similarity.PqScale}",
-          "dd")(d => s"$d * $d") +
-        s")), (a, b) -> a + b)"
-    // L2-normalize first, mirroring annPq's unit(): same fold order as
-    // the Spark side (norm once per vector via the let binding)
-    val unitExpr = TextHashSql.let(TextHashSql.l2norm("embedding"), "nn")(n =>
+  // --- PQ oracle building blocks (mirror Similarity.pqCodes/pqLut/pqAdc
+  // expression-for-expression: same fold order, same tie rules) ---
+
+  /** squared L2 between a vector's subspace m slice and centroid (m, j) */
+  private def pqSubDist(vec: String, m: String, j: String): String = {
+    val S = Similarity.PqSub
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, ${S + 1}), t -> " +
+      TextHashSql.let(
+        s"CAST($vec[$m * $S + t] AS DOUBLE) - CAST(((($m * $S + t) * 13 + $j * 29) % 15) - 7 AS DOUBLE) / ${Similarity.PqScale}",
+        "dd")(d => s"$d * $d") +
+      s")), (a, b) -> a + b)"
+  }
+
+  /** L2-normalize, mirroring annPq's unitVec: same fold order as the
+    * Spark side (norm once per vector via the let binding) */
+  private val pqUnitExpr: String =
+    TextHashSql.let(TextHashSql.l2norm("embedding"), "nn")(n =>
       s"list_transform(embedding, x -> CAST(x AS DOUBLE) / $n)")
-    val codesExpr =
-      s"list_transform(range(0, $M), m -> " +
-        TextHashSql.let(
-          s"list_transform(range(0, $K), j -> ${subDist("nemb", "m", "j")})",
-          "dl")(dl => s"list_position($dl, list_min($dl)) - 1") + ")"
-    val lutExpr =
-      s"flatten(list_transform(range(0, $M), m -> " +
-        s"list_transform(range(0, $K), j -> ${subDist("nemb", "m", "j")})))"
-    val adcExpr =
-      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-        s"list_transform(range(0, $M), m -> lut[m * $K + codes[m + 1] + 1])), (a, b) -> a + b)"
-    s"""WITH nrm AS MATERIALIZED (
-       |  SELECT vec_id, $unitExpr AS nemb FROM embeddings),
-       |codes AS MATERIALIZED (
-       |  SELECT vec_id AS cid, $codesExpr AS codes FROM nrm),
-       |luts AS MATERIALIZED (
-       |  SELECT vec_id AS qid, $lutExpr AS lut FROM nrm
-       |  WHERE vec_id < ${Similarity.QuerySet}),
-       |s AS (SELECT qid, cid, $adcExpr AS raw FROM luts JOIN codes ON qid <> cid)
+
+  private val pqCodesExpr: String =
+    s"list_transform(range(0, ${Similarity.PqM}), m -> " +
+      TextHashSql.let(
+        s"list_transform(range(0, ${Similarity.PqK}), j -> ${pqSubDist("nemb", "m", "j")})",
+        "dl")(dl => s"list_position($dl, list_min($dl)) - 1") + ")"
+
+  private val pqLutExpr: String =
+    s"flatten(list_transform(range(0, ${Similarity.PqM}), m -> " +
+      s"list_transform(range(0, ${Similarity.PqK}), j -> ${pqSubDist("nemb", "m", "j")})))"
+
+  private val pqAdcExpr: String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(0, ${Similarity.PqM}), m -> " +
+      s"lut[m * ${Similarity.PqK} + codes[m + 1] + 1])), (a, b) -> a + b)"
+
+  private def pqRanked(s: String): String =
+    s"""$s
        |SELECT qid, neighbor_rank, cid, round(raw, 6) AS adc_dist FROM (
        |  SELECT qid, cid, raw,
        |         row_number() OVER (PARTITION BY qid ORDER BY raw ASC, cid) AS neighbor_rank
        |  FROM s)
        |WHERE neighbor_rank <= ${Similarity.TopK}
        |ORDER BY qid, neighbor_rank""".stripMargin
+
+  val annPq: String = pqRanked(
+    s"""WITH nrm AS MATERIALIZED (
+       |  SELECT vec_id, $pqUnitExpr AS nemb FROM embeddings),
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id AS cid, $pqCodesExpr AS codes FROM nrm),
+       |luts AS MATERIALIZED (
+       |  SELECT vec_id AS qid, $pqLutExpr AS lut FROM nrm
+       |  WHERE vec_id < ${Similarity.QuerySet}),
+       |s AS (SELECT qid, cid, $pqAdcExpr AS raw FROM luts JOIN codes ON qid <> cid)""".stripMargin)
+
+  /** IVF cell assignment (raw embedding, /10 centroids — annIvf's) + PQ
+    * codes (unit-normalized), joined on cell. */
+  val annIvfPq: String = {
+    val dots = (0 until Similarity.IvfCells).map { j =>
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), " +
+        s"i -> (CAST((i*13 + ${j * 29}) % 15 - 7 AS DOUBLE) / 10.0) * " +
+        s"CAST(embedding[i] AS DOUBLE))), (s, x) -> s + x)"
+    }
+    pqRanked(
+      s"""WITH d AS (
+         |  SELECT vec_id, embedding, [${dots.mkString(",\n    ")}] AS ds
+         |  FROM embeddings),
+         |cells AS MATERIALIZED (
+         |  SELECT vec_id, embedding,
+         |         list_position(ds, list_aggregate(ds, 'max')) - 1 AS cell
+         |  FROM d),
+         |nrm AS MATERIALIZED (
+         |  SELECT vec_id, cell, $pqUnitExpr AS nemb FROM cells),
+         |codes AS MATERIALIZED (
+         |  SELECT vec_id AS cid, cell, $pqCodesExpr AS codes FROM nrm),
+         |luts AS MATERIALIZED (
+         |  SELECT vec_id AS qid, cell, $pqLutExpr AS lut FROM nrm
+         |  WHERE vec_id < ${Similarity.QuerySet}),
+         |s AS (SELECT qid, cid, $pqAdcExpr AS raw
+         |      FROM luts JOIN codes USING (cell) WHERE qid <> cid)""".stripMargin)
   }
 
   val all: Map[String, String] = Map(
@@ -410,5 +475,6 @@ object SimilarityOracles {
     "sim_ann_lsh_multiprobe" -> annLshMultiprobe,
     "sim_ann_ivf" -> annIvf,
     "sim_ann_pq" -> annPq,
+    "sim_ann_ivfpq" -> annIvfPq,
     "sim_quantize_int8" -> quantizeInt8)
 }
