@@ -189,6 +189,76 @@ case class DotProductExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native PQ encoder: L2-normalize an array<float> embedding and emit the
+  * per-subspace nearest-centroid codes (array<bigint>, M elements) in one
+  * pass. Semantics bit-identical to the interpreted
+  * `let(unitVec(v))(pqCodes)` pipeline in graft.similarity.Similarity
+  * (which stays as the executable spec): same double cast/divide per
+  * element, same t-ascending fold per (m, j), same first-strict-min tie
+  * rule as array_position(dl, list_min(dl)).
+  *
+  * Why native: encoding is the map-side hot loop of PQ at corpus scale —
+  * M×K×S ≈ 512 interpreted expression nodes per vector collapse into one
+  * tight Java loop under whole-stage codegen. */
+case class PqEncodeExpr(child: Expression) extends UnaryExpression {
+  import graft.similarity.Similarity.{PqM, PqK, PqSub, PqScale}
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_pq_encode"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      PqOps.encode(arr, PqM, PqK, PqSub, PqScale))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.PqOps.encode($c, $PqM, $PqK, $PqSub, $PqScale));
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+    copy(child = newChild)
+}
+
+/** The PQ encode loop shared by interpreted eval and generated code. */
+object PqOps {
+  def encode(arr: ArrayData, M: Int, K: Int, S: Int, scale: Double): Array[Long] = {
+    val n = arr.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val x = arr.getFloat(i).toDouble; s += x * x; i += 1 }
+    val norm = math.sqrt(s)
+    val codes = new Array[Long](M)
+    var m = 0
+    while (m < M) {
+      var best = Double.PositiveInfinity
+      var bj = 0
+      var j = 0
+      while (j < K) {
+        var d2 = 0.0
+        var t = 1
+        while (t <= S) {
+          val gi = m * S + t // 1-based global dim index
+          val x = arr.getFloat(gi - 1).toDouble / norm
+          val c = (((gi * 13 + j * 29) % 15) - 7).toDouble / scale
+          val d = x - c
+          d2 += d * d
+          t += 1
+        }
+        if (d2 < best) { best = d2; bj = j }
+        j += 1
+      }
+      codes(m) = bj.toLong
+      m += 1
+    }
+    codes
+  }
+}
+
 /** Static helpers called from generated code (and `nullSafeEval`) for the
   * token-hash expressions: one MD5 digest per token inside a plain Java
   * loop, against ~6 interpreted expression nodes + a UTF8String→binary
@@ -320,7 +390,9 @@ object GraftFunctions {
       (es: Seq[Expression]) => TokenHashesExpr(es.head)),
     ("graft_shingle_set", classOf[ShingleSetExpr],
       (es: Seq[Expression]) => ShingleSetExpr(es.head,
-        es(1).eval().asInstanceOf[Int])))
+        es(1).eval().asInstanceOf[Int])),
+    ("graft_pq_encode", classOf[PqEncodeExpr],
+      (es: Seq[Expression]) => PqEncodeExpr(es.head)))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -353,6 +425,13 @@ object GraftFunctions {
 
   def l2norm(spark: SparkSession, a: Column): Column =
     org.apache.spark.sql.functions.sqrt(dot(spark, a, a))
+
+  /** Codegen'd PQ encode (normalize + nearest-centroid codes) over an
+    * array<float> embedding column. */
+  def pqEncode(spark: SparkSession, embedding: Column): Column = {
+    register(spark)
+    call_function("graft_pq_encode", embedding)
+  }
 
   /** Codegen'd per-token [[TextHash.strHash]] over a text column (split
     * with the canonical whitespace tokenizer first). */

@@ -239,12 +239,14 @@ object Similarity {
   def annPq(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     def unit(v: org.apache.spark.sql.Column) = unitVec(spark, v)
-    // let-bind the normalized array: pqCodes/pqLut reference their input
-    // hundreds of times (M×K×dims), and an unbound expression would be
-    // inlined and re-normalized at every reference (the TextHash.let
-    // hazard — measured 9.6 s → sub-second at sf0.1)
+    // Corpus side: native codegen'd encode (PqEncodeExpr — one Java loop
+    // per vector; the interpreted let(unit)(pqCodes) stays the executable
+    // spec, equivalence-tested). Query side: interpreted LUT build is
+    // fine — QuerySet rows, and the let-binding matters (an unbound
+    // normalized array would be re-normalized at each of the M×K×dims
+    // references — measured 9.6 s → sub-second at sf0.1).
     val c = e.select(col("vec_id").as("cid"),
-      let(unit(col("embedding")))(u => pqCodes(u)).as("codes"))
+      graft.functions.GraftFunctions.pqEncode(spark, col("embedding")).as("codes"))
     val q = e.filter(col("vec_id") < QuerySet)
       .select(col("vec_id").as("qid"),
         let(unit(col("embedding")))(u => pqLut(u)).as("lut"))
@@ -267,7 +269,7 @@ object Similarity {
   def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val c = e.select(col("vec_id").as("cid"), ivfCell(col("embedding")).as("cell"),
-      let(unitVec(spark, col("embedding")))(u => pqCodes(u)).as("codes"))
+      graft.functions.GraftFunctions.pqEncode(spark, col("embedding")).as("codes"))
     val q = e.filter(col("vec_id") < QuerySet)
       .select(col("vec_id").as("qid"), ivfCell(col("embedding")).as("cell"),
         let(unitVec(spark, col("embedding")))(u => pqLut(u)).as("lut"))

@@ -72,6 +72,25 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkSpec {
     assert(sizes.contains(3) && sizes.contains(0))
   }
 
+  test("PqEncodeExpr equals the interpreted normalize+encode pipeline on real embeddings") {
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    // the interpreted executable spec: let-bound unit vector → pqCodes
+    val interp = TextHash.let(
+      TextHash.let(GraftFunctions.l2norm(spark, col("embedding")))(n =>
+        transform(col("embedding"), x => x.cast("double") / n)))(u =>
+      graft.similarity.Similarity.pqCodes(u))
+    val both = e.select(
+      GraftFunctions.pqEncode(spark, col("embedding")).as("native"),
+      interp.as("interp"))
+    assert(both.filter(col("native") =!= col("interp")).count() == 0)
+    // non-degenerate: codes span more than one centroid index
+    val distinct = e.select(explode(
+        GraftFunctions.pqEncode(spark, col("embedding"))))
+      .distinct().count()
+    assert(distinct > 1)
+  }
+
   test("SimHash32Expr of empty token array is 0") {
     import spark.implicits._
     val r = Seq(Seq.empty[Long]).toDF("th")
