@@ -247,6 +247,25 @@ object Streams {
       "leftOuter")
   }
 
+  /** foreachBatch sink — the production pattern for sinks Structured
+    * Streaming lacks natively (upserts, JDBC, external stores): each
+    * micro-batch arrives as a plain DataFrame with a monotonic batch id
+    * and is written with the full batch API. Parquet-append here; the
+    * batch id is what an idempotent/transactional sink would key its
+    * exactly-once bookkeeping on. The checkpoint location makes restarts
+    * resume from the last committed batch. */
+  def parquetSink(out: DataFrame, path: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val write: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, batchId) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(s"$path/data")
+    out.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$path/_checkpoint")
+      .foreachBatch(write)
+      .start()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_enriched" -> enrichedBatch,
     "stream_hourly_by_type" -> hourlyBatch,

@@ -190,6 +190,28 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Rare-token scoring — the integer-exact proxy for LM-perplexity
+    * filtering: per document, the mean corpus frequency of its tokens and
+    * the share of rare tokens (corpus count ≤ 2). Documents dominated by
+    * rare tokens are OOV-heavy/noisy — the docs a perplexity filter
+    * drops. Two hash aggs ((word) counts, (doc) rollup) + one
+    * word-keyed join; all sums are BIGINTs so cross-engine results are
+    * exact regardless of aggregation order (a float logprob would
+    * hash-mismatch on summation order alone). */
+  def rareTokenScore(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextHash.tokens(col("text"))).as("word"))
+    val freq = tok.groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    tok.join(freq, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("freq")).as("sum_freq"),
+        sum(when(col("freq") <= 2, 1L).otherwise(0L)).as("n_rare"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_freq"), col("n_rare"),
+        round(col("n_rare").cast("double") / col("n_tokens"), 4).as("rare_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-length histogram (width-10 buckets) — the corpus-shape summary
     * behind length filtering; one narrow map + tiny keyed agg. */
   def lengthHistogram(spark: SparkSession, dir: String): DataFrame =
@@ -265,6 +287,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stratified_sample" -> stratifiedSample,
+    "text_rare_tokens" -> rareTokenScore,
     "text_pack_sequences" -> packSequences,
     "text_topk_words" -> topkWords,
     "text_tfidf" -> tfidf,

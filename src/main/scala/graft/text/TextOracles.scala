@@ -100,6 +100,17 @@ object TextOracles {
        |FROM c
        |ORDER BY doc_id""".stripMargin
 
+  val rareTokens: String =
+    s"""WITH tok AS (SELECT doc_id, unnest($toks) AS word FROM documents),
+       |freq AS (SELECT word, COUNT(*) AS freq FROM tok GROUP BY word)
+       |SELECT doc_id, COUNT(*) AS n_tokens,
+       |       CAST(SUM(freq) AS BIGINT) AS sum_freq,
+       |       CAST(SUM(CASE WHEN freq <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       |       round(CAST(SUM(CASE WHEN freq <= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS rare_ratio
+       |FROM tok JOIN freq USING (word)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val lengthHistogram: String =
     s"""SELECT (len($toks) // 10) * 10 AS bucket_lo, COUNT(*) AS n_docs
        |FROM documents
@@ -147,6 +158,7 @@ object TextOracles {
 
   val all: Map[String, String] = Map(
     "text_stratified_sample" -> stratifiedSample,
+    "text_rare_tokens" -> rareTokens,
     "text_pack_sequences" -> packSequences,
     "text_topk_words" -> topkWords,
     "text_tfidf" -> tfidf,

@@ -137,6 +137,27 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.size == 3) // (h0 AUTO), (h1 MACH), (h2 MACH); user 3 dropped
   }
 
+  test("foreachBatch sink lands streaming dedup output in parquet with batch ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, 5L, 1L, "click"), (2L, 9L, 1L, "click"), (3L, 7L, 1L, "view"),
+      (4L, 10L, 2L, "view"))
+    val stream = MemoryStream[(Long, Long, Long, String)]
+    stream.addData(rows: _*)
+    val sdf = stream.toDF.toDF("event_id", "min", "user_id", "event_type")
+      .select(col("event_id"), expr("timestamp_millis(min * 60000)").as("ts"),
+        col("user_id"), col("event_type"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-feb").toString
+    val q = Streams.parquetSink(Streams.dedupStreaming(sdf), dir)
+    try q.processAllAvailable() finally q.stop()
+    val back = spark.read.parquet(s"$dir/data")
+    val keys = back.select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(keys == Set((1L, "click"), (1L, "view"), (2L, "view")))
+    assert(back.columns.contains("batch_id"))
+  }
+
   test("outer interval join emits unmatched clicks only after the watermark passes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
