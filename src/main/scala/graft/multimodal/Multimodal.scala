@@ -106,6 +106,35 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  final case class BatchScore(doc_id: Long, score: Long, batch_n: Int)
+
+  /** Batched-inference shape: within each partition, rows are consumed in
+    * fixed-size batches (`grouped` iterator) — the GPU-batch analog of
+    * `mapInPandas`, where each invocation runs one forward pass over a
+    * batch tensor. The scorer is the STUB (same checksum family as
+    * [[decodeFeatures]]); the production part is the mechanics: model
+    * init once per partition, at most `batchSize` rows per call, no
+    * buffering of the whole partition. Per-doc scores are pure functions
+    * of the payload, so results are identical under any partitioning —
+    * only `batch_n` (the actual rows in the doc's batch) reflects the
+    * physical batching, and the spec bounds it. */
+  def batchedInfer(media: Dataset[MediaBlob], batchSize: Int): Dataset[BatchScore] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition "model load" would go here
+      rows.grouped(batchSize).flatMap { batch =>
+        // one stub forward pass over the whole batch
+        val scores = batch.map { b =>
+          var cs = 7L
+          var i = 0
+          while (i < b.payload.length) { cs = (cs * 31 + (b.payload(i) & 0xff)) % TextHash.P; i += 1 }
+          cs
+        }
+        batch.lazyZip(scores).map { (b, s) => BatchScore(b.doc_id, s, batch.size) }
+      }
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode" -> decode,
     "mm_frame_sample" -> frameSample,
