@@ -14,11 +14,12 @@ object RelationalOracles {
        |       $mn AS min_num, $mx AS max_num FROM orders""".stripMargin
   }
 
-  /** Char-sum mirrors TextHashSql.rollHash's char iteration (range +
-    * substr — the validated cross-engine char loop). */
-  private def charSum(s: String): String =
-    s"list_reduce(list_prepend(0, list_transform(range(1, length($s) + 1), " +
-      s"i -> ascii(substr($s, CAST(i AS INT), 1)))), (a, b) -> a + b)"
+  /** Sorted-char-multiset block key; chars iterated via range + substr
+    * (the validated cross-engine char loop), sorted ascending — ASCII
+    * names, so Spark's array_sort and DuckDB's list_sort agree. */
+  private def sortedChars(s: String): String =
+    s"array_to_string(list_sort(list_transform(range(1, length($s) + 1), " +
+      s"i -> substr($s, CAST(i AS INT), 1))), '')"
 
   private val corruptedName: String =
     "concat(substr(c_name, 1, length(c_name) - 2), " +
@@ -28,19 +29,17 @@ object RelationalOracles {
   val all: Map[String, String] = Map(
     "rel_fuzzy_join" ->
       s"""WITH c AS (
-         |  SELECT c_custkey, c_name, length(c_name) AS len,
-         |         ${charSum("c_name")} AS csum
+         |  SELECT c_custkey, c_name, ${sortedChars("c_name")} AS bk
          |  FROM customer),
          |probes AS (
          |  SELECT c_custkey AS probe_id, $corruptedName AS probe_name
          |  FROM customer WHERE c_custkey % 13 = 0),
          |p2 AS (
-         |  SELECT probe_id, probe_name, length(probe_name) AS len,
-         |         ${charSum("probe_name")} AS csum
+         |  SELECT probe_id, probe_name, ${sortedChars("probe_name")} AS bk
          |  FROM probes)
          |SELECT probe_id, probe_name, c_custkey, c_name,
          |       CAST(levenshtein(probe_name, c_name) AS INT) AS dist
-         |FROM p2 JOIN c USING (len, csum)
+         |FROM p2 JOIN c USING (bk)
          |WHERE levenshtein(probe_name, c_name) <= 2
          |ORDER BY probe_id, dist, c_custkey""".stripMargin,
 

@@ -602,17 +602,19 @@ object RelationalQueries {
 
   /** Fuzzy entity-resolution join — match corrupted names back to the
     * customer dim by edit distance, WITHOUT an all-pairs scan: candidates
-    * block on (length, ascii-sum), both preserved by transposition typos
-    * (the planted corruption swaps the last two characters), so the block
-    * join is exact for that error class while blocks stay tiny. The
-    * levenshtein verify runs only within blocks. Production widens the
-    * block keys (e.g. deletion → length−1 band) per error model; the
-    * pattern — cheap invariant key, shuffle on it, expensive verify inside
-    * the block — is the same one every dedup operator here uses. */
+    * block on the sorted character multiset, which transposition typos
+    * (the planted corruption swaps the last two characters) preserve
+    * exactly — so the block join is exact for that error class and blocks
+    * shrink to anagram classes (a coarser key like ascii-sum left ~30
+    * giant blocks over the low-entropy synthetic names and 5× the
+    * runtime). The levenshtein verify runs only within blocks. Production
+    * widens the block keys per error model (deletion → length−1 band) and
+    * hashes the sorted key to fixed width; the pattern — cheap invariant
+    * key, shuffle on it, expensive verify inside the block — is the same
+    * one every dedup operator here uses. */
   def fuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
-    def blockKey(name: org.apache.spark.sql.Column) = struct(
-      length(name).as("len"),
-      aggregate(split(name, ""), lit(0), (s, c) => s + ascii(c)).as("csum"))
+    def blockKey(name: org.apache.spark.sql.Column) =
+      concat_ws("", array_sort(split(name, "")))
     val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_name"))
     val corrupted = expr(
       "concat(substr(c_name, 1, length(c_name) - 2), " +
