@@ -27,6 +27,17 @@ object RelationalOracles {
       "substr(c_name, length(c_name) - 1, 1))"
 
   val all: Map[String, String] = Map(
+    // direct full aggregate — the Spark side merges base+delta partials,
+    // so equality proves partial-merge ≡ recompute. avg divides the
+    // 4dp-rounded sum, mirroring the Spark column exactly.
+    "rel_incremental_agg" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |       ROUND(SUM(value), 4) AS sum_value,
+        |       ROUND(ROUND(SUM(value), 4) / COUNT(*), 4) AS avg_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
     "rel_fuzzy_join" ->
       s"""WITH c AS (
          |  SELECT c_custkey, c_name, ${sortedChars("c_name")} AS bk

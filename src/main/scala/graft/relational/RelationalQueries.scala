@@ -631,7 +631,33 @@ object RelationalQueries {
       .orderBy(col("probe_id"), col("dist"), col("c_custkey"))
   }
 
+  /** Incremental aggregate maintenance — the materialized-view update
+    * pattern: a base aggregate (the snapshot) and a late-arriving delta
+    * are each reduced to mergeable partial states (count, sum), then
+    * combined by RE-AGGREGATING the partials — never by touching base
+    * rows again. The oracle is the direct aggregate over everything,
+    * proving partial-merge ≡ full recompute. At 100 TB this is how an
+    * hourly rollup absorbs late data: the delta's partials are tiny, the
+    * snapshot is read-merge-written without rescanning the fact table.
+    * (avg is derived from Σ/n at the end — avg itself is not mergeable.) */
+  def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    def partial(df: DataFrame) = df.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+    val base = partial(e.filter(col("event_id") % 10 =!= 0))  // the snapshot
+    val delta = partial(e.filter(col("event_id") % 10 === 0)) // late arrivals
+    base.unionByName(delta)
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_events"),
+        round(sum(col("sv")), 4).as("sum_value"))
+      .select(col("event_type"), col("n_events"), col("sum_value"),
+        round(col("sum_value") / col("n_events"), 4).as("avg_value"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_incremental_agg" -> incrementalAgg,
     "rel_fuzzy_join" -> fuzzyJoin,
     "rel_profile" -> profile,
     "rel_approx_agg" -> approxAgg,
