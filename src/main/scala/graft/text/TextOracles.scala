@@ -91,8 +91,8 @@ object TextOracles {
   val packSequences: String =
     s"""WITH t AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
        |c AS (SELECT doc_id, n_tokens,
-       |        COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+       |        CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS excl
        |      FROM t)
        |SELECT doc_id, n_tokens,
        |       CAST(FLOOR(excl / 512.0) AS BIGINT) AS pack_id,
