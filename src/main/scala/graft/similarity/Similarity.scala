@@ -285,7 +285,53 @@ object Similarity {
       .orderBy(col("qid"), col("neighbor_rank"))
   }
 
+  val KmeansK = 8
+
+  /** One Lloyd (k-means) iteration, made bit-exact across engines: vectors
+    * quantize to integers (floor(x·1000 + 0.5), the [[quantizeInt8]]
+    * midpoint convention), distances are exact BIGINT squared-L2 sums, and
+    * the argmin tie-breaks on the lower centroid id by packing (dist·100 +
+    * cid) into one BIGINT min. Output per cluster: member count, the
+    * updated centroid's first four coordinates (integer sums divided at the
+    * end — no float summation-order noise), and the min/max member
+    * distance. Seeds are the first K vectors (deterministic k-means++ would
+    * ride the same plan). Plan shape: broadcast of K quantized centroids,
+    * one map-only assignment pass, one K-group hash agg — the canonical
+    * 100 TB clustering iteration (no shuffle of the corpus; each further
+    * Lloyd round repeats the same broadcast-assign-agg pipeline). */
+  def kmeansUpdate(spark: SparkSession, dir: String): DataFrame = {
+    def quant(v: org.apache.spark.sql.Column) =
+      transform(v, x => floor(x.cast("double") * 1000.0 + 0.5).cast("long"))
+    val e = Tables.embeddings(spark, dir)
+    val cents = e.filter(col("vec_id") < KmeansK)
+      .agg(array_sort(collect_list(struct(
+        col("vec_id").cast("long").as("cid"), quant(col("embedding")).as("qc"))))
+        .as("cents"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        let(quant(col("embedding")))(qv => struct(
+          array_min(transform(col("cents"), c =>
+            aggregate(zip_with(qv, c("qc"), (a, b) => (a - b) * (a - b)),
+              lit(0L), (s, x) => s + x) * 100L + c("cid"))).as("best"),
+          element_at(qv, 1).as("q1"), element_at(qv, 2).as("q2"),
+          element_at(qv, 3).as("q3"), element_at(qv, 4).as("q4"))).as("r"))
+      .select(col("vec_id"),
+        (col("r.best") % 100L).as("cluster_id"),
+        ((col("r.best") - col("r.best") % 100L) / 100L).cast("long").as("sqdist"),
+        col("r.q1"), col("r.q2"), col("r.q3"), col("r.q4"))
+    assigned.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(sum(col("q1")).cast("double") / 1000.0 / count(lit(1)), 4).as("c1"),
+        round(sum(col("q2")).cast("double") / 1000.0 / count(lit(1)), 4).as("c2"),
+        round(sum(col("q3")).cast("double") / 1000.0 / count(lit(1)), 4).as("c3"),
+        round(sum(col("q4")).cast("double") / 1000.0 / count(lit(1)), 4).as("c4"),
+        min(col("sqdist")).as("min_sqdist"),
+        max(col("sqdist")).as("max_sqdist"))
+      .orderBy(col("cluster_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_kmeans_update" -> kmeansUpdate,
     "sim_knn_brute" -> knnBrute,
     "sim_ann_lsh" -> annLsh,
     "sim_ann_lsh_multiprobe" -> annLshMultiprobe,
@@ -471,7 +517,32 @@ object SimilarityOracles {
          |      FROM luts JOIN codes USING (cell) WHERE qid <> cid)""".stripMargin)
   }
 
+  val kmeansUpdate: String = {
+    val k = Similarity.KmeansK
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |c AS (SELECT vec_id AS cid, qv AS qc FROM q WHERE vec_id < $k),
+       |d AS (SELECT q.vec_id, q.qv,
+       |        MIN(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |          list_transform(range(1, len(q.qv) + 1),
+       |            i -> (q.qv[i] - c.qc[i]) * (q.qv[i] - c.qc[i]))),
+       |          (a, b) -> a + b) * 100 + c.cid) AS best
+       |      FROM q CROSS JOIN c GROUP BY q.vec_id, q.qv)
+       |SELECT best % 100 AS cluster_id,
+       |       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       |       round(CAST(SUM(qv[1]) AS DOUBLE) / 1000.0 / COUNT(*), 4) AS c1,
+       |       round(CAST(SUM(qv[2]) AS DOUBLE) / 1000.0 / COUNT(*), 4) AS c2,
+       |       round(CAST(SUM(qv[3]) AS DOUBLE) / 1000.0 / COUNT(*), 4) AS c3,
+       |       round(CAST(SUM(qv[4]) AS DOUBLE) / 1000.0 / COUNT(*), 4) AS c4,
+       |       MIN((best - best % 100) // 100) AS min_sqdist,
+       |       MAX((best - best % 100) // 100) AS max_sqdist
+       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
+    "sim_kmeans_update" -> kmeansUpdate,
     "sim_knn_brute" -> knnBrute,
     "sim_ann_lsh" -> annLsh,
     "sim_ann_lsh_multiprobe" -> annLshMultiprobe,

@@ -285,7 +285,71 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Gopher-style repetition signals — the within-document duplication
+    * heuristics a pretraining quality filter applies: the share of the most
+    * frequent word bigram, and the fraction of trigram occurrences that are
+    * repeats. Both are computed distributed (explode → (doc, gram) hash agg
+    * → per-doc rollup), not with per-row O(n²) array scans: at 100 TB the
+    * gram counting is two map-side-combining aggregations whose shuffle
+    * carries (doc_id, gram_hash, count) — never text. Thresholds follow the
+    * Gopher paper's shape (top-bigram share, duplicate n-gram fraction). */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextHash.let(TextHash.tokenHashes(col("text")))(th => struct(
+        TextHash.shingleHashes(th, 2).as("bg"),
+        TextHash.shingleHashes(th, 3).as("tg"))).as("g"))
+    def gramStats(gramCol: String, extra: (String, Column => Column)*) = {
+      val counts = base.select(col("doc_id"), explode(col(s"g.$gramCol")).as("gram"))
+        .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      counts.groupBy(col("doc_id")).agg(
+        sum(col("c")).as(s"n_$gramCol"),
+        extra.map { case (n, f) => f(col("c")).as(n) }: _*)
+    }
+    val bg = gramStats("bg", "top_bg" -> (c => max(c)))
+    val tg = gramStats("tg", "n_distinct_tg" -> (_ => count(lit(1))))
+    bg.join(tg, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_bg"), lit(0L)).as("n_bigrams"),
+        coalesce(col("top_bg"), lit(0L)).as("top_bigram_count"),
+        round(coalesce(col("top_bg").cast("double") / col("n_bg"), lit(0.0)), 4)
+          .as("top_bigram_share"),
+        coalesce(col("n_tg"), lit(0L)).as("n_trigrams"),
+        round(coalesce(lit(1.0) - col("n_distinct_tg").cast("double") / col("n_tg"),
+          lit(0.0)), 4).as("trigram_repeat_ratio"))
+      .withColumn("repetition_flag",
+        when(col("top_bigram_share") > 0.05 || col("trigram_repeat_ratio") > 0.05,
+          lit("repetitive")).otherwise(lit("ok")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Train/test contamination check — for every test-split document, the
+    * fraction of its distinct 5-gram shingles that also occur anywhere in
+    * the train split (the benchmark-leakage scan run before any evaluation).
+    * Splits are [[splitAssign]]'s deterministic hash gates, so the check is
+    * reproducible at any scale. Plan shape: one distinct over train grams,
+    * one gram-keyed equi-join — at 100 TB both sides shuffle 8-byte gram
+    * hashes only; the train side collapses to its distinct set map-side. */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val h = TextHash.strHash(concat(lit("split:"), col("doc_id").cast("string"))) % 100
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), h.as("sh"),
+        explode(TextHash.shingleSet(col("text"), 5)).as("gram"))
+    val trainGrams = grams.filter(col("sh") < 80).select("gram").distinct()
+    grams.filter(col("sh") >= 90)
+      .join(trainGrams.withColumn("hit", lit(1L)), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
+        round(col("n_contaminated").cast("double") / col("n_grams"), 4)
+          .as("contamination_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> repetition,
+    "text_contamination" -> contamination,
     "text_stratified_sample" -> stratifiedSample,
     "text_rare_tokens" -> rareTokenScore,
     "text_pack_sequences" -> packSequences,

@@ -100,6 +100,51 @@ object TextOracles {
        |FROM c
        |ORDER BY doc_id""".stripMargin
 
+  val repetition: String =
+    s"""WITH t AS MATERIALIZED (
+       |  SELECT doc_id, ${tokenHashes("text")} AS th FROM documents),
+       |g AS MATERIALIZED (
+       |  SELECT doc_id, ${shingleHashes("th", 2)} AS bg,
+       |         ${shingleHashes("th", 3)} AS tg FROM t),
+       |bc AS (SELECT doc_id, gram, COUNT(*) AS c
+       |       FROM (SELECT doc_id, unnest(bg) AS gram FROM g) GROUP BY 1, 2),
+       |b AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bg,
+       |             CAST(MAX(c) AS BIGINT) AS top_bg FROM bc GROUP BY 1),
+       |tc AS (SELECT doc_id, gram, COUNT(*) AS c
+       |       FROM (SELECT doc_id, unnest(tg) AS gram FROM g) GROUP BY 1, 2),
+       |tr AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tg,
+       |              CAST(COUNT(*) AS BIGINT) AS n_distinct_tg FROM tc GROUP BY 1)
+       |SELECT COALESCE(b.doc_id, tr.doc_id) AS doc_id,
+       |       COALESCE(n_bg, 0) AS n_bigrams,
+       |       COALESCE(top_bg, 0) AS top_bigram_count,
+       |       round(COALESCE(CAST(top_bg AS DOUBLE) / n_bg, 0.0), 4) AS top_bigram_share,
+       |       COALESCE(n_tg, 0) AS n_trigrams,
+       |       round(COALESCE(1.0 - CAST(n_distinct_tg AS DOUBLE) / n_tg, 0.0), 4)
+       |         AS trigram_repeat_ratio,
+       |       CASE WHEN round(COALESCE(CAST(top_bg AS DOUBLE) / n_bg, 0.0), 4) > 0.05
+       |              OR round(COALESCE(1.0 - CAST(n_distinct_tg AS DOUBLE) / n_tg, 0.0), 4) > 0.05
+       |            THEN 'repetitive' ELSE 'ok' END AS repetition_flag
+       |FROM b FULL OUTER JOIN tr USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  val contamination: String = {
+    val h = s"(${strHash("'split:' || CAST(doc_id AS VARCHAR)")} % 100)"
+    s"""WITH g AS MATERIALIZED (
+       |  SELECT doc_id, $h AS sh,
+       |         unnest(list_distinct(${shingleHashes("th", 5)})) AS gram
+       |  FROM (SELECT doc_id, ${tokenHashes("text")} AS th FROM documents)),
+       |train AS (SELECT DISTINCT gram FROM g WHERE sh < 80)
+       |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |       CAST(SUM(CASE WHEN train.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_contaminated,
+       |       round(CAST(SUM(CASE WHEN train.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / COUNT(*), 4) AS contamination_ratio
+       |FROM g LEFT JOIN train ON g.gram = train.gram
+       |WHERE g.sh >= 90
+       |GROUP BY g.doc_id
+       |ORDER BY g.doc_id""".stripMargin
+  }
+
   val rareTokens: String =
     s"""WITH tok AS (SELECT doc_id, unnest($toks) AS word FROM documents),
        |freq AS (SELECT word, COUNT(*) AS freq FROM tok GROUP BY word)
@@ -160,6 +205,8 @@ object TextOracles {
     "text_stratified_sample" -> stratifiedSample,
     "text_rare_tokens" -> rareTokens,
     "text_pack_sequences" -> packSequences,
+    "text_repetition" -> repetition,
+    "text_contamination" -> contamination,
     "text_topk_words" -> topkWords,
     "text_tfidf" -> tfidf,
     "text_quality_deciles" -> qualityDeciles,

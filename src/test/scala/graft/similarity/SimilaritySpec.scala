@@ -70,6 +70,35 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(worst > 0.0) // non-degenerate: quantization actually lossy
   }
 
+  test("kmeans update: total membership, seed self-assignment, exact argmin") {
+    import org.apache.spark.sql.functions._
+    val rows = Similarity.kmeansUpdate(spark, sf).collect()
+    val corpus = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum == corpus,
+      "every vector lands in exactly one cluster")
+    // each seed vector is its own centroid -> its cluster's min dist is 0
+    assert(rows.forall(_.getAs[Long]("min_sqdist") == 0L))
+    assert(rows.forall(r => r.getAs[Long]("max_sqdist") >= r.getAs[Long]("min_sqdist")))
+    // driver-side recount of the argmin for a sample of vectors
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val cents = (0L until Similarity.KmeansK).map(i =>
+      i -> vecs(i).map(v => math.floor(v.toDouble * 1000.0 + 0.5).toLong))
+    def assign(v: Array[Float]): Long = {
+      val q = v.map(x => math.floor(x.toDouble * 1000.0 + 0.5).toLong)
+      cents.map { case (cid, qc) =>
+        (q.zip(qc).map { case (a, b) => (a - b) * (a - b) }.sum * 100L + cid)
+      }.min % 100L
+    }
+    val expected = vecs.toSeq.map { case (_, v) => assign(v) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_vectors") == expected(r.getAs[Long]("cluster_id")),
+        s"cluster ${r.getAs[Long]("cluster_id")} size")
+    }
+  }
+
   test("ANN results are always true pairs from the corpus with valid ranks") {
     val rows = Similarity.annIvf(spark, sf).collect()
     assert(rows.nonEmpty)

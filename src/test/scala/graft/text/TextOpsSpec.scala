@@ -56,4 +56,46 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
       assert(offs.sameElements(offs.sorted) && offs.forall(_ < 512))
     }
   }
+
+  test("repetition: gram accounting matches a driver-side recount") {
+    val rows = TextAnalysis.repetition(spark, sf).collect()
+    assert(rows.length == 500)
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.take(50).foreach { r =>
+      val toks = texts(r.getLong(0)).trim.split("\\s+").toSeq
+      val bigrams = toks.sliding(2).filter(_.size == 2).toSeq
+      val trigrams = toks.sliding(3).filter(_.size == 3).toSeq
+      assert(r.getAs[Long]("n_bigrams") == bigrams.size)
+      assert(r.getAs[Long]("n_trigrams") == trigrams.size)
+      val top = if (bigrams.isEmpty) 0L
+        else bigrams.groupBy(identity).values.map(_.size).max.toLong
+      assert(r.getAs[Long]("top_bigram_count") == top,
+        s"doc ${r.getLong(0)}: top bigram count")
+      val repeat = if (trigrams.isEmpty) 0.0
+        else 1.0 - trigrams.distinct.size.toDouble / trigrams.size
+      assert(math.abs(r.getAs[Double]("trigram_repeat_ratio") - repeat) < 1e-3)
+    }
+    // the flag actually splits the corpus (not all-one-bucket)
+    val flags = rows.map(_.getAs[String]("repetition_flag")).toSet
+    assert(flags.contains("ok"))
+  }
+
+  test("contamination: test-split docs only, ratios in [0,1], deterministic") {
+    val rows = TextAnalysis.contamination(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val testIds = TextAnalysis.splitAssign(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("split") === "test")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet.subsetOf(testIds))
+    rows.foreach { r =>
+      val (n, hit, ratio) = (r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_contaminated"), r.getAs[Double]("contamination_ratio"))
+      assert(hit >= 0 && hit <= n)
+      assert(ratio >= 0.0 && ratio <= 1.0)
+    }
+    val again = TextAnalysis.contamination(spark, sf).collect()
+    assert(rows.toSeq == again.toSeq)
+  }
 }
