@@ -27,6 +27,65 @@ object RelationalOracles {
       "substr(c_name, length(c_name) - 1, 1))"
 
   val all: Map[String, String] = Map(
+    "rel_lateral" ->
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin,
+
+    "rel_corr_regr" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |       ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |       ROUND(COVAR_POP(l_quantity, l_extendedprice), 2) AS covar,
+        |       ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS slope,
+        |       ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 2) AS intercept
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "rel_gaps_islands" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |runs AS (SELECT user_id,
+        |                d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+        |                    AS INTEGER) AS anchor
+        |         FROM days),
+        |islands AS (SELECT user_id, anchor, CAST(COUNT(*) AS BIGINT) AS len
+        |            FROM runs GROUP BY user_id, anchor)
+        |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+        |       CAST(COUNT(*) AS BIGINT) AS n_islands,
+        |       CAST(MAX(len) AS BIGINT) AS longest_streak
+        |FROM islands
+        |WHERE user_id % 7 = 0
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "rel_unpivot" ->
+      """WITH w AS (SELECT o_orderpriority,
+        |                  ROUND(SUM(o_totalprice), 2) AS total_price,
+        |                  ROUND(AVG(o_totalprice), 2) AS avg_price,
+        |                  CAST(COUNT(*) AS DOUBLE) AS n_orders
+        |           FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, metric, value FROM (
+        |  SELECT o_orderpriority, 'total_price' AS metric, total_price AS value FROM w
+        |  UNION ALL
+        |  SELECT o_orderpriority, 'avg_price', avg_price FROM w
+        |  UNION ALL
+        |  SELECT o_orderpriority, 'n_orders', n_orders FROM w)
+        |ORDER BY o_orderpriority, metric""".stripMargin,
+
+    "rel_mode" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity, CAST(COUNT(*) AS BIGINT) AS cnt
+        |           FROM lineitem GROUP BY l_returnflag, l_quantity),
+        |m AS (SELECT l_returnflag, MAX(cnt) AS max_cnt FROM c GROUP BY l_returnflag)
+        |SELECT c.l_returnflag, MIN(c.l_quantity) AS mode_quantity,
+        |       CAST(MIN(c.max_cnt) AS BIGINT) AS mode_count
+        |FROM (SELECT c.*, m.max_cnt FROM c JOIN m USING (l_returnflag)
+        |      WHERE c.cnt = m.max_cnt) c
+        |GROUP BY c.l_returnflag
+        |ORDER BY c.l_returnflag""".stripMargin,
+
     // direct full aggregate — the Spark side merges base+delta partials,
     // so equality proves partial-merge ≡ recompute. avg divides the
     // 4dp-rounded sum, mirroring the Spark column exactly.

@@ -656,7 +656,94 @@ object RelationalQueries {
       .orderBy(col("event_type"))
   }
 
+  /** LATERAL correlated subquery — top-2 customers per nation through the
+    * SQL face. Catalyst rewrites the LATERAL into a join + per-key limit
+    * (the same WindowGroupLimit family as [[topkPerGroup]]), so the
+    * per-nation LIMIT never materializes a full per-nation sort at scale. */
+  def lateralTopPerKey(spark: SparkSession, dir: String): DataFrame = {
+    Tables.nation(spark, dir).createOrReplaceTempView("v_nation")
+    Tables.customer(spark, dir).createOrReplaceTempView("v_customer")
+    spark.sql(
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal
+        |FROM v_nation n,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM v_customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin)
+  }
+
+  /** Bivariate statistics per group: correlation, population covariance,
+    * and the least-squares fit (slope/intercept) of extendedprice on
+    * quantity — single-pass mergeable moment sketches (no per-group sort),
+    * the same partial/final shape as any hash aggregate at 100 TB. */
+  def corrRegr(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(covar_pop(col("l_quantity"), col("l_extendedprice")), 2).as("covar"),
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 2).as("intercept"))
+      .orderBy(col("l_returnflag"))
+
+  /** Gaps-and-islands: per-user runs of consecutive active days. The
+    * classic anchor-date trick (day − row_number is constant within a
+    * run) makes islands a plain two-level keyed aggregation — one shuffle
+    * on user_id, no self-join, no iteration. */
+  def gapsIslands(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    val islands = days
+      .withColumn("anchor", date_sub(col("d"), row_number().over(w)))
+      .groupBy(col("user_id"), col("anchor"))
+      .agg(count(lit(1)).as("len"))
+    islands.groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_islands"),
+        max(col("len")).as("longest_streak"))
+      .filter(col("user_id") % 7 === 0)
+      .orderBy(col("user_id"))
+  }
+
+  /** UNPIVOT (wide → long): per-priority aggregates melted to (metric,
+    * value) rows via stack() — the inverse of [[pivot]]; a zero-shuffle
+    * Expand over the aggregated (tiny) frame. */
+  def unpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(round(sum(col("o_totalprice")), 2).as("total_price"),
+        round(avg(col("o_totalprice")), 2).as("avg_price"),
+        count(lit(1)).cast("double").as("n_orders"))
+      .select(col("o_orderpriority"),
+        expr("stack(3, 'total_price', total_price, 'avg_price', avg_price, " +
+          "'n_orders', n_orders) AS (metric, value)"))
+      .orderBy(col("o_orderpriority"), col("metric"))
+
+  /** Deterministic MODE per group — most frequent value, smallest value on
+    * ties (Spark's and DuckDB's built-in mode() are both tie-arbitrary, so
+    * the portable form is the two-level max-count-then-min-value, the same
+    * argmax idiom as dedup_canonical). */
+  def modePerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+    val m = c.groupBy(col("l_returnflag")).agg(max(col("cnt")).as("max_cnt"))
+    c.join(m, "l_returnflag")
+      .filter(col("cnt") === col("max_cnt"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("l_quantity")).as("mode_quantity"),
+        first(col("max_cnt")).as("mode_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_lateral" -> lateralTopPerKey,
+    "rel_corr_regr" -> corrRegr,
+    "rel_gaps_islands" -> gapsIslands,
+    "rel_unpivot" -> unpivot,
+    "rel_mode" -> modePerGroup,
     "rel_incremental_agg" -> incrementalAgg,
     "rel_fuzzy_join" -> fuzzyJoin,
     "rel_profile" -> profile,

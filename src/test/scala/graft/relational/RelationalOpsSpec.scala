@@ -1,0 +1,99 @@
+package graft.relational
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** Behavior checks for the round-4 relational additions (the oracle gate
+  * proves cross-engine equality; these pin the semantics). */
+class RelationalOpsSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("lateral top-per-key equals the window-rank formulation") {
+    val lateral = RelationalQueries.lateralTopPerKey(spark, sf).collect()
+    assert(lateral.nonEmpty)
+    // reference formulation: row_number over (nation) on the joined frame
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val windowed = graft.sources.Tables.customer(spark, sf)
+      .join(graft.sources.Tables.nation(spark, sf),
+        col("c_nationkey") === col("n_nationkey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select(col("n_name"), col("c_custkey"), col("c_acctbal"))
+      .orderBy(col("n_name"), col("c_acctbal").desc, col("c_custkey"))
+      .collect()
+    assert(lateral.toSeq == windowed.toSeq,
+      "LATERAL limit-per-key must equal window top-k")
+    // every nation contributes at most 2 rows
+    lateral.groupBy(_.getString(0)).foreach { case (_, rs) => assert(rs.length <= 2) }
+  }
+
+  test("gaps-islands: island arithmetic is internally consistent") {
+    val rows = RelationalQueries.gapsIslands(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (days, islands, longest) =
+        (r.getAs[Long]("n_active_days"), r.getAs[Long]("n_islands"),
+          r.getAs[Long]("longest_streak"))
+      assert(islands >= 1 && islands <= days)
+      assert(longest >= 1 && longest <= days)
+      // pigeonhole: islands * longest >= days requires longest >= days/islands
+      assert(longest * islands >= days,
+        s"user ${r.getAs[Long]("user_id")}: max streak too small for day count")
+    }
+  }
+
+  test("gaps-islands: hand-built fixture splits runs exactly at gaps") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "2024-01-01"), (1L, "2024-01-02"), (1L, "2024-01-03"),
+      (1L, "2024-01-05"), // gap -> new island
+      (2L, "2024-02-10"), (2L, "2024-02-12"), (2L, "2024-02-14"))
+      .toDF("user_id", "ds").select(col("user_id"), to_date(col("ds")).as("d"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    val islands = fixture.distinct()
+      .withColumn("anchor", date_sub(col("d"), row_number().over(w)))
+      .groupBy(col("user_id"), col("anchor")).agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"), max(col("len")).as("longest"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(islands(1L) == ((2L, 3L)), "user 1: runs {1-3},{5}")
+    assert(islands(2L) == ((3L, 1L)), "user 2: alternate days never merge")
+  }
+
+  test("unpivot emits one row per (group, metric) and inverts the wide frame") {
+    val long = RelationalQueries.unpivot(spark, sf).collect()
+    val groups = long.map(_.getString(0)).distinct
+    assert(long.length == groups.length * 3)
+    val byMetric = long.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(byMetric == Map("total_price" -> groups.length,
+      "avg_price" -> groups.length, "n_orders" -> groups.length))
+    // n_orders values match a direct count
+    val direct = graft.sources.Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    long.filter(_.getString(1) == "n_orders").foreach { r =>
+      assert(r.getDouble(2) == direct(r.getString(0)))
+    }
+  }
+
+  test("mode: returned value is a true maximizer, smallest among ties") {
+    val modes = RelationalQueries.modePerGroup(spark, sf).collect()
+    val counts = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"), col("l_quantity")).count().collect()
+      .groupBy(_.getString(0))
+    modes.foreach { r =>
+      val (flag, v, c) =
+        (r.getString(0), r.getDouble(1), r.getAs[Long]("mode_count"))
+      val grp = counts(flag).map(x => x.getDouble(1) -> x.getLong(2)).toMap
+      val maxCnt = grp.values.max
+      assert(c == maxCnt, s"$flag: mode count")
+      assert(grp(v) == maxCnt, s"$flag: value $v is not a maximizer")
+      assert(grp.filter(_._2 == maxCnt).keys.min == v, s"$flag: tie-break")
+    }
+  }
+}
