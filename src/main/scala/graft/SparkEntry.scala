@@ -90,6 +90,10 @@ object SparkEntry {
     "transit_gtfs_q4" -> ((s, dir) =>
       Queries.q4ServiceFrequency(
         graft.sources.GtfsWriter.roundtrip(s, dir), ServiceFilter.Weekday)),
+    "transit_headways" -> ((s, dir) =>
+      Queries.headways(TransitTables.fromTpch(s, dir))),
+    "transit_reachability" -> ((s, dir) =>
+      Queries.reachability(TransitTables.fromTpch(s, dir), 42L)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -119,6 +123,8 @@ object SparkEntry {
     // the round trip is lossless for everything Q4 touches, so the oracle
     // is exactly the direct-path Q4 weekday SQL
     "transit_gtfs_q4" -> TransitOracles.q4Weekday,
+    "transit_headways" -> TransitOracles.headways,
+    "transit_reachability" -> TransitOracles.reachability(42L),
   ) ++ graft.relational.RelationalOracles.all ++
     graft.text.TextOracles.all ++
     graft.dedup.DedupOracles.all ++

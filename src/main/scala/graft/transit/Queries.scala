@@ -329,4 +329,53 @@ object Queries {
       .orderBy(col("total_daily_trips").desc, col("route_id"))
       .transform(limit.apply)
   }
+
+  /** Headway analysis — the service-quality metric every transit agency
+    * computes: per (route, stop), gaps between consecutive departures of
+    * one service day, rolled up per route. One keyed window (lag) + one
+    * hash agg; the window partitions on (route, stop) so no key is ever a
+    * whole-feed sort — at 100 TB of stop_times this shuffles once on the
+    * composite key and aggregates map-side after. Gap values are diffs of
+    * the sorted multiset, so tie order cannot change the result. */
+  def headways(t: TransitTables, service: ServiceFilter = ServiceFilter.Weekday): DataFrame = {
+    val st = t.stopTimes.select(col("trip_id"), col("stop_id"), col("dep_secs"))
+      .join(t.trips.filter(col("service_id") === service.sid.get)
+        .select("trip_id", "route_id"), "trip_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("route_id"), col("stop_id"))
+      .orderBy(col("dep_secs"), col("trip_id"))
+    st.withColumn("prev", lag(col("dep_secs"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("route_id"), (col("dep_secs") - col("prev")).as("gap"))
+      .groupBy(col("route_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(avg(col("gap")), 2).as("avg_headway_s"),
+        min(col("gap")).as("min_headway_s"),
+        max(col("gap")).as("max_headway_s"))
+      .orderBy(col("route_id"))
+  }
+
+  /** Transfer reachability — stops reachable from an origin within ≤2
+    * rides, labeled with the minimum ride count (0 = origin). BFS over the
+    * bipartite stop–route incidence expressed as alternating distinct
+    * semi-join expansions: frontier(stops) → routes → stops. Each hop is
+    * one equi-join + distinct on 8-byte keys — never an edge-list
+    * materialization; deeper horizons iterate the same two joins with
+    * localCheckpoint between rounds (the [[graft.dedup.Dedup]] fixpoint
+    * pattern). */
+  def reachability(t: TransitTables, origin: Any): DataFrame = {
+    val sr = t.stopTimes.select(col("stop_id"), col("trip_id"))
+      .join(t.trips.select("trip_id", "route_id"), "trip_id")
+      .select(col("stop_id"), col("route_id")).distinct()
+    val r0 = sr.filter(col("stop_id") === origin).select("route_id").distinct()
+    val s1 = sr.join(r0, "route_id").select("stop_id").distinct()
+    val r1 = sr.join(s1, "stop_id").select("route_id").distinct()
+    val s2 = sr.join(r1, "route_id").select("stop_id").distinct()
+    s2.join(s1.withColumn("one_ride", lit(1)), Seq("stop_id"), "left")
+      .select(col("stop_id"),
+        when(col("stop_id") === origin, lit(0))
+          .when(col("one_ride") === 1, lit(1))
+          .otherwise(lit(2)).as("min_rides"))
+      .orderBy(col("stop_id"))
+  }
 }

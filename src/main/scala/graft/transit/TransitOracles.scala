@@ -329,6 +329,40 @@ object TransitOracles {
        |GROUP BY r.route_long_name, t.trip_headsign
        |ORDER BY route_long_name, trip_headsign""".stripMargin
 
+  val headways: String =
+    s"""$P
+       |, joined AS (
+       |  SELECT t.route_id, st.stop_id, st.dep_secs, st.trip_id
+       |  FROM stop_times st JOIN trips t ON t.trip_id = st.trip_id
+       |  WHERE t.service_id = '1'),
+       |gaps AS (
+       |  SELECT route_id,
+       |         dep_secs - lag(dep_secs) OVER (PARTITION BY route_id, stop_id
+       |           ORDER BY dep_secs, trip_id) AS gap
+       |  FROM joined)
+       |SELECT route_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       |       round(AVG(gap), 2) AS avg_headway_s,
+       |       CAST(MIN(gap) AS BIGINT) AS min_headway_s,
+       |       CAST(MAX(gap) AS BIGINT) AS max_headway_s
+       |FROM gaps WHERE gap IS NOT NULL
+       |GROUP BY route_id
+       |ORDER BY route_id""".stripMargin
+
+  def reachability(origin: Long): String =
+    s"""$P
+       |, sr AS (
+       |  SELECT DISTINCT st.stop_id, t.route_id
+       |  FROM stop_times st JOIN trips t ON t.trip_id = st.trip_id),
+       |r0 AS (SELECT DISTINCT route_id FROM sr WHERE stop_id = $origin),
+       |s1 AS (SELECT DISTINCT stop_id FROM sr JOIN r0 USING (route_id)),
+       |r1 AS (SELECT DISTINCT route_id FROM sr JOIN s1 USING (stop_id)),
+       |s2 AS (SELECT DISTINCT stop_id FROM sr JOIN r1 USING (route_id))
+       |SELECT s2.stop_id,
+       |       CASE WHEN s2.stop_id = $origin THEN 0
+       |            WHEN s1.stop_id IS NOT NULL THEN 1 ELSE 2 END AS min_rides
+       |FROM s2 LEFT JOIN s1 ON s2.stop_id = s1.stop_id
+       |ORDER BY s2.stop_id""".stripMargin
+
   def arrivalsGrouped(stopId: Long): String =
     s"""$P
        |SELECT r.route_short_name, t.trip_headsign,

@@ -110,6 +110,24 @@ class QueriesSpec extends SparkSpec {
     assert(got.head == Seq("KING", 5L, "8:1 | 9:1 | 10:1 | 11:1 | 14:1"))
   }
 
+  test("headways: hand-computed gaps per route on the micro-feed") {
+    // service-1 departures — R1/KING: A {8:00,9:00,14:00}, HUB {8:05,9:06},
+    // B {8:10,9:12,14:20}; R2/QUEEN: HUB {12:00,13:00}; R3: single trip (no gap)
+    val got = rows(Queries.headways(t),
+      "route_id", "n_gaps", "avg_headway_s", "min_headway_s", "max_headway_s")
+    assert(got == Seq(
+      Seq("R1", 5L, (3600 + 18000 + 3660 + 3720 + 18480) / 5.0, 3600L, 18480L),
+      Seq("R2", 1L, 3600.0, 3600L, 3600L)))
+  }
+
+  test("reachability: BFS hop labels on the micro-feed, isolated stop excluded") {
+    // from A: ride R1 to {A,HUB,B}; transfer at HUB to R2/R3 for {C,D};
+    // E has no service at all -> absent
+    val got = rows(Queries.reachability(t, "A"), "stop_id", "min_rides")
+    assert(got == Seq(
+      Seq("A", 0), Seq("B", 1), Seq("C", 2), Seq("D", 2), Seq("HUB", 1)))
+  }
+
   test("param sanitization mirrors the reference API") {
     assert(ServiceFilter.fromParam(Some("2")) == ServiceFilter.Saturday)
     assert(ServiceFilter.fromParam(Some("4")) == ServiceFilter.WholeWeek)
