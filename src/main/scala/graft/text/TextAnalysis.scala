@@ -294,29 +294,35 @@ object TextAnalysis {
     * carries (doc_id, gram_hash, count) — never text. Thresholds follow the
     * Gopher paper's shape (top-bigram share, duplicate n-gram fraction). */
   def repetition(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(spark, dir).select(
+    // both gram sizes ride ONE scan + ONE explode: each gram carries its
+    // size as a marker column, so the corpus tokenizes exactly once
+    val grams = Tables.documents(spark, dir).select(
       col("doc_id"),
-      TextHash.let(TextHash.tokenHashes(col("text")))(th => struct(
-        TextHash.shingleHashes(th, 2).as("bg"),
-        TextHash.shingleHashes(th, 3).as("tg"))).as("g"))
-    def gramStats(gramCol: String, extra: (String, Column => Column)*) = {
-      val counts = base.select(col("doc_id"), explode(col(s"g.$gramCol")).as("gram"))
-        .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
-      counts.groupBy(col("doc_id")).agg(
-        sum(col("c")).as(s"n_$gramCol"),
-        extra.map { case (n, f) => f(col("c")).as(n) }: _*)
-    }
-    val bg = gramStats("bg", "top_bg" -> (c => max(c)))
-    val tg = gramStats("tg", "n_distinct_tg" -> (_ => count(lit(1))))
-    bg.join(tg, Seq("doc_id"), "full_outer")
-      .select(col("doc_id"),
-        coalesce(col("n_bg"), lit(0L)).as("n_bigrams"),
-        coalesce(col("top_bg"), lit(0L)).as("top_bigram_count"),
-        round(coalesce(col("top_bg").cast("double") / col("n_bg"), lit(0.0)), 4)
-          .as("top_bigram_share"),
-        coalesce(col("n_tg"), lit(0L)).as("n_trigrams"),
-        round(coalesce(lit(1.0) - col("n_distinct_tg").cast("double") / col("n_tg"),
-          lit(0.0)), 4).as("trigram_repeat_ratio"))
+      explode(TextHash.let(
+        graft.functions.GraftFunctions.tokenHashes(spark, col("text")))(th =>
+        concat(
+          transform(TextHash.shingleHashes(th, 2),
+            x => struct(lit(2).as("n"), x.as("gram"))),
+          transform(TextHash.shingleHashes(th, 3),
+            x => struct(lit(3).as("n"), x.as("gram")))))).as("e"))
+      .select(col("doc_id"), col("e.n").as("n"), col("e.gram").as("gram"))
+    val stats = grams.groupBy(col("doc_id"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(sum(col("c")).as("tot"), max(col("c")).as("top"),
+        count(lit(1)).as("nd"))
+    stats.groupBy(col("doc_id"))
+      .agg(
+        coalesce(max(when(col("n") === 2, col("tot"))), lit(0L)).as("n_bigrams"),
+        coalesce(max(when(col("n") === 2, col("top"))), lit(0L)).as("top_bigram_count"),
+        coalesce(max(when(col("n") === 3, col("tot"))), lit(0L)).as("n_trigrams"),
+        max(when(col("n") === 3, col("nd"))).as("n_distinct_tg"))
+      .select(col("doc_id"), col("n_bigrams"), col("top_bigram_count"),
+        round(coalesce(col("top_bigram_count").cast("double") /
+          nullif(col("n_bigrams"), lit(0L)), lit(0.0)), 4).as("top_bigram_share"),
+        col("n_trigrams"),
+        round(coalesce(lit(1.0) - col("n_distinct_tg").cast("double") /
+          nullif(col("n_trigrams"), lit(0L)), lit(0.0)), 4).as("trigram_repeat_ratio"))
       .withColumn("repetition_flag",
         when(col("top_bigram_share") > 0.05 || col("trigram_repeat_ratio") > 0.05,
           lit("repetitive")).otherwise(lit("ok")))
