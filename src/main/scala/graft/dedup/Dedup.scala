@@ -328,10 +328,14 @@ object Dedup {
     val score = round(
       (size(array_distinct(toks)).cast("double") / size(toks)) *
         log(lit(1.0) + size(toks)), 6)
-    val scored = Tables.documents(spark, dir)
-      .select(col("doc_id"), score.as("score"))
-    val j = clusters(spark, dir).select("doc_id", "cluster_id")
-      .join(scored, "doc_id")
+    // Join the corpus to the (small) membership frame BEFORE scoring:
+    // tokenization+scoring runs only over cluster members — the near-dup
+    // subset — not the whole corpus. At 100 TB the membership broadcast
+    // turns this into a map-side semi-join on the scan.
+    val members = clusters(spark, dir).select("doc_id", "cluster_id")
+    val j = Tables.documents(spark, dir)
+      .join(broadcast(members), "doc_id")
+      .select(col("doc_id"), col("cluster_id"), score.as("score"))
     val best = j.groupBy("cluster_id")
       .agg(max(col("score")).as("best_score"), count(lit(1)).as("n_members"))
     j.join(best, "cluster_id")
