@@ -72,17 +72,32 @@ object Similarity {
   /** IVF-style coarse quantization: cell = argmax_j dot(v, centroid_j)
     * over [[IvfCells]] deterministic pseudo-centroids
     * (centroid j, dim i: ((i·13 + j·29) % 15 − 7) / 10). */
-  def ivfCell(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val dots = (0 until IvfCells).map { j =>
+  private def ivfDots(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array((0 until IvfCells).map { j =>
       aggregate(
         transform(sequence(lit(1), lit(64)),
           i => (((i * 13 + lit(j * 29)) % 15 - 7).cast("double") / 10.0) *
             element_at(v, i).cast("double")),
         lit(0.0), (s, x) => s + x)
-    }
+    }: _*)
+
+  def ivfCell(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     // first index of the max dot (1-based array_position), ties → lowest j
-    let(array(dots: _*))(ds => array_position(ds, array_max(ds)) - 1)
-  }
+    let(ivfDots(v))(ds => array_position(ds, array_max(ds)) - 1)
+
+  /** The query's top-2 coarse cells (argmax and runner-up centroid dot) —
+    * the nprobe dial: mask the winning position to −1e308, argmax again.
+    * Ties resolve to the lowest cell index in both engines (first-match
+    * array_position / list_position). */
+  def ivfTop2(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    let(ivfDots(v)) { ds =>
+      let(array_position(ds, array_max(ds))) { p1 =>
+        let(transform(sequence(lit(1), lit(IvfCells)),
+          i => when(i.cast("long") === p1, lit(-1e308)).otherwise(element_at(ds, i)))) { m =>
+          array(p1 - 1, array_position(m, array_max(m)) - 1)
+        }
+      }
+    }
 
   /** IVF ANN: candidates restricted to the query's coarse cell (nprobe=1;
     * production probes the top-n cells by centroid dot). Same shape as
@@ -96,6 +111,29 @@ object Similarity {
     val q = e.filter(col("vec_id") < QuerySet)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         col("nrm").as("qn"), col("cell"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+      col("nrm").as("cn"), col("cell"))
+    ranked(q.join(c, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (graft.functions.GraftFunctions.dot(spark, col("qv"), col("cv")) /
+          (col("qn") * col("cn"))).as("raw")))
+  }
+
+  /** IVF with nprobe=2: every query probes its top-2 coarse cells — the
+    * standard IVF recall dial (recall ⊇ nprobe=1 by construction; the
+    * spec asserts it against [[knnBrute]]). Candidates still live in
+    * exactly one cell, so the probe explode doubles the query-side rows
+    * only; the join stays a cell-keyed equi-join. */
+  def annIvfNprobe(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(
+      col("vec_id"), col("embedding"),
+      graft.functions.GraftFunctions.l2norm(spark, col("embedding")).as("nrm"),
+      ivfCell(col("embedding")).as("cell"))
+    val q = Tables.embeddings(spark, dir).filter(col("vec_id") < QuerySet)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        graft.functions.GraftFunctions.l2norm(spark, col("embedding")).as("qn"),
+        explode(ivfTop2(col("embedding"))).as("cell"))
     val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"),
       col("nrm").as("cn"), col("cell"))
     ranked(q.join(c, Seq("cell"))
@@ -332,6 +370,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_kmeans_update" -> kmeansUpdate,
+    "sim_ann_ivf_nprobe" -> annIvfNprobe,
     "sim_knn_brute" -> knnBrute,
     "sim_ann_lsh" -> annLsh,
     "sim_ann_lsh_multiprobe" -> annLshMultiprobe,
@@ -390,6 +429,37 @@ object SimilarityOracles {
          |         ${TextHashSql.cosine("q.embedding", "c.embedding")} AS raw
          |  FROM e q JOIN e c ON q.cell = c.cell AND q.vec_id <> c.vec_id
          |  WHERE q.vec_id < ${Similarity.QuerySet})""".stripMargin)
+  }
+
+  val annIvfNprobe: String = {
+    val dots = (0 until Similarity.IvfCells).map { j =>
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), " +
+        s"i -> (CAST((i*13 + ${j * 29}) % 15 - 7 AS DOUBLE) / 10.0) * " +
+        s"CAST(embedding[i] AS DOUBLE))), (s, x) -> s + x)"
+    }
+    rankedSql(
+      s"""WITH d AS (
+         |  SELECT vec_id, embedding, [${dots.mkString(",\n    ")}] AS ds
+         |  FROM embeddings),
+         |e AS (
+         |  SELECT vec_id, embedding,
+         |         list_position(ds, list_aggregate(ds, 'max')) - 1 AS cell
+         |  FROM d),
+         |qm AS (
+         |  SELECT vec_id, embedding,
+         |         list_position(ds, list_aggregate(ds, 'max')) AS p1,
+         |         list_transform(range(1, ${Similarity.IvfCells + 1}),
+         |           i -> CASE WHEN i = list_position(ds, list_aggregate(ds, 'max'))
+         |                     THEN -1e308 ELSE ds[i] END) AS m
+         |  FROM d WHERE vec_id < ${Similarity.QuerySet}),
+         |qp AS (
+         |  SELECT vec_id, embedding,
+         |         unnest([p1 - 1, list_position(m, list_aggregate(m, 'max')) - 1]) AS cell
+         |  FROM qm),
+         |s AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |         ${TextHashSql.cosine("q.embedding", "c.embedding")} AS raw
+         |  FROM qp q JOIN e c ON q.cell = c.cell AND q.vec_id <> c.vec_id)""".stripMargin)
   }
 
   val annLshMultiprobe: String = {
@@ -543,6 +613,7 @@ object SimilarityOracles {
 
   val all: Map[String, String] = Map(
     "sim_kmeans_update" -> kmeansUpdate,
+    "sim_ann_ivf_nprobe" -> annIvfNprobe,
     "sim_knn_brute" -> knnBrute,
     "sim_ann_lsh" -> annLsh,
     "sim_ann_lsh_multiprobe" -> annLshMultiprobe,

@@ -24,6 +24,7 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     val lsh = recall(neighborSets(Similarity.annLsh(spark, sf)))
     val multi = recall(neighborSets(Similarity.annLshMultiprobe(spark, sf)))
     val ivf = recall(neighborSets(Similarity.annIvf(spark, sf)))
+    val ivf2 = recall(neighborSets(Similarity.annIvfNprobe(spark, sf)))
     // deterministic data + deterministic buckets → these are fixed numbers
     // (observed: lsh=0.12, ivf=0.30 at sf0.01); floors sit under them.
     // Synthetic embeddings are unclustered, which is the worst case for
@@ -34,7 +35,9 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     // Hamming-1 multi-probe strictly widens the candidate set, so its
     // recall can only improve on single-probe
     assert(multi >= lsh, s"multiprobe $multi < single $lsh")
-    info(f"recall@5: lsh=$lsh%.2f multiprobe=$multi%.2f ivf=$ivf%.2f")
+    // nprobe=2 probes a superset of nprobe=1's single cell
+    assert(ivf2 >= ivf, s"nprobe=2 $ivf2 < nprobe=1 $ivf")
+    info(f"recall@5: lsh=$lsh%.2f multiprobe=$multi%.2f ivf=$ivf%.2f nprobe2=$ivf2%.2f")
   }
 
   test("PQ codes are valid and ADC ranking recalls true neighbors") {
