@@ -266,7 +266,38 @@ object Streams {
       .start()
   }
 
+  /** Distinct users per (hour, type) — written once, both modes. Exact
+    * distinct is not incrementally mergeable in append mode, so the
+    * streaming form composes watermarked dropDuplicates over (window,
+    * type, user) — one state row per distinct key, evicted with the
+    * watermark — with a plain count; the batch form is count_distinct.
+    * At scale this is the standard two-stage distinct: the dedup state
+    * shuffle is keyed by the full composite, the count rides the same
+    * partitioning. (approx_count_distinct swaps in when ±2% is allowed —
+    * see rel_approx_agg.) */
+  def hourlyUsers(events: DataFrame): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", "2 hours")
+        .select(window(col("ts"), "1 hour").as("w"), col("event_type"),
+          col("user_id"))
+        .dropDuplicates("w", "event_type", "user_id")
+        .groupBy(col("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n_users"))
+    else
+      events
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n_users"))
+
+  def hourlyUsersBatch(spark: SparkSession, dir: String): DataFrame =
+    hourlyUsers(Tables.events(spark, dir))
+      .orderBy("window_start", "event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_hourly_users" -> hourlyUsersBatch,
     "stream_enriched" -> enrichedBatch,
     "stream_hourly_by_type" -> hourlyBatch,
     "stream_sessions" -> sessionsBatch,
@@ -331,7 +362,14 @@ object StreamOracles {
       |GROUP BY 1, 2
       |ORDER BY window_start, c_mktsegment""".stripMargin
 
+  val hourlyUsers: String =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin
+
   val all: Map[String, String] = Map(
+    "stream_hourly_users" -> hourlyUsers,
     "stream_enriched" -> enriched,
     "stream_hourly_by_type" -> hourlyBatch,
     "stream_sessions" -> sessionsBatch,

@@ -33,6 +33,29 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.size == 4) // (h0:click), (h1:click), (h1:view), (h2:view)
   }
 
+  test("streaming distinct-users (dedup+count) equals batch count_distinct") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // user 7 appears twice in hour 1 (dedup must collapse), and again in
+    // hour 2 (a NEW distinct key there); user 8 only in hour 1
+    val rows = Seq(
+      (ts(65), "click", 7L), (ts(80), "click", 7L), (ts(70), "click", 8L),
+      (ts(125), "click", 7L), (ts(130), "view", 8L))
+    val stream = MemoryStream[(Timestamp, String, Long)]
+    stream.addData(rows: _*)
+    val sdf = stream.toDF.toDF("ts", "event_type", "user_id")
+    val q = hourlyUsers(sdf).writeStream
+      .format("memory").queryName("husers_test").outputMode("complete").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("husers_test")
+      .orderBy("window_start", "event_type").collect().toSeq
+    val batch = hourlyUsers(rows.toDF("ts", "event_type", "user_id"))
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(streamed == batch)
+    val counts = streamed.map(r => r.getString(1) -> r.getLong(2))
+    assert(counts == Seq("click" -> 2L, "click" -> 1L, "view" -> 1L))
+  }
+
   test("flatMapGroupsWithState sessionization equals batch sessionization") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
