@@ -27,6 +27,45 @@ object RelationalOracles {
       "substr(c_name, length(c_name) - 1, 1))"
 
   val all: Map[String, String] = Map(
+    "rel_upsert" ->
+      """WITH snap AS (SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
+        |              FROM customer),
+        |changes AS (
+        |  SELECT k, seg AS c_seg, bal + 100.0 AS c_bal, FALSE AS deleted
+        |  FROM snap WHERE k % 10 = 3
+        |  UNION ALL
+        |  SELECT k, seg, bal, TRUE FROM snap WHERE k % 10 = 4
+        |  UNION ALL
+        |  SELECT k + 1000000, seg, 500.0, FALSE FROM snap WHERE k % 100 = 7),
+        |merged AS (
+        |  SELECT COALESCE(c.c_seg, s.seg) AS seg,
+        |         COALESCE(c.c_bal, s.bal) AS bal,
+        |         c.deleted IS NOT NULL AS was_changed
+        |  FROM snap s FULL OUTER JOIN changes c ON s.k = c.k
+        |  WHERE COALESCE(c.deleted, FALSE) = FALSE)
+        |SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(CASE WHEN was_changed THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |       ROUND(SUM(bal), 2) AS total_bal
+        |FROM merged GROUP BY seg ORDER BY seg""".stripMargin,
+
+    "rel_scd2" ->
+      """WITH v AS (
+        |  SELECT o_custkey AS custkey, o_orderkey AS version_key,
+        |         CAST(o_orderdate AS DATE) AS valid_from
+        |  FROM orders WHERE o_custkey % 211 = 0),
+        |iv AS (
+        |  SELECT custkey, version_key, valid_from,
+        |         lead(valid_from) OVER (PARTITION BY custkey
+        |           ORDER BY valid_from, version_key) AS valid_to
+        |  FROM v)
+        |SELECT custkey, version_key,
+        |       CAST(valid_from AS VARCHAR) AS valid_from,
+        |       CAST(valid_to AS VARCHAR) AS valid_to,
+        |       valid_to IS NULL AS is_current,
+        |       CAST(valid_to - valid_from AS INTEGER) AS days_valid
+        |FROM iv
+        |ORDER BY custkey, valid_from, version_key""".stripMargin,
+
     "rel_lateral" ->
       """SELECT n.n_name, t.c_custkey, t.c_acctbal
         |FROM nation n,

@@ -738,7 +738,73 @@ object RelationalQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Snapshot upsert (MERGE semantics without a table format): apply a
+    * changeset — updates, inserts, and tombstone deletes — to a snapshot
+    * with ONE full-outer join on the key, coalescing changed columns.
+    * This is the Delta/Iceberg MERGE INTO re-expressed as a plain plan:
+    * at 100 TB both sides shuffle once on the key (or co-locate via
+    * bucketing, X29) and the output is the new snapshot. Changeset here:
+    * customers with custkey%10==3 get a balance bump (update), %10==4 are
+    * tombstoned (delete), and synthetic keys above the max are inserts.
+    * Output is a per-segment summary so the result stays small. */
+  def upsert(spark: SparkSession, dir: String): DataFrame = {
+    val snap = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+        col("c_acctbal").as("bal"))
+    // change-side columns renamed up front: the changeset derives from the
+    // snapshot, so distinct names (not dataset-apply disambiguation) keep
+    // the self-join unambiguous
+    val changes = snap
+      .filter(col("k") % 10 === 3)
+      .select(col("k"), col("seg").as("c_seg"), (col("bal") + 100.0).as("c_bal"),
+        lit(false).as("deleted"))
+      .unionByName(snap.filter(col("k") % 10 === 4)
+        .select(col("k"), col("seg").as("c_seg"), col("bal").as("c_bal"),
+          lit(true).as("deleted")))
+      .unionByName(snap.filter(col("k") % 100 === 7) // inserts: shifted keys
+        .select((col("k") + 1000000L).as("k"), col("seg").as("c_seg"),
+          lit(500.0).as("c_bal"), lit(false).as("deleted")))
+    snap.join(changes, Seq("k"), "full_outer")
+      .filter(coalesce(col("deleted"), lit(false)) === false)
+      .select(
+        col("k"),
+        coalesce(col("c_seg"), col("seg")).as("seg"),
+        coalesce(col("c_bal"), col("bal")).as("bal"),
+        col("deleted").isNotNull.as("was_changed"))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("was_changed"), 1L).otherwise(0L)).as("n_changed"),
+        round(sum(col("bal")), 2).as("total_bal"))
+      .orderBy(col("seg"))
+  }
+
+  /** SCD Type-2 interval build: each customer's order dates become
+    * validity intervals [valid_from, valid_to) via one lead() window —
+    * the slowly-changing-dimension construction every warehouse runs.
+    * Current rows carry NULL valid_to. Output: interval rows for a
+    * deterministic key sample, plus each interval's length in days. */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("custkey"))
+      .orderBy(col("valid_from"), col("version_key"))
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") % 211 === 0)
+      .select(col("o_custkey").as("custkey"), col("o_orderkey").as("version_key"),
+        to_date(col("o_orderdate")).as("valid_from"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .orderBy(col("custkey"), col("valid_from"), col("version_key"))
+      // dates leave as ISO strings: a raw DATE column round-trips through
+      // the two engines' client layers with different renderings
+      .select(col("custkey"), col("version_key"),
+        col("valid_from").cast("string").as("valid_from"),
+        col("valid_to").cast("string").as("valid_to"),
+        when(col("valid_to").isNull, lit(true)).otherwise(lit(false))
+          .as("is_current"),
+        datediff(col("valid_to"), col("valid_from")).as("days_valid"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_upsert" -> upsert,
+    "rel_scd2" -> scd2,
     "rel_lateral" -> lateralTopPerKey,
     "rel_corr_regr" -> corrRegr,
     "rel_gaps_islands" -> gapsIslands,

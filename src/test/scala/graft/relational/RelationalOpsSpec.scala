@@ -81,6 +81,37 @@ class RelationalOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("upsert: deletes drop, updates bump, inserts add — row accounting exact") {
+    val snap = graft.sources.Tables.customer(spark, sf)
+    val total = snap.count()
+    val deleted = snap.filter(col("c_custkey") % 10 === 4).count()
+    val inserted = snap.filter(col("c_custkey") % 100 === 7).count()
+    val updated = snap.filter(col("c_custkey") % 10 === 3).count()
+    val out = RelationalQueries.upsert(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("n_rows")).sum == total - deleted + inserted)
+    assert(out.map(_.getAs[Long]("n_changed")).sum == updated + inserted)
+  }
+
+  test("scd2: intervals chain without overlap, exactly one current row per key") {
+    val rows = RelationalQueries.scd2(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("custkey")).foreach { case (k, rs) =>
+      val ordered = rs.sortBy(r =>
+        (r.getAs[String]("valid_from"), r.getAs[Long]("version_key")))
+      // exactly one open (current) interval, and it is the last one
+      assert(ordered.count(_.getAs[Boolean]("is_current")) == 1, s"key $k")
+      assert(ordered.last.getAs[Boolean]("is_current"), s"key $k")
+      // each interval closes where the next opens (no gaps, no overlap)
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[String]("valid_to") == b.getAs[String]("valid_from"),
+            s"key $k: interval chain broken")
+        case _ =>
+      }
+      ordered.init.foreach(r => assert(r.getAs[Int]("days_valid") >= 0))
+    }
+  }
+
   test("mode: returned value is a true maximizer, smallest among ties") {
     val modes = RelationalQueries.modePerGroup(spark, sf).collect()
     val counts = graft.sources.Tables.lineitem(spark, sf)
