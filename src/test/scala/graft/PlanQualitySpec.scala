@@ -202,6 +202,34 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(planWith("merge").contains("SortMergeJoin"))
   }
 
+  test("kmeans iteration: broadcast centroids, corpus never shuffles pre-agg") {
+    val p = plan("sim_kmeans_update")
+    // centroids broadcast to the corpus scan; the ONLY hash exchange is the
+    // K-group aggregate (plus its map-side partial)
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(800))
+    assert(p.contains("partial_count"), "no map-side partial aggregation")
+    // the corpus-side scan reads only the embedding column
+    val scans = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scans.exists(s => s.contains("embedding") && !s.contains("label")),
+      scans.mkString("\n"))
+  }
+
+  test("LATERAL per-key limit plans as partial+final WindowGroupLimit") {
+    val p = plan("rel_lateral")
+    // the per-nation LIMIT 2 must prune BEFORE the shuffle (Partial) and
+    // again after (Final) — never a global sort of the customer side
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"), p.take(800))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("reachability BFS expands via hash joins, never cartesian") {
+    val p = plan("transit_reachability")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(p.contains("Join"), p.take(300))
+  }
+
   test("sketch aggregates land within 5% of exact (HLL distinct, t-digest median)") {
     import org.apache.spark.sql.functions._
     val approx = SparkEntry.queries("rel_approx_agg")(spark, sf).collect()
