@@ -135,9 +135,33 @@ object Multimodal {
     }
   }
 
+  val ChunkLen = 400   // bytes per chunk
+  val ChunkStride = 300 // bytes between chunk starts (overlap = 100)
+
+  /** Overlapping fixed-stride chunking of audio payloads — the
+    * Whisper-style windowing a speech pipeline runs before inference:
+    * chunk i covers [i·stride, min(i·stride+len, n)); consecutive chunks
+    * overlap so no utterance straddles a boundary unseen. Pure integer
+    * math over the decoded byte length (explode-shaped narrow map, one
+    * output row per chunk); the tail chunk is partial and flagged. */
+  def audioChunks(spark: SparkSession, dir: String): DataFrame =
+    decodeFeatures(blobs(spark, dir)).toDF()
+      .filter(col("kind") === "audio")
+      .select(col("doc_id"), col("n_bytes"),
+        explode(sequence(lit(0L),
+          floor((col("n_bytes") - 1) / ChunkStride).cast("long"))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * ChunkStride).as("chunk_start"),
+        least(col("chunk_idx") * ChunkStride + ChunkLen, col("n_bytes"))
+          .as("chunk_end"))
+      .withColumn("is_partial",
+        col("chunk_end") - col("chunk_start") < ChunkLen)
+      .orderBy("doc_id", "chunk_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode" -> decode,
     "mm_frame_sample" -> frameSample,
+    "mm_audio_chunks" -> audioChunks,
     "mm_resize" -> resize)
 }
 
@@ -177,8 +201,22 @@ object MultimodalOracles {
        |FROM f
        |ORDER BY doc_id""".stripMargin
 
+  val audioChunks: String = {
+    val l = Multimodal.ChunkLen
+    val s = Multimodal.ChunkStride
+    s"""SELECT doc_id, chunk_idx,
+       |       chunk_idx * $s AS chunk_start,
+       |       least(chunk_idx * $s + $l, n) AS chunk_end,
+       |       least(chunk_idx * $s + $l, n) - chunk_idx * $s < $l AS is_partial
+       |FROM (SELECT doc_id, strlen(text) AS n,
+       |             unnest(range(0, (strlen(text) - 1) // $s + 1)) AS chunk_idx
+       |      FROM documents WHERE $kind = 'audio')
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "mm_decode" -> decode,
     "mm_frame_sample" -> frameSample,
+    "mm_audio_chunks" -> audioChunks,
     "mm_resize" -> resize)
 }
