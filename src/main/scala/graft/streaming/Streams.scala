@@ -296,7 +296,31 @@ object Streams {
     hourlyUsers(Tables.events(spark, dir))
       .orderBy("window_start", "event_type")
 
+  /** Sessionization via the BUILT-IN session_window operator — the native
+    * face of [[sessionizeBatch]]/[[sessionizeStreaming]]: Catalyst's
+    * SessionWindow aggregation replaces both the window-function batch
+    * formulation and the custom state machine. The window's end is
+    * last-event + gap, so duration subtracts the trailing gap back out.
+    * Same expression runs streaming (watermark + merging session state).
+    * Boundary note: session_window treats [start, last+gap) as half-open —
+    * an event at exactly last+gap opens a NEW session. */
+  def sessionWindowBatch(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = SessionGapUs
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        (unix_micros(col("w.end")) - unix_micros(col("w.start")) - gapUs)
+          .as("duration_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "start_us")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_session_window" -> sessionWindowBatch,
     "stream_hourly_users" -> hourlyUsersBatch,
     "stream_enriched" -> enrichedBatch,
     "stream_hourly_by_type" -> hourlyBatch,
@@ -368,7 +392,28 @@ object StreamOracles {
       |FROM events GROUP BY 1, 2
       |ORDER BY window_start, event_type""".stripMargin
 
+  // session_window's [start, last+gap) is half-open: an event at exactly
+  // last+gap opens a new session, hence >= (not >) in the flag
+  val sessionWindow: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
+       |flagged AS (
+       |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+       |                   OR us - lag(us) OVER w >= ${Streams.SessionGapUs}
+       |                 THEN 1 ELSE 0 END AS new_sess
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |numbered AS (
+       |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+       |  FROM flagged)
+       |SELECT user_id, min(us) AS start_us,
+       |       max(us) - min(us) AS duration_us,
+       |       CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 4) AS sum_value
+       |FROM numbered GROUP BY user_id, session_no
+       |ORDER BY user_id, start_us""".stripMargin
+
   val all: Map[String, String] = Map(
+    "stream_session_window" -> sessionWindow,
     "stream_hourly_users" -> hourlyUsers,
     "stream_enriched" -> enriched,
     "stream_hourly_by_type" -> hourlyBatch,

@@ -353,7 +353,34 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** The end-to-end training-corpus build as ONE declarative plan — the
+    * composition the individual operators exist for: exact dedup (min
+    * doc_id per md5 fingerprint) → quality gate (token-count band) →
+    * deterministic split assignment → per-split summary. Duplicate texts
+    * share a fingerprint AND a token count, so the survivor's stats ride
+    * the dedup agg (no second corpus scan); the whole pipeline is two hash
+    * aggs and map-only gates — at 100 TB nothing here shuffles document
+    * bodies, only (fp, doc_id, n_tokens). */
+  def corpusBuild(spark: SparkSession, dir: String): DataFrame = {
+    val survivors = Tables.documents(spark, dir)
+      .select(md5(lower(trim(col("text"))).cast("binary")).as("fp"),
+        col("doc_id"), size(TextHash.tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("n_tokens")).as("n_tokens"))
+      .filter(col("n_tokens").between(10, 400)) // quality gate
+    val h = TextHash.strHash(concat(lit("split:"), col("doc_id").cast("string"))) % 100
+    survivors
+      .select(col("doc_id"), col("n_tokens"),
+        when(h < 80, "train").when(h < 90, "valid").otherwise("test").as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(avg(col("n_tokens")), 2).as("avg_tokens"))
+      .orderBy(col("split"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_corpus_build" -> corpusBuild,
     "text_repetition" -> repetition,
     "text_contamination" -> contamination,
     "text_stratified_sample" -> stratifiedSample,

@@ -145,6 +145,27 @@ object TextOracles {
        |ORDER BY g.doc_id""".stripMargin
   }
 
+  val corpusBuild: String = {
+    val h = s"(${strHash("'split:' || CAST(doc_id AS VARCHAR)")} % 100)"
+    s"""WITH surv AS (
+       |  SELECT MIN(doc_id) AS doc_id, MIN(n_tokens) AS n_tokens
+       |  FROM (SELECT md5(lower(trim(text))) AS fp, doc_id,
+       |               CAST(len($toks) AS BIGINT) AS n_tokens
+       |        FROM documents)
+       |  GROUP BY fp),
+       |gated AS (SELECT * FROM surv WHERE n_tokens BETWEEN 10 AND 400),
+       |split AS (
+       |  SELECT doc_id, n_tokens,
+       |         CASE WHEN $h < 80 THEN 'train'
+       |              WHEN $h < 90 THEN 'valid' ELSE 'test' END AS split
+       |  FROM gated)
+       |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |       round(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 2) AS avg_tokens
+       |FROM split GROUP BY split
+       |ORDER BY split""".stripMargin
+  }
+
   val rareTokens: String =
     s"""WITH tok AS (SELECT doc_id, unnest($toks) AS word FROM documents),
        |freq AS (SELECT word, COUNT(*) AS freq FROM tok GROUP BY word)
@@ -207,6 +228,7 @@ object TextOracles {
     "text_pack_sequences" -> packSequences,
     "text_repetition" -> repetition,
     "text_contamination" -> contamination,
+    "text_corpus_build" -> corpusBuild,
     "text_topk_words" -> topkWords,
     "text_tfidf" -> tfidf,
     "text_quality_deciles" -> qualityDeciles,

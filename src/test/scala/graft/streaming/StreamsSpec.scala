@@ -33,6 +33,20 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.size == 4) // (h0:click), (h1:click), (h1:view), (h2:view)
   }
 
+  test("built-in session_window face equals the window-function sessionization") {
+    val sf = "/root/testdata/sf0.01"
+    val native = Streams.sessionWindowBatch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val custom = Streams.sessionsBatch(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us")) ->
+        (r.getAs[Long]("duration_us"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("sum_value"))).toMap
+    assert(native.size == custom.size)
+    assert(native == custom,
+      "session_window must find the same (user, start) -> (dur, n, sum) sessions")
+  }
+
   test("streaming distinct-users (dedup+count) equals batch count_distinct") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -82,6 +82,25 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(flags.contains("ok"))
   }
 
+  test("corpus build: dedup + gate + split accounting composes the parts") {
+    import org.apache.spark.sql.functions._
+    val out = TextAnalysis.corpusBuild(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set("train", "valid", "test"))
+    // survivors recomputed independently: one per md5, token band, split %s
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(lower(trim(col("text"))).cast("binary")).as("fp"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      .collect()
+    val surv = docs.groupBy(_.getString(1)).values
+      .map(_.minBy(_.getLong(0))).filter(r => r.getLong(2) >= 10 && r.getLong(2) <= 400)
+    assert(out.values.map(_._1).sum == surv.size)
+    assert(out.values.map(_._2).sum == surv.map(_.getLong(2)).sum)
+    // split proportions roughly 80/10/10
+    val total = surv.size.toDouble
+    assert(out("train")._1 / total > 0.6 && out("train")._1 / total < 0.95)
+  }
+
   test("contamination: test-split docs only, ratios in [0,1], deterministic") {
     val rows = TextAnalysis.contamination(spark, sf).collect()
     assert(rows.nonEmpty)
