@@ -265,8 +265,12 @@ object Dedup {
       .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .repartition(8)
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    // seed with min(self, neighbors) instead of self: the first propagation
+    // round folds into the (already materialized) edge list — one groupBy,
+    // one fewer driver round in the loop
+    var labels = edges.select(col("dst").as("doc_id"), col("src").as("cluster_id"))
+      .unionByName(edges.select(col("src").as("doc_id"), col("src").as("cluster_id")))
+      .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
       .localCheckpoint(true)
     var converged = false
     var rounds = 0
