@@ -27,6 +27,38 @@ object RelationalOracles {
       "substr(c_name, length(c_name) - 1, 1))"
 
   val all: Map[String, String] = Map(
+    "rel_window_share" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |       ROUND(o_totalprice / SUM(o_totalprice) OVER (PARTITION BY o_orderpriority), 6)
+        |         AS pct_of_total,
+        |       first_value(o_totalprice) OVER w AS top_price,
+        |       nth_value(o_totalprice, 3) OVER w AS third_price
+        |FROM orders
+        |WHERE o_orderkey % 97 = 0
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    // try_divide(x, 0) is NULL in Spark; DuckDB double division by zero is
+    // inf, so the oracle spells the NULL out
+    "rel_try_ops" ->
+      """WITH t AS (
+        |  SELECT o_orderpriority,
+        |         TRY_CAST(CASE WHEN o_orderkey % 3 = 0 THEN CAST(o_orderkey AS VARCHAR)
+        |                       ELSE 'x' || CAST(o_orderkey AS VARCHAR) END AS BIGINT)
+        |           AS parsed,
+        |         CASE WHEN o_orderkey % 5 = 0 THEN NULL
+        |              ELSE o_totalprice / (o_orderkey % 5) END AS divided
+        |  FROM orders)
+        |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(COUNT(parsed) AS BIGINT) AS n_parsed,
+        |       CAST(SUM(CASE WHEN divided IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_div_null,
+        |       ROUND(SUM(COALESCE(divided, 0.0)), 2) AS sum_divided
+        |FROM t GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
     "rel_upsert" ->
       """WITH snap AS (SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
         |              FROM customer),

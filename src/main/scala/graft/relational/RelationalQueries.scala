@@ -802,7 +802,45 @@ object RelationalQueries {
         datediff(col("valid_to"), col("valid_from")).as("days_valid"))
   }
 
+  /** Value-window suite: percent-of-total (ratio_to_report), first_value
+    * and nth_value over a full-partition frame — the report-formatting
+    * window family. One keyed shuffle serves all four expressions. */
+  def windowShare(spark: SparkSession, dir: String): DataFrame = {
+    val full = Window.partitionBy(col("o_orderpriority"))
+    val ordered = full.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        round(col("o_totalprice") / sum(col("o_totalprice")).over(full), 6)
+          .as("pct_of_total"),
+        first_value(col("o_totalprice")).over(ordered).as("top_price"),
+        nth_value(col("o_totalprice"), 3).over(ordered).as("third_price"))
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+  }
+
+  /** Error-safe arithmetic: try_cast over mixed parseable/garbage strings
+    * and try_divide with zero denominators — NULL instead of job failure,
+    * the ANSI-mode-safe ingestion surface. */
+  def tryOps(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"),
+        when(col("o_orderkey") % 3 === 0, col("o_orderkey").cast("string"))
+          .otherwise(concat(lit("x"), col("o_orderkey").cast("string"))).as("s"),
+        col("o_totalprice"), (col("o_orderkey") % 5).as("d"))
+      .select(col("o_orderpriority"),
+        expr("try_cast(s AS BIGINT)").as("parsed"),
+        expr("try_divide(o_totalprice, d)").as("divided"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        count(col("parsed")).as("n_parsed"),
+        sum(when(col("divided").isNull, 1L).otherwise(0L)).as("n_div_null"),
+        round(sum(coalesce(col("divided"), lit(0.0))), 2).as("sum_divided"))
+      .orderBy(col("o_orderpriority"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_window_share" -> windowShare,
+    "rel_try_ops" -> tryOps,
     "rel_upsert" -> upsert,
     "rel_scd2" -> scd2,
     "rel_lateral" -> lateralTopPerKey,

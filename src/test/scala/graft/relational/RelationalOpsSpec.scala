@@ -81,6 +81,34 @@ class RelationalOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("window share: per-group shares sum to 1, top/third prices consistent") {
+    val rows = RelationalQueries.windowShare(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (g, rs) =>
+      val shares = rs.map(_.getAs[Double]("pct_of_total"))
+      assert(math.abs(shares.sum - 1.0) < 1e-3, s"$g: shares sum ${shares.sum}")
+      val prices = rs.map(_.getAs[Double]("o_totalprice")).sorted(Ordering[Double].reverse)
+      assert(rs.forall(_.getAs[Double]("top_price") == prices.head), s"$g top")
+      val third = rs.head.getAs[Any]("third_price")
+      if (prices.length >= 3) assert(third == prices(2), s"$g third")
+      else assert(third == null, s"$g third should be null with <3 rows")
+    }
+  }
+
+  test("try ops: garbage strings and zero denominators null out, never throw") {
+    val rows = RelationalQueries.tryOps(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, parsed, divNull) = (r.getAs[Long]("n"),
+        r.getAs[Long]("n_parsed"), r.getAs[Long]("n_div_null"))
+      // ~1/3 of keys parse, ~1/5 of denominators are zero
+      assert(parsed > 0 && parsed < n)
+      assert(divNull > 0 && divNull < n)
+      assert(math.abs(parsed.toDouble / n - 1.0 / 3) < 0.1)
+      assert(math.abs(divNull.toDouble / n - 1.0 / 5) < 0.1)
+    }
+  }
+
   test("upsert: deletes drop, updates bump, inserts add — row accounting exact") {
     val snap = graft.sources.Tables.customer(spark, sf)
     val total = snap.count()
