@@ -94,6 +94,8 @@ object SparkEntry {
       Queries.headways(TransitTables.fromTpch(s, dir))),
     "transit_reachability" -> ((s, dir) =>
       Queries.reachability(TransitTables.fromTpch(s, dir), 42L)),
+    "transit_stop_pairs" -> ((s, dir) =>
+      Queries.stopPairsDirect(TransitTables.fromTpch(s, dir))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -125,6 +127,7 @@ object SparkEntry {
     "transit_gtfs_q4" -> TransitOracles.q4Weekday,
     "transit_headways" -> TransitOracles.headways,
     "transit_reachability" -> TransitOracles.reachability(42L),
+    "transit_stop_pairs" -> TransitOracles.stopPairsDirect,
   ) ++ graft.relational.RelationalOracles.all ++
     graft.text.TextOracles.all ++
     graft.dedup.DedupOracles.all ++

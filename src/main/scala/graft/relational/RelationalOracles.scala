@@ -27,6 +27,21 @@ object RelationalOracles {
       "substr(c_name, length(c_name) - 1, 1))"
 
   val all: Map[String, String] = Map(
+    "rel_date_spine" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n,
+        |         ROUND(SUM(o_totalprice), 2) AS tot
+        |  FROM orders GROUP BY 1),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(
+        |           (SELECT MIN(d) FROM daily),
+        |           (SELECT MAX(d) FROM daily), INTERVAL 1 DAY)) AS DATE) AS d)
+        |SELECT CAST(s.d AS VARCHAR) AS day,
+        |       COALESCE(n, 0) AS n_orders,
+        |       COALESCE(tot, 0.0) AS total_price
+        |FROM spine s LEFT JOIN daily ON s.d = daily.d
+        |ORDER BY day""".stripMargin,
+
     "rel_window_share" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
         |       ROUND(o_totalprice / SUM(o_totalprice) OVER (PARTITION BY o_orderpriority), 6)

@@ -838,7 +838,27 @@ object RelationalQueries {
         round(sum(coalesce(col("divided"), lit(0.0))), 2).as("sum_divided"))
       .orderBy(col("o_orderpriority"))
 
+  /** Calendar densification (gap fill): a generated date spine LEFT-joined
+    * to daily aggregates, missing days explicit zeros — the reporting op
+    * every dashboard needs (a day with no orders must chart as 0, not
+    * vanish). The spine generates from the data's own min/max (one tiny
+    * agg broadcast into a sequence explode); days leave as ISO strings. */
+  def dateSpine(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("tot"))
+    val spine = daily.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 day")))
+        .as("d"))
+    spine.join(daily, Seq("d"), "left")
+      .select(col("d").cast("string").as("day"),
+        coalesce(col("n"), lit(0L)).as("n_orders"),
+        coalesce(col("tot"), lit(0.0)).as("total_price"))
+      .orderBy(col("day"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_date_spine" -> dateSpine,
     "rel_window_share" -> windowShare,
     "rel_try_ops" -> tryOps,
     "rel_upsert" -> upsert,

@@ -363,6 +363,30 @@ object Queries {
     * materialization; deeper horizons iterate the same two joins with
     * localCheckpoint between rounds (the [[graft.dedup.Dedup]] fixpoint
     * pattern). */
+  /** Origin–destination direct-connection matrix: for the top stop pairs,
+    * how many distinct trips serve (a → b) in sequence order — the
+    * network-planning aggregate behind "can I get there without a
+    * transfer". The self-join is WITHIN a trip (keyed on trip_id, bounded
+    * by trip length — never a stops×stops blow-up), then a (a,b)-keyed
+    * distinct-trip count; top-20 by trip count with pair tie-break. */
+  def stopPairsDirect(t: TransitTables): DataFrame = {
+    // roll occurrences up to per-(trip, stop) min/max sequence first:
+    // "some occurrence of a precedes some occurrence of b" ⟺
+    // min_seq(a) < max_seq(b) (covers revisited stops too), and after the
+    // rollup each (trip, a, b) is unique — the aggregate is a plain
+    // count, not a countDistinct over occurrence pairs
+    val s = t.stopTimes.groupBy(col("trip_id"), col("stop_id"))
+      .agg(min(col("stop_sequence")).as("mn"), max(col("stop_sequence")).as("mx"))
+    val a = s.select(col("trip_id"), col("stop_id").as("from_stop"), col("mn"))
+    val b = s.select(col("trip_id"), col("stop_id").as("to_stop"), col("mx"))
+    a.join(b, Seq("trip_id"))
+      .filter(col("mn") < col("mx"))
+      .groupBy(col("from_stop"), col("to_stop"))
+      .agg(count(lit(1)).as("n_direct_trips"))
+      .orderBy(col("n_direct_trips").desc, col("from_stop"), col("to_stop"))
+      .limit(20)
+  }
+
   def reachability(t: TransitTables, origin: Any): DataFrame = {
     val sr = t.stopTimes.select(col("stop_id"), col("trip_id"))
       .join(t.trips.select("trip_id", "route_id"), "trip_id")

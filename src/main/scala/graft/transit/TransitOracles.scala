@@ -348,6 +348,16 @@ object TransitOracles {
        |GROUP BY route_id
        |ORDER BY route_id""".stripMargin
 
+  val stopPairsDirect: String =
+    s"""$P
+       |SELECT a.stop_id AS from_stop, b.stop_id AS to_stop,
+       |       CAST(COUNT(DISTINCT a.trip_id) AS BIGINT) AS n_direct_trips
+       |FROM stop_times a JOIN stop_times b
+       |  ON a.trip_id = b.trip_id AND a.stop_sequence < b.stop_sequence
+       |GROUP BY a.stop_id, b.stop_id
+       |ORDER BY n_direct_trips DESC, from_stop, to_stop
+       |LIMIT 20""".stripMargin
+
   def reachability(origin: Long): String =
     s"""$P
        |, sr AS (

@@ -81,6 +81,22 @@ class RelationalOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("date spine: continuous daily coverage, gaps filled with explicit zeros") {
+    val rows = RelationalQueries.dateSpine(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val days = rows.map(_.getString(0))
+    // spine is continuous: row count equals the full min..max day span
+    val span = java.time.temporal.ChronoUnit.DAYS.between(
+      java.time.LocalDate.parse(days.head), java.time.LocalDate.parse(days.last)) + 1
+    assert(rows.length.toLong == span, s"${rows.length} rows over $span days")
+    // zero-filled days exist and carry exactly (0, 0.0)
+    val zeros = rows.filter(_.getAs[Long]("n_orders") == 0L)
+    assert(zeros.forall(_.getAs[Double]("total_price") == 0.0))
+    // totals agree with a direct aggregate (no rows lost to the join)
+    val direct = graft.sources.Tables.orders(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == direct)
+  }
+
   test("window share: per-group shares sum to 1, top/third prices consistent") {
     val rows = RelationalQueries.windowShare(spark, sf).collect()
     assert(rows.nonEmpty)

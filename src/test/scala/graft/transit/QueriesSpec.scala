@@ -128,6 +128,16 @@ class QueriesSpec extends SparkSpec {
       Seq("A", 0), Seq("B", 1), Seq("C", 2), Seq("D", 2), Seq("HUB", 1)))
   }
 
+  test("stop pairs: hand-counted direct connections, deterministic tie order") {
+    // all services: A->HUB on T1-T4; A->B on T1,T2,T8; HUB->B on T1,T2;
+    // HUB->C on T5,T6; HUB->D on T7
+    val got = rows(Queries.stopPairsDirect(t),
+      "from_stop", "to_stop", "n_direct_trips")
+    assert(got == Seq(
+      Seq("A", "HUB", 4L), Seq("A", "B", 3L), Seq("HUB", "B", 2L),
+      Seq("HUB", "C", 2L), Seq("HUB", "D", 1L)))
+  }
+
   test("param sanitization mirrors the reference API") {
     assert(ServiceFilter.fromParam(Some("2")) == ServiceFilter.Saturday)
     assert(ServiceFilter.fromParam(Some("4")) == ServiceFilter.WholeWeek)
