@@ -61,8 +61,7 @@ object SparkEntry {
       Timetable.getArrivalsGrouped(
         Timetable.buildStopTimetables(TransitTables.fromTpch(s, dir)), 42L)),
     "transit_stop_search" -> ((s, dir) =>
-      Timetable.stopSearch(
-        Timetable.buildStopTimetables(TransitTables.fromTpch(s, dir)), "stop_1")),
+      Timetable.stopSearch(TransitTables.fromTpch(s, dir), "stop_1")),
     "transit_stops_near" -> ((s, dir) =>
       Timetable.stopsNear(TransitTables.fromTpch(s, dir).stops, 43.6, -79.4, 10)),
     "transit_next_departure" -> ((s, dir) =>

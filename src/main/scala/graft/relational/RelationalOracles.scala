@@ -473,6 +473,19 @@ object RelationalOracles {
         |QUALIFY c_custkey % 97 = 0
         |ORDER BY c_mktsegment, c_custkey""".stripMargin,
 
+    // exact columns + literal TRUE: the Spark side computes the tolerance
+    // boolean in-plan from the real sketches, so a drifting sketch fails
+    // the hash even though sketch estimates themselves aren't portable
+    "rel_approx_agg" ->
+      """SELECT l_returnflag,
+        |       COUNT(DISTINCT l_orderkey) AS exact_orders,
+        |       ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS exact_median_price,
+        |       COUNT(*) AS n_rows,
+        |       TRUE AS approx_within_5pct
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
     "rel_percentiles" ->
       """SELECT o_orderpriority,
         |       ROUND(QUANTILE_CONT(o_totalprice, 0.25), 4) AS p25,

@@ -493,17 +493,29 @@ object RelationalQueries {
     * HyperLogLog++ (approx_count_distinct) and t-digest
     * (approx_percentile) are single-pass and mergeable, so they partial-
     * aggregate map-side where exact distinct/percentile must shuffle raw
-    * values. No DuckDB oracle (sketch estimates are implementation-
-    * specific — driver records the rows-only check); the spec asserts
-    * <5% relative error against the exact aggregates instead. */
+    * values. Sketch estimates are implementation-specific, so the
+    * oracle-hashable face carries the EXACT aggregates plus an in-plan
+    * boolean asserting the sketches land within 5% of them — DuckDB
+    * computes the exact columns and literal TRUE, so a drifting sketch
+    * turns the row red. Production at scale runs the sketch columns
+    * alone; this face exists to keep the operator under the hash gate. */
   def approxAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
+        countDistinct(col("l_orderkey")).as("exact_orders"),
         approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
-        round(expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 4)
-          .as("approx_median_price"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact_median_raw"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median_raw"),
         count(lit(1)).as("n_rows"))
+      .select(
+        col("l_returnflag"),
+        col("exact_orders"),
+        round(col("exact_median_raw"), 4).as("exact_median_price"),
+        col("n_rows"),
+        (abs(col("approx_orders") - col("exact_orders")) / col("exact_orders") < 0.05 &&
+          abs(col("approx_median_raw") - col("exact_median_raw")) /
+            col("exact_median_raw") < 0.05).as("approx_within_5pct"))
       .orderBy(col("l_returnflag"))
 
   /** Array function suite: build a sorted array per order and exercise

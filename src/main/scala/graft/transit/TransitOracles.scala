@@ -219,11 +219,15 @@ object TransitOracles {
        |LIMIT $k""".stripMargin
 
   /** Literal substring match via contains() — LIKE would treat '_'/'%' in
-    * the query as wildcards, diverging from the Spark side's contains(). */
+    * the query as wildcards, diverging from the Spark side's contains().
+    * The DISTINCT+join pins the store's semantics: the reference searches
+    * the denormalized store's stop list, i.e. stops present in the
+    * schedule (`Mongo/index.html:167-181`). */
   def stopSearch(q: String): String =
     s"""$P
-       |SELECT stop_id, stop_name, stop_code FROM stops
-       |WHERE contains(lower(stop_name), '${q.toLowerCase.replace("'", "''")}')
+       |SELECT DISTINCT s.stop_id, s.stop_name, s.stop_code
+       |FROM stops s JOIN stop_times st ON st.stop_id = s.stop_id
+       |WHERE contains(lower(s.stop_name), '${q.toLowerCase.replace("'", "''")}')
        |ORDER BY stop_name, stop_id""".stripMargin
 
   def nextDeparture(stopId: Long, nowSecs: Long): String =
