@@ -159,20 +159,24 @@ object Timetable {
           .as("departure_times"))
       .orderBy(col("route_long_name"), col("trip_headsign"))
 
-  /** Stop-name autocomplete (SURVEY §2.8 F11, the client-side
-    * case-insensitive substring search, served engine-side). The reference
-    * searches the denormalized store's stop list (`Mongo/index.html:167-181`),
-    * i.e. stops that appear in the schedule — but the search needs none of
-    * the store's arrays, so building the store for it is pure waste (the
-    * round-4 2.26× regression). Plan: filter the stops dim by name, broadcast
-    * the (tiny) match set into a hash join against the pruned `stop_id`
-    * column of `stop_times`, then distinct. The fact table never shuffles —
-    * the broadcast filter runs map-side and the distinct's partial agg means
-    * the exchange carries at most (matching stops × partitions) rows. */
+  /** Stop autocomplete (SURVEY §2.8 F11, the client-side case-insensitive
+    * substring search, served engine-side). The reference searches the
+    * denormalized store's stop list (`Mongo/index.html:167-181`), i.e.
+    * stops that appear in the schedule, matching on stop_name OR stop_code;
+    * its 20-suggestion cap is a UI truncation we intentionally skip (the
+    * engine face returns the full ordered match set). The search needs none
+    * of the store's arrays, so building the store for it is pure waste (the
+    * round-4 2.26× regression). Plan: filter the stops dim by name/code,
+    * broadcast the (tiny) match set into a hash join against the pruned
+    * `stop_id` column of `stop_times`, then distinct. The fact table never
+    * shuffles — the broadcast filter runs map-side and the distinct's
+    * partial agg means the exchange carries at most
+    * (matching stops × partitions) rows. */
   def stopSearch(t: TransitTables, q: String): DataFrame =
     t.stopTimes.select("stop_id")
       .join(broadcast(t.stops
-        .filter(lower(col("stop_name")).contains(q.toLowerCase))
+        .filter(lower(col("stop_name")).contains(q.toLowerCase) ||
+          lower(col("stop_code")).contains(q.toLowerCase))
         .select("stop_id", "stop_name", "stop_code")), Seq("stop_id"))
       .distinct()
       .orderBy("stop_name", "stop_id")

@@ -222,13 +222,17 @@ object TransitOracles {
     * the query as wildcards, diverging from the Spark side's contains().
     * The DISTINCT+join pins the store's semantics: the reference searches
     * the denormalized store's stop list, i.e. stops present in the
-    * schedule (`Mongo/index.html:167-181`). */
-  def stopSearch(q: String): String =
+    * schedule, matching on name OR code (`Mongo/index.html:167-181`).
+    * Sort keys are qualified — both joined tables carry `stop_id`. */
+  def stopSearch(q: String): String = {
+    val lit = q.toLowerCase.replace("'", "''")
     s"""$P
        |SELECT DISTINCT s.stop_id, s.stop_name, s.stop_code
        |FROM stops s JOIN stop_times st ON st.stop_id = s.stop_id
-       |WHERE contains(lower(s.stop_name), '${q.toLowerCase.replace("'", "''")}')
-       |ORDER BY stop_name, stop_id""".stripMargin
+       |WHERE contains(lower(s.stop_name), '$lit')
+       |   OR contains(lower(s.stop_code), '$lit')
+       |ORDER BY s.stop_name, s.stop_id""".stripMargin
+  }
 
   def nextDeparture(stopId: Long, nowSecs: Long): String =
     s"""$P
