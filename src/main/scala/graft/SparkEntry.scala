@@ -95,6 +95,17 @@ object SparkEntry {
       Queries.reachability(TransitTables.fromTpch(s, dir), 42L)),
     "transit_stop_pairs" -> ((s, dir) =>
       Queries.stopPairsDirect(TransitTables.fromTpch(s, dir))),
+    // §4 R4: the serving layer's snapshot fast path, end to end — build
+    // the partitioned Q1 result snapshot, then serve the weekday request
+    // FROM the snapshot (partition-pruned read-back, not the live plan).
+    // Lossless round trip, so the oracle is the direct-path weekday SQL.
+    "transit_q1_snapshot" -> ((s, dir) => {
+      val t = TransitTables.fromTpch(s, dir)
+      val snapDir = s"${sys.props("java.io.tmpdir")}/graft_snapshots_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      QueryService.buildQ1Snapshot(t, snapDir)
+      new QueryService(t, Some(snapDir)).q1(ServiceFilter.Weekday)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -127,6 +138,8 @@ object SparkEntry {
     "transit_headways" -> TransitOracles.headways,
     "transit_reachability" -> TransitOracles.reachability(42L),
     "transit_stop_pairs" -> TransitOracles.stopPairsDirect,
+    // snapshot round trip is value-preserving (parquet doubles bit-exact)
+    "transit_q1_snapshot" -> TransitOracles.q1Weekday,
   ) ++ graft.relational.RelationalOracles.all ++
     graft.text.TextOracles.all ++
     graft.dedup.DedupOracles.all ++

@@ -257,8 +257,15 @@ object Queries {
     * WholeWeek: SUM across service_ids per (route, hour) first (reference
     * `SQL/generate_csv.py:119-124`) — the third, distinct '4' semantics.
     */
-  def q4ServiceFrequency(t: TransitTables, service: ServiceFilter, limit: Limit = Limit.default): DataFrame = {
-    val hf = hourlyFrequency(t)
+  def q4ServiceFrequency(t: TransitTables, service: ServiceFilter, limit: Limit = Limit.default): DataFrame =
+    q4ServiceFrequencyFrom(hourlyFrequency(t), t.routes, service, limit)
+
+  /** Q4 over a CALLER-SUPPLIED hourly view — the serving layer passes its
+    * cached copy ([[QueryService.hourlyFrequencyView]]) so repeated Q4
+    * calls re-read the materialized aggregate instead of the fact table,
+    * mirroring the reference's `vw_hourly_frequency` reuse (SURVEY §4 R3). */
+  def q4ServiceFrequencyFrom(hf: DataFrame, routes: DataFrame,
+      service: ServiceFilter, limit: Limit = Limit.default): DataFrame = {
     val perHour = service match {
       case ServiceFilter.WholeWeek =>
         hf.groupBy(col("route_id"), col("hour_of_day"))
@@ -276,7 +283,7 @@ object Queries {
             array_sort(collect_list(struct(col("hour_of_day"), col("trips_per_hour")))),
             x => concat(x("hour_of_day").cast("string"), lit(":"), x("trips_per_hour").cast("string")))
         ).as("hourly_profile"))
-      .join(broadcast(t.routes), Seq("route_id"))
+      .join(broadcast(routes), Seq("route_id"))
       .select(col("route_id"), col("route_long_name"), col("route_short_name"),
         col("total_daily_trips"), col("hourly_profile"))
       .orderBy(col("total_daily_trips").desc, col("route_id"))
@@ -291,8 +298,16 @@ object Queries {
     * of services present). `max_hour` is the global maximum over ALL
     * routes, computed before the top-k selection (A13,
     * `SQL/sql_utils.py:359-366`) — realized as a broadcast scalar. */
-  def q4Nested(t: TransitTables, limit: Limit = Limit.default): DataFrame = {
-    val hf = hourlyFrequency(t)
+  def q4Nested(t: TransitTables, limit: Limit = Limit.default): DataFrame =
+    q4NestedFrom(hourlyFrequency(t), t.routes, limit)
+
+  /** Nested Q4 over a caller-supplied hourly view (see
+    * [[q4ServiceFrequencyFrom]]): both sub-aggregations below — the
+    * per-hour profile branch and the per-service pivot branch — scan `hf`,
+    * so a cached view is read twice instead of re-aggregating the fact
+    * table twice. */
+  def q4NestedFrom(hf: DataFrame, routes: DataFrame,
+      limit: Limit = Limit.default): DataFrame = {
     val perHour = hf.groupBy(col("route_id"), col("hour_of_day"))
       .agg(sum(col("trips_per_hour")).as("trips"))
     // max_hour (the A13 global max over ALL routes, pre-top-k) rides the
@@ -321,7 +336,7 @@ object Queries {
         org.apache.spark.sql.expressions.Window.partitionBy()))
       .withColumn("average_daily_trips",
         (col("trips_weekday") + col("trips_saturday") + col("trips_sunday")) / 3.0)
-      .join(broadcast(t.routes), Seq("route_id"))
+      .join(broadcast(routes), Seq("route_id"))
       .select(col("route_id"), col("route_long_name"), col("route_short_name"),
         col("total_daily_trips"), col("trips_weekday"), col("trips_saturday"),
         col("trips_sunday"), col("average_daily_trips"), col("hourly_profile"),

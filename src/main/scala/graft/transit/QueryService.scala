@@ -1,0 +1,138 @@
+package graft.transit
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.Writers
+
+/** Serving layer (SURVEY §4 R3/R4) — the engine analog of the reference's
+  * two result-reuse mechanisms:
+  *
+  *  - **R3, materialized view reuse**: the reference auto-creates
+  *    `vw_hourly_frequency` once and serves every Q4 variant from it
+  *    (`SQL/sql_utils.py:46-70`, `SQL/Q4 Create View.sql:3-14`). Here
+  *    [[hourlyFrequencyView]] is the cached hourly aggregate; both Q4
+  *    faces and BOTH sub-aggregations of the nested face read the cache
+  *    (`InMemoryTableScan`) instead of re-scanning the fact table.
+  *  - **R4, result-snapshot fast path**: the reference pre-computes one
+  *    CSV per query holding the UNLIMITED per-service rows ('1','2','3')
+  *    plus the whole-week '4' rows, and the API serves by slicing that
+  *    file when it exists, falling back to live SQL otherwise
+  *    (`SQL/generate_csv.py:17-125`, `SQL/app.py:61-89`,
+  *    `SQL/csv_backend.py:42-58`). Here [[QueryService.buildAnalyticsSnapshots]]
+  *    writes the same superset as parquet PARTITIONED BY the service tag —
+  *    so a served request reads exactly one partition (partition pruning,
+  *    not a file-wide scan) — and [[q1]]/[[q2]]/[[q3]]/[[q4]] dispatch
+  *    snapshot-first with the live plan as fallback.
+  *
+  * At 100 TB the snapshot is the only sane serving path: the live plans
+  * scan the fact table, the snapshots are a few thousand pre-aggregated
+  * rows keyed by the request's service filter.
+  */
+final class QueryService(val t: TransitTables, snapshotDir: Option[String] = None) {
+  import QueryService._
+
+  private val spark = t.stopTimes.sparkSession
+
+  /** R3: the cached `vw_hourly_frequency` analog. Spark caching is lazy —
+    * the first Q4 call materializes it; every later call (and the second
+    * sub-aggregation inside the same nested plan) hits the cache. */
+  lazy val hourlyFrequencyView: DataFrame = Queries.hourlyFrequency(t).cache()
+
+  private def snapshot(name: String): Option[DataFrame] =
+    snapshotDir
+      .map(d => s"$d/$name")
+      // local-FS existence probe mirrors the reference's `_has_csv`; on a
+      // cluster this becomes a Hadoop FileSystem.exists against the store
+      .filter(p => new java.io.File(p).exists)
+      .map(p => spark.read.parquet(p))
+
+  /** Snapshot slice: prune to the requested service partition, restore the
+    * query's canonical presentation (column order, sort, limit). */
+  private def slice(df: DataFrame, service: ServiceFilter, cols: Seq[String],
+      sort: Seq[org.apache.spark.sql.Column], limit: Limit): DataFrame =
+    df.filter(col(TAG).cast("string") === serviceTag(service))
+      .select(cols.map(col): _*)
+      .orderBy(sort: _*)
+      .transform(limit.apply)
+
+  def q1(service: ServiceFilter, limit: Limit = Limit.default): DataFrame =
+    snapshot(Q1).map(slice(_, service,
+        Seq("stop_id", "stop_code", "stop_name", "stop_lat", "stop_lon",
+          "total_trip_events", "num_unique_routes"),
+        Seq(col("total_trip_events").desc, col("stop_id")), limit))
+      .getOrElse(Queries.q1BusiestStops(t, service, limit))
+
+  def q2(service: ServiceFilter, limit: Limit = Limit.default): DataFrame =
+    snapshot(Q2).map(slice(_, service,
+        Seq("route_id", "route_long_name", "route_short_name", "num_trips",
+          "avg_trip_distance_km", "avg_duration_min", "duration_stddev_min",
+          "avg_speed_kmh"),
+        Seq(col("avg_duration_min").desc, col("route_id")), limit))
+      .getOrElse(Queries.q2RouteStats(t, service, limit))
+
+  def q3(service: ServiceFilter, limit: Limit = Limit.default): DataFrame =
+    snapshot(Q3).map(slice(_, service,
+        Seq("stop_id", "stop_name", "stop_lat", "stop_lon", "num_unique_routes"),
+        Seq(col("num_unique_routes").desc, col("stop_id")), limit))
+      .getOrElse(Queries.q3TransferPoints(t, service, limit))
+
+  def q4(service: ServiceFilter, limit: Limit = Limit.default): DataFrame =
+    snapshot(Q4).map(slice(_, service,
+        Seq("route_id", "route_long_name", "route_short_name",
+          "total_daily_trips", "hourly_profile"),
+        Seq(col("total_daily_trips").desc, col("route_id")), limit))
+      .getOrElse(
+        Queries.q4ServiceFrequencyFrom(hourlyFrequencyView, t.routes, service, limit))
+
+  /** The nested Q4 response face always serves live off the cached view
+    * (the reference has no CSV for it either — `SQL/app.py:118-125`). */
+  def q4Nested(limit: Limit = Limit.default): DataFrame =
+    Queries.q4NestedFrom(hourlyFrequencyView, t.routes, limit)
+}
+
+object QueryService {
+
+  /** Snapshot partition key: '1'/'2'/'3' per-service, '4' whole-week —
+    * the reference's service_id sentinel encoding (`SQL/csv_backend.py:44`). */
+  private val TAG = "service_id_tag"
+  val Q1 = "q1_busiest_stops"
+  val Q2 = "q2_avg_duration_speed"
+  val Q3 = "q3_transfer_points"
+  val Q4 = "q4_service_frequency"
+
+  private def serviceTag(s: ServiceFilter): String = s.sid.getOrElse("4")
+
+  private val allServices: Seq[ServiceFilter] = Seq(
+    ServiceFilter.Weekday, ServiceFilter.Saturday, ServiceFilter.Sunday,
+    ServiceFilter.WholeWeek)
+
+  /** One tagged superset frame per query: per-service rows plus the
+    * whole-week rows, UNLIMITED (`Limit.All`) — serving slices later,
+    * exactly like `SQL/generate_csv.py` concatenating the four frames.
+    * Whole-week is computed as its own pass because its semantics are not
+    * a rollup of the per-service rows (trichotomy per SURVEY §1.5). */
+  private def tagged(f: ServiceFilter => DataFrame): DataFrame =
+    allServices
+      .map(s => f(s).withColumn(TAG, lit(serviceTag(s))))
+      .reduce(_.unionByName(_))
+
+  /** The R4 batch job (`SQL/generate_csv.py:main`): materialize all four
+    * analytics snapshots, partitioned by the service tag so serving prunes
+    * to one partition. Overwrite-mode — rerunnable on feed refresh. */
+  def buildAnalyticsSnapshots(t: TransitTables, dir: String): Unit = {
+    Writers.snapshotParquet(
+      tagged(s => Queries.q1BusiestStops(t, s, Limit.All)), s"$dir/$Q1", Seq(TAG))
+    Writers.snapshotParquet(
+      tagged(s => Queries.q2RouteStats(t, s, Limit.All)), s"$dir/$Q2", Seq(TAG))
+    Writers.snapshotParquet(
+      tagged(s => Queries.q3TransferPoints(t, s, Limit.All)), s"$dir/$Q3", Seq(TAG))
+    Writers.snapshotParquet(
+      tagged(s => Queries.q4ServiceFrequency(t, s, Limit.All)), s"$dir/$Q4", Seq(TAG))
+  }
+
+  /** Snapshot build for ONE query — the registered read-back face uses
+    * this so its measured cost is one snapshot's ETL, not all four. */
+  def buildQ1Snapshot(t: TransitTables, dir: String): Unit =
+    Writers.snapshotParquet(
+      tagged(s => Queries.q1BusiestStops(t, s, Limit.All)), s"$dir/$Q1", Seq(TAG))
+}
