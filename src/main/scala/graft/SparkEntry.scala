@@ -81,6 +81,11 @@ object SparkEntry {
       Queries.q2TripPath(TransitTables.fromTpch(s, dir), "ROUTE_26")),
     "transit_q4_nested" -> ((s, dir) =>
       Queries.q4Nested(TransitTables.fromTpch(s, dir))),
+    // A11's true nested shape — the raw map column is dropped for the
+    // oracle compare (DuckDB equality over nested MAPs is representation-
+    // sensitive); its canonical JSON serialization is hash-checked instead
+    "transit_q4_nested_map" -> ((s, dir) =>
+      Queries.q4NestedMap(TransitTables.fromTpch(s, dir)).drop("by_service")),
     "transit_q2_detail" -> ((s, dir) =>
       Queries.q2ServiceDetail(TransitTables.fromTpch(s, dir))),
     // §2.1 S1: the GTFS CSV source exercised end-to-end — land the bundle
@@ -131,6 +136,7 @@ object SparkEntry {
     "transit_timetable_grouped" -> TransitOracles.timetableGrouped(42L),
     "transit_q2_path" -> TransitOracles.q2TripPath("ROUTE_26"),
     "transit_q4_nested" -> TransitOracles.q4Nested,
+    "transit_q4_nested_map" -> TransitOracles.q4NestedMapJson,
     "transit_q2_detail" -> TransitOracles.q2Detail,
     // the round trip is lossless for everything Q4 touches, so the oracle
     // is exactly the direct-path Q4 weekday SQL

@@ -345,6 +345,50 @@ object Queries {
       .transform(limit.apply)
   }
 
+  /** Q4's TRUE nested response shape (A11): the reference serves
+    * `{route → {service → {hour → trips}}}` (`SQL/sql_utils.py:354-417`,
+    * `route_to_hours` defaultdict) — here a real nested
+    * `map<string, map<bigint,bigint>>` column per top-k route.
+    *
+    * Construction is deterministic end to end: the inner {hour → trips}
+    * map sorts its entries by hour before `map_from_entries`; the outer
+    * map enumerates the public service domain '1'/'2'/'3' in fixed order
+    * (the same closed domain the reference iterates,
+    * `SQL/sql_utils.py:387-390`) — a missing service becomes an EMPTY map,
+    * like the reference's `service_map.get(sid, {})`. `by_service_json`
+    * is the canonical serialization of the same column; the oracle
+    * hash-checks it (DuckDB reproduces the JSON via ordered string_agg),
+    * proving the nested structure content, not just the scalars. */
+  def q4NestedMap(t: TransitTables, limit: Limit = Limit.default): DataFrame = {
+    val perSvc = hourlyFrequency(t)
+      .groupBy(col("route_id"), col("service_id"))
+      .agg(
+        map_from_entries(
+          array_sort(collect_list(struct(col("hour_of_day"), col("trips_per_hour")))))
+          .as("hours"),
+        sum(col("trips_per_hour")).as("svc_total"))
+    // ≤1 row per (route, service) after the agg above, so first() is
+    // deterministic; maps are not orderable in Spark, which rules out
+    // array_sort over (service, map) structs — the fixed-domain map()
+    // constructor sidesteps that and pins key order for serialization
+    def svcMap(sid: String) = coalesce(
+      first(when(col("service_id") === sid, col("hours")), ignoreNulls = true),
+      typedLit(Map.empty[Long, Long]))
+    perSvc.groupBy(col("route_id"))
+      .agg(
+        map(
+          lit("1"), svcMap("1"),
+          lit("2"), svcMap("2"),
+          lit("3"), svcMap("3")).as("by_service"),
+        sum(col("svc_total")).as("total_daily_trips"))
+      .join(broadcast(t.routes), Seq("route_id"))
+      .select(col("route_id"), col("route_long_name"), col("route_short_name"),
+        col("total_daily_trips"), col("by_service"),
+        to_json(col("by_service")).as("by_service_json"))
+      .orderBy(col("total_daily_trips").desc, col("route_id"))
+      .transform(limit.apply)
+  }
+
   /** Headway analysis — the service-quality metric every transit agency
     * computes: per (route, stop), gaps between consecutive departures of
     * one service day, rolled up per route. One keyed window (lag) + one

@@ -301,6 +301,33 @@ object TransitOracles {
        |ORDER BY total_daily_trips DESC, p.route_id
        |LIMIT 20""".stripMargin
 
+  /** Nested-map Q4 face: DuckDB rebuilds the canonical JSON of
+    * `{service → {hour → trips}}` by hand — inner maps via ORDER BY hour
+    * string_agg, outer keys in the fixed '1','2','3' domain order, absent
+    * services as '{}' — byte-identical to Spark's `to_json` of the sorted
+    * `map_from_entries` column (see Queries.q4NestedMap). */
+  val q4NestedMapJson: String =
+    s"""$P, $q4Hf,
+       |inner_j AS (
+       |  SELECT route_id, service_id,
+       |         '{' || STRING_AGG('"' || CAST(hour_of_day AS VARCHAR) || '":' || CAST(trips_per_hour AS VARCHAR),
+       |                           ',' ORDER BY hour_of_day) || '}' AS hours_json,
+       |         CAST(SUM(trips_per_hour) AS BIGINT) AS svc_total
+       |  FROM hf GROUP BY route_id, service_id),
+       |nested AS (
+       |  SELECT route_id,
+       |         '{"1":' || COALESCE(MAX(CASE WHEN service_id = '1' THEN hours_json END), '{}') ||
+       |         ',"2":' || COALESCE(MAX(CASE WHEN service_id = '2' THEN hours_json END), '{}') ||
+       |         ',"3":' || COALESCE(MAX(CASE WHEN service_id = '3' THEN hours_json END), '{}') || '}'
+       |           AS by_service_json,
+       |         CAST(SUM(svc_total) AS BIGINT) AS total_daily_trips
+       |  FROM inner_j GROUP BY route_id)
+       |SELECT n.route_id, r.route_long_name, r.route_short_name,
+       |       n.total_daily_trips, n.by_service_json
+       |FROM nested n JOIN routes r ON r.route_id = n.route_id
+       |ORDER BY total_daily_trips DESC, n.route_id
+       |LIMIT 20""".stripMargin
+
   /** Q2 path display: stop path of the longest (most stop_times rows)
     * trip of a route+service, trip_id tie-break (see Queries.q2TripPath
     * on the deviation from the reference CTE's trips-rows count). */

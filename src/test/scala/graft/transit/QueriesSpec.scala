@@ -138,6 +138,22 @@ class QueriesSpec extends SparkSpec {
       Seq("HUB", "C", 2L), Seq("HUB", "D", 1L)))
   }
 
+  test("Q4 nested map: real {service → {hour → trips}} column, canonical JSON") {
+    import org.apache.spark.sql.types.{MapType, StringType}
+    val df = Queries.q4NestedMap(t)
+    val mt = df.schema("by_service").dataType.asInstanceOf[MapType]
+    assert(mt.keyType == StringType && mt.valueType.isInstanceOf[MapType])
+    val r1 = df.filter(org.apache.spark.sql.functions.col("route_id") === "R1")
+      .collect()(0)
+    val m = r1.getAs[Map[String, Map[Long, Long]]]("by_service")
+    // weekday trips T1/T2/T8 at hours 8/9/14, Saturday T3 at 10, Sunday T4 at 11
+    assert(m("1") == Map(8L -> 1L, 9L -> 1L, 14L -> 1L))
+    assert(m("2") == Map(10L -> 1L))
+    assert(m("3") == Map(11L -> 1L))
+    assert(r1.getAs[String]("by_service_json") ==
+      """{"1":{"8":1,"9":1,"14":1},"2":{"10":1},"3":{"11":1}}""")
+  }
+
   test("param sanitization mirrors the reference API") {
     assert(ServiceFilter.fromParam(Some("2")) == ServiceFilter.Saturday)
     assert(ServiceFilter.fromParam(Some("4")) == ServiceFilter.WholeWeek)
