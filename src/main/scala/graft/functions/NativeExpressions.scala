@@ -373,6 +373,38 @@ case class ShingleSetExpr(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Python-format display rounding (transit F6): round-half-even computed
+  * on the EXACT binary value of the double — `float(f"{v:.2f}")` semantics
+  * (reference `SQL/sql_utils.py:172-175`). Spark's `round`/`bround` round
+  * the shortest-decimal rendering instead (bround(2.675, 2) = 2.68, while
+  * the stored binary value is 2.674999…, which CPython renders "2.67"),
+  * so neither built-in is bit-faithful to the reference serializer. */
+case class PyRoundExpr(child: Expression, scale: Int) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "graft_pyround"
+
+  override def nullSafeEval(input: Any): Any =
+    PyRoundOps.halfEven(input.asInstanceOf[Double], scale)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PyRoundOps.halfEven($c, $scale);")
+
+  override protected def withNewChildInternal(newChild: Expression): PyRoundExpr =
+    copy(child = newChild)
+}
+
+/** The exact-binary half-even rounding shared by interpreted eval and
+  * generated code. NaN/±Inf pass through (BigDecimal would throw; Python's
+  * format renders them as nan/inf, never reaching rounding). */
+object PyRoundOps {
+  def halfEven(v: Double, scale: Int): Double =
+    if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) v
+    else new java.math.BigDecimal(v)
+      .setScale(scale, java.math.RoundingMode.HALF_EVEN).doubleValue()
+}
+
 /** Session-level registration for graft native expressions. Idempotent;
   * query builders call the accessors which register on first use per
   * session. (Production would instead wire these through
@@ -392,7 +424,10 @@ object GraftFunctions {
       (es: Seq[Expression]) => ShingleSetExpr(es.head,
         es(1).eval().asInstanceOf[Int])),
     ("graft_pq_encode", classOf[PqEncodeExpr],
-      (es: Seq[Expression]) => PqEncodeExpr(es.head)))
+      (es: Seq[Expression]) => PqEncodeExpr(es.head)),
+    ("graft_pyround", classOf[PyRoundExpr],
+      (es: Seq[Expression]) => PyRoundExpr(es.head,
+        es(1).eval().asInstanceOf[Int])))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -447,6 +482,13 @@ object GraftFunctions {
     call_function("graft_shingle_set", TextHash.tokens(text),
       org.apache.spark.sql.functions.lit(n))
   }
+
+  /** Python-serializer-faithful display rounding (exact-binary half-even;
+    * see [[PyRoundExpr]]). */
+  def pyRound(spark: SparkSession, c: Column, scale: Int): Column = {
+    register(spark)
+    call_function("graft_pyround", c, org.apache.spark.sql.functions.lit(scale))
+  }
 }
 
 /** Production wiring: `--conf spark.sql.extensions=graft.functions.GraftSparkExtensions`
@@ -475,6 +517,15 @@ class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions 
       FunctionIdentifier("graft_shingle_set"),
       new ExpressionInfo(classOf[ShingleSetExpr].getName, "graft_shingle_set"),
       (es: Seq[Expression]) => ShingleSetExpr(es.head,
+        es(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[PqEncodeExpr].getName, "graft_pq_encode"),
+      (es: Seq[Expression]) => PqEncodeExpr(es.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_pyround"),
+      new ExpressionInfo(classOf[PyRoundExpr].getName, "graft_pyround"),
+      (es: Seq[Expression]) => PyRoundExpr(es.head,
         es(1).eval().asInstanceOf[Int])))
   }
 }

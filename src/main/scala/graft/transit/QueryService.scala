@@ -92,6 +92,27 @@ final class QueryService(val t: TransitTables, snapshotDir: Option[String] = Non
 
 object QueryService {
 
+  /** F6, the 2-dp DISPLAY rounding: the reference serializes Q2's metric
+    * columns through `float(f"{v:.2f}")` (`SQL/sql_utils.py:172-175`,
+    * `SQL/csv_backend.py:96-100`) — round-half-even on the EXACT binary
+    * double. Neither Spark built-in matches: `round` is HALF_UP, and both
+    * `round`/`bround` operate on the shortest-decimal rendering
+    * (bround(2.675, 2) = 2.68 where CPython gives 2.67), so this is the
+    * native [[graft.functions.PyRoundExpr]]. Applied at the serialization
+    * edge only; engine/oracle forms stay 4-dp (re-rounding a 4-dp value
+    * can differ from rounding the raw value only within 5e-5 of a .005
+    * boundary — inherent double-rounding, the reference's CSV path carries
+    * the same caveat). */
+  def round2(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df)((d, c) =>
+      d.withColumn(c, graft.functions.GraftFunctions.pyRound(d.sparkSession, col(c), 2)))
+
+  /** Q2's serialization face: the four metric columns the reference runs
+    * through `_round2`. */
+  def q2Display(df: DataFrame): DataFrame =
+    round2(df, Seq("avg_trip_distance_km", "avg_duration_min",
+      "duration_stddev_min", "avg_speed_kmh"))
+
   /** Snapshot partition key: '1'/'2'/'3' per-service, '4' whole-week —
     * the reference's service_id sentinel encoding (`SQL/csv_backend.py:44`). */
   private val TAG = "service_id_tag"

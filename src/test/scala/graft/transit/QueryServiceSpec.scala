@@ -62,6 +62,21 @@ class QueryServiceSpec extends AnyFunSuite with SparkSpec {
       s"service filter not pushed to partition pruning:\n$plan")
   }
 
+  test("F6: 2-dp display rounding matches the reference's float(f'{v:.2f}')") {
+    import spark.implicits._
+    // truth values computed with CPython: [float(f"{v:.2f}") for v in vals]
+    val vals = Seq(0.125, 2.675, 1.005, 3.14159, -0.125, 72.0, 5.555,
+      0.004999, 1.23499999, 33.3333333)
+    val expected = Seq(0.12, 2.67, 1.0, 3.14, -0.12, 72.0, 5.55, 0.0, 1.23, 33.33)
+    val got = QueryService.round2(vals.toDF("v"), Seq("v"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got === expected)
+    // nulls pass through (duration_stddev_min is NULL on whole-week rows)
+    val nulled = QueryService.q2Display(
+      Queries.q2RouteStats(t, ServiceFilter.WholeWeek))
+    assert(nulled.select("duration_stddev_min").collect().forall(_.isNullAt(0)))
+  }
+
   test("R4: without a snapshot, dispatch falls back to the live plan") {
     val svc = new QueryService(t, Some("/nonexistent/snapshots"))
     val plan = svc.q1(ServiceFilter.Weekday).queryExecution.executedPlan.toString
