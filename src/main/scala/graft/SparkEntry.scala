@@ -98,6 +98,10 @@ object SparkEntry {
       Queries.headways(TransitTables.fromTpch(s, dir))),
     "transit_reachability" -> ((s, dir) =>
       Queries.reachability(TransitTables.fromTpch(s, dir), 42L)),
+    // the same fixpoint at a deeper horizon — proves the loop generalizes
+    // past the old hardcoded two-hop unrolling
+    "transit_reachability_k3" -> ((s, dir) =>
+      Queries.reachability(TransitTables.fromTpch(s, dir), 42L, maxRides = 3)),
     "transit_stop_pairs" -> ((s, dir) =>
       Queries.stopPairsDirect(TransitTables.fromTpch(s, dir))),
     // §4 R4: the serving layer's snapshot fast path, end to end — build
@@ -143,6 +147,7 @@ object SparkEntry {
     "transit_gtfs_q4" -> TransitOracles.q4Weekday,
     "transit_headways" -> TransitOracles.headways,
     "transit_reachability" -> TransitOracles.reachability(42L),
+    "transit_reachability_k3" -> TransitOracles.reachability(42L, maxRides = 3),
     "transit_stop_pairs" -> TransitOracles.stopPairsDirect,
     // snapshot round trip is value-preserving (parquet doubles bit-exact)
     "transit_q1_snapshot" -> TransitOracles.q1Weekday,

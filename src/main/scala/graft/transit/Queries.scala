@@ -414,14 +414,6 @@ object Queries {
       .orderBy(col("route_id"))
   }
 
-  /** Transfer reachability — stops reachable from an origin within ≤2
-    * rides, labeled with the minimum ride count (0 = origin). BFS over the
-    * bipartite stop–route incidence expressed as alternating distinct
-    * semi-join expansions: frontier(stops) → routes → stops. Each hop is
-    * one equi-join + distinct on 8-byte keys — never an edge-list
-    * materialization; deeper horizons iterate the same two joins with
-    * localCheckpoint between rounds (the [[graft.dedup.Dedup]] fixpoint
-    * pattern). */
   /** Origin–destination direct-connection matrix: for the top stop pairs,
     * how many distinct trips serve (a → b) in sequence order — the
     * network-planning aggregate behind "can I get there without a
@@ -446,19 +438,44 @@ object Queries {
       .limit(20)
   }
 
-  def reachability(t: TransitTables, origin: Any): DataFrame = {
+  /** Transfer reachability — stops reachable from an origin within ≤k
+    * rides, labeled with the minimum ride count (0 = origin). BFS over the
+    * bipartite stop–route incidence expressed as alternating distinct
+    * semi-join expansions: frontier(stops) → routes → stops. Each hop is
+    * one equi-join + distinct on 8-byte keys — never an edge-list
+    * materialization.
+    *
+    * Fixpoint mechanics (the [[graft.dedup.Dedup]] pattern): the incidence
+    * set is `localCheckpoint`ed ONCE (k+1 plan references → one scan of
+    * the fact table, not k+1), and the label frame is checkpointed each
+    * round so Catalyst never re-analyzes a growing lineage. The frontier
+    * is exactly the stops first labeled last round — already-settled
+    * stops never re-expand — and an empty frontier ends the loop early,
+    * so k is a horizon bound, not a forced work count. */
+  def reachability(t: TransitTables, origin: Any, maxRides: Int = 2): DataFrame = {
     val sr = t.stopTimes.select(col("stop_id"), col("trip_id"))
       .join(t.trips.select("trip_id", "route_id"), "trip_id")
       .select(col("stop_id"), col("route_id")).distinct()
-    val r0 = sr.filter(col("stop_id") === origin).select("route_id").distinct()
-    val s1 = sr.join(r0, "route_id").select("stop_id").distinct()
-    val r1 = sr.join(s1, "stop_id").select("route_id").distinct()
-    val s2 = sr.join(r1, "route_id").select("stop_id").distinct()
-    s2.join(s1.withColumn("one_ride", lit(1)), Seq("stop_id"), "left")
-      .select(col("stop_id"),
-        when(col("stop_id") === origin, lit(0))
-          .when(col("one_ride") === 1, lit(1))
-          .otherwise(lit(2)).as("min_rides"))
-      .orderBy(col("stop_id"))
+      .localCheckpoint(true)
+    var labeled = sr.filter(col("stop_id") === origin)
+      .select("stop_id").distinct()
+      .withColumn("min_rides", lit(0))
+      .localCheckpoint(true)
+    var depth = 1
+    var exhausted = false
+    while (depth <= maxRides && !exhausted) {
+      val frontier = labeled.filter(col("min_rides") === depth - 1).select("stop_id")
+      if (frontier.isEmpty) { exhausted = true }
+      else {
+        val viaRoutes = sr.join(frontier, "stop_id").select("route_id").distinct()
+        val reached = sr.join(viaRoutes, "route_id").select("stop_id").distinct()
+          .withColumn("min_rides", lit(depth))
+        labeled = labeled.unionByName(reached)
+          .groupBy(col("stop_id")).agg(min(col("min_rides")).as("min_rides"))
+          .localCheckpoint(true)
+        depth += 1
+      }
+    }
+    labeled.orderBy(col("stop_id"))
   }
 }

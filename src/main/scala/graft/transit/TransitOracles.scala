@@ -393,20 +393,27 @@ object TransitOracles {
        |ORDER BY n_direct_trips DESC, from_stop, to_stop
        |LIMIT 20""".stripMargin
 
-  def reachability(origin: Long): String =
+  /** Depth-k BFS unrolled as CTE chain s0 → r0 → s1 → … → s_k; the label
+    * is MIN(depth of first appearance) — mirrors the engine's fixpoint
+    * (Queries.reachability) for any k. */
+  def reachability(origin: Long, maxRides: Int = 2): String = {
+    val hops = (1 to maxRides).map { d =>
+      s"""r${d - 1} AS (SELECT DISTINCT route_id FROM sr JOIN s${d - 1} USING (stop_id)),
+         |s$d AS (SELECT DISTINCT stop_id FROM sr JOIN r${d - 1} USING (route_id))""".stripMargin
+    }.mkString(",\n")
+    val levels = (0 to maxRides)
+      .map(d => s"SELECT stop_id, $d AS d FROM s$d").mkString(" UNION ALL ")
     s"""$P
        |, sr AS (
        |  SELECT DISTINCT st.stop_id, t.route_id
        |  FROM stop_times st JOIN trips t ON t.trip_id = st.trip_id),
-       |r0 AS (SELECT DISTINCT route_id FROM sr WHERE stop_id = $origin),
-       |s1 AS (SELECT DISTINCT stop_id FROM sr JOIN r0 USING (route_id)),
-       |r1 AS (SELECT DISTINCT route_id FROM sr JOIN s1 USING (stop_id)),
-       |s2 AS (SELECT DISTINCT stop_id FROM sr JOIN r1 USING (route_id))
-       |SELECT s2.stop_id,
-       |       CASE WHEN s2.stop_id = $origin THEN 0
-       |            WHEN s1.stop_id IS NOT NULL THEN 1 ELSE 2 END AS min_rides
-       |FROM s2 LEFT JOIN s1 ON s2.stop_id = s1.stop_id
-       |ORDER BY s2.stop_id""".stripMargin
+       |s0 AS (SELECT DISTINCT stop_id FROM sr WHERE stop_id = $origin),
+       |$hops,
+       |levels AS ($levels)
+       |SELECT stop_id, CAST(MIN(d) AS INT) AS min_rides
+       |FROM levels GROUP BY stop_id
+       |ORDER BY stop_id""".stripMargin
+  }
 
   def arrivalsGrouped(stopId: Long): String =
     s"""$P

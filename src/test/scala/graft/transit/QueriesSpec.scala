@@ -128,6 +128,17 @@ class QueriesSpec extends SparkSpec {
       Seq("A", 0), Seq("B", 1), Seq("C", 2), Seq("D", 2), Seq("HUB", 1)))
   }
 
+  test("reachability fixpoint generalizes: k=1 horizon, k=3 saturates") {
+    // k=1: only the first ride's stops, no transfers
+    val k1 = rows(Queries.reachability(t, "A", maxRides = 1), "stop_id", "min_rides")
+    assert(k1 == Seq(Seq("A", 0), Seq("B", 1), Seq("HUB", 1)))
+    // the micro-feed is fully reached within 2 rides, so a deeper horizon
+    // must change nothing (labels are MIN-folded, settled stops never relabel)
+    val k2 = rows(Queries.reachability(t, "A", maxRides = 2), "stop_id", "min_rides")
+    val k3 = rows(Queries.reachability(t, "A", maxRides = 3), "stop_id", "min_rides")
+    assert(k3 == k2)
+  }
+
   test("stop pairs: hand-counted direct connections, deterministic tie order") {
     // all services: A->HUB on T1-T4; A->B on T1,T2,T8; HUB->B on T1,T2;
     // HUB->C on T5,T6; HUB->D on T7
