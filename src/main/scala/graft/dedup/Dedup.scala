@@ -234,6 +234,35 @@ object Dedup {
     * (exact integer/32 agreement — deterministic in both engines). */
   val MinClusterSim = 0.25
 
+  /** Edge rows per fixpoint task: (src,dst) longs are 16 bytes, so this is
+    * ~1.6 MB of payload per task — small enough that per-round scheduling
+    * overhead, not spill, dominates below it. */
+  val CcEdgesPerPartition = 100000L
+
+  /** Fixpoint parallelism from edge volume: one task per
+    * [[CcEdgesPerPartition]] edges, at least 1, capped at the session's
+    * shuffle parallelism (the cluster-size dial). */
+  def ccPartitions(nEdges: Long, maxParts: Int): Int =
+    math.max(1L, math.min(maxParts.toLong,
+      (nEdges + CcEdgesPerPartition - 1) / CcEdgesPerPartition)).toInt
+
+  /** Stage the undirected edge list for the CC fixpoint: checkpoint at the
+    * candidate join's natural parallelism (so the signature pipeline runs
+    * once, wide), then COUNT — cheap, the RDD is already materialized —
+    * and coalesce so the fixpoint's per-round task count tracks the edge
+    * list's size, not the corpus join's reducer count. The thresholded
+    * edge list is O(duplicate pairs), orders of magnitude smaller than
+    * the corpus; without this the loop schedules corpus-scale task waves
+    * over kilobytes of data. Coalesce is shuffle-free. */
+  def stageEdges(pairs: DataFrame): DataFrame = {
+    val raw = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .localCheckpoint(true)
+    val parts = ccPartitions(raw.count(),
+      raw.sparkSession.sessionState.conf.numShufflePartitions)
+    if (parts < raw.rdd.getNumPartitions) raw.coalesce(parts) else raw
+  }
+
   /** Dedup cluster assignment: connected components over the thresholded
     * MinHash candidate graph — the pass that turns candidate PAIRS into
     * per-document cluster ids (representative = min doc_id in the
@@ -254,17 +283,7 @@ object Dedup {
     val pairs = minhashPairs(spark, dir)
       .filter(col("est_sim") >= MinClusterSim)
       .select(col("id1"), col("id2"))
-    // undirected edge list + every endpoint as a node; checkpointed so the
-    // signature pipeline is computed once and every round's plan starts
-    // from the materialized edge list. Repartitioned down first: the
-    // thresholded edge list is O(duplicate pairs) — orders of magnitude
-    // smaller than the corpus — so the fixpoint's per-round task count
-    // should track ITS size, not the corpus join's reducer count (at
-    // cluster scale, size this by a cheap count of the edge frame).
-    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
-      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
-      .repartition(8)
-      .localCheckpoint(true)
+    val edges = stageEdges(pairs)
     // seed with min(self, neighbors) instead of self: the first propagation
     // round folds into the (already materialized) edge list — one groupBy,
     // one fewer driver round in the loop

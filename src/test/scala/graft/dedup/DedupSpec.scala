@@ -88,6 +88,22 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("CC fixpoint parallelism tracks edge volume, capped by shuffle conf") {
+    import spark.implicits._
+    // pure sizing function across the scale range
+    assert(Dedup.ccPartitions(0L, 32) == 1)
+    assert(Dedup.ccPartitions(86L, 32) == 1)
+    assert(Dedup.ccPartitions(250000L, 32) == 3)
+    assert(Dedup.ccPartitions(10000000L, 32) == 32) // cluster-dial cap
+    // staged frames: a fixture-sized edge list collapses to one task,
+    // a generated large one fans out with its volume (test conf caps at 4)
+    val small = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    assert(Dedup.stageEdges(small).rdd.getNumPartitions == 1)
+    val big = spark.range(150000L).select(col("id").as("id1"), (col("id") + 1).as("id2"))
+    // 300k undirected edges -> 3 tasks (within the 4-partition test cap)
+    assert(Dedup.stageEdges(big).rdd.getNumPartitions == 3)
+  }
+
   test("simhash hamming distance is 0 for dups and large for unrelated docs") {
     val docs = docsDf(Seq(
       1L -> base, 2L -> base,
