@@ -85,19 +85,31 @@ object Similarity {
     // first index of the max dot (1-based array_position), ties → lowest j
     let(ivfDots(v))(ds => array_position(ds, array_max(ds)) - 1)
 
-  /** The query's top-2 coarse cells (argmax and runner-up centroid dot) —
-    * the nprobe dial: mask the winning position to −1e308, argmax again.
-    * Ties resolve to the lowest cell index in both engines (first-match
-    * array_position / list_position). */
-  def ivfTop2(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    let(ivfDots(v)) { ds =>
-      let(array_position(ds, array_max(ds))) { p1 =>
-        let(transform(sequence(lit(1), lit(IvfCells)),
-          i => when(i.cast("long") === p1, lit(-1e308)).otherwise(element_at(ds, i)))) { m =>
-          array(p1 - 1, array_position(m, array_max(m)) - 1)
+  /** The query's top-n coarse cells by centroid dot — the nprobe recall
+    * dial: pick the argmax, mask its position to −1e308, repeat. Ties
+    * resolve to the lowest cell index in both engines (first-match
+    * array_position / list_position). Every intermediate is let-bound —
+    * each is referenced twice per round, and unbound HOF subexpressions
+    * re-evaluate per reference (the measured sim_ann_pq 6× trap). */
+  def ivfTopN(v: org.apache.spark.sql.Column, nprobe: Int): org.apache.spark.sql.Column = {
+    require(nprobe >= 1 && nprobe <= IvfCells, s"nprobe=$nprobe out of [1,$IvfCells]")
+    def pick(ds: org.apache.spark.sql.Column, remaining: Int): org.apache.spark.sql.Column =
+      let(ds) { d =>
+        let(array_position(d, array_max(d))) { p =>
+          if (remaining == 1) array(p - 1)
+          else concat(
+            array(p - 1),
+            pick(transform(sequence(lit(1), lit(IvfCells)),
+              i => when(i.cast("long") === p, lit(-1e308)).otherwise(element_at(d, i))),
+              remaining - 1))
         }
       }
-    }
+    pick(ivfDots(v), nprobe)
+  }
+
+  /** Backward-compatible top-2 face (= [[ivfTopN]] at nprobe=2). */
+  def ivfTop2(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    ivfTopN(v, 2)
 
   /** IVF ANN: candidates restricted to the query's coarse cell (nprobe=1;
     * production probes the top-n cells by centroid dot). Same shape as
@@ -120,12 +132,13 @@ object Similarity {
           (col("qn") * col("cn"))).as("raw")))
   }
 
-  /** IVF with nprobe=2: every query probes its top-2 coarse cells — the
-    * standard IVF recall dial (recall ⊇ nprobe=1 by construction; the
-    * spec asserts it against [[knnBrute]]). Candidates still live in
-    * exactly one cell, so the probe explode doubles the query-side rows
-    * only; the join stays a cell-keyed equi-join. */
-  def annIvfNprobe(spark: SparkSession, dir: String): DataFrame = {
+  /** IVF with nprobe>1: every query probes its top-`nprobe` coarse cells —
+    * the standard IVF recall dial (recall at nprobe n+1 ⊇ n by
+    * construction; the spec asserts monotonicity through nprobe=4 against
+    * [[knnBrute]]). Candidates still live in exactly one cell, so the
+    * probe explode multiplies the QUERY-side rows only; the join stays a
+    * cell-keyed equi-join. */
+  def annIvfNprobe(spark: SparkSession, dir: String, nprobe: Int = 2): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(
       col("vec_id"), col("embedding"),
       graft.functions.GraftFunctions.l2norm(spark, col("embedding")).as("nrm"),
@@ -133,7 +146,7 @@ object Similarity {
     val q = Tables.embeddings(spark, dir).filter(col("vec_id") < QuerySet)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         graft.functions.GraftFunctions.l2norm(spark, col("embedding")).as("qn"),
-        explode(ivfTop2(col("embedding"))).as("cell"))
+        explode(ivfTopN(col("embedding"), nprobe)).as("cell"))
     val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"),
       col("nrm").as("cn"), col("cell"))
     ranked(q.join(c, Seq("cell"))
@@ -370,7 +383,8 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_kmeans_update" -> kmeansUpdate,
-    "sim_ann_ivf_nprobe" -> annIvfNprobe,
+    // nprobe=2 pinned here for oracle parity; the dial is the 3rd param
+    "sim_ann_ivf_nprobe" -> ((s: SparkSession, d: String) => annIvfNprobe(s, d)),
     "sim_knn_brute" -> knnBrute,
     "sim_ann_lsh" -> annLsh,
     "sim_ann_lsh_multiprobe" -> annLshMultiprobe,

@@ -40,6 +40,26 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     info(f"recall@5: lsh=$lsh%.2f multiprobe=$multi%.2f ivf=$ivf%.2f nprobe2=$ivf2%.2f")
   }
 
+  test("IVF recall is monotone in nprobe and reaches 0.6 by nprobe=4") {
+    val brute = neighborSets(Similarity.knnBrute(spark, sf))
+    def recall(ann: Map[Long, Set[Long]]): Double = {
+      val hits = brute.map { case (q, truth) =>
+        ann.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+      }
+      hits.sum / hits.size
+    }
+    // each +1 probe strictly widens every query's candidate set, so
+    // recall@5 can only rise; deterministic data makes these fixed numbers
+    val byProbe = (1 to 4).map(n =>
+      n -> recall(neighborSets(Similarity.annIvfNprobe(spark, sf, nprobe = n))))
+    byProbe.sliding(2).foreach { case Seq((na, ra), (nb, rb)) =>
+      assert(rb >= ra, s"recall fell from nprobe=$na ($ra) to nprobe=$nb ($rb)")
+    }
+    val r4 = byProbe.last._2
+    assert(r4 >= 0.6, s"recall@5 at nprobe=4 is $r4, expected >= 0.6")
+    info(byProbe.map { case (n, r) => f"nprobe$n=$r%.2f" }.mkString("recall@5: ", " ", ""))
+  }
+
   test("PQ codes are valid and ADC ranking recalls true neighbors") {
     val pq = Similarity.annPq(spark, sf)
     val rows = pq.collect()
