@@ -452,11 +452,21 @@ object Queries {
     * is exactly the stops first labeled last round — already-settled
     * stops never re-expand — and an empty frontier ends the loop early,
     * so k is a horizon bound, not a forced work count. */
-  def reachability(t: TransitTables, origin: Any, maxRides: Int = 2): DataFrame = {
-    val sr = t.stopTimes.select(col("stop_id"), col("trip_id"))
+  private[graft] def stopRouteIncidence(t: TransitTables): DataFrame =
+    t.stopTimes.select(col("stop_id"), col("trip_id"))
       .join(t.trips.select("trip_id", "route_id"), "trip_id")
       .select(col("stop_id"), col("route_id")).distinct()
-      .localCheckpoint(true)
+
+  /** One BFS expansion: frontier stops → routes touching them → all stops
+    * on those routes. Exposed so the plan spec can assert the round's join
+    * shape (checkpoint boundaries hide it from the final plan). */
+  private[graft] def reachabilityRound(sr: DataFrame, frontier: DataFrame): DataFrame = {
+    val viaRoutes = sr.join(frontier, "stop_id").select("route_id").distinct()
+    sr.join(viaRoutes, "route_id").select("stop_id").distinct()
+  }
+
+  def reachability(t: TransitTables, origin: Any, maxRides: Int = 2): DataFrame = {
+    val sr = stopRouteIncidence(t).localCheckpoint(true)
     var labeled = sr.filter(col("stop_id") === origin)
       .select("stop_id").distinct()
       .withColumn("min_rides", lit(0))
@@ -467,8 +477,7 @@ object Queries {
       val frontier = labeled.filter(col("min_rides") === depth - 1).select("stop_id")
       if (frontier.isEmpty) { exhausted = true }
       else {
-        val viaRoutes = sr.join(frontier, "stop_id").select("route_id").distinct()
-        val reached = sr.join(viaRoutes, "route_id").select("stop_id").distinct()
+        val reached = reachabilityRound(sr, frontier)
           .withColumn("min_rides", lit(depth))
         labeled = labeled.unionByName(reached)
           .groupBy(col("stop_id")).agg(min(col("min_rides")).as("min_rides"))

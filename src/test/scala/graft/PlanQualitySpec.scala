@@ -238,7 +238,17 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     val p = plan("transit_reachability")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(800))
-    assert(p.contains("Join"), p.take(300))
+    // the checkpoint at each fixpoint round hides the expansion joins from
+    // the final plan, so assert the round's own plan shape directly
+    val t = TransitTables.fromTpch(spark, sf)
+    val sr = Queries.stopRouteIncidence(t)
+    val round = Queries.reachabilityRound(
+      sr, sr.filter(org.apache.spark.sql.functions.col("stop_id") === 42L)
+        .select("stop_id"))
+      .queryExecution.executedPlan.toString
+    assert(round.contains("Join"), round.take(300))
+    assert(!round.contains("CartesianProduct") &&
+      !round.contains("BroadcastNestedLoopJoin"), round.take(800))
   }
 
   test("sketch aggregates land within 5% of exact (HLL distinct, t-digest median)") {
