@@ -381,7 +381,44 @@ object Similarity {
       .orderBy(col("cluster_id"))
   }
 
+  /** Per-label centroid outliers — the embedding-QA pass that flags likely
+    * mislabeled / out-of-distribution vectors: for every label, the 3
+    * members farthest from the label's mean embedding. Bit-exact
+    * cross-engine via the [[kmeansUpdate]] integer trick, pushed one step
+    * further: with quantized coords q and per-label sums S over n members,
+    * the distance to the mean scaled by n² is Σ(n·qᵢ − Sᵢ)² — pure BIGINT
+    * arithmetic, no division, no float summation order (safe while
+    * n·|q| < 3·10⁸ per coordinate). Plan shape: one (label, dim) hash agg
+    * for the sums (map-side partials carry three BIGINTs), the tiny
+    * #labels-row centroid frame broadcast back, one map pass to score,
+    * and the X39 WindowGroupLimit idiom for top-3 — the corpus never
+    * shuffles its vectors. */
+  def centroidOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def quant(v: org.apache.spark.sql.Column) =
+      transform(v, x => floor(x.cast("double") * 1000.0 + 0.5).cast("long"))
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), quant(col("embedding")).as("q"))
+    val sums = e.select(col("label"), posexplode(col("q")).as(Seq("pos", "qv")))
+      .groupBy(col("label"), col("pos")).agg(sum(col("qv")).as("s"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+        x => x("s")).as("sums"))
+    val counts = e.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("label")).orderBy(col("dist2").desc, col("vec_id"))
+    e.join(broadcast(sums), "label").join(broadcast(counts), "label")
+      .withColumn("dist2",
+        aggregate(zip_with(col("q"), col("sums"),
+          (a, b) => (col("n") * a - b) * (col("n") * a - b)),
+          lit(0L), (s, x) => s + x))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("label"), col("vec_id"), col("dist2"), col("rank"))
+      .orderBy(col("label"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_centroid_outliers" -> centroidOutliers,
     "sim_kmeans_update" -> kmeansUpdate,
     // nprobe=2 pinned here for oracle parity; the dial is the 3rd param
     "sim_ann_ivf_nprobe" -> ((s: SparkSession, d: String) => annIvfNprobe(s, d)),
@@ -625,7 +662,34 @@ object SimilarityOracles {
        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  val centroidOutliers: String =
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT vec_id, label, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |d AS (SELECT label, pos, SUM(qv) AS s FROM (
+       |        SELECT label, unnest(q) AS qv, unnest(range(1, len(q) + 1)) AS pos
+       |        FROM q)
+       |      GROUP BY label, pos),
+       |sums AS (SELECT label, list(CAST(s AS BIGINT) ORDER BY pos) AS sums
+       |         FROM d GROUP BY label),
+       |counts AS (SELECT label, COUNT(*) AS n FROM q GROUP BY label),
+       |scored AS (
+       |  SELECT q.label, q.vec_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, len(q.q) + 1),
+       |        i -> (n * q.q[i] - sums[i]) * (n * q.q[i] - sums[i]))),
+       |      (a, b) -> a + b) AS dist2
+       |  FROM q JOIN sums USING (label) JOIN counts USING (label))
+       |SELECT label, vec_id, dist2,
+       |       CAST(ROW_NUMBER() OVER (PARTITION BY label
+       |         ORDER BY dist2 DESC, vec_id) AS INT) AS rank
+       |FROM scored
+       |QUALIFY rank <= 3
+       |ORDER BY label, rank""".stripMargin
+
   val all: Map[String, String] = Map(
+    "sim_centroid_outliers" -> centroidOutliers,
     "sim_kmeans_update" -> kmeansUpdate,
     "sim_ann_ivf_nprobe" -> annIvfNprobe,
     "sim_knn_brute" -> knnBrute,

@@ -379,7 +379,120 @@ object TextAnalysis {
       .orderBy(col("split"))
   }
 
+  /** Corpus-wide boilerplate detection (the RefinedWeb/C4 shared-template
+    * scan): a 3-gram shingle is "boilerplate" when it occurs in ≥ 5
+    * distinct documents; each document reports its share of boilerplate
+    * shingles. Same plan family as [[contamination]] — per-doc distinct
+    * shingles (so the corpus-wide count IS a document frequency), one
+    * gram-keyed hash agg for the df, one gram-keyed equi-join back. At
+    * 100 TB both shuffles carry 8-byte gram hashes, never text, and the
+    * df side collapses map-side before the join. */
+  def boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextHash.shingleSet(col("text"), 3)).as("gram"))
+    val boiler = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 5).select("gram")
+    grams.join(boiler.withColumn("hit", lit(1L)), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_boilerplate"))
+      .select(col("doc_id"), col("n_grams"), col("n_boilerplate"),
+        round(col("n_boilerplate").cast("double") / col("n_grams"), 4)
+          .as("boilerplate_share"))
+      .withColumn("boilerplate_flag",
+        when(col("boilerplate_share") > 0.5, lit("boilerplate")).otherwise(lit("ok")))
+      .orderBy("doc_id")
+  }
+
+  /** Sliding-window context chunking (size 32 tokens, stride 24 — the
+    * overlapping split an embedding/retrieval indexer applies before
+    * encoding): every token is covered, consecutive chunks overlap by 8
+    * tokens, and the tail chunk is allowed to run short. One narrow
+    * explode per document — chunk counts, offsets, and content hashes are
+    * pure functions of the token array, so the op is map-only at any
+    * scale and chunk identity is reproducible across engines. */
+  val ChunkSize = 32
+  val ChunkStride = 24
+
+  def chunkWindows(spark: SparkSession, dir: String): DataFrame = {
+    val W = ChunkSize; val S = ChunkStride
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextHash.tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_chunks",
+        when(col("n_tokens") <= W, lit(1L))
+          .otherwise(lit(1L) +
+            ceil((col("n_tokens") - W).cast("double") / S).cast("long")))
+      .select(col("doc_id"), col("n_tokens"), col("n_chunks"), col("toks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .withColumn("start_tok", col("chunk_id") * S)
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"), col("n_chunks"),
+        col("start_tok"),
+        least(lit(W.toLong), col("n_tokens") - col("start_tok")).as("chunk_len"),
+        TextHash.strHash(concat_ws(" ",
+          slice(col("toks"), col("start_tok").cast("int") + 1, lit(W))))
+          .as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Deterministic global shuffle order — the training-order assignment:
+    * rank every document by a salted hash of its id, producing a total
+    * order that is a pure function of the corpus (same order on any
+    * cluster size, any retry). The global rank is computed scalably with
+    * the [[packSequences]] two-phase shape: the hash's high bits range-
+    * bucket the rows (bucket boundaries respect the sort order), ranks
+    * are bucket-local row_numbers, and per-bucket offsets ride a window
+    * over #buckets rows — no corpus-wide single-partition window. */
+  def globalShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // P/64: the hash's value range split into 64 order-preserving buckets
+    val bucketWidth = (TextHash.P / 64) + 1
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextHash.strHash(concat(lit("shuffle:"), col("doc_id").cast("string")))
+          .as("shuffle_key"))
+      .withColumn("bkt", floor(col("shuffle_key") / bucketWidth).cast("long"))
+    val wLocal = Window.partitionBy("bkt").orderBy(col("shuffle_key"), col("doc_id"))
+    val wBkt = Window.orderBy("bkt") // #buckets rows — tiny at any scale
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("bkt").agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(sum("cnt").over(wBkt), lit(0L)))
+      .select("bkt", "offset")
+    base.join(broadcast(offsets), "bkt")
+      .select(col("doc_id"), col("shuffle_key"),
+        (col("offset") + row_number().over(wLocal)).as("global_order"))
+      .orderBy("doc_id")
+  }
+
+  /** Source-level gating (the domain-filter pass): a source survives when
+    * it is not on the explicit blocklist AND its mean document length
+    * clears a floor. The gate compares integer sums (Σtokens ≥ floor·n)
+    * so the cut is bit-exact cross-engine. Plan: one source-keyed hash
+    * agg over (source, n_tokens) — map-side partials carry two BIGINTs —
+    * then a broadcast left-semi join back onto the corpus; at 100 TB the
+    * survivor set is thousands of sources, always broadcastable. */
+  val SourceBlocklist: Seq[String] = Seq("src7", "src13")
+  val SourceMinAvgTokens = 51L
+
+  def sourceFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(TextHash.tokens(col("text"))).cast("long").as("n_tokens"))
+    val good = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .filter(!col("source").isin(SourceBlocklist: _*) &&
+        col("sum_tokens") >= lit(SourceMinAvgTokens) * col("n_docs"))
+      .select("source")
+    docs.join(broadcast(good), Seq("source"), "left_semi")
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_boilerplate" -> boilerplate,
+    "text_chunk_windows" -> chunkWindows,
+    "text_global_shuffle" -> globalShuffle,
+    "text_source_filter" -> sourceFilter,
     "text_corpus_build" -> corpusBuild,
     "text_repetition" -> repetition,
     "text_contamination" -> contamination,

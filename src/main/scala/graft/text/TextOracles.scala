@@ -222,7 +222,70 @@ object TextOracles {
        |ORDER BY f.df DESC, f.word
        |LIMIT 20""".stripMargin
 
+  val boilerplate: String =
+    s"""WITH g AS MATERIALIZED (
+       |  SELECT doc_id, unnest(list_distinct(${shingleHashes("th", 3)})) AS gram
+       |  FROM (SELECT doc_id, ${tokenHashes("text")} AS th FROM documents)),
+       |boiler AS (SELECT gram FROM (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram)
+       |           WHERE df >= 5)
+       |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |       CAST(SUM(CASE WHEN boiler.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_boilerplate,
+       |       round(CAST(SUM(CASE WHEN boiler.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / COUNT(*), 4) AS boilerplate_share,
+       |       CASE WHEN round(CAST(SUM(CASE WHEN boiler.gram IS NOT NULL THEN 1 ELSE 0 END)
+       |              AS DOUBLE) / COUNT(*), 4) > 0.5
+       |            THEN 'boilerplate' ELSE 'ok' END AS boilerplate_flag
+       |FROM g LEFT JOIN boiler ON g.gram = boiler.gram
+       |GROUP BY g.doc_id
+       |ORDER BY g.doc_id""".stripMargin
+
+  val chunkWindows: String = {
+    val (w, s) = (TextAnalysis.ChunkSize, TextAnalysis.ChunkStride)
+    s"""WITH t AS (SELECT doc_id, $toks AS toks, CAST(len($toks) AS BIGINT) AS n_tokens
+       |           FROM documents),
+       |c AS (SELECT doc_id, toks, n_tokens,
+       |        CASE WHEN n_tokens <= $w THEN 1
+       |             ELSE 1 + CAST(ceil((n_tokens - $w) / $s.0) AS BIGINT) END AS n_chunks
+       |      FROM t),
+       |e AS (SELECT doc_id, toks, n_tokens, n_chunks,
+       |        unnest(range(0, n_chunks)) AS chunk_id FROM c)
+       |SELECT doc_id, chunk_id, n_tokens, n_chunks,
+       |       chunk_id * $s AS start_tok,
+       |       least($w, n_tokens - chunk_id * $s) AS chunk_len,
+       |       ${strHash(s"array_to_string(toks[CAST(chunk_id*$s+1 AS INT):CAST(chunk_id*$s+$w AS INT)], ' ')")}
+       |         AS chunk_hash
+       |FROM e
+       |ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
+  val globalShuffle: String = {
+    val h = strHash("'shuffle:' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id, shuffle_key,
+       |       CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT)
+       |         AS global_order
+       |FROM (SELECT doc_id, $h AS shuffle_key FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val sourceFilter: String = {
+    val block = TextAnalysis.SourceBlocklist.map(s => s"'$s'").mkString(", ")
+    s"""WITH docs AS (SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tokens
+       |              FROM documents),
+       |good AS (SELECT source FROM docs GROUP BY source
+       |         HAVING source NOT IN ($block)
+       |            AND CAST(SUM(n_tokens) AS BIGINT) >=
+       |                ${TextAnalysis.SourceMinAvgTokens} * COUNT(*))
+       |SELECT doc_id, source, n_tokens FROM docs
+       |WHERE source IN (SELECT source FROM good)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
+    "text_boilerplate" -> boilerplate,
+    "text_chunk_windows" -> chunkWindows,
+    "text_global_shuffle" -> globalShuffle,
+    "text_source_filter" -> sourceFilter,
     "text_stratified_sample" -> stratifiedSample,
     "text_rare_tokens" -> rareTokens,
     "text_pack_sequences" -> packSequences,

@@ -129,4 +129,34 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       r.getAs[Int]("neighbor_rank") <= Similarity.TopK))
     assert(rows.forall(r => math.abs(r.getAs[Double]("cos_sim")) <= 1.0 + 1e-9))
   }
+
+  test("centroid outliers: top-3 per label matches a driver-side recount") {
+    val rows = Similarity.centroidOutliers(spark, sf).collect()
+    val labels = rows.map(_.getAs[Int]("label")).distinct
+    assert(labels.length >= 2)
+    rows.groupBy(_.getAs[Int]("label")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.sameElements(Array(1, 2, 3)))
+      val d = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("dist2"))
+      assert(d(0) >= d(1) && d(1) >= d(2), "dist2 must be non-increasing in rank")
+    }
+    // recount one label exactly: quantized coords, integer n²-scaled
+    // distances — the engine's rank-1 member must be the true argmax
+    val label0 = labels.min
+    val members = graft.sources.Tables.embeddings(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("label") === label0)
+      .collect().map { r =>
+        r.getAs[Long]("vec_id") -> r.getAs[Seq[Float]]("embedding")
+          .map(x => math.floor(x.toDouble * 1000.0 + 0.5).toLong).toArray
+      }
+    val n = members.length.toLong
+    val sums = members.map(_._2).transpose.map(_.sum)
+    def dist2(q: Array[Long]) =
+      q.zip(sums).map { case (a, b) => val d = n * a - b; d * d }.sum
+    val want = members.map { case (id, q) => (dist2(q), id) }
+      .sortBy { case (d, id) => (-d, id) }.take(3)
+    val got = rows.filter(_.getAs[Int]("label") == label0)
+      .sortBy(_.getAs[Int]("rank"))
+      .map(r => (r.getAs[Long]("dist2"), r.getAs[Long]("vec_id")))
+    assert(got.toSeq == want.toSeq)
+  }
 }

@@ -117,4 +117,65 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     val again = TextAnalysis.contamination(spark, sf).collect()
     assert(rows.toSeq == again.toSeq)
   }
+
+  test("chunk windows: full tiling with stride overlap, short tail allowed") {
+    val rows = TextAnalysis.chunkWindows(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    val (w, s) = (TextAnalysis.ChunkSize.toLong, TextAnalysis.ChunkStride.toLong)
+    rows.foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_.getAs[Long]("chunk_id"))
+      val n = sorted.head.getAs[Long]("n_tokens")
+      // chunk ids are 0..n_chunks-1, starts advance by exactly the stride
+      assert(sorted.map(_.getAs[Long]("chunk_id")).sameElements(
+        sorted.indices.map(_.toLong)), s"doc $id chunk ids")
+      sorted.foreach { c =>
+        assert(c.getAs[Long]("start_tok") == c.getAs[Long]("chunk_id") * s)
+        assert(c.getAs[Long]("chunk_len") >= 1 && c.getAs[Long]("chunk_len") <= w)
+      }
+      // the last chunk ends exactly at n_tokens: every token is covered
+      val last = sorted.last
+      assert(last.getAs[Long]("start_tok") + last.getAs[Long]("chunk_len") == n,
+        s"doc $id tail not flush with n_tokens=$n")
+      // and no chunk before the last ever runs short
+      sorted.init.foreach(c => assert(c.getAs[Long]("chunk_len") == w))
+    }
+  }
+
+  test("global shuffle: ranks are the permutation induced by the hash key") {
+    val rows = TextAnalysis.globalShuffle(spark, sf).collect()
+    val orders = rows.map(_.getAs[Long]("global_order")).sorted
+    assert(orders.sameElements(1L to rows.length.toLong),
+      "global_order must be a contiguous 1..N permutation")
+    // ordering by (key, doc_id) reproduces the assigned order exactly
+    val byKey = rows.sortBy(r => (r.getAs[Long]("shuffle_key"), r.getLong(0)))
+      .map(_.getAs[Long]("global_order"))
+    assert(byKey.sameElements(1L to rows.length.toLong),
+      "two-phase rank must equal the global sort rank")
+  }
+
+  test("source filter: blocklist excluded, every surviving source clears the floor") {
+    val kept = TextAnalysis.sourceFilter(spark, sf).collect()
+    assert(kept.nonEmpty && kept.length < 500, "the gate must actually gate")
+    val keptSources = kept.map(_.getString(1)).toSet
+    assert(TextAnalysis.SourceBlocklist.forall(!keptSources.contains(_)))
+    val bySource = kept.groupBy(_.getString(1))
+    bySource.foreach { case (src, ds) =>
+      // n_tokens rides the output, so the floor is re-checkable per source
+      val all = graft.sources.Tables.documents(spark, sf)
+        .filter(col("source") === src).count()
+      assert(ds.length == all, s"$src must keep all docs or none")
+    }
+  }
+
+  test("boilerplate: shares bounded and monotone in the df threshold") {
+    val rows = TextAnalysis.boilerplate(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (n, b) = (r.getAs[Long]("n_grams"), r.getAs[Long]("n_boilerplate"))
+      assert(b >= 0 && b <= n)
+      val share = r.getAs[Double]("boilerplate_share")
+      assert(share >= 0.0 && share <= 1.0)
+    }
+  }
 }
