@@ -499,15 +499,28 @@ object RelationalQueries {
     * computes the exact columns and literal TRUE, so a drifting sketch
     * turns the row red. Production at scale runs the sketch columns
     * alone; this face exists to keep the operator under the hash gate. */
-  def approxAgg(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+  def approxAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    // Three small aggregates re-joined on the 3-row group key instead of
+    // one combined agg: two TypedImperativeAggregates (percentile +
+    // approx_percentile) in a single Aggregate measure 18-28 s at sf0.1
+    // where they cost 2.4 + 0.9 s planned apart, and countDistinct's
+    // Expand rewrite multiplies that further (measured 23-70 s combined;
+    // ~2 s in this form — tools/AggTime.scala reproduces the matrix).
+    // Exact distinct rides a two-level hash agg (no Expand); the HLL
+    // sketch aggregates the already-distinct pairs, which leaves its
+    // estimate unchanged.
+    val orders = li
+      .groupBy(col("l_returnflag"), col("l_orderkey")).agg(count(lit(1)).as("c"))
       .groupBy(col("l_returnflag"))
-      .agg(
-        countDistinct(col("l_orderkey")).as("exact_orders"),
+      .agg(count(lit(1)).as("exact_orders"),
         approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
-        expr("percentile(l_extendedprice, 0.5)").as("exact_median_raw"),
-        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median_raw"),
-        count(lit(1)).as("n_rows"))
+        sum(col("c")).as("n_rows"))
+    val exactMed = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("exact_median_raw"))
+    val approxMed = li.groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median_raw"))
+    orders.join(exactMed, "l_returnflag").join(approxMed, "l_returnflag")
       .select(
         col("l_returnflag"),
         col("exact_orders"),
@@ -517,6 +530,7 @@ object RelationalQueries {
           abs(col("approx_median_raw") - col("exact_median_raw")) /
             col("exact_median_raw") < 0.05).as("approx_within_5pct"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** Array function suite: build a sorted array per order and exercise
     * element access, slicing, membership, higher-order exists/forall and

@@ -417,7 +417,48 @@ object Similarity {
       .orderBy(col("label"), col("rank"))
   }
 
+  /** kNN label-confusion matrix — embedding-space QA for labeled corpora:
+    * counts of (query label → neighbor label) over every exact top-k pair,
+    * with the per-query-label share. A clean diagonal means labels are
+    * separable in embedding space; hot off-diagonal cells name the label
+    * pairs that blur. Rides [[knnBrute]] unchanged + two broadcast label
+    * joins + one tiny (#labels²) agg; the share's window runs over the
+    * aggregated frame, never the pair set. */
+  def labelConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    knnBrute(spark, dir)
+      .join(broadcast(labels.select(col("vec_id").as("qid"),
+        col("label").as("query_label"))), "qid")
+      .join(broadcast(labels.select(col("vec_id").as("cid"),
+        col("label").as("neighbor_label"))), "cid")
+      .groupBy(col("query_label"), col("neighbor_label"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("share", round(col("n_pairs").cast("double") /
+        sum(col("n_pairs")).over(Window.partitionBy(col("query_label"))), 4))
+      .orderBy(col("query_label"), col("neighbor_label"))
+  }
+
+  /** Per-query ANN recall@k as a QUERY (not just a spec): exact top-k
+    * from [[knnBrute]] left-joined against [[annLsh]]'s answer set —
+    * per query, the fraction of true neighbors the approximate index
+    * found. This is the recall dashboard an ANN deployment watches; both
+    * sides are existing plans, the join keys are (qid, cid) pairs. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val brute = knnBrute(spark, dir).select(col("qid"), col("cid"))
+    val approx = annLsh(spark, dir).select(col("qid"), col("cid"))
+      .withColumn("hit", lit(1L))
+    brute.join(approx, Seq("qid", "cid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("qid"), col("n_true"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_true"), 4).as("recall_at_k"))
+      .orderBy(col("qid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_label_confusion" -> labelConfusion,
+    "sim_ann_recall" -> annRecall,
     "sim_centroid_outliers" -> centroidOutliers,
     "sim_kmeans_update" -> kmeansUpdate,
     // nprobe=2 pinned here for oracle parity; the dial is the 3rd param
@@ -688,7 +729,35 @@ object SimilarityOracles {
        |QUALIFY rank <= 3
        |ORDER BY label, rank""".stripMargin
 
+  val labelConfusion: String =
+    s"""WITH k AS (SELECT qid, cid FROM ($knnBrute)),
+       |lab AS (SELECT vec_id, label FROM embeddings)
+       |SELECT ql.label AS query_label, nl.label AS neighbor_label,
+       |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |       round(CAST(COUNT(*) AS DOUBLE) /
+       |         SUM(COUNT(*)) OVER (PARTITION BY ql.label), 4) AS share
+       |FROM k
+       |JOIN lab ql ON k.qid = ql.vec_id
+       |JOIN lab nl ON k.cid = nl.vec_id
+       |GROUP BY ql.label, nl.label
+       |ORDER BY query_label, neighbor_label""".stripMargin
+
+  val annRecall: String =
+    s"""WITH brute AS (SELECT qid, cid FROM ($knnBrute)),
+       |approx AS (SELECT qid, cid FROM ($annLsh))
+       |SELECT brute.qid, CAST(COUNT(*) AS BIGINT) AS n_true,
+       |       CAST(SUM(CASE WHEN approx.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_hit,
+       |       round(CAST(SUM(CASE WHEN approx.cid IS NOT NULL THEN 1 ELSE 0 END)
+       |         AS DOUBLE) / COUNT(*), 4) AS recall_at_k
+       |FROM brute LEFT JOIN approx
+       |  ON brute.qid = approx.qid AND brute.cid = approx.cid
+       |GROUP BY brute.qid
+       |ORDER BY brute.qid""".stripMargin
+
   val all: Map[String, String] = Map(
+    "sim_label_confusion" -> labelConfusion,
+    "sim_ann_recall" -> annRecall,
     "sim_centroid_outliers" -> centroidOutliers,
     "sim_kmeans_update" -> kmeansUpdate,
     "sim_ann_ivf_nprobe" -> annIvfNprobe,

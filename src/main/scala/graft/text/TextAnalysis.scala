@@ -488,7 +488,28 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus novelty curve — per document (in doc_id ingestion order), the
+    * fraction of its distinct 3-gram shingles never seen in any earlier
+    * document. New-crawl batches with low novelty are mostly re-crawls;
+    * the curve is the signal behind "this snapshot adds nothing" dedup
+    * triage. Each gram's first-seen doc is one gram-keyed MIN agg (the
+    * same 8-byte-key shuffle as [[boilerplate]]); a doc's novel grams are
+    * those whose first-seen doc is itself. */
+  def novelty(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextHash.shingleSet(col("text"), 3)).as("gram"))
+    val first = grams.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams"), 4).as("novelty_ratio"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_novelty" -> novelty,
     "text_boilerplate" -> boilerplate,
     "text_chunk_windows" -> chunkWindows,
     "text_global_shuffle" -> globalShuffle,

@@ -281,7 +281,22 @@ object TextOracles {
        |ORDER BY doc_id""".stripMargin
   }
 
+  val novelty: String =
+    s"""WITH g AS MATERIALIZED (
+       |  SELECT doc_id, unnest(list_distinct(${shingleHashes("th", 3)})) AS gram
+       |  FROM (SELECT doc_id, ${tokenHashes("text")} AS th FROM documents)),
+       |first_seen AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram)
+       |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |       CAST(SUM(CASE WHEN g.doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_novel,
+       |       round(CAST(SUM(CASE WHEN g.doc_id = first_doc THEN 1 ELSE 0 END)
+       |         AS DOUBLE) / COUNT(*), 4) AS novelty_ratio
+       |FROM g JOIN first_seen USING (gram)
+       |GROUP BY g.doc_id
+       |ORDER BY g.doc_id""".stripMargin
+
   val all: Map[String, String] = Map(
+    "text_novelty" -> novelty,
     "text_boilerplate" -> boilerplate,
     "text_chunk_windows" -> chunkWindows,
     "text_global_shuffle" -> globalShuffle,

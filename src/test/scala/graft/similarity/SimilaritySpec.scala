@@ -130,6 +130,25 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(rows.forall(r => math.abs(r.getAs[Double]("cos_sim")) <= 1.0 + 1e-9))
   }
 
+  test("label confusion and recall report: totals tie back to the knn pair set") {
+    val conf = Similarity.labelConfusion(spark, sf).collect()
+    assert(conf.map(_.getAs[Long]("n_pairs")).sum ==
+      Similarity.QuerySet.toLong * Similarity.TopK,
+      "confusion cells must partition the exact top-k pair set")
+    conf.groupBy(_.getAs[Int]("query_label")).foreach { case (_, cells) =>
+      val s = cells.map(_.getAs[Double]("share")).sum
+      assert(math.abs(s - 1.0) < 1e-6, s"shares must sum to 1 per query label, got $s")
+    }
+    val rec = Similarity.annRecall(spark, sf).collect()
+    assert(rec.length == Similarity.QuerySet)
+    rec.foreach { r =>
+      assert(r.getAs[Long]("n_true") == Similarity.TopK.toLong)
+      val recall = r.getAs[Double]("recall_at_k")
+      assert(recall >= 0.0 && recall <= 1.0)
+      assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_true"))
+    }
+  }
+
   test("centroid outliers: top-3 per label matches a driver-side recount") {
     val rows = Similarity.centroidOutliers(spark, sf).collect()
     val labels = rows.map(_.getAs[Int]("label")).distinct

@@ -168,6 +168,21 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("novelty: doc 0 is all-novel and every gram is novel exactly once") {
+    val rows = TextAnalysis.novelty(spark, sf).collect()
+    val byId = rows.map(r => r.getLong(0) ->
+      (r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"))).toMap
+    // the first document can only contain first-seen grams
+    val d0 = byId(rows.map(_.getLong(0)).min)
+    assert(d0._1 == d0._2, "earliest doc must be 100% novel")
+    // Σ novel grams over docs = # distinct grams in the corpus (each gram
+    // is first-seen exactly once)
+    val distinctGrams = graft.sources.Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextHash.shingleSet(col("text"), 3)).as("g"))
+      .distinct().count()
+    assert(rows.map(_.getAs[Long]("n_novel")).sum == distinctGrams)
+  }
+
   test("boilerplate: shares bounded and monotone in the df threshold") {
     val rows = TextAnalysis.boilerplate(spark, sf).collect()
     assert(rows.length == 500)
