@@ -27,6 +27,77 @@ object RelationalOracles {
       "substr(c_name, length(c_name) - 1, 1))"
 
   val all: Map[String, String] = Map(
+    "rel_funnel" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(ts) AS t2 FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(ts) AS t3 FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_view,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_click,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_purchase,
+        |       ROUND(CAST((SELECT COUNT(*) FROM s2) AS DOUBLE) /
+        |             (SELECT COUNT(*) FROM s1), 4) AS view_to_click,
+        |       ROUND(CAST((SELECT COUNT(*) FROM s3) AS DOUBLE) /
+        |             (SELECT COUNT(*) FROM s2), 4) AS click_to_purchase""".stripMargin,
+
+    "rel_cohorts" ->
+      """WITH e AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+        |f AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY user_id),
+        |d AS (SELECT DISTINCT user_id, wk FROM e)
+        |SELECT CAST(CAST(cohort_wk AS TIMESTAMP) AS VARCHAR) AS cohort_week,
+        |       CAST((CAST(epoch(wk) AS BIGINT) - CAST(epoch(cohort_wk) AS BIGINT))
+        |         // 604800 AS BIGINT) AS age_weeks,
+        |       CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM d JOIN f USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "rel_interpolate" ->
+      """WITH sparse AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |         ROUND(AVG(value), 4) AS v
+        |  FROM events WHERE event_id % 23 = 0 GROUP BY 1, 2),
+        |bounds AS (SELECT date_trunc('hour', MIN(ts)) AS lo,
+        |                  date_trunc('hour', MAX(ts)) AS hi FROM events),
+        |spine AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+        |            AS hour
+        |          FROM (SELECT DISTINCT event_type FROM events) CROSS JOIN bounds),
+        |filled AS (
+        |  SELECT s.event_type, s.hour, sp.v,
+        |    LAST_VALUE(sp.v IGNORE NULLS) OVER (PARTITION BY s.event_type
+        |      ORDER BY s.hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    LAST_VALUE(CASE WHEN sp.v IS NOT NULL THEN s.hour END IGNORE NULLS)
+        |      OVER (PARTITION BY s.event_type ORDER BY s.hour
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        |    FIRST_VALUE(sp.v IGNORE NULLS) OVER (PARTITION BY s.event_type
+        |      ORDER BY s.hour ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    FIRST_VALUE(CASE WHEN sp.v IS NOT NULL THEN s.hour END IGNORE NULLS)
+        |      OVER (PARTITION BY s.event_type ORDER BY s.hour
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        |  FROM spine s LEFT JOIN sparse sp
+        |    ON s.event_type = sp.event_type AND s.hour = sp.hour)
+        |SELECT event_type, CAST(hour AS VARCHAR) AS hour,
+        |  CASE WHEN v IS NOT NULL THEN 'known'
+        |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interpolated'
+        |       ELSE 'missing' END AS status,
+  -- floor(x*1e4 + 0.5)/1e4, NOT round(x, 4): the lerp of two 4-dp
+  -- neighbors lands exactly on .xxxx5 halves (e.g. frac = 1/2), where
+  -- the engines' round() implementations disagree; floor of the same
+  -- IEEE double is deterministic in both
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |         floor((pv + (nv - pv) *
+        |             CAST(epoch(hour) - epoch(pt) AS DOUBLE) /
+        |             CAST(epoch(nt) - epoch(pt) AS DOUBLE)) * 10000.0 + 0.5)
+        |           / 10000.0
+        |  END AS value
+        |FROM filled
+        |ORDER BY event_type, hour""".stripMargin,
+
     "rel_date_spine" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n,

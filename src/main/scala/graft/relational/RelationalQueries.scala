@@ -883,7 +883,103 @@ object RelationalQueries {
       .orderBy(col("day"))
   }
 
+  /** Ordered conversion funnel (view → click → purchase): each stage's
+    * earliest qualifying timestamp must be strictly after the previous
+    * stage's — the product-analytics operator behind every "conversion
+    * rate" dashboard. Three user-keyed MIN aggregates chained by joins
+    * (stage n+1 scans only stage-n survivors); the single-row stage
+    * counts cross-join for the summary. At scale each pass is one hash
+    * agg + one key-equi join — no windows over the raw event stream. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    s1.agg(count(lit(1)).as("n_view"))
+      .crossJoin(s2.agg(count(lit(1)).as("n_click")))
+      .crossJoin(s3.agg(count(lit(1)).as("n_purchase")))
+      .select(col("n_view"), col("n_click"), col("n_purchase"),
+        round(col("n_click").cast("double") / col("n_view"), 4).as("view_to_click"),
+        round(col("n_purchase").cast("double") / col("n_click"), 4).as("click_to_purchase"))
+  }
+
+  /** Weekly retention cohorts: users grouped by first-seen week, counted
+    * in every later week they return — the classic triangle. Week age is
+    * integer epoch arithmetic (never engine-specific datediff rounding).
+    * One user-keyed MIN agg + one distinct + a key join; counts are
+    * exact since (user, week) is already deduped. */
+  def cohorts(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    val firstWk = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    e.distinct()
+      .join(firstWk, "user_id")
+      .select(col("user_id"), col("cohort_wk"),
+        ((unix_timestamp(col("wk")) - unix_timestamp(col("cohort_wk"))) / 604800L)
+          .cast("long").as("age_weeks"))
+      .groupBy(col("cohort_wk").cast("string").as("cohort_week"), col("age_weeks"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week"), col("age_weeks"))
+  }
+
+  /** Linear gap-fill over a sparse hourly series (sensor-style telemetry:
+    * every 23rd event). Missing hours between two known points take the
+    * linearly interpolated value; hours outside the known range stay
+    * NULL with status 'missing'. Known neighbors come from two keyed
+    * windows (last-known-before via last(ignoreNulls), next-known-after
+    * via first over the following frame) — one series-keyed shuffle
+    * serves spine join and both windows; the interpolation itself is a
+    * narrow map. Neighbor values are pre-rounded to 4 dp so the lerp is
+    * bit-identical cross-engine. */
+  def interpolate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sparse = Tables.events(spark, dir)
+      .filter(col("event_id") % 23 === 0)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(round(avg(col("value")), 4).as("v"))
+    val bounds = Tables.events(spark, dir)
+      .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+    val types = Tables.events(spark, dir).select(col("event_type")).distinct()
+    val spine = types.crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hour"))
+    val wPrev = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val filled = spine.join(sparse, Seq("event_type", "hour"), "left")
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("pt", last(when(col("v").isNotNull, col("hour")), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("nt", first(when(col("v").isNotNull, col("hour")), ignoreNulls = true).over(wNext))
+    filled.select(col("event_type"), col("hour").cast("string").as("hour"),
+      when(col("v").isNotNull, lit("known"))
+        .when(col("pv").isNotNull && col("nv").isNotNull, lit("interpolated"))
+        .otherwise(lit("missing")).as("status"),
+      // floor(x·10⁴ + 0.5)/10⁴, not round(x, 4): the lerp of two 4-dp
+      // neighbors lands exactly on .xxxx5 halves (frac = 1/2), where the
+      // engines' round() implementations diverge; floor of the same IEEE
+      // double is deterministic in both
+      when(col("v").isNotNull, col("v"))
+        .when(col("pv").isNotNull && col("nv").isNotNull,
+          floor((col("pv") + (col("nv") - col("pv")) *
+            (unix_timestamp(col("hour")) - unix_timestamp(col("pt"))).cast("double") /
+            (unix_timestamp(col("nt")) - unix_timestamp(col("pt"))).cast("double"))
+            * 10000.0 + 0.5) / 10000.0)
+        .as("value"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_funnel" -> funnel,
+    "rel_cohorts" -> cohorts,
+    "rel_interpolate" -> interpolate,
     "rel_date_spine" -> dateSpine,
     "rel_window_share" -> windowShare,
     "rel_try_ops" -> tryOps,

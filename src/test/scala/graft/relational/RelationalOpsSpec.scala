@@ -156,6 +156,57 @@ class RelationalOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("funnel: stage counts monotone non-increasing, rates consistent") {
+    val r = RelationalQueries.funnel(spark, sf).collect().head
+    val (v, c, p) = (r.getAs[Long]("n_view"), r.getAs[Long]("n_click"),
+      r.getAs[Long]("n_purchase"))
+    assert(v >= c && c >= p, s"funnel must narrow: $v >= $c >= $p")
+    assert(math.abs(r.getAs[Double]("view_to_click") - c.toDouble / v) < 1e-4)
+    assert(math.abs(r.getAs[Double]("click_to_purchase") - p.toDouble / c) < 1e-4)
+  }
+
+  test("cohorts: age-0 row holds the full cohort, later ages never exceed it") {
+    val rows = RelationalQueries.cohorts(spark, sf).collect()
+      .groupBy(_.getAs[String]("cohort_week"))
+    assert(rows.nonEmpty)
+    rows.foreach { case (wk, rs) =>
+      val byAge = rs.map(r => r.getAs[Long]("age_weeks") -> r.getAs[Long]("n_users")).toMap
+      assert(byAge.contains(0L), s"$wk: every cohort is active in its own week")
+      byAge.foreach { case (age, n) =>
+        assert(age >= 0 && n <= byAge(0L), s"$wk age $age retention above cohort size")
+      }
+    }
+  }
+
+  test("interpolate: statuses partition the spine, lerp lies between neighbors") {
+    val rows = RelationalQueries.interpolate(spark, sf).collect()
+    assert(rows.length >= 720, "full hourly spine per event type")
+    rows.groupBy(_.getString(0)).foreach { case (_, series) =>
+      val sorted = series.sortBy(_.getAs[String]("hour"))
+      var seen = Seq.empty[(String, Option[Double])]
+      sorted.foreach { r =>
+        val v = Option(r.getAs[java.lang.Double]("value")).map(_.toDouble)
+        val st = r.getAs[String]("status")
+        assert((st == "missing") == v.isEmpty, s"status/value mismatch: $st $v")
+        seen :+= (st -> v)
+      }
+      // every interpolated value lies within [min, max] of the nearest
+      // known neighbors on each side
+      val known = sorted.zipWithIndex.filter(_._1.getAs[String]("status") == "known")
+      for (((r, i), _) <- sorted.zipWithIndex.filter(_._1.getAs[String]("status") == "interpolated").zipWithIndex) {
+        val before = known.filter(_._2 < i).lastOption
+        val after = known.find(_._2 > i)
+        assert(before.isDefined && after.isDefined, "interpolated needs both neighbors")
+        val (lo, hi) = (math.min(before.get._1.getAs[Double]("value"),
+          after.get._1.getAs[Double]("value")),
+          math.max(before.get._1.getAs[Double]("value"),
+            after.get._1.getAs[Double]("value")))
+        val v = r.getAs[Double]("value")
+        assert(v >= lo - 1e-4 && v <= hi + 1e-4, s"lerp $v outside [$lo, $hi]")
+      }
+    }
+  }
+
   test("mode: returned value is a true maximizer, smallest among ties") {
     val modes = RelationalQueries.modePerGroup(spark, sf).collect()
     val counts = graft.sources.Tables.lineitem(spark, sf)
