@@ -158,7 +158,31 @@ object Multimodal {
         col("chunk_end") - col("chunk_start") < ChunkLen)
       .orderBy("doc_id", "chunk_idx")
 
+  val PatchSize = 16
+
+  /** ViT-style patch grid over the resize-planned images: the resized
+    * frame is cropped to whole 16×16 patches (floor grid, top-left
+    * anchored — the standard ViT preprocessing) and exploded to one row
+    * per patch with its (row, col) offsets and raster patch_id. Pure
+    * integer math over [[resize]]'s plan — the tensor-layout step between
+    * decode and the vision encoder, still a narrow map. */
+  def imagePatches(spark: SparkSession, dir: String): DataFrame = {
+    val p = PatchSize
+    resize(spark, dir)
+      .select(col("doc_id"), col("new_w"), col("new_h"),
+        (col("new_w") / p).cast("int").as("npx"),
+        (col("new_h") / p).cast("int").as("npy"))
+      .select(col("doc_id"), col("new_w"), col("new_h"), col("npx"), col("npy"),
+        explode(sequence(lit(0), col("npx") * col("npy") - 1)).as("patch_id"))
+      .select(col("doc_id"), col("patch_id"),
+        (col("patch_id") % col("npx") * p).as("x_off"),
+        (col("patch_id") / col("npx")).cast("int").multiply(p).as("y_off"),
+        (col("npx") * col("npy")).as("n_patches"))
+      .orderBy("doc_id", "patch_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_image_patches" -> imagePatches,
     "mm_decode" -> decode,
     "mm_frame_sample" -> frameSample,
     "mm_audio_chunks" -> audioChunks,
@@ -214,7 +238,30 @@ object MultimodalOracles {
        |ORDER BY doc_id, chunk_idx""".stripMargin
   }
 
+  val imagePatches: String = {
+    val p = Multimodal.PatchSize
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |         CAST(64 + t.cs % 192 AS INT) AS width,
+       |         CAST(64 + (t.cs // 192) % 192 AS INT) AS height
+       |  FROM (SELECT doc_id, $cs AS cs FROM documents
+       |        WHERE $kind = 'image') t),
+       |r AS (
+       |  SELECT doc_id,
+       |         (width * 224 // greatest(width, height)) // $p AS npx,
+       |         (height * 224 // greatest(width, height)) // $p AS npy
+       |  FROM f),
+       |g AS (SELECT doc_id, npx, npy, unnest(range(0, npx * npy)) AS patch_id FROM r)
+       |SELECT doc_id, patch_id,
+       |       (patch_id % npx) * $p AS x_off,
+       |       (patch_id // npx) * $p AS y_off,
+       |       npx * npy AS n_patches
+       |FROM g
+       |ORDER BY doc_id, patch_id""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
+    "mm_image_patches" -> imagePatches,
     "mm_decode" -> decode,
     "mm_frame_sample" -> frameSample,
     "mm_audio_chunks" -> audioChunks,

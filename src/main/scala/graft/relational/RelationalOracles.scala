@@ -27,6 +27,22 @@ object RelationalOracles {
       "substr(c_name, length(c_name) - 1, 1))"
 
   val all: Map[String, String] = Map(
+    "rel_skew_report" ->
+      """WITH counts AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        |                FROM events GROUP BY user_id),
+        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |                 CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |                 QUANTILE_CONT(cnt, 0.5) AS median_cnt
+        |          FROM counts),
+        |top AS (SELECT user_id, cnt FROM counts
+        |        ORDER BY cnt DESC, user_id LIMIT 10)
+        |SELECT user_id, cnt,
+        |       ROUND(CAST(cnt AS DOUBLE) / n_rows, 6) AS row_share,
+        |       n_keys, n_rows,
+        |       ROUND(CAST(cnt AS DOUBLE) / median_cnt, 4) AS skew_factor
+        |FROM top CROSS JOIN stats
+        |ORDER BY cnt DESC, user_id""".stripMargin,
+
     "rel_funnel" ->
       """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
         |            WHERE event_type = 'view' GROUP BY user_id),

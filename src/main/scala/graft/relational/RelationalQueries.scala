@@ -976,7 +976,30 @@ object RelationalQueries {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  /** Join-key skew diagnostics — the report run BEFORE keying a 100 TB
+    * shuffle: per-key counts, the hottest keys, each hot key's share of
+    * total rows, and the max/median skew factor that decides between a
+    * plain hash join, AQE skew splitting, and an explicit salt
+    * ([[SkewJoin]]). One key-keyed hash agg (map-side combined), a 1-row
+    * stats agg broadcast back, and a TakeOrdered top-10. */
+  def skewReport(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("n_rows"),
+      expr("percentile(cnt, 0.5)").as("median_cnt"))
+    counts.orderBy(col("cnt").desc, col("user_id")).limit(10)
+      .crossJoin(broadcast(stats))
+      .select(col("user_id"), col("cnt"),
+        round(col("cnt").cast("double") / col("n_rows"), 6).as("row_share"),
+        col("n_keys"), col("n_rows"),
+        round(col("cnt").cast("double") / col("median_cnt"), 4).as("skew_factor"))
+      .orderBy(col("cnt").desc, col("user_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_skew_report" -> skewReport,
     "rel_funnel" -> funnel,
     "rel_cohorts" -> cohorts,
     "rel_interpolate" -> interpolate,

@@ -383,6 +383,26 @@ object TransitOracles {
        |GROUP BY route_id
        |ORDER BY route_id""".stripMargin
 
+  val pagerankRound: String =
+    s"""$P, st2 AS (SELECT trip_id, stop_id, stop_sequence FROM stop_times),
+       |edges AS (SELECT DISTINCT a.stop_id AS src, b.stop_id AS dst
+       |          FROM st2 a JOIN st2 b ON a.trip_id = b.trip_id
+       |           AND b.stop_sequence = a.stop_sequence + 1),
+       |nodes AS (SELECT DISTINCT stop_id FROM
+       |          (SELECT src AS stop_id FROM edges
+       |           UNION ALL SELECT dst FROM edges)),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg
+       |        FROM edges GROUP BY src),
+       |ins AS (SELECT dst, CAST(SUM(CAST(1000000 // out_deg AS BIGINT)) AS BIGINT) AS s
+       |        FROM edges JOIN deg USING (src) GROUP BY dst)
+       |SELECT n.stop_id, COALESCE(d.out_deg, 0) AS out_deg,
+       |       CAST(150000 + (850 * COALESCE(i.s, 0)) // 1000 AS BIGINT) AS rank_q
+       |FROM nodes n
+       |LEFT JOIN ins i ON n.stop_id = i.dst
+       |LEFT JOIN deg d ON n.stop_id = d.src
+       |ORDER BY rank_q DESC, n.stop_id
+       |LIMIT 20""".stripMargin
+
   val stopPairsDirect: String =
     s"""$P
        |SELECT a.stop_id AS from_stop, b.stop_id AS to_stop,
