@@ -27,6 +27,54 @@ object RelationalOracles {
       "substr(c_name, length(c_name) - 1, 1))"
 
   val all: Map[String, String] = Map(
+    "rel_temporal_join" ->
+      """WITH dim AS (
+        |  SELECT o_custkey AS custkey, o_orderkey AS version_key,
+        |         CAST(o_orderdate AS DATE) AS valid_from,
+        |         LEAD(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+        |           ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS valid_to
+        |  FROM orders WHERE o_custkey % 211 = 0),
+        |facts AS (
+        |  SELECT o_custkey AS custkey, l_orderkey, l_linenumber,
+        |         CAST(l_shipdate AS DATE) AS ship_d
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_custkey % 211 = 0)
+        |SELECT f.custkey, l_orderkey, l_linenumber,
+        |       CAST(ship_d AS VARCHAR) AS ship_date,
+        |       CAST(MIN(version_key) AS BIGINT) AS version_key,
+        |       CAST(COUNT(*) AS BIGINT) AS n_versions
+        |FROM facts f JOIN dim d ON f.custkey = d.custkey
+        |  AND ship_d >= valid_from AND (valid_to IS NULL OR ship_d < valid_to)
+        |GROUP BY f.custkey, l_orderkey, l_linenumber, ship_d
+        |ORDER BY f.custkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "rel_event_transitions" ->
+      """WITH t AS (
+        |  SELECT event_type AS from_type,
+        |         LEAD(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS to_type
+        |  FROM events)
+        |SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       ROUND(CAST(COUNT(*) AS DOUBLE) /
+        |         SUM(COUNT(*)) OVER (PARTITION BY from_type), 4) AS share
+        |FROM t WHERE to_type IS NOT NULL
+        |GROUP BY from_type, to_type
+        |ORDER BY from_type, to_type""".stripMargin,
+
+    "rel_equidepth_hist" ->
+      """WITH cuts AS (
+        |  SELECT quantile_cont(o_totalprice,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts
+        |  FROM orders)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       ROUND(MIN(o_totalprice), 2) AS lo,
+        |       ROUND(MAX(o_totalprice), 2) AS hi
+        |FROM (SELECT o_totalprice,
+        |        1 + len(list_filter(cuts, c -> o_totalprice > c)) AS bucket
+        |      FROM orders CROSS JOIN cuts)
+        |GROUP BY bucket
+        |ORDER BY bucket""".stripMargin,
+
     "rel_skew_report" ->
       """WITH counts AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
         |                FROM events GROUP BY user_id),

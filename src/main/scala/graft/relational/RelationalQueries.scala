@@ -998,7 +998,88 @@ object RelationalQueries {
       .orderBy(col("cnt").desc, col("user_id"))
   }
 
+  /** Point-in-time (temporal) join — facts matched to the dimension
+    * version valid AT the fact's timestamp: the lookup every warehouse
+    * with SCD2 dimensions runs. The dimension is [[scd2]]'s interval
+    * build; each lineitem ship date finds the one version with
+    * valid_from ≤ d < valid_to (NULL valid_to = current). Plan: equi
+    * join on the key with the range predicate as a post-join filter —
+    * the dimension side is versions-per-key small, so the equi join
+    * bounds the work and no interval index is needed. */
+  def temporalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("custkey"))
+      .orderBy(col("valid_from"), col("version_key"))
+    val dim = Tables.orders(spark, dir)
+      .filter(col("o_custkey") % 211 === 0)
+      .select(col("o_custkey").as("custkey"), col("o_orderkey").as("version_key"),
+        to_date(col("o_orderdate")).as("valid_from"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+    val facts = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_custkey") % 211 === 0)
+      .select(col("o_custkey").as("custkey"), col("l_orderkey"),
+        col("l_linenumber"), to_date(col("l_shipdate")).as("ship_d"))
+    facts.join(dim, Seq("custkey"))
+      .filter(col("ship_d") >= col("valid_from") &&
+        (col("valid_to").isNull || col("ship_d") < col("valid_to")))
+      .groupBy(col("custkey"), col("l_orderkey"), col("l_linenumber"), col("ship_d"))
+      .agg(count(lit(1)).as("n_versions"),
+        min(col("version_key")).as("version_key"))
+      .select(col("custkey"), col("l_orderkey"), col("l_linenumber"),
+        col("ship_d").cast("string").as("ship_date"),
+        col("version_key"), col("n_versions"))
+      .orderBy(col("custkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Event-transition (first-order Markov) matrix: per user, each event's
+    * type paired with the next event's type in time order; global counts
+    * + per-source-type shares. The path-analysis primitive behind "what
+    * do users do after X". One user-keyed window (lead) + one tiny
+    * (types²) agg; ties on ts break by event_id so the sequence is
+    * total-ordered in both engines. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("from_type"))), 4))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Equi-depth (quantile-bucketed) histogram of order totals — the
+    * ANALYZE-style statistic an optimizer keeps per column. Bucket
+    * boundaries are the 9 interior deciles from ONE percentile aggregate
+    * (a 1-row frame broadcast back); each row's bucket is 1 + the count
+    * of cuts strictly below its value — a narrow map, never a global
+    * ntile window over the corpus. */
+  def equidepthHist(spark: SparkSession, dir: String): DataFrame = {
+    val cuts = Tables.orders(spark, dir)
+      .agg(expr(
+        "percentile(o_totalprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+        .as("cuts"))
+    Tables.orders(spark, dir)
+      .crossJoin(broadcast(cuts))
+      .select(col("o_totalprice"),
+        (lit(1) + aggregate(col("cuts"), lit(0),
+          (n, c) => n + when(col("o_totalprice") > c, 1).otherwise(0)))
+          .as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(min(col("o_totalprice")), 2).as("lo"),
+        round(max(col("o_totalprice")), 2).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_temporal_join" -> temporalJoin,
+    "rel_event_transitions" -> eventTransitions,
+    "rel_equidepth_hist" -> equidepthHist,
     "rel_skew_report" -> skewReport,
     "rel_funnel" -> funnel,
     "rel_cohorts" -> cohorts,

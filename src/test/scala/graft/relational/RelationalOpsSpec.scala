@@ -207,6 +207,41 @@ class RelationalOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("temporal join: every fact resolves to exactly one dimension version") {
+    val rows = RelationalQueries.temporalJoin(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("n_versions") == 1L,
+      s"fact matched ${r.getAs[Long]("n_versions")} versions: $r"))
+  }
+
+  test("event transitions: rows per user = events - 1, shares sum to 1") {
+    val rows = RelationalQueries.eventTransitions(spark, sf).collect()
+    val totalTransitions = rows.map(_.getAs[Long]("n")).sum
+    val events = graft.sources.Tables.events(spark, sf)
+    val expected = events.count() - events.select("user_id").distinct().count()
+    assert(totalTransitions == expected,
+      s"every consecutive pair counted once: $totalTransitions != $expected")
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (_, rs) =>
+      assert(math.abs(rs.map(_.getAs[Double]("share")).sum - 1.0) < 1e-3)
+    }
+  }
+
+  test("equi-depth histogram: buckets near-uniform, ranges ordered and disjoint") {
+    val rows = RelationalQueries.equidepthHist(spark, sf).collect()
+      .sortBy(_.getAs[Int]("bucket"))
+    assert(rows.length == 10)
+    val counts = rows.map(_.getAs[Long]("n_rows"))
+    val total = counts.sum
+    counts.foreach(c => assert(math.abs(c - total / 10.0) < total * 0.02,
+      s"equi-depth bucket off uniform: $c vs ${total / 10.0}"))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"),
+          "bucket ranges must not overlap")
+      case _ =>
+    }
+  }
+
   test("mode: returned value is a true maximizer, smallest among ties") {
     val modes = RelationalQueries.modePerGroup(spark, sf).collect()
     val counts = graft.sources.Tables.lineitem(spark, sf)
