@@ -319,7 +319,74 @@ object Streams {
       .orderBy("user_id", "start_us")
   }
 
+  // ---- streaming funnel (multi-step conversion state machine) ----
+
+  final case class FunnelEv(user_id: Long, event_type: String, us: Long,
+      event_ts: java.sql.Timestamp)
+  final case class FunnelState(t1: Long, t2: Long, t3: Long) // -1 = unset
+  final case class StageAdvance(user_id: Long, stage: Int, stage_us: Long)
+
+  /** Batch face of the streaming funnel: one row per (user, stage
+    * reached), carrying the stage's qualifying timestamp — exactly the
+    * advance records the streaming state machine emits. Same chained-MIN
+    * semantics as [[graft.relational.RelationalQueries.funnel]] (stage
+    * n+1 strictly after stage n), shaped per-user instead of as the
+    * single summary row. */
+  def funnelStagesBatch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+    val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("us") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("us") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+    s1.select(col("user_id"), lit(1).as("stage"), col("t1").as("stage_us"))
+      .unionByName(s2.select(col("user_id"), lit(2).as("stage"),
+        col("t2").as("stage_us")))
+      .unionByName(s3.select(col("user_id"), lit(3).as("stage"),
+        col("t3").as("stage_us")))
+      .orderBy(col("user_id"), col("stage"))
+  }
+
+  /** Streaming face: an O(1) per-user state machine over the three stage
+    * timestamps, emitting a [[StageAdvance]] the moment a user first
+    * clears a stage (append-safe: advances are monotone, never retracted).
+    * In-order equality with the batch face holds because the first
+    * qualifying event in time order IS the chained MIN; rows are sorted
+    * per micro-batch and the watermark bounds cross-batch lateness
+    * (the [[sessionizeStreaming]] contract). */
+  def funnelStreaming(events: DataFrame): Dataset[StageAdvance] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("event_ts", timestamp_micros(col("us")))
+      .withWatermark("event_ts", "30 minutes")
+      .as[FunnelEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, StageAdvance](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[FunnelEv], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          val out = Seq.newBuilder[StageAdvance]
+          for (e <- rows.toSeq.sortBy(_.us)) e.event_type match {
+            case "view" if s.t1 < 0 =>
+              s = s.copy(t1 = e.us); out += StageAdvance(user, 1, e.us)
+            case "click" if s.t1 >= 0 && s.t2 < 0 && e.us > s.t1 =>
+              s = s.copy(t2 = e.us); out += StageAdvance(user, 2, e.us)
+            case "purchase" if s.t2 >= 0 && s.t3 < 0 && e.us > s.t2 =>
+              s = s.copy(t3 = e.us); out += StageAdvance(user, 3, e.us)
+            case _ =>
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_funnel_stages" -> funnelStagesBatch,
     "stream_session_window" -> sessionWindowBatch,
     "stream_hourly_users" -> hourlyUsersBatch,
     "stream_enriched" -> enrichedBatch,
@@ -412,7 +479,21 @@ object StreamOracles {
        |FROM numbered GROUP BY user_id, session_no
        |ORDER BY user_id, start_us""".stripMargin
 
+  val funnelStages: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |s1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+      |       WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, MIN(us) AS t2 FROM e JOIN s1 ON e.user_id = s1.user_id
+      |       WHERE event_type = 'click' AND us > t1 GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, MIN(us) AS t3 FROM e JOIN s2 ON e.user_id = s2.user_id
+      |       WHERE event_type = 'purchase' AND us > t2 GROUP BY e.user_id)
+      |SELECT user_id, 1 AS stage, t1 AS stage_us FROM s1
+      |UNION ALL SELECT user_id, 2, t2 FROM s2
+      |UNION ALL SELECT user_id, 3, t3 FROM s3
+      |ORDER BY user_id, stage""".stripMargin
+
   val all: Map[String, String] = Map(
+    "stream_funnel_stages" -> funnelStages,
     "stream_session_window" -> sessionWindow,
     "stream_hourly_users" -> hourlyUsers,
     "stream_enriched" -> enriched,

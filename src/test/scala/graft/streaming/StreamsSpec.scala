@@ -117,6 +117,50 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     t
   }
 
+  test("streaming funnel state machine emits the batch face's stage advances") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val min = 60L * 1000000L
+    val base = 1000 * min
+    // user 1 completes the funnel; user 2 clicks before viewing (click
+    // must NOT count) then views; user 3 only purchases (counts nothing)
+    val rows = Seq(
+      (1L, "view", base + 0 * min), (1L, "click", base + 10 * min),
+      (1L, "purchase", base + 20 * min),
+      (2L, "click", base + 1 * min), (2L, "view", base + 5 * min),
+      (2L, "click", base + 9 * min),
+      (3L, "purchase", base + 2 * min))
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    stream.addData(rows.map { case (u, t, us) => (u, t, timestampFromUs(us)) }: _*)
+    val q = Streams.funnelStreaming(
+      stream.toDF.toDF("user_id", "event_type", "ts")).writeStream
+      .format("memory").queryName("funnel_test").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("funnel_test")
+      .orderBy("user_id", "stage").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(streamed == Seq(
+      (1L, 1, base + 0 * min), (1L, 2, base + 10 * min), (1L, 3, base + 20 * min),
+      (2L, 1, base + 5 * min), (2L, 2, base + 9 * min)))
+    // and the full-table batch face agrees with the streaming machine when
+    // the whole events table flows through one micro-batch
+    val sf = "/root/testdata/sf0.001"
+    val batch = Streams.funnelStagesBatch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val stream2 = MemoryStream[(Long, String, Timestamp)]
+    val evs = graft.sources.Tables.events(spark, sf)
+      .select($"user_id", $"event_type", $"ts").as[(Long, String, Timestamp)]
+      .collect()
+    stream2.addData(evs: _*)
+    val q2 = Streams.funnelStreaming(
+      stream2.toDF.toDF("user_id", "event_type", "ts")).writeStream
+      .format("memory").queryName("funnel_test2").outputMode("append").start()
+    try q2.processAllAvailable() finally q2.stop()
+    val streamed2 = spark.table("funnel_test2").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(streamed2 == batch)
+  }
+
   test("streaming dropDuplicates keeps one row per key, matching batch dedup keys") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
