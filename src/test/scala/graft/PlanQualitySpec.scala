@@ -251,6 +251,36 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
       !round.contains("BroadcastNestedLoopJoin"), round.take(800))
   }
 
+  test("corpus-level text passes prune their scans and never shuffle text") {
+    // boilerplate / novelty shuffle 8-byte gram hashes: the exchanges must
+    // not carry the text column
+    for (q <- Seq("text_boilerplate", "text_novelty")) {
+      val p = plan(q)
+      val scanLine = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+      assert(scanLine.contains("doc_id") && scanLine.contains("text"), s"$q: $scanLine")
+      assert(!scanLine.contains("source") && !scanLine.contains("lang"),
+        s"$q unpruned scan: $scanLine")
+      val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      exchanges.foreach(e => assert(!e.contains("text#"),
+        s"$q shuffles document text: $e"))
+    }
+  }
+
+  test("equi-depth histogram broadcasts the 1-row cuts frame (no ntile window)") {
+    val p = plan("rel_equidepth_hist")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(800))
+    assert(!p.contains("Window"), s"global window in histogram plan:\n${p.take(800)}")
+  }
+
+  test("global shuffle order: the corpus window is bucket-keyed, not global") {
+    val p = plan("text_global_shuffle")
+    // the only unpartitioned window allowed is the tiny per-bucket offset
+    // frame (post-aggregation); the corpus-side row_number must ride the
+    // bkt hash partitioning
+    assert(p.contains("Exchange hashpartitioning(bkt"), p.take(1200))
+  }
+
   test("sketch aggregates land within 5% of exact (HLL distinct, t-digest median)") {
     // the tolerance check is computed in-plan from the real sketch values
     // (exact vs approx in one aggregate); the oracle hashes it as TRUE, and
