@@ -26,7 +26,26 @@ object RelationalOracles {
       "substr(c_name, length(c_name), 1), " +
       "substr(c_name, length(c_name) - 1, 1))"
 
+  private val mortonSql: String = {
+    val terms = (0 until 8).flatMap { b =>
+      Seq(s"(((bx >> $b) & 1) << ${2 * b})", s"(((bz >> $b) & 1) << ${2 * b + 1})")
+    }
+    terms.mkString(" + ")
+  }
+
   val all: Map[String, String] = Map(
+    "rel_zorder_key" ->
+      s"""WITH b AS (
+         |  SELECT o_orderkey,
+         |         CAST(o_custkey % 256 AS INT) AS bx,
+         |         CAST((CAST(o_orderdate AS DATE) - DATE '1992-01-01') % 256 AS INT)
+         |           AS bz
+         |  FROM orders WHERE o_orderkey % 500 = 0)
+         |SELECT o_orderkey, bx AS bucket_cust, bz AS bucket_day,
+         |       CAST($mortonSql AS INT) AS zkey
+         |FROM b
+         |ORDER BY o_orderkey""".stripMargin,
+
     "rel_temporal_join" ->
       """WITH dim AS (
         |  SELECT o_custkey AS custkey, o_orderkey AS version_key,

@@ -1076,7 +1076,32 @@ object RelationalQueries {
       .orderBy(col("bucket"))
   }
 
+  /** Z-order (Morton) layout key — the two-dimensional extension of
+    * [[graft.sources.Writers.rangePartitionedSnapshot]]'s single-key
+    * layout: interleave the bits of two 8-bit dimension buckets
+    * (customer, order-day) so rows close in BOTH dimensions land close in
+    * the sort order, and parquet footer min/max prunes files for
+    * predicates on EITHER dimension. Pure integer bit arithmetic —
+    * identical in both engines; sorting/writing by the key is the
+    * existing range-partitioned sink. */
+  def zorderKey(spark: SparkSession, dir: String): DataFrame = {
+    val bx = (col("o_custkey") % 256).cast("int")
+    val by = (datediff(to_date(col("o_orderdate")), to_date(lit("1992-01-01")))
+      % 256).cast("int")
+    val morton = (0 until 8).foldLeft(lit(0)) { (acc, b) =>
+      acc +
+        (shiftleft(shiftright(bx, b).bitwiseAND(1), 2 * b)) +
+        (shiftleft(shiftright(by, b).bitwiseAND(1), 2 * b + 1))
+    }
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 500 === 0)
+      .select(col("o_orderkey"), bx.as("bucket_cust"), by.as("bucket_day"),
+        morton.as("zkey"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_zorder_key" -> zorderKey,
     "rel_temporal_join" -> temporalJoin,
     "rel_event_transitions" -> eventTransitions,
     "rel_equidepth_hist" -> equidepthHist,

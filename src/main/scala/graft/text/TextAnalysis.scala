@@ -508,7 +508,32 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Deterministic weighted sampling (Efraimidis–Spirakis A-Res): each doc
+    * draws u = hash-uniform in (0,1) and ranks by ln(u)/w with w = its
+    * token count — the top-k under that key IS a weighted-without-
+    * replacement sample (longer docs proportionally likelier), yet fully
+    * reproducible: no RNG state, identical on any cluster size or retry.
+    * Map-only scoring + one TakeOrdered top-k; the ln is evaluated on
+    * bit-identical inputs in both engines so ranks agree (distinct docs'
+    * keys differ by far more than an ulp). */
+  val WeightedSampleK = 50
+
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val h = TextHash.strHash(concat(lit("wsample:"), col("doc_id").cast("string")))
+    // u in (0,1): (h+1)/(P+1) — never 0 or 1, so ln is finite
+    val u = (h + 1.0) / (TextHash.P + 1.0)
+    val w = size(TextHash.tokens(col("text"))).cast("double")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), w.cast("long").as("n_tokens"),
+        (log(u) / w).as("key_raw"))
+      .orderBy(col("key_raw").desc, col("doc_id"))
+      .limit(WeightedSampleK)
+      .select(col("doc_id"), col("n_tokens"), round(col("key_raw"), 6).as("sample_key"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_weighted_sample" -> weightedSample,
     "text_novelty" -> novelty,
     "text_boilerplate" -> boilerplate,
     "text_chunk_windows" -> chunkWindows,

@@ -295,7 +295,22 @@ object TextOracles {
        |GROUP BY g.doc_id
        |ORDER BY g.doc_id""".stripMargin
 
+  val weightedSample: String = {
+    val h = strHash("'wsample:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH scored AS (
+       |  SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
+       |         ln(($h + 1.0) / (${graft.functions.TextHash.P} + 1.0))
+       |           / CAST(len($toks) AS DOUBLE) AS key_raw
+       |  FROM documents)
+       |SELECT doc_id, n_tokens, round(key_raw, 6) AS sample_key
+       |FROM (SELECT * FROM scored
+       |      ORDER BY key_raw DESC, doc_id
+       |      LIMIT ${TextAnalysis.WeightedSampleK})
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
+    "text_weighted_sample" -> weightedSample,
     "text_novelty" -> novelty,
     "text_boilerplate" -> boilerplate,
     "text_chunk_windows" -> chunkWindows,
