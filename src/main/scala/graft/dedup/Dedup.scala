@@ -385,7 +385,31 @@ object Dedup {
         sum(col("s.len")).cast("long").as("n_chars"))
       .orderBy(col("lang"))
 
+  /** Incremental (cross-snapshot) dedup — the daily-crawl ingestion pass:
+    * a NEW batch survives only where its exact fingerprint does not
+    * already exist in the OLD corpus, then dedups within itself (min
+    * doc_id per fp). Splits are deterministic hash gates (doc_id % 5:
+    * bucket 0 = the incoming batch, 1-4 = the standing corpus). Plan:
+    * the old side collapses to its distinct fp set map-side, the
+    * anti-join shuffles 16-byte fingerprints only — at 100 TB the
+    * standing corpus is a bucketed fp table and the anti-join co-locates
+    * on it (X29). */
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    val fps = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(lower(trim(col("text"))).cast("binary")).as("fp"),
+        (col("doc_id") % 5 === 0).as("is_new"))
+    val oldFps = fps.filter(!col("is_new")).select("fp").distinct()
+    fps.filter(col("is_new"))
+      .join(oldFps, Seq("fp"), "left_anti")
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_in_batch"))
+      .select(col("doc_id"), col("fp"), col("n_in_batch"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_incremental" -> incremental,
     "dedup_canonical" -> canonical,
     "dedup_apply_exact" -> applyExact,
     "dedup_clusters" -> clusters,

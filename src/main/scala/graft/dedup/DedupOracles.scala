@@ -157,7 +157,19 @@ object DedupOracles {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  val incremental: String =
+    """WITH fps AS (
+      |  SELECT doc_id, md5(lower(trim(text))) AS fp, doc_id % 5 = 0 AS is_new
+      |  FROM documents),
+      |old_fps AS (SELECT DISTINCT fp FROM fps WHERE NOT is_new)
+      |SELECT MIN(doc_id) AS doc_id, fp, CAST(COUNT(*) AS BIGINT) AS n_in_batch
+      |FROM fps
+      |WHERE is_new AND fp NOT IN (SELECT fp FROM old_fps)
+      |GROUP BY fp
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, String] = Map(
+    "dedup_incremental" -> incremental,
     "dedup_apply_exact" -> applyExact,
     "dedup_canonical" -> canonical,
     "dedup_clusters" -> clusters,

@@ -34,6 +34,19 @@ object RelationalOracles {
   }
 
   val all: Map[String, String] = Map(
+    "rel_cumulative_users" ->
+      """WITH first_seen AS (
+        |  SELECT user_id, date_trunc('day', MIN(ts)) AS day
+        |  FROM events GROUP BY user_id),
+        |daily AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+        |          FROM first_seen GROUP BY day)
+        |SELECT CAST(CAST(day AS TIMESTAMP) AS VARCHAR) AS day, new_users,
+        |       CAST(SUM(new_users) OVER (ORDER BY day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS cumulative_users
+        |FROM daily
+        |ORDER BY day""".stripMargin,
+
     "rel_zorder_key" ->
       s"""WITH b AS (
          |  SELECT o_orderkey,

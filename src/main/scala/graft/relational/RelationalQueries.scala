@@ -1100,7 +1100,27 @@ object RelationalQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Cumulative distinct users by day — the "total uniques over time"
+    * growth curve. Naïve is count_distinct per expanding window (a
+    * corpus-rescan per day); the scalable form reduces each user to one
+    * first-seen row (MIN agg), counts new users per day, and runs the
+    * cumulative sum over the tiny #days frame. */
+  def cumulativeUsers(spark: SparkSession, dir: String): DataFrame = {
+    val firstSeen = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(date_trunc("day", min(col("ts"))).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    val wDays = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0) // #days rows — tiny
+    firstSeen
+      .withColumn("cumulative_users", sum(col("new_users")).over(wDays))
+      .select(col("day").cast("string").as("day"), col("new_users"),
+        col("cumulative_users"))
+      .orderBy(col("day"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_cumulative_users" -> cumulativeUsers,
     "rel_zorder_key" -> zorderKey,
     "rel_temporal_join" -> temporalJoin,
     "rel_event_transitions" -> eventTransitions,
