@@ -33,7 +33,27 @@ object RelationalOracles {
     terms.mkString(" + ")
   }
 
+  private def fkAuditSql(child: String, fk: String, parent: String, pk: String,
+      name: String): String =
+    s"""SELECT '$name' AS relation,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $child) AS n_child_rows,
+       |  (SELECT CAST(COUNT(DISTINCT $fk) AS BIGINT) FROM $child) AS n_distinct_fk,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $parent) AS n_parents,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $child
+       |   WHERE $fk NOT IN (SELECT $pk FROM $parent)) AS n_orphan_rows,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $parent
+       |   WHERE $pk NOT IN (SELECT $fk FROM $child)) AS n_childless_parents,
+       |  (SELECT CAST(MAX(c) AS BIGINT) FROM
+       |    (SELECT COUNT(*) AS c FROM $child GROUP BY $fk)) AS max_fanout""".stripMargin
+
   val all: Map[String, String] = Map(
+    "rel_fk_audit" ->
+      Seq(
+        fkAuditSql("lineitem", "l_orderkey", "orders", "o_orderkey", "lineitem->orders"),
+        fkAuditSql("orders", "o_custkey", "customer", "c_custkey", "orders->customer"),
+        fkAuditSql("lineitem", "l_suppkey", "supplier", "s_suppkey", "lineitem->supplier"))
+        .map(q => s"($q)").mkString("", "\nUNION ALL\n", "\nORDER BY relation"),
+
     "rel_cumulative_users" ->
       """WITH first_seen AS (
         |  SELECT user_id, date_trunc('day', MIN(ts)) AS day

@@ -1119,7 +1119,40 @@ object RelationalQueries {
       .orderBy(col("day"))
   }
 
+  /** Referential-integrity audit — Spark has no FK enforcement (SURVEY
+    * §1.1: "integrity by construction/tests"), so this IS the
+    * enforcement: per declared relation, child rows, distinct FK values,
+    * orphan child rows (anti-join vs the parent PK), childless parents,
+    * and the fan-out maximum. One fanout agg per relation (map-side
+    * combined) + two anti-joins on the key only. */
+  def fkAudit(spark: SparkSession, dir: String): DataFrame = {
+    def one(children: DataFrame, fk: String, parents: DataFrame, pk: String,
+        name: String): DataFrame = {
+      val fanout = children.groupBy(col(fk).as("k")).agg(count(lit(1)).as("c"))
+      val pkeys = parents.select(col(pk).as("k"))
+      val orphans = fanout.join(pkeys, Seq("k"), "left_anti")
+        .agg(coalesce(sum(col("c")), lit(0L)).as("n_orphan_rows"))
+      val childless = pkeys.join(fanout, Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_childless_parents"))
+      fanout.agg(sum(col("c")).as("n_child_rows"),
+          count(lit(1)).as("n_distinct_fk"), max(col("c")).as("max_fanout"))
+        .crossJoin(pkeys.agg(count(lit(1)).as("n_parents")))
+        .crossJoin(orphans).crossJoin(childless)
+        .select(lit(name).as("relation"), col("n_child_rows"),
+          col("n_distinct_fk"), col("n_parents"), col("n_orphan_rows"),
+          col("n_childless_parents"), col("max_fanout"))
+    }
+    one(Tables.lineitem(spark, dir), "l_orderkey",
+        Tables.orders(spark, dir), "o_orderkey", "lineitem->orders")
+      .unionByName(one(Tables.orders(spark, dir), "o_custkey",
+        Tables.customer(spark, dir), "c_custkey", "orders->customer"))
+      .unionByName(one(Tables.lineitem(spark, dir), "l_suppkey",
+        Tables.supplier(spark, dir), "s_suppkey", "lineitem->supplier"))
+      .orderBy(col("relation"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_fk_audit" -> fkAudit,
     "rel_cumulative_users" -> cumulativeUsers,
     "rel_zorder_key" -> zorderKey,
     "rel_temporal_join" -> temporalJoin,
