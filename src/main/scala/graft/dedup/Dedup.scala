@@ -408,7 +408,31 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Threshold sweep over the MinHash candidate pairs — the tuning report
+    * behind picking [[MinClusterSim]]: for each candidate threshold, how
+    * many pairs survive and how many documents they touch. One pairs
+    * computation; the sweep is an explode over the tiny threshold list
+    * (never a recompute per setting), counts ride two hash aggs. */
+  val SweepThresholds: Seq[Double] = Seq(0.25, 0.5, 0.75)
+
+  def minhashSweep(spark: SparkSession, dir: String): DataFrame = {
+    val swept = minhashPairs(spark, dir)
+      .select(col("id1"), col("id2"), col("est_sim"),
+        explode(array(SweepThresholds.map(lit(_)): _*)).as("threshold"))
+      .filter(col("est_sim") >= col("threshold"))
+    val pairCounts = swept.groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val docCounts = swept
+      .select(col("threshold"), explode(array(col("id1"), col("id2"))).as("doc_id"))
+      .groupBy(col("threshold"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_touched"))
+    pairCounts.join(docCounts, "threshold")
+      .select(col("threshold"), col("n_pairs"), col("n_docs_touched"))
+      .orderBy(col("threshold"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_minhash_sweep" -> minhashSweep,
     "dedup_incremental" -> incremental,
     "dedup_canonical" -> canonical,
     "dedup_apply_exact" -> applyExact,

@@ -168,7 +168,25 @@ object DedupOracles {
       |GROUP BY fp
       |ORDER BY doc_id""".stripMargin
 
+  val minhashSweep: String = {
+    val ts = Dedup.SweepThresholds.mkString("[", ", ", "]")
+    s"""WITH pairs AS (SELECT id1, id2, est_sim FROM ($minhashPairs)),
+       |swept AS (SELECT id1, id2, est_sim, unnest($ts) AS threshold FROM pairs),
+       |surv AS (SELECT * FROM swept WHERE est_sim >= threshold),
+       |pc AS (SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |       FROM surv GROUP BY threshold),
+       |dc AS (SELECT threshold, CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+       |         AS n_docs_touched
+       |       FROM (SELECT threshold, id1 AS doc_id FROM surv
+       |             UNION ALL SELECT threshold, id2 FROM surv)
+       |       GROUP BY threshold)
+       |SELECT threshold, n_pairs, n_docs_touched
+       |FROM pc JOIN dc USING (threshold)
+       |ORDER BY threshold""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
+    "dedup_minhash_sweep" -> minhashSweep,
     "dedup_incremental" -> incremental,
     "dedup_apply_exact" -> applyExact,
     "dedup_canonical" -> canonical,

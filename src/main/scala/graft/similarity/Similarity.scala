@@ -456,7 +456,46 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** Embedding drift monitor — the ML-ops check between two corpus
+    * snapshots: per label, the distance between the old-half and
+    * new-half centroids (halves = deterministic vec_id parity). Same
+    * integer-exact trick as [[centroidOutliers]] scaled to two
+    * populations: with quantized per-half sums S₁/S₂ over n₁/n₂
+    * members, the cross-scaled distance is Σ(n₂·S₁ᵢ − n₁·S₂ᵢ)² — pure
+    * BIGINT, no mean division, no float order (exact while n·|S| stays
+    * under ~3·10⁹ per coordinate; beyond that, de-scale per half
+    * first). Two (label, half) hash aggs + a label-keyed join of two
+    * #labels-row frames. */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    def quant(v: org.apache.spark.sql.Column) =
+      transform(v, x => floor(x.cast("double") * 1000.0 + 0.5).cast("long"))
+    val halves = Tables.embeddings(spark, dir)
+      .select(col("label"), (col("vec_id") % 2 === 0).as("old_half"),
+        quant(col("embedding")).as("q"))
+    val sums = halves
+      .select(col("label"), col("old_half"), posexplode(col("q")).as(Seq("pos", "qv")))
+      .groupBy(col("label"), col("old_half"), col("pos"))
+      .agg(sum(col("qv")).as("s"))
+      .groupBy(col("label"), col("old_half"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+        x => x("s")).as("sums"))
+    val counts = halves.groupBy(col("label"), col("old_half"))
+      .agg(count(lit(1)).as("n"))
+    val side = sums.join(counts, Seq("label", "old_half"))
+    val o = side.filter(col("old_half"))
+      .select(col("label"), col("sums").as("s1"), col("n").as("n1"))
+    val nw = side.filter(!col("old_half"))
+      .select(col("label"), col("sums").as("s2"), col("n").as("n2"))
+    o.join(nw, "label")
+      .select(col("label"), col("n1").as("n_old"), col("n2").as("n_new"),
+        aggregate(zip_with(col("s1"), col("s2"),
+          (a, b) => (col("n2") * a - col("n1") * b) * (col("n2") * a - col("n1") * b)),
+          lit(0L), (s, x) => s + x).as("drift_q"))
+      .orderBy(col("label"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_embedding_drift" -> embeddingDrift,
     "sim_label_confusion" -> labelConfusion,
     "sim_ann_recall" -> annRecall,
     "sim_centroid_outliers" -> centroidOutliers,
@@ -755,7 +794,32 @@ object SimilarityOracles {
        |GROUP BY brute.qid
        |ORDER BY brute.qid""".stripMargin
 
+  val embeddingDrift: String =
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT label, vec_id % 2 = 0 AS old_half, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |d AS (SELECT label, old_half, pos, SUM(qv) AS s FROM (
+       |        SELECT label, old_half, unnest(q) AS qv,
+       |               unnest(range(1, len(q) + 1)) AS pos FROM q)
+       |      GROUP BY label, old_half, pos),
+       |sums AS (SELECT label, old_half, list(CAST(s AS BIGINT) ORDER BY pos) AS sums
+       |         FROM d GROUP BY label, old_half),
+       |counts AS (SELECT label, old_half, CAST(COUNT(*) AS BIGINT) AS n
+       |           FROM q GROUP BY label, old_half),
+       |side AS (SELECT * FROM sums JOIN counts USING (label, old_half))
+       |SELECT o.label, o.n AS n_old, w.n AS n_new,
+       |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |         list_transform(range(1, len(o.sums) + 1),
+       |           i -> (w.n * o.sums[i] - o.n * w.sums[i]) *
+       |                (w.n * o.sums[i] - o.n * w.sums[i]))),
+       |         (a, b) -> a + b) AS drift_q
+       |FROM (SELECT * FROM side WHERE old_half) o
+       |JOIN (SELECT * FROM side WHERE NOT old_half) w ON o.label = w.label
+       |ORDER BY o.label""".stripMargin
+
   val all: Map[String, String] = Map(
+    "sim_embedding_drift" -> embeddingDrift,
     "sim_label_confusion" -> labelConfusion,
     "sim_ann_recall" -> annRecall,
     "sim_centroid_outliers" -> centroidOutliers,
