@@ -47,6 +47,15 @@ object RelationalOracles {
        |    (SELECT COUNT(*) AS c FROM $child GROUP BY $fk)) AS max_fanout""".stripMargin
 
   val all: Map[String, String] = Map(
+    // lossless day-partitioned round trip, so the oracle is the direct scan
+    "rel_partitioned_sink_read" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 4) AS sum_value
+        |FROM events
+        |WHERE strftime(ts, '%Y-%m-%d') = '2024-01-15'
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
     "rel_fk_audit" ->
       Seq(
         fkAuditSql("lineitem", "l_orderkey", "orders", "o_orderkey", "lineitem->orders"),

@@ -1151,7 +1151,29 @@ object RelationalQueries {
       .orderBy(col("relation"))
   }
 
+  /** Hive-style partitioned sink + partition-pruned read-back, end to
+    * end: events land partitioned by day (the standard warehouse fact
+    * layout), and the serving query's day filter becomes a
+    * PartitionFilter — the scan lists ONE directory and never opens the
+    * other days' files (plan-asserted in PlanQualitySpec). At 100 TB
+    * this layout is the difference between scanning a day and scanning
+    * years. */
+  def partitionedSinkRead(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_events_byday_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    graft.sources.Writers.snapshotParquet(
+      Tables.events(spark, dir)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd")),
+      path, Seq("day"))
+    spark.read.parquet(path)
+      .filter(col("day") === "2024-01-15")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_partitioned_sink_read" -> partitionedSinkRead,
     "rel_fk_audit" -> fkAudit,
     "rel_cumulative_users" -> cumulativeUsers,
     "rel_zorder_key" -> zorderKey,

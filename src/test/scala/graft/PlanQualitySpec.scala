@@ -281,6 +281,13 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("Exchange hashpartitioning(bkt"), p.take(1200))
   }
 
+  test("day-partitioned sink read prunes to one partition (PartitionFilters)") {
+    val p = plan("rel_partitioned_sink_read")
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("2024-01-15"),
+      s"day filter must prune partitions, not scan rows: $scanLine")
+  }
+
   test("sketch aggregates land within 5% of exact (HLL distinct, t-digest median)") {
     // the tolerance check is computed in-plan from the real sketch values
     // (exact vs approx in one aggregate); the oracle hashes it as TRUE, and
