@@ -225,18 +225,56 @@ object TextAnalysis {
   /** Quality deciles: rank documents by a composite quality score and
     * bucket into ntile(10) — the shape behind "keep the top-N% of the
     * corpus" filtering. Score = lexical diversity × log(1+tokens),
-    * deterministic; decile 1 = best. */
+    * deterministic; decile 1 = best.
+    *
+    * NTILE semantics without NTILE's global window: a corpus-wide
+    * `Window.orderBy` funnels every row through one partition, so the
+    * global rank is computed two-phase instead — 19 score cuts from one
+    * percentile aggregate range-bucket the rows (a function of score
+    * only, so tied scores share a bucket and the exact (score desc,
+    * doc_id) order is bucket-local), ranks are bucket-local row_numbers
+    * plus per-bucket offsets from a ≤20-row frame, and the decile is
+    * NTILE's exact fill formula (first N mod 10 buckets take one extra
+    * row) applied to that rank. The cuts steer only WHERE rows are
+    * ranked, never the result — no cross-engine sensitivity. */
   def qualityDeciles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val toks = TextHash.tokens(col("text"))
     val score = round(
       (size(array_distinct(toks)).cast("double") / size(toks)) *
         log(lit(1.0) + size(toks)), 6)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("score").desc, col("doc_id"))
-    Tables.documents(spark, dir)
+    val scored = Tables.documents(spark, dir)
       .select(col("doc_id"), score.as("score"))
-      .withColumn("decile", ntile(10).over(w))
+    val cuts = scored.agg(expr(
+      s"percentile(score, array(${(1 to 19).map(_ / 20.0).mkString(",")}))")
+      .as("cuts"))
+    // bkt 0 holds the best scores: count of cuts at-or-above the score
+    val bucketed = scored.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("score"),
+        aggregate(col("cuts"), lit(0),
+          (n, c) => n + when(col("score") <= c, 1).otherwise(0)).as("bkt"))
+    val wLocal = Window.partitionBy(col("bkt"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val wBkt = Window.orderBy(col("bkt")) // ≤20 rows — tiny
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(sum(col("cnt")).over(wBkt), lit(0L)))
+      .withColumn("total", sum(col("cnt")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("bkt"), col("offset"), col("total"))
+    bucketed.join(broadcast(offsets), "bkt")
+      .withColumn("rank", col("offset") + row_number().over(wLocal))
+      // NTILE(10): q = N/10, r = N%10; buckets 1..r take q+1 rows
+      .withColumn("q", (col("total") / 10).cast("long"))
+      .withColumn("r", col("total") % 10)
+      .withColumn("decile",
+        when(col("rank") <= col("r") * (col("q") + 1),
+          ((col("rank") + col("q")) / (col("q") + 1)).cast("int"))
+          .otherwise((col("r") +
+            (col("rank") - col("r") * (col("q") + 1) + col("q") - 1) / col("q"))
+            .cast("int")))
       .filter(col("doc_id") % 10 === 0) // sample the output; ranks use all docs
+      .select(col("doc_id"), col("score"), col("decile"))
       .orderBy("doc_id")
   }
 

@@ -281,6 +281,14 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("Exchange hashpartitioning(bkt"), p.take(1200))
   }
 
+  test("quality deciles rank two-phase: corpus window is bucket-keyed, no ntile") {
+    val p = plan("text_quality_deciles")
+    assert(p.contains("Exchange hashpartitioning(bkt"), p.take(1200))
+    // "ntile(10)" — not bare "ntile", which matches "percentile(" too
+    assert(!p.contains("ntile(10)"),
+      "NTILE must be the fill formula, not a global window")
+  }
+
   test("day-partitioned sink read prunes to one partition (PartitionFilters)") {
     val p = plan("rel_partitioned_sink_read")
     val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
