@@ -47,6 +47,28 @@ object RelationalOracles {
        |    (SELECT COUNT(*) AS c FROM $child GROUP BY $fk)) AS max_fanout""".stripMargin
 
   val all: Map[String, String] = Map(
+    "rel_snapshot_diff" ->
+      """WITH old AS (SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
+        |             FROM customer),
+        |neu AS (
+        |  SELECT k, seg AS n_seg,
+        |         CASE WHEN k % 10 = 3 THEN bal + 100.0 ELSE bal END AS n_bal
+        |  FROM old WHERE k % 10 <> 4
+        |  UNION ALL
+        |  SELECT k + 1000000, seg, 500.0 FROM old WHERE k % 100 = 7),
+        |j AS (SELECT * FROM old FULL OUTER JOIN neu USING (k))
+        |SELECT CASE WHEN seg IS NULL THEN 'added'
+        |            WHEN n_seg IS NULL THEN 'removed'
+        |            WHEN seg IS NOT DISTINCT FROM n_seg
+        |             AND bal IS NOT DISTINCT FROM n_bal THEN 'unchanged'
+        |            ELSE 'changed' END AS diff_class,
+        |       CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |       CAST(SUM(CASE WHEN seg IS DISTINCT FROM n_seg THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_seg_changes,
+        |       CAST(SUM(CASE WHEN bal IS DISTINCT FROM n_bal THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_bal_changes
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // lossless day-partitioned round trip, so the oracle is the direct scan
     "rel_partitioned_sink_read" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,

@@ -1172,7 +1172,42 @@ object RelationalQueries {
       .orderBy("event_type")
   }
 
+  /** Snapshot diff — the data-diff run between two versions of a table
+    * (the audit inverse of [[upsert]]): keys classified added / removed /
+    * changed / unchanged with per-column change counts. ONE full-outer
+    * join on the key; column comparison is null-safe (`<=>`). The "new"
+    * version here derives deterministically from the old (bal bump on
+    * %10==3, drop on %10==4, shifted-key adds on %100==7) so both
+    * engines build identical versions. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val old = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+        col("c_acctbal").as("bal"))
+    val neu = old.filter(col("k") % 10 =!= 4)
+      .select(col("k"), col("seg").as("n_seg"),
+        when(col("k") % 10 === 3, col("bal") + 100.0).otherwise(col("bal"))
+          .as("n_bal"))
+      .unionByName(old.filter(col("k") % 100 === 7)
+        .select((col("k") + 1000000L).as("k"), col("seg").as("n_seg"),
+          lit(500.0).as("n_bal")))
+    old.join(neu, Seq("k"), "full_outer")
+      .select(
+        when(col("seg").isNull, lit("added"))
+          .when(col("n_seg").isNull, lit("removed"))
+          .when(col("seg") <=> col("n_seg") && col("bal") <=> col("n_bal"),
+            lit("unchanged"))
+          .otherwise(lit("changed")).as("diff_class"),
+        when(!(col("seg") <=> col("n_seg")), 1L).otherwise(0L).as("seg_chg"),
+        when(!(col("bal") <=> col("n_bal")), 1L).otherwise(0L).as("bal_chg"))
+      .groupBy(col("diff_class"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("seg_chg")).as("n_seg_changes"),
+        sum(col("bal_chg")).as("n_bal_changes"))
+      .orderBy(col("diff_class"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_snapshot_diff" -> snapshotDiff,
     "rel_partitioned_sink_read" -> partitionedSinkRead,
     "rel_fk_audit" -> fkAudit,
     "rel_cumulative_users" -> cumulativeUsers,
