@@ -47,6 +47,24 @@ object RelationalOracles {
        |    (SELECT COUNT(*) AS c FROM $child GROUP BY $fk)) AS max_fanout""".stripMargin
 
   val all: Map[String, String] = Map(
+    "rel_benford_audit" ->
+      """WITH counts AS (
+        |  SELECT CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS INT) AS d,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM orders
+        |  WHERE CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS INT)
+        |        BETWEEN 1 AND 9
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts)
+        |SELECT d, n,
+        |  ROUND(CAST(n AS DOUBLE) / total, 6) AS observed_share,
+        |  ROUND(log10(1.0 + 1.0 / d), 6) AS benford_share,
+        |  ROUND(POWER(ROUND(CAST(n AS DOUBLE) / total, 6)
+        |          - ROUND(log10(1.0 + 1.0 / d), 6), 2)
+        |        / ROUND(log10(1.0 + 1.0 / d), 6), 8) AS sq_rel_dev
+        |FROM counts CROSS JOIN t
+        |ORDER BY d""".stripMargin,
+
     "rel_snapshot_diff" ->
       """WITH old AS (SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
         |             FROM customer),

@@ -1206,7 +1206,30 @@ object RelationalQueries {
       .orderBy(col("diff_class"))
   }
 
+  /** Benford first-digit audit — the forensic data-quality screen for
+    * fabricated or truncated numeric columns: observed leading-digit
+    * shares of order totals vs Benford's log₁₀(1+1/d) expectation, with
+    * each digit's squared relative deviation. One narrow digit extract +
+    * a 9-group agg; the expectation is a constant column. */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val digit = substring(col("o_totalprice").cast("string"), 1, 1).cast("int")
+    val counts = Tables.orders(spark, dir)
+      .select(digit.as("d"))
+      .filter(col("d").between(1, 9))
+      .groupBy(col("d")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("d"), col("n"),
+        round(col("n").cast("double") / col("total"), 6).as("observed_share"),
+        round(log10(lit(1.0) + lit(1.0) / col("d")), 6).as("benford_share"))
+      .withColumn("sq_rel_dev",
+        round(pow(col("observed_share") - col("benford_share"), 2)
+          / col("benford_share"), 8))
+      .orderBy(col("d"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_benford_audit" -> benfordAudit,
     "rel_snapshot_diff" -> snapshotDiff,
     "rel_partitioned_sink_read" -> partitionedSinkRead,
     "rel_fk_audit" -> fkAudit,

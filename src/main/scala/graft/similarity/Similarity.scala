@@ -494,7 +494,33 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** kNN classification eval — predict each query vector's label by
+    * majority vote over its exact top-k neighbors (ties → smallest
+    * label, deterministic in both engines) and report right/wrong
+    * against the declared label: the standard embedding-quality
+    * evaluation. Rides [[knnBrute]] + broadcast labels; the vote is a
+    * (qid, label) count + a two-level argmax. */
+  def knnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val votes = knnBrute(spark, dir)
+      .join(broadcast(labels.select(col("vec_id").as("cid"),
+        col("label").as("neighbor_label"))), "cid")
+      .groupBy(col("qid"), col("neighbor_label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("votes").desc, col("neighbor_label"))
+    votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(broadcast(labels.select(col("vec_id").as("qid"),
+        col("label").as("true_label"))), "qid")
+      .select(col("qid"), col("true_label"),
+        col("neighbor_label").as("predicted_label"), col("votes"),
+        (col("neighbor_label") === col("true_label")).as("correct"))
+      .orderBy(col("qid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_knn_classify" -> knnClassify,
     "sim_embedding_drift" -> embeddingDrift,
     "sim_label_confusion" -> labelConfusion,
     "sim_ann_recall" -> annRecall,
@@ -818,7 +844,28 @@ object SimilarityOracles {
        |JOIN (SELECT * FROM side WHERE NOT old_half) w ON o.label = w.label
        |ORDER BY o.label""".stripMargin
 
+  val knnClassify: String =
+    s"""WITH k AS (SELECT qid, cid FROM ($knnBrute)),
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |votes AS (
+       |  SELECT k.qid, nl.label AS neighbor_label,
+       |         CAST(COUNT(*) AS BIGINT) AS votes
+       |  FROM k JOIN lab nl ON k.cid = nl.vec_id
+       |  GROUP BY k.qid, nl.label),
+       |best AS (
+       |  SELECT qid, neighbor_label, votes,
+       |         ROW_NUMBER() OVER (PARTITION BY qid
+       |           ORDER BY votes DESC, neighbor_label) AS rn
+       |  FROM votes)
+       |SELECT b.qid, ql.label AS true_label,
+       |       b.neighbor_label AS predicted_label, b.votes,
+       |       b.neighbor_label = ql.label AS correct
+       |FROM best b JOIN lab ql ON b.qid = ql.vec_id
+       |WHERE b.rn = 1
+       |ORDER BY b.qid""".stripMargin
+
   val all: Map[String, String] = Map(
+    "sim_knn_classify" -> knnClassify,
     "sim_embedding_drift" -> embeddingDrift,
     "sim_label_confusion" -> labelConfusion,
     "sim_ann_recall" -> annRecall,
