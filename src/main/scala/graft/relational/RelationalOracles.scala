@@ -47,6 +47,20 @@ object RelationalOracles {
        |    (SELECT COUNT(*) AS c FROM $child GROUP BY $fk)) AS max_fanout""".stripMargin
 
   val all: Map[String, String] = Map(
+    "rel_star_join" ->
+      """SELECT n_name,
+        |       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |       CAST(COUNT(*) AS BIGINT) AS n_lineitems
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
     "rel_benford_audit" ->
       """WITH counts AS (
         |  SELECT CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS INT) AS d,

@@ -1228,7 +1228,36 @@ object RelationalQueries {
       .orderBy(col("d"))
   }
 
+  /** Six-table star join (the TPC-H Q5 shape): fact ⋈ orders ⋈ customer
+    * ⋈ supplier ⋈ nation ⋈ region with a selective region filter and the
+    * local-supplier twist (supplier and customer share a nation). The
+    * deepest join pipeline in the suite: every dimension broadcasts, so
+    * the fact table streams through one stage with zero fact-side
+    * shuffles before the final aggregate — the plan shape a 100 TB star
+    * schema lives or dies by (plan-asserted). */
+  def starJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val nat = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val reg = Tables.region(spark, dir)
+      .filter(col("r_name") === "ASIA").select(col("r_regionkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("rev")), 2).as("revenue"), count(lit(1)).as("n_lineitems"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_star_join" -> starJoin,
     "rel_benford_audit" -> benfordAudit,
     "rel_snapshot_diff" -> snapshotDiff,
     "rel_partitioned_sink_read" -> partitionedSinkRead,

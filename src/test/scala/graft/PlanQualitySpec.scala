@@ -289,6 +289,14 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
       "NTILE must be the fill formula, not a global window")
   }
 
+  test("star join: every dimension broadcasts, fact side never shuffles pre-agg") {
+    val p = plan("rel_star_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.take(1200))
+    // the only hash exchanges: orders join (fact-fact) + the final agg +
+    // the presentation sort; lineitem itself must not hash-exchange twice
+    assert(!p.contains("SortMergeJoin"), "dims demoted to SMJ:\n" + p.take(1200))
+  }
+
   test("day-partitioned sink read prunes to one partition (PartitionFilters)") {
     val p = plan("rel_partitioned_sink_read")
     val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
