@@ -107,6 +107,8 @@ object SparkEntry {
     // one integer-exact PageRank power-iteration over the stop graph
     "transit_pagerank" -> ((s, dir) =>
       Queries.pagerankRound(TransitTables.fromTpch(s, dir))),
+    "transit_service_span" -> ((s, dir) =>
+      Queries.serviceSpan(TransitTables.fromTpch(s, dir))),
     // §4 R4: the serving layer's snapshot fast path, end to end — build
     // the partitioned Q1 result snapshot, then serve the weekday request
     // FROM the snapshot (partition-pruned read-back, not the live plan).
@@ -153,6 +155,7 @@ object SparkEntry {
     "transit_reachability_k3" -> TransitOracles.reachability(42L, maxRides = 3),
     "transit_stop_pairs" -> TransitOracles.stopPairsDirect,
     "transit_pagerank" -> TransitOracles.pagerankRound,
+    "transit_service_span" -> TransitOracles.serviceSpan,
     // snapshot round trip is value-preserving (parquet doubles bit-exact)
     "transit_q1_snapshot" -> TransitOracles.q1Weekday,
   ) ++ graft.relational.RelationalOracles.all ++

@@ -570,7 +570,31 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document token-distribution Shannon entropy (nats) — the
+    * information-density quality signal: boilerplate and repetitive docs
+    * score low, diverse prose scores high. Distribution comes from the
+    * (doc, word) hash agg (never a per-row O(n²) array scan); the
+    * -Σp·ln(p) fold runs over the WORD-SORTED count list so both engines
+    * sum the doubles in the same order — bit-identical, then 6-dp. */
+  def entropy(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextHash.tokens(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+    counts.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        array_sort(collect_list(struct(col("word"), col("c")))).as("dist"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(
+          aggregate(col("dist"), lit(0.0), (acc, e) =>
+            acc - (e("c").cast("double") / col("n_tokens")) *
+              log(e("c").cast("double") / col("n_tokens"))),
+          6).as("token_entropy"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_entropy" -> entropy,
     "text_weighted_sample" -> weightedSample,
     "text_novelty" -> novelty,
     "text_boilerplate" -> boilerplate,

@@ -309,7 +309,26 @@ object TextOracles {
        |ORDER BY doc_id""".stripMargin
   }
 
+  val entropy: String =
+    s"""WITH counts AS (
+       |  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT doc_id, unnest($toks) AS word FROM documents)
+       |  GROUP BY doc_id, word),
+       |g AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       |         list(c ORDER BY word) AS dist
+       |  FROM counts GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, n_distinct,
+       |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(dist, c ->
+       |      -(CAST(c AS DOUBLE) / n_tokens) * ln(CAST(c AS DOUBLE) / n_tokens))),
+       |    (a, b) -> a + b), 6) AS token_entropy
+       |FROM g
+       |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, String] = Map(
+    "text_entropy" -> entropy,
     "text_weighted_sample" -> weightedSample,
     "text_novelty" -> novelty,
     "text_boilerplate" -> boilerplate,

@@ -438,6 +438,27 @@ object Queries {
       .limit(20)
   }
 
+  /** Per-route service span — the planning stat behind "when does this
+    * route run": first/last departure (GTFS strings, >24 h preserved),
+    * distinct trips, and the span in hours. One fact⋈trips join (trips
+    * broadcastable) + a route-keyed agg over seconds-ints; strings render
+    * after the aggregate (F8 discipline — the shuffle moves ints). */
+  def serviceSpan(t: TransitTables): DataFrame =
+    t.stopTimes.select(col("trip_id"), col("dep_secs"))
+      .join(t.trips.select(col("trip_id"), col("route_id")), "trip_id")
+      .groupBy(col("route_id"))
+      .agg(min(col("dep_secs")).as("first_secs"),
+        max(col("dep_secs")).as("last_secs"),
+        countDistinct(col("trip_id")).as("n_trips"))
+      .join(broadcast(t.routes.select(col("route_id"), col("route_long_name"))),
+        "route_id")
+      .select(col("route_id"), col("route_long_name"),
+        graft.functions.GtfsTime.gtfsString(col("first_secs")).as("first_departure"),
+        graft.functions.GtfsTime.gtfsString(col("last_secs")).as("last_departure"),
+        col("n_trips"),
+        round((col("last_secs") - col("first_secs")) / 3600.0, 4).as("span_hours"))
+      .orderBy(col("route_id"))
+
   /** One PageRank power-iteration over the directed stop-adjacency graph
     * (edge a→b when b follows a consecutively on some trip) — the
     * canonical graph-analytics round, shaped like [[graft.similarity

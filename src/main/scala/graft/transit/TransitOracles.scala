@@ -167,6 +167,28 @@ object TransitOracles {
     """SELECT route_id, hour_of_day, CAST(SUM(trips_per_hour) AS BIGINT) AS trips_per_hour
       |   FROM hf GROUP BY route_id, hour_of_day""".stripMargin)
 
+  /** Raw GTFS-time SQL mirroring GtfsTime.gtfsString (>24 h hours kept). */
+  private def gtfsTime(secs: String): String =
+    s"""LPAD(CAST(CAST(FLOOR($secs / 3600.0) AS BIGINT) AS VARCHAR), 2, '0')
+       | || ':' || LPAD(CAST(CAST(FLOOR($secs % 3600 / 60.0) AS BIGINT) AS VARCHAR), 2, '0')
+       | || ':' || LPAD(CAST($secs % 60 AS VARCHAR), 2, '0')""".stripMargin.replace("\n", "")
+
+  val serviceSpan: String =
+    s"""$P, spans AS (
+       |  SELECT t.route_id,
+       |         MIN(st.dep_secs) AS first_secs,
+       |         MAX(st.dep_secs) AS last_secs,
+       |         CAST(COUNT(DISTINCT st.trip_id) AS BIGINT) AS n_trips
+       |  FROM stop_times st JOIN trips t ON t.trip_id = st.trip_id
+       |  GROUP BY t.route_id)
+       |SELECT s.route_id, r.route_long_name,
+       |       ${gtfsTime("s.first_secs")} AS first_departure,
+       |       ${gtfsTime("s.last_secs")} AS last_departure,
+       |       s.n_trips,
+       |       ROUND((s.last_secs - s.first_secs) / 3600.0, 4) AS span_hours
+       |FROM spans s JOIN routes r ON r.route_id = s.route_id
+       |ORDER BY s.route_id""".stripMargin
+
   /** Display-time SQL mirroring GtfsTime.displayString (hour wrapped to 0-23). */
   private def displayTime(secs: String): String =
     s"""LPAD(CAST(CAST(FLOOR($secs / 3600.0) AS BIGINT) % 24 AS VARCHAR), 2, '0')
