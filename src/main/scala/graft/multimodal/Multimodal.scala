@@ -181,7 +181,28 @@ object Multimodal {
       .orderBy("doc_id", "patch_id")
   }
 
+  /** Modality-mix rebalancing — the multimodal analog of the per-language
+    * sampling gates (X44): per kind, row/byte totals plus the
+    * deterministic keep-rate (out of 1000) that equalizes BYTE budgets
+    * across modalities, anchored to the smallest modality (rate 1000).
+    * Integer arithmetic end to end: rate = min_bytes·1000 DIV kind_bytes,
+    * so the plan is one kind-keyed agg + a broadcast 1-row min — and the
+    * gate itself (hash(doc) % 1000 < rate) stays a map-only filter at
+    * ingest. */
+  def modalityMix(spark: SparkSession, dir: String): DataFrame = {
+    val stats = decodeFeatures(blobs(spark, dir)).toDF()
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_bytes").cast("long")).as("total_bytes"))
+    val minBytes = stats.agg(min(col("total_bytes")).as("min_bytes"))
+    stats.crossJoin(broadcast(minBytes))
+      .select(col("kind"), col("n_rows"), col("total_bytes"),
+        expr("CAST(min_bytes * 1000 DIV total_bytes AS BIGINT)").as("keep_rate"))
+      .orderBy(col("kind"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_modality_mix" -> modalityMix,
     "mm_image_patches" -> imagePatches,
     "mm_decode" -> decode,
     "mm_frame_sample" -> frameSample,
@@ -260,7 +281,19 @@ object MultimodalOracles {
        |ORDER BY doc_id, patch_id""".stripMargin
   }
 
+  val modalityMix: String =
+    s"""WITH stats AS (
+       |  SELECT $kind AS kind, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |         CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes
+       |  FROM documents GROUP BY 1),
+       |m AS (SELECT MIN(total_bytes) AS min_bytes FROM stats)
+       |SELECT kind, n_rows, total_bytes,
+       |       CAST(min_bytes * 1000 // total_bytes AS BIGINT) AS keep_rate
+       |FROM stats CROSS JOIN m
+       |ORDER BY kind""".stripMargin
+
   val all: Map[String, String] = Map(
+    "mm_modality_mix" -> modalityMix,
     "mm_image_patches" -> imagePatches,
     "mm_decode" -> decode,
     "mm_frame_sample" -> frameSample,

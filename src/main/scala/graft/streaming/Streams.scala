@@ -35,6 +35,55 @@ object Streams {
     hourlyByType(Tables.events(spark, dir))
       .orderBy("window_start", "event_type")
 
+  /** Streaming tail-latency monitor: p95 of `value` per (hour, type) via
+    * the MERGEABLE t-digest sketch — the only percentile that can
+    * partial-aggregate under a watermarked window (exact percentile
+    * buffers raw values; a sketch's state is bounded). One plan, both
+    * modes, like [[hourlyByType]]. */
+  def hourlyP95(events: DataFrame): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", "2 hours") else events
+    src
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("approx_percentile(value, 0.95, 1000)").as("approx_p95_raw"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("approx_p95_raw"))
+  }
+
+  /** Oracle-hashable face (the X30 pattern): exact p95 columns + an
+    * in-plan boolean pinning the sketch — DuckDB computes the exact side
+    * and literal TRUE, so sketch drift turns the row red. The gate is
+    * NOT a relative-error test (on sparse windows the sketch returns an
+    * observed value while exact p95 interpolates between spaced points,
+    * so relative error is unbounded); it is the sketch's actual
+    * contract: the estimate must land within the order statistics
+    * bracketing the p95 rank (±1 rank headroom). Exact and sketch run
+    * as SEPARATE aggregates re-joined on the window key: two
+    * TypedImperativeAggregates in one Aggregate is the measured 10×
+    * cliff (see [[graft.relational.RelationalQueries.approxAgg]]). */
+  def hourlyP95Batch(spark: SparkSession, dir: String): DataFrame = {
+    val sorted = Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(array_sort(collect_list(col("value"))).as("vs"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        size(col("vs")).as("n"), col("vs"))
+    val idx0 = floor(lit(0.95) * (col("n") - 1)).cast("int") // 0-based lower
+    val frac = lit(0.95) * (col("n") - 1) - idx0
+    val lo = element_at(col("vs"), idx0 + 1)
+    val hi = element_at(col("vs"), least(col("n"), idx0 + 2))
+    hourlyP95(Tables.events(spark, dir))
+      .select(col("window_start"), col("event_type"), col("approx_p95_raw"))
+      .join(sorted, Seq("window_start", "event_type"))
+      .select(col("window_start"), col("event_type"), col("n"),
+        round(lo + (hi - lo) * frac, 4).as("exact_p95"),
+        (col("approx_p95_raw") >=
+            element_at(col("vs"), greatest(lit(1), idx0)) &&
+          col("approx_p95_raw") <=
+            element_at(col("vs"), least(col("n"), idx0 + 3)))
+          .as("approx_in_rank_band"))
+      .orderBy("window_start", "event_type")
+  }
+
   val SessionGapUs: Long = 30L * 60 * 1000000 // 30 min in microseconds
 
   /** Batch sessionization: lag → new-session flag → running session number
@@ -386,6 +435,7 @@ object Streams {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_hourly_p95" -> hourlyP95Batch,
     "stream_funnel_stages" -> funnelStagesBatch,
     "stream_session_window" -> sessionWindowBatch,
     "stream_hourly_users" -> hourlyUsersBatch,
@@ -492,7 +542,16 @@ object StreamOracles {
       |UNION ALL SELECT user_id, 3, t3 FROM s3
       |ORDER BY user_id, stage""".stripMargin
 
+  val hourlyP95: String =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |       CAST(COUNT(*) AS BIGINT) AS n,
+      |       ROUND(quantile_cont(value, 0.95), 4) AS exact_p95,
+      |       TRUE AS approx_in_rank_band
+      |FROM events GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin
+
   val all: Map[String, String] = Map(
+    "stream_hourly_p95" -> hourlyP95,
     "stream_funnel_stages" -> funnelStages,
     "stream_session_window" -> sessionWindow,
     "stream_hourly_users" -> hourlyUsers,

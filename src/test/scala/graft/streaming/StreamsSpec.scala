@@ -117,6 +117,26 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     t
   }
 
+  test("streaming windowed p95 sketch equals the batch sketch values") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (ts(5), "click", 1.0), (ts(10), "click", 9.0), (ts(20), "click", 100.0),
+      (ts(61), "view", 4.0), (ts(70), "view", 8.0), (ts(125), "view", 16.0))
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    stream.addData(rows: _*)
+    val q = Streams.hourlyP95(stream.toDF.toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("p95_test")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("p95_test")
+      .orderBy("window_start", "event_type").collect().toSeq
+    val batch = Streams.hourlyP95(rows.toDF("ts", "event_type", "value"))
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(streamed == batch, "t-digest state must merge to the batch sketch")
+    assert(streamed.size == 3)
+  }
+
   test("streaming funnel state machine emits the batch face's stage advances") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
