@@ -110,6 +110,37 @@ object RelationalOracles {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 
+    // the bucketed landing is a lossless re-layout, so the oracle is the
+    // plain join over the raw tables
+    "rel_bucketed_join" ->
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       ROUND(SUM(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "rel_cdc_compact" ->
+      """WITH log AS (
+        |  SELECT o_orderkey AS k, 1 AS seq, 'I' AS op,
+        |         o_orderstatus AS status, o_totalprice AS price FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, 'U', o_orderstatus, o_totalprice + 10.0
+        |  FROM orders WHERE o_orderkey % 10 = 2
+        |  UNION ALL
+        |  SELECT o_orderkey, 3, 'D', o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 4),
+        |last AS (
+        |  SELECT k, arg_max(op, seq) AS op, arg_max(status, seq) AS status,
+        |         arg_max(price, seq) AS price
+        |  FROM log GROUP BY k)
+        |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       ROUND(SUM(price), 2) AS sum_price,
+        |       CAST(SUM(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_updated
+        |FROM last WHERE op <> 'D'
+        |GROUP BY status
+        |ORDER BY status""".stripMargin,
+
     "rel_fk_audit" ->
       Seq(
         fkAuditSql("lineitem", "l_orderkey", "orders", "o_orderkey", "lineitem->orders"),

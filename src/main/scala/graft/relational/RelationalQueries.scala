@@ -1172,6 +1172,91 @@ object RelationalQueries {
       .orderBy("event_type")
   }
 
+  /** Buckets for [[bucketedJoin]] — fixed so repeated runs and the two
+    * sides always align. */
+  val BucketCount = 16
+
+  /** Lands `df` as a bucketed+sorted table on `key`. The aligned
+    * `repartition(BucketCount, key)` (same murmur3 hash as the bucket
+    * spec) leaves exactly one file per bucket, which is what lets the
+    * scan expose both hash-partitioning AND per-bucket sortedness to the
+    * planner. Returns the read-back table. */
+  private def landBucketed(spark: SparkSession, df: DataFrame, key: String,
+      table: String, path: String): DataFrame = {
+    df.repartition(BucketCount, col(key))
+      .write.mode("overwrite")
+      .bucketBy(BucketCount, key).sortBy(key)
+      .option("path", path)
+      .saveAsTable(table)
+    spark.table(table)
+  }
+
+  /** The join itself, exchange-free (split out so PlanQualitySpec can
+    * assert ZERO Exchange operators on the join subplan before the
+    * presentation agg/sort add theirs). */
+  def bucketedJoinBase(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_bucketed_$tag"
+    val o = landBucketed(spark,
+      Tables.orders(spark, dir).select(col("o_custkey"), col("o_totalprice")),
+      "o_custkey", s"orders_bkt_$tag", s"$base/orders")
+    val c = landBucketed(spark,
+      Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment")),
+      "c_custkey", s"customer_bkt_$tag", s"$base/customer")
+    // merge hint: at test SF the customer side is broadcast-sized, which
+    // would hide the point — production fact⋈fact is what's modeled here
+    o.hint("merge").join(c, col("o_custkey") === col("c_custkey"))
+  }
+
+  /** Bucketed co-located join — the canonical recurring-join layout at
+    * warehouse scale. Both sides land bucketed+sorted on the join key
+    * ([[BucketCount]] buckets, one file per bucket), so the sort-merge
+    * join consumes the scans in place: no shuffle, no sort at read time
+    * (plan-asserted: the join subplan contains zero Exchange operators).
+    * At 100 TB this converts every recurring orders⋈customer run from
+    * two multi-TB shuffles into a co-located merge — pay the shuffle
+    * once at landing, amortize it over every downstream join. */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame =
+    bucketedJoinBase(spark, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("c_mktsegment"))
+
+  /** CDC changelog compaction — replaying an ordered insert/update/delete
+    * stream into final table state, the core move of every lakehouse
+    * MERGE/compaction job. The changelog derives deterministically from
+    * orders (seq 1: insert every key; seq 2: re-price keys %10==2;
+    * seq 3: delete keys %10==4) so both engines build the identical log.
+    * Last-writer-wins is `max_by(struct(..), seq)` — ONE keyed
+    * aggregation with map-side partial combine, not a per-key window
+    * sort: at 100 TB the log shuffles once on the key and never
+    * materializes per-key orderings. */
+  def cdcCompact(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+      col("o_totalprice").as("price"))
+    val log = o.select(col("k"), lit(1L).as("seq"), lit("I").as("op"),
+        col("status"), col("price"))
+      .unionByName(o.filter(col("k") % 10 === 2).select(
+        col("k"), lit(2L).as("seq"), lit("U").as("op"), col("status"),
+        (col("price") + lit(10.0)).as("price")))
+      .unionByName(o.filter(col("k") % 10 === 4).select(
+        col("k"), lit(3L).as("seq"), lit("D").as("op"), col("status"),
+        col("price")))
+    log.groupBy(col("k"))
+      .agg(max_by(struct(col("op"), col("status"), col("price")), col("seq"))
+        .as("last"))
+      .select(col("k"), col("last.op").as("op"),
+        col("last.status").as("status"), col("last.price").as("price"))
+      .filter(col("op") =!= "D")
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("price")), 2).as("sum_price"),
+        sum(when(col("op") === "U", 1L).otherwise(0L)).as("n_updated"))
+      .orderBy(col("status"))
+  }
+
   /** Snapshot diff — the data-diff run between two versions of a table
     * (the audit inverse of [[upsert]]): keys classified added / removed /
     * changed / unchanged with per-column change counts. ONE full-outer
@@ -1261,6 +1346,8 @@ object RelationalQueries {
     "rel_benford_audit" -> benfordAudit,
     "rel_snapshot_diff" -> snapshotDiff,
     "rel_partitioned_sink_read" -> partitionedSinkRead,
+    "rel_bucketed_join" -> bucketedJoin,
+    "rel_cdc_compact" -> cdcCompact,
     "rel_fk_audit" -> fkAudit,
     "rel_cumulative_users" -> cumulativeUsers,
     "rel_zorder_key" -> zorderKey,

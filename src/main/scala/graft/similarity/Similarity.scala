@@ -519,7 +519,42 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** Leading dimensions covered by [[covariance]]. */
+  val CovDims = 8
+
+  /** Distributed covariance matrix over the leading [[CovDims]] embedding
+    * dimensions — step 0 of PCA whitening / decorrelation over a corpus
+    * of vectors. The pair products are generated per-row with nested
+    * array `transform`s (36 structs per vector — map-only, NO self-join:
+    * the exploded-self-join formulation shuffles corpus×dims rows, this
+    * shuffles only the d(d+1)/2 partial sums). Parity is exact, not
+    * approximate: elements are cast to DECIMAL(14,10) so the sums are
+    * exact integers-of-scale (order-independent — float summation order
+    * differs between engines, decimal summation cannot), and the final
+    * covariance is evaluated in the same double expression shape on both
+    * sides. */
+  def covariance(spark: SparkSession, dir: String): DataFrame = {
+    val d = CovDims
+    val pairs = Tables.embeddings(spark, dir)
+      .select(expr(s"transform(slice(embedding, 1, $d), " +
+        "v -> cast(cast(v as double) as decimal(14,10)))").as("a"))
+      .select(expr(
+        s"""explode(flatten(transform(a, (xi, i) ->
+           |  transform(slice(a, i + 1, $d - i),
+           |    (xj, dj) -> named_struct(
+           |      'i', i, 'j', i + dj, 'x', xi, 'y', xj))))) AS p""".stripMargin))
+    pairs.groupBy(col("p.i").as("i"), col("p.j").as("j"))
+      .agg(count(lit(1)).as("n"), sum(col("p.x")).as("sx"),
+        sum(col("p.y")).as("sy"), sum(col("p.x") * col("p.y")).as("sxy"))
+      .select(col("i"), col("j"),
+        round((col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double") / col("n")) /
+          col("n"), 6).as("cov"))
+      .orderBy("i", "j")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_covariance" -> covariance,
     "sim_knn_classify" -> knnClassify,
     "sim_embedding_drift" -> embeddingDrift,
     "sim_label_confusion" -> labelConfusion,
@@ -864,7 +899,26 @@ object SimilarityOracles {
        |WHERE b.rn = 1
        |ORDER BY b.qid""".stripMargin
 
+  /** Same exact-decimal sums, same double expression shape — DuckDB's
+    * unnest+self-join formulation is its natural spelling of the pair
+    * expansion; the sums it feeds are identical by decimal exactness. */
+  val covariance: String =
+    s"""WITH dims AS (SELECT unnest(range(${Similarity.CovDims})) AS i),
+       |x AS (
+       |  SELECT vec_id, i,
+       |         CAST(CAST(embedding[i + 1] AS DOUBLE) AS DECIMAL(14,10)) AS v
+       |  FROM embeddings, dims),
+       |p AS (
+       |  SELECT a.i AS i, b.i AS j, a.v AS x, b.v AS y
+       |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i)
+       |SELECT i, j,
+       |       ROUND((CAST(SUM(x*y) AS DOUBLE) -
+       |              CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE)
+       |                / COUNT(*)) / COUNT(*), 6) AS cov
+       |FROM p GROUP BY i, j ORDER BY i, j""".stripMargin
+
   val all: Map[String, String] = Map(
+    "sim_covariance" -> covariance,
     "sim_knn_classify" -> knnClassify,
     "sim_embedding_drift" -> embeddingDrift,
     "sim_label_confusion" -> labelConfusion,

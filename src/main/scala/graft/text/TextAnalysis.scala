@@ -593,7 +593,68 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** PII patterns for [[piiRedact]] — the RE2-compatible subset (no
+    * backrefs, no lookaround) so the Java-regex engine side and the
+    * RE2-based oracle compile the same language. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  /** PII redaction — the scrub pass every released training corpus runs.
+    * The synthetic corpus carries no PII, so it is injected
+    * deterministically first (every doc gains an email, every third a
+    * phone) and BOTH engines build the same tainted text; the op under
+    * test is the redaction itself: regex counts + global replace. Narrow
+    * per-row transform — map-only over the scan at any scale. Emits the
+    * redacted tail (the injected region) so the hash check proves actual
+    * replacement, not just counts. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val tainted = Tables.documents(spark, dir).select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" tel 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))).as("text"))
+    tainted.select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>").as("redacted"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        expr("right(redacted, 80)").as("redacted_tail"))
+      .orderBy("doc_id")
+  }
+
+  /** Max documents kept per source by [[domainCap]]. */
+  val SourceCapN = 15
+
+  /** Per-source quota cap — the anti-domination sampler (CommonCrawl-style
+    * corpora are power-law by domain; uncapped, one host swamps the mix).
+    * Deterministic "random" priority = md5 over a salted doc_id, ranked
+    * within source, keep the first [[SourceCapN]]. ONE shuffle on source;
+    * the window is per-source and the cap means only N rows survive per
+    * group. At 100 TB a mega-source makes a single window partition hot —
+    * the standard fix (pre-filter each map partition to its local top-N
+    * before the shuffle) drops in here unchanged because the priority is
+    * a pure column. */
+  def domainCap(spark: SparkSession, dir: String): DataFrame = {
+    val pri = md5(concat(lit("cap"), col("doc_id").cast("string")).cast("binary"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("pri"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), pri.as("pri"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= SourceCapN)
+      .select(col("source"), col("doc_id"), col("rk"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pii_redact" -> piiRedact,
+    "text_domain_cap" -> domainCap,
     "text_entropy" -> entropy,
     "text_weighted_sample" -> weightedSample,
     "text_novelty" -> novelty,

@@ -327,7 +327,48 @@ object TextOracles {
        |FROM g
        |ORDER BY doc_id""".stripMargin
 
+  /** Same deterministic PII injection as the engine side, then RE2
+    * redaction. regexp_replace needs the 'g' flag (DuckDB defaults to
+    * first-match; Spark replaces all). */
+  val piiRedact: String = {
+    val email = TextAnalysis.EmailRe
+    val phone = TextAnalysis.PhoneRe
+    s"""WITH pii AS (
+       |  SELECT doc_id,
+       |         text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+       |         '@example.com' ||
+       |         CASE WHEN doc_id % 3 = 0
+       |              THEN ' tel 555-' ||
+       |                   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |              ELSE '' END AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |       CAST(len(regexp_extract_all(text, '$email')) AS BIGINT)
+       |         AS n_emails,
+       |       CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT)
+       |         AS n_phones,
+       |       right(regexp_replace(regexp_replace(text, '$email', '<EMAIL>',
+       |         'g'), '$phone', '<PHONE>', 'g'), 80) AS redacted_tail
+       |FROM pii
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val domainCap: String =
+    s"""WITH ranked AS (
+       |  SELECT source, doc_id,
+       |         row_number() OVER (
+       |           PARTITION BY source
+       |           ORDER BY md5('cap' || CAST(doc_id AS VARCHAR)), doc_id)
+       |           AS rk
+       |  FROM documents)
+       |SELECT source, doc_id, CAST(rk AS BIGINT) AS rk
+       |FROM ranked
+       |WHERE rk <= ${TextAnalysis.SourceCapN}
+       |ORDER BY source, rk""".stripMargin
+
   val all: Map[String, String] = Map(
+    "text_pii_redact" -> piiRedact,
+    "text_domain_cap" -> domainCap,
     "text_entropy" -> entropy,
     "text_weighted_sample" -> weightedSample,
     "text_novelty" -> novelty,

@@ -304,6 +304,28 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
       s"day filter must prune partitions, not scan rows: $scanLine")
   }
 
+  test("bucketed co-located join: sort-merge with ZERO exchanges at read time") {
+    val base = graft.relational.RelationalQueries.bucketedJoinBase(spark, sf)
+    base.collect()
+    val p = base.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p.take(800))
+    assert(!p.contains("Exchange"),
+      s"bucketed join re-shuffled — landing layout not honored:\n${p.take(1500)}")
+  }
+
+  test("covariance expands pairs per row: no self-join, one keyed aggregate") {
+    val p = plan("sim_covariance")
+    assert(!p.contains("Join"), s"pair expansion became a self-join:\n${p.take(800)}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(800))
+    assert(p.contains("partial_sum"), "no map-side partial sums")
+  }
+
+  test("domain cap: source-keyed window with group-limit pruning before the filter") {
+    val p = plan("text_domain_cap")
+    assert(p.contains("Exchange hashpartitioning(source"), p.take(1200))
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+  }
+
   test("sketch aggregates land within 5% of exact (HLL distinct, t-digest median)") {
     // the tolerance check is computed in-plan from the real sketch values
     // (exact vs approx in one aggregate); the oracle hashes it as TRUE, and
