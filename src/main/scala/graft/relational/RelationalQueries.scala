@@ -1232,11 +1232,14 @@ object RelationalQueries {
     * aggregation with map-side partial combine, not a per-key window
     * sort: at 100 TB the log shuffles once on the key and never
     * materializes per-key orderings. */
-  def cdcCompact(spark: SparkSession, dir: String): DataFrame = {
+  /** The deterministic I/U/D changelog [[cdcCompact]] replays — public so
+    * the streaming face's spec (StreamsSpec) can feed the identical log
+    * through `Streams.cdcCompactStreaming` and assert equivalence. */
+  def cdcLog(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir).select(
       col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
       col("o_totalprice").as("price"))
-    val log = o.select(col("k"), lit(1L).as("seq"), lit("I").as("op"),
+    o.select(col("k"), lit(1L).as("seq"), lit("I").as("op"),
         col("status"), col("price"))
       .unionByName(o.filter(col("k") % 10 === 2).select(
         col("k"), lit(2L).as("seq"), lit("U").as("op"), col("status"),
@@ -1244,7 +1247,10 @@ object RelationalQueries {
       .unionByName(o.filter(col("k") % 10 === 4).select(
         col("k"), lit(3L).as("seq"), lit("D").as("op"), col("status"),
         col("price")))
-    log.groupBy(col("k"))
+  }
+
+  def cdcCompact(spark: SparkSession, dir: String): DataFrame = {
+    cdcLog(spark, dir).groupBy(col("k"))
       .agg(max_by(struct(col("op"), col("status"), col("price")), col("seq"))
         .as("last"))
       .select(col("k"), col("last.op").as("op"),

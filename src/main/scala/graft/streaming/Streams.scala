@@ -434,6 +434,33 @@ object Streams {
       }
   }
 
+  // ---- streaming CDC compaction (continuously-maintained view) ----
+
+  final case class CdcOp(k: Long, seq: Long, op: String, status: String,
+      price: Double)
+  final case class CdcRow(k: Long, seq: Long, op: String, status: String,
+      price: Double)
+
+  /** Streaming face of
+    * [[graft.relational.RelationalQueries.cdcCompact]] — the continuously
+    * maintained materialized view over a CDC feed. State per key is the
+    * single highest-seq operation seen so far (O(1), no log retention);
+    * each micro-batch emits the key's refreshed row (Update semantics —
+    * a downstream sink upserts on `k`). Delete tombstones stay IN state
+    * (they must outrank late lower-seq arrivals — dropping them would
+    * resurrect the row) and are filtered at read time, exactly like the
+    * batch face's post-agg filter. */
+  def cdcCompactStreaming(log: Dataset[CdcOp]): Dataset[CdcRow] = {
+    import log.sparkSession.implicits._
+    log.groupByKey(_.k)
+      .mapGroupsWithState[CdcOp, CdcRow](GroupStateTimeout.NoTimeout) {
+        (k: Long, ops: Iterator[CdcOp], state: GroupState[CdcOp]) =>
+          val best = (state.getOption.iterator ++ ops).maxBy(_.seq)
+          state.update(best)
+          CdcRow(k, best.seq, best.op, best.status, best.price)
+      }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_hourly_p95" -> hourlyP95Batch,
     "stream_funnel_stages" -> funnelStagesBatch,

@@ -327,4 +327,55 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == batch)
     assert(streamed.map(_.getLong(0)) == Seq(4L, 6L)) // click 8 has no view in window
   }
+
+  test("streaming CDC compaction: tombstones outrank late arrivals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[CdcOp]
+    val q = cdcCompactStreaming(stream.toDS()).writeStream
+      .format("memory").queryName("cdc_edge").outputMode("update").start()
+    try {
+      // batch 1: key 1 inserted then deleted; key 2 inserted
+      stream.addData(CdcOp(1L, 1L, "I", "O", 10.0), CdcOp(1L, 3L, "D", "O", 10.0),
+        CdcOp(2L, 1L, "I", "F", 20.0))
+      q.processAllAvailable()
+      // batch 2: a LATE lower-seq update for key 1 — must NOT resurrect it;
+      // key 2 re-priced
+      stream.addData(CdcOp(1L, 2L, "U", "O", 99.0), CdcOp(2L, 2L, "U", "F", 25.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("cdc_edge").as[CdcRow].collect()
+      .groupBy(_.k).map { case (k, rs) => k -> rs.maxBy(_.seq) }
+    assert(last(1L).op == "D", s"tombstone lost: ${last(1L)}")
+    assert(last(2L) == CdcRow(2L, 2L, "U", "F", 25.0))
+  }
+
+  test("streaming CDC view equals the batch compaction on the full changelog") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val log = graft.relational.RelationalQueries.cdcLog(spark, sf)
+      .as[CdcOp].collect()
+    // replay in two micro-batches split mid-stream (keys straddle the split)
+    val (b1, b2) = log.sortBy(o => (o.seq, o.k)).splitAt(log.length / 2)
+    val stream = MemoryStream[CdcOp]
+    val q = cdcCompactStreaming(stream.toDS()).writeStream
+      .format("memory").queryName("cdc_full").outputMode("update").start()
+    try {
+      stream.addData(b1: _*); q.processAllAvailable()
+      stream.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // the view's final row per key, aggregated like the batch face
+    val streamed = spark.table("cdc_full").as[CdcRow]
+      .groupByKey(_.k).reduceGroups((a, b) => if (a.seq >= b.seq) a else b)
+      .map(_._2).filter(_.op != "D")
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("price")), 2).as("sum_price"),
+        sum(when(col("op") === "U", 1L).otherwise(0L)).as("n_updated"))
+      .orderBy("status").collect().toSeq
+    val batch = graft.relational.RelationalQueries.cdcCompact(spark, sf)
+      .collect().toSeq
+    assert(streamed == batch)
+  }
 }
