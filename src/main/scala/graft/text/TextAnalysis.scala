@@ -652,7 +652,50 @@ object TextAnalysis {
       .orderBy(col("source"), col("rk"))
   }
 
+  /** Filter-funnel attrition report — the "data funnel" table of every
+    * dataset paper: each document attributed to the FIRST gate that drops
+    * it (priority order: source blocklist → exact duplicate → unknown
+    * language → length), survivors counted last. The corpus is the live
+    * table plus a deterministic "re-crawl" batch (every 25th doc
+    * re-ingested under a shifted id — the fixture alone carries no exact
+    * dups, and a funnel whose duplicate stage can never fire demonstrates
+    * nothing; both engines build the identical union, the snapshotDiff
+    * precedent). One corpus pass computes all gate signals; the only
+    * shuffles are the 16-byte fingerprint agg (duplicate keeper election,
+    * [[corpusBuild]]'s shape) + the 5-group rollup. The share denominator
+    * rides a window over the ≤5-row result frame — tiny at any corpus
+    * size. */
+  def filterFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val allMarkers = langMarkers.flatMap(_._2)
+    val live = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val corpus = live.unionByName(
+      live.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+          col("text")))
+    val docs = corpus.select(
+      col("doc_id"), col("source"),
+      md5(lower(trim(col("text"))).cast("binary")).as("fp"),
+      size(TextHash.tokens(col("text"))).cast("long").as("n_tokens"),
+      size(filter(TextHash.tokens(col("text")),
+        t => t.isin(allMarkers: _*))).cast("long").as("marker_hits"))
+    val keeper = docs.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+    docs.join(keeper, "fp")
+      .select(
+        when(col("source").isin(SourceBlocklist: _*), "1_source_blocked")
+          .when(col("doc_id") =!= col("keep_id"), "2_duplicate")
+          .when(col("marker_hits") === 0, "3_lang_unknown")
+          .when(!col("n_tokens").between(20, 90), "4_length")
+          .otherwise("5_kept").as("stage"))
+      .groupBy(col("stage")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("share", round(col("n_docs").cast("double") /
+        sum(col("n_docs")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()), 4))
+      .orderBy("stage")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_filter_funnel" -> filterFunnel,
     "text_pii_redact" -> piiRedact,
     "text_domain_cap" -> domainCap,
     "text_entropy" -> entropy,

@@ -366,7 +366,39 @@ object TextOracles {
        |WHERE rk <= ${TextAnalysis.SourceCapN}
        |ORDER BY source, rk""".stripMargin
 
+  val filterFunnel: String = {
+    val markers = TextAnalysis.langMarkers.flatMap(_._2)
+      .map(m => s"'$m'").mkString(", ")
+    val blocked = TextAnalysis.SourceBlocklist
+      .map(s => s"'$s'").mkString(", ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, source, text FROM documents
+       |  WHERE doc_id % 25 = 0),
+       |d AS (
+       |  SELECT doc_id, source, md5(lower(trim(text))) AS fp,
+       |         CAST(len($toks) AS BIGINT) AS n_tokens,
+       |         CAST(len(list_filter($toks, x -> x IN ($markers)))
+       |           AS BIGINT) AS marker_hits
+       |  FROM corpus),
+       |k AS (SELECT fp, MIN(doc_id) AS keep_id FROM d GROUP BY fp),
+       |s AS (
+       |  SELECT CASE WHEN source IN ($blocked) THEN '1_source_blocked'
+       |              WHEN doc_id <> keep_id THEN '2_duplicate'
+       |              WHEN marker_hits = 0 THEN '3_lang_unknown'
+       |              WHEN n_tokens NOT BETWEEN 20 AND 90 THEN '4_length'
+       |              ELSE '5_kept' END AS stage
+       |  FROM d JOIN k USING (fp))
+       |SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       ROUND(CAST(COUNT(*) AS DOUBLE) /
+       |             SUM(COUNT(*)) OVER (), 4) AS share
+       |FROM s GROUP BY stage
+       |ORDER BY stage""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
+    "text_filter_funnel" -> filterFunnel,
     "text_pii_redact" -> piiRedact,
     "text_domain_cap" -> domainCap,
     "text_entropy" -> entropy,
