@@ -553,7 +553,27 @@ object Similarity {
       .orderBy("i", "j")
   }
 
+  /** IVF index-balance audit — per coarse cell: member count, share of
+    * the corpus, and the imbalance factor (count ÷ ideal). Cell balance
+    * is THE health metric of an IVF index: one hot cell turns nprobe=1
+    * queries into near-brute scans, and rebalancing (re-training the
+    * coarse quantizer) is triggered off exactly this report. One map
+    * pass (cell assignment) + one [[IvfCells]]-group agg; the share
+    * denominators ride a window over the ≤[[IvfCells]]-row frame. */
+  def ivfCellStats(spark: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy()
+    Tables.embeddings(spark, dir)
+      .select(ivfCell(col("embedding")).as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+      .withColumn("share", round(col("n_vectors").cast("double") /
+        sum(col("n_vectors")).over(wAll), 4))
+      .withColumn("imbalance", round(col("n_vectors").cast("double") *
+        IvfCells / sum(col("n_vectors")).over(wAll), 4))
+      .orderBy("cell")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ivf_cell_stats" -> ivfCellStats,
     "sim_covariance" -> covariance,
     "sim_knn_classify" -> knnClassify,
     "sim_embedding_drift" -> embeddingDrift,
@@ -602,12 +622,17 @@ object SimilarityOracles {
        |  FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
        |  WHERE q.vec_id < ${Similarity.QuerySet})""".stripMargin)
 
-  val annIvf: String = {
-    val dots = (0 until Similarity.IvfCells).map { j =>
+  /** Per-cell centroid dot products (mirrors Similarity.ivfCell's
+    * deterministic pseudo-centroids) — shared by every IVF oracle. */
+  private def ivfDots: Seq[String] =
+    (0 until Similarity.IvfCells).map { j =>
       s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), " +
         s"i -> (CAST((i*13 + ${j * 29}) % 15 - 7 AS DOUBLE) / 10.0) * " +
         s"CAST(embedding[i] AS DOUBLE))), (s, x) -> s + x)"
     }
+
+  val annIvf: String = {
+    val dots = ivfDots
     rankedSql(
       s"""WITH d AS (
          |  SELECT vec_id, embedding, [${dots.mkString(",\n    ")}] AS ds
@@ -624,11 +649,7 @@ object SimilarityOracles {
   }
 
   val annIvfNprobe: String = {
-    val dots = (0 until Similarity.IvfCells).map { j =>
-      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), " +
-        s"i -> (CAST((i*13 + ${j * 29}) % 15 - 7 AS DOUBLE) / 10.0) * " +
-        s"CAST(embedding[i] AS DOUBLE))), (s, x) -> s + x)"
-    }
+    val dots = ivfDots
     rankedSql(
       s"""WITH d AS (
          |  SELECT vec_id, embedding, [${dots.mkString(",\n    ")}] AS ds
@@ -917,7 +938,22 @@ object SimilarityOracles {
        |                / COUNT(*)) / COUNT(*), 6) AS cov
        |FROM p GROUP BY i, j ORDER BY i, j""".stripMargin
 
+  val ivfCellStats: String =
+    s"""WITH d AS (SELECT vec_id, [${ivfDots.mkString(",\n  ")}] AS ds
+       |           FROM embeddings),
+       |e AS (SELECT list_position(ds, list_aggregate(ds, 'max')) - 1 AS cell
+       |      FROM d),
+       |g AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors
+       |      FROM e GROUP BY cell)
+       |SELECT cell, n_vectors,
+       |       ROUND(CAST(n_vectors AS DOUBLE) / SUM(n_vectors) OVER (), 4)
+       |         AS share,
+       |       ROUND(CAST(n_vectors AS DOUBLE) * ${Similarity.IvfCells} /
+       |             SUM(n_vectors) OVER (), 4) AS imbalance
+       |FROM g ORDER BY cell""".stripMargin
+
   val all: Map[String, String] = Map(
+    "sim_ivf_cell_stats" -> ivfCellStats,
     "sim_covariance" -> covariance,
     "sim_knn_classify" -> knnClassify,
     "sim_embedding_drift" -> embeddingDrift,

@@ -694,7 +694,36 @@ object TextAnalysis {
       .orderBy("stage")
   }
 
+  /** Vocab size built by [[vocabCoverage]]. */
+  val VocabSize = 100
+
+  /** Tokenizer vocab construction + coverage curve — step 0 of training
+    * any tokenizer: corpus word counts, the top-[[VocabSize]] words as
+    * the vocab (count desc, word asc — deterministic ties), and the
+    * cumulative share of ALL token occurrences each prefix of the vocab
+    * covers. The OOV rate of a candidate vocab size V reads directly off
+    * the curve (1 − cum_coverage at rank V). Word counts collapse
+    * map-side; top-V compiles to TakeOrderedAndProject; the rank and
+    * cumulative windows ride the V-row frame (tiny at any corpus
+    * size). */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(explode(TextHash.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("word"))
+    counts.orderBy(col("c").desc, col("word")).limit(VocabSize)
+      .crossJoin(broadcast(counts.agg(sum(col("c")).as("total"))))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("cum", sum(col("c")).over(wRank.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select(col("rank"), col("word"), col("c").as("n_occurrences"),
+        round(col("cum").cast("double") / col("total"), 6).as("cum_coverage"))
+      .orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_vocab_coverage" -> vocabCoverage,
     "text_filter_funnel" -> filterFunnel,
     "text_pii_redact" -> piiRedact,
     "text_domain_cap" -> domainCap,

@@ -397,7 +397,24 @@ object TextOracles {
        |ORDER BY stage""".stripMargin
   }
 
+  val vocabCoverage: String =
+    s"""WITH counts AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest($toks) AS word FROM documents)
+       |  GROUP BY word),
+       |top AS (
+       |  SELECT word, c,
+       |         CAST(row_number() OVER (ORDER BY c DESC, word) AS BIGINT)
+       |           AS rank
+       |  FROM counts
+       |  ORDER BY c DESC, word LIMIT ${TextAnalysis.VocabSize})
+       |SELECT rank, word, c AS n_occurrences,
+       |       ROUND(CAST(SUM(c) OVER (ORDER BY rank) AS DOUBLE) /
+       |             (SELECT SUM(c) FROM counts), 6) AS cum_coverage
+       |FROM top ORDER BY rank""".stripMargin
+
   val all: Map[String, String] = Map(
+    "text_vocab_coverage" -> vocabCoverage,
     "text_filter_funnel" -> filterFunnel,
     "text_pii_redact" -> piiRedact,
     "text_domain_cap" -> domainCap,
