@@ -311,6 +311,17 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("SortMergeJoin"), p.take(800))
     assert(!p.contains("Exchange"),
       s"bucketed join re-shuffled — landing layout not honored:\n${p.take(1500)}")
+    // the exchange-free read depends on ONE file per bucket (multi-file
+    // buckets lose the sortedness guarantee and can demote the scan) —
+    // pin the landing layout itself, not just the resulting plan
+    val tag = sf.replaceAll("[^A-Za-z0-9]", "_")
+    for (t <- Seq("orders", "customer")) {
+      val files = new java.io.File(
+        s"${sys.props("java.io.tmpdir")}/graft_bucketed_$tag/$t")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files == graft.relational.RelationalQueries.BucketCount,
+        s"$t landed $files files, want one per bucket")
+    }
   }
 
   test("covariance expands pairs per row: no self-join, one keyed aggregate") {
