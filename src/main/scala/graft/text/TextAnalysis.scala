@@ -722,7 +722,42 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** Bigram LM quality proxy — the CCNet/KenLM-filter shape: an in-corpus
+    * bigram model P(w₂|w₁) = c(w₁w₂) / c(w₁·) scores every document by
+    * its mean bigram log-probability and perplexity. Garbled text scores
+    * low, templated text suspiciously high — both tails are filter
+    * candidates. Model keys are the 8-byte [[TextHash]] values (bigram =
+    * the n=2 shingle hash, prefix = the token hash), so the model-build
+    * and scoring shuffles never carry text. The per-doc fold runs over
+    * the KEY-SORTED probability list so both engines sum doubles in one
+    * order (the [[entropy]] discipline). */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val occ = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(TextHash.let(TextHash.tokenHashes(col("text")))(th =>
+          zip_with(TextHash.shingleHashes(th, 2),
+            slice(th, lit(1), size(th) - 1),
+            (b, u) => struct(b.as("bh"), u.as("uh"))))).as("o"))
+      .select(col("doc_id"), col("o.bh").as("bh"), col("o.uh").as("uh"))
+    val cb = occ.groupBy(col("bh")).agg(count(lit(1)).as("cb"))
+    val cu = occ.groupBy(col("uh")).agg(count(lit(1)).as("cu"))
+    occ.join(cb, "bh").join(cu, "uh")
+      .select(col("doc_id"), col("bh"),
+        (col("cb").cast("double") / col("cu")).as("p"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        array_sort(collect_list(struct(col("bh"), col("p")))).as("ps"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (aggregate(col("ps"), lit(0.0), (acc, e) => acc + log(e("p"))) /
+          col("n_bigrams")).as("avg_raw"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("avg_raw"), 6).as("avg_ln_p"),
+        round(exp(-col("avg_raw")), 4).as("ppl"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lm_score" -> lmScore,
     "text_vocab_coverage" -> vocabCoverage,
     "text_filter_funnel" -> filterFunnel,
     "text_pii_redact" -> piiRedact,

@@ -413,7 +413,42 @@ object TextOracles {
        |             (SELECT SUM(c) FROM counts), 6) AS cum_coverage
        |FROM top ORDER BY rank""".stripMargin
 
+  val lmScore: String = {
+    // n=2 shingle hash at position i, exactly TextHashSql.shingleHashes
+    var acc = "CAST(17 AS BIGINT)"
+    for (k <- 1 to 2) acc = s"(($acc)*131 + th[CAST(i+$k AS INT)]) % $P"
+    s"""WITH t AS (SELECT doc_id, ${tokenHashes("text")} AS th
+       |           FROM documents),
+       |o AS (
+       |  SELECT doc_id,
+       |         unnest(CASE WHEN len(th) >= 2 THEN
+       |           list_transform(range(0, len(th)-1),
+       |             i -> {'bh': $acc, 'uh': th[CAST(i+1 AS INT)]})
+       |           ELSE [] END) AS o
+       |  FROM t),
+       |occ AS (SELECT doc_id, o.bh AS bh, o.uh AS uh FROM o),
+       |cb AS (SELECT bh, CAST(COUNT(*) AS BIGINT) AS cb FROM occ GROUP BY bh),
+       |cu AS (SELECT uh, CAST(COUNT(*) AS BIGINT) AS cu FROM occ GROUP BY uh),
+       |p AS (
+       |  SELECT doc_id, bh, CAST(cb AS DOUBLE) / cu AS p
+       |  FROM occ JOIN cb USING (bh) JOIN cu USING (uh)),
+       |g AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |         list(p ORDER BY bh, p) AS ps
+       |  FROM p GROUP BY doc_id),
+       |s AS (
+       |  SELECT doc_id, n_bigrams,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(ps, x -> ln(x))), (a, b) -> a + b)
+       |           / n_bigrams AS avg_raw
+       |  FROM g)
+       |SELECT doc_id, n_bigrams, ROUND(avg_raw, 6) AS avg_ln_p,
+       |       ROUND(exp(-avg_raw), 4) AS ppl
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
+    "text_lm_score" -> lmScore,
     "text_vocab_coverage" -> vocabCoverage,
     "text_filter_funnel" -> filterFunnel,
     "text_pii_redact" -> piiRedact,
