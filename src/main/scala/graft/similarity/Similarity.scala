@@ -572,7 +572,37 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** Negatives per query picked by [[negativeSample]]. */
+  val NegK = 5
+
+  /** Deterministic negative sampling — contrastive-training dataset
+    * construction: for every query vector, [[NegK]] uniformly-"random"
+    * negatives drawn from the different-label corpus. The draw is a
+    * salted hash priority (reproducible across runs, retries, and
+    * cluster sizes — the property shuffle-based sampling loses). Query
+    * batch broadcasts to the corpus scan ([[knnBrute]]'s shape: the
+    * corpus never shuffles pre-limit) and WindowGroupLimit prunes to
+    * NegK per query before the final exchange. */
+  def negativeSample(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val q = e.filter(col("vec_id") < QuerySet)
+      .select(col("vec_id").as("qid"), col("label").as("q_label"))
+    val pri = strHash(concat(lit("neg:"), col("qid").cast("string"),
+      lit(":"), col("cid").cast("string")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("pri"), col("cid"))
+    e.select(col("vec_id").as("cid"), col("label").as("neg_label"))
+      .join(broadcast(q), col("neg_label") =!= col("q_label"))
+      .select(col("qid"), col("q_label"), col("cid"), col("neg_label"),
+        pri.as("pri"))
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= NegK)
+      .select(col("qid"), col("neg_rank"), col("cid"), col("q_label"),
+        col("neg_label"))
+      .orderBy("qid", "neg_rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_negative_sample" -> negativeSample,
     "sim_ivf_cell_stats" -> ivfCellStats,
     "sim_covariance" -> covariance,
     "sim_knn_classify" -> knnClassify,
@@ -952,7 +982,27 @@ object SimilarityOracles {
        |             SUM(n_vectors) OVER (), 4) AS imbalance
        |FROM g ORDER BY cell""".stripMargin
 
+  val negativeSample: String = {
+    val pri = TextHashSql.strHash(
+      "'neg:' || CAST(qid AS VARCHAR) || ':' || CAST(cid AS VARCHAR)")
+    s"""WITH q AS (SELECT vec_id AS qid, label AS q_label FROM embeddings
+       |           WHERE vec_id < ${Similarity.QuerySet}),
+       |c AS (SELECT vec_id AS cid, label AS neg_label FROM embeddings),
+       |j AS (
+       |  SELECT qid, q_label, cid, neg_label, $pri AS pri
+       |  FROM q JOIN c ON neg_label <> q_label),
+       |r AS (
+       |  SELECT qid, q_label, cid, neg_label,
+       |         CAST(row_number() OVER (
+       |           PARTITION BY qid ORDER BY pri, cid) AS BIGINT) AS neg_rank
+       |  FROM j)
+       |SELECT qid, neg_rank, cid, q_label, neg_label
+       |FROM r WHERE neg_rank <= ${Similarity.NegK}
+       |ORDER BY qid, neg_rank""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
+    "sim_negative_sample" -> negativeSample,
     "sim_ivf_cell_stats" -> ivfCellStats,
     "sim_covariance" -> covariance,
     "sim_knn_classify" -> knnClassify,
