@@ -51,12 +51,16 @@ object Writers {
     * round-robin — reshardable reproducibly on any cluster), rows inside
     * a shard sorted by id (sortWithinPartitions — no global sort), shard
     * file size bounded by maxRecordsPerFile so loader workers get
-    * uniform work units. One shuffle, keyed by (split, shard). */
+    * uniform work units. One shuffle, keyed by (split, shard).
+    * `shardOf` defaults to xxhash64; the oracle-checked manifest query
+    * passes the cross-engine TextHash instead. */
   def trainingShards(df: DataFrame, path: String, idCol: String,
       splitCol: String, shardsPerSplit: Int,
-      maxRecordsPerFile: Long = 1000000L): Unit = {
+      maxRecordsPerFile: Long = 1000000L,
+      shardOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        c => org.apache.spark.sql.functions.xxhash64(c)): Unit = {
     import org.apache.spark.sql.functions._
-    df.withColumn("shard", pmod(xxhash64(col(idCol)), lit(shardsPerSplit)))
+    df.withColumn("shard", pmod(shardOf(col(idCol)), lit(shardsPerSplit)))
       .repartition(col(splitCol), col("shard"))
       .sortWithinPartitions(col(idCol))
       .write.mode("overwrite")

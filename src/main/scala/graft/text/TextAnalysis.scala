@@ -756,7 +756,44 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Shards per split in [[shardManifest]]. */
+  val ManifestShards = 4
+
+  /** Training-shard manifest + integrity check — the artifact a data
+    * loader verifies before training: per (split, shard) — row count, id
+    * range, and an ORDER-INDEPENDENT content checksum (bit_xor of the
+    * row hash; a sum overflows at corpus scale, xor cannot and ignores
+    * within-shard ordering). The engine side writes REAL shard files
+    * ([[graft.sources.Writers.trainingShards]], cross-engine hash shard
+    * assignment) and reads them back, so a row lost or duplicated
+    * anywhere in the sink path breaks the checksum against the oracle's
+    * logical manifest. Split/shard formulas match [[splitAssign]] /
+    * the writer contract. */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_shards_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    val h = TextHash.strHash(
+      concat(lit("split:"), col("doc_id").cast("string"))) % 100
+    val docs = Tables.documents(spark, dir).select(
+      col("doc_id"), col("text"),
+      when(h < 80, "train").when(h < 90, "valid").otherwise("test")
+        .as("split"))
+    graft.sources.Writers.trainingShards(docs, path, "doc_id", "split",
+      ManifestShards, shardOf = c => TextHash.strHash(c.cast("string")))
+    spark.read.parquet(path)
+      .select(col("split"), col("shard").cast("long").as("shard"),
+        col("doc_id"),
+        TextHash.strHash(concat(col("doc_id").cast("string"), lit(":"),
+          col("text"))).as("rh"))
+      .groupBy(col("split"), col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(rh)").as("content_xor"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("split", "shard")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_shard_manifest" -> shardManifest,
     "text_lm_score" -> lmScore,
     "text_vocab_coverage" -> vocabCoverage,
     "text_filter_funnel" -> filterFunnel,

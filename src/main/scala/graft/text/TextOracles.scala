@@ -447,7 +447,30 @@ object TextOracles {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  /** The LOGICAL manifest — the parquet round trip is lossless, so any
+    * engine-side divergence (lost/dup rows in the shard sink) turns the
+    * count or xor checksum red. */
+  val shardManifest: String = {
+    val split = strHash("'split:' || CAST(doc_id AS VARCHAR)")
+    val shard = strHash("CAST(doc_id AS VARCHAR)")
+    val rh = strHash("CAST(doc_id AS VARCHAR) || ':' || text")
+    s"""WITH d AS (
+       |  SELECT doc_id, text,
+       |         CASE WHEN $split % 100 < 80 THEN 'train'
+       |              WHEN $split % 100 < 90 THEN 'valid'
+       |              ELSE 'test' END AS split,
+       |         $shard % ${TextAnalysis.ManifestShards} AS shard,
+       |         $rh AS rh
+       |  FROM documents)
+       |SELECT split, shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |       bit_xor(rh) AS content_xor,
+       |       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+       |FROM d GROUP BY split, shard
+       |ORDER BY split, shard""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
+    "text_shard_manifest" -> shardManifest,
     "text_lm_score" -> lmScore,
     "text_vocab_coverage" -> vocabCoverage,
     "text_filter_funnel" -> filterFunnel,
