@@ -540,4 +540,46 @@ object Queries {
     }
     labeled.orderBy(col("stop_id"))
   }
+
+  /** GTFS feed-validation report — the standard feed-QA pass (the checks
+    * every GTFS validator ships) as one engine query: referential orphans
+    * (stop_times → stops / trips), arrival-before-departure, duplicate
+    * (trip, stop_sequence) keys, non-monotone departures along a trip,
+    * and unnamed stops. Each check is a key-only anti-join, a narrow
+    * filter, or a trip-keyed window — nothing shuffles more than the
+    * fact's key columns, so the report runs on any feed size. The
+    * derived feed exhibits real violations (null names on stop_id%10==0;
+    * dep_secs is deliberately non-monotone in stop_sequence). */
+  def gtfsValidation(t: TransitTables): DataFrame = {
+    val st = t.stopTimes
+    // the derived feed HAS duplicate (trip, stop_sequence) keys (check 4
+    // finds them), so the sequence alone is an ambiguous sort — tiebreak
+    // on row content to keep the lag deterministic in both engines
+    val wTrip = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("trip_id"))
+      .orderBy(col("stop_sequence"), col("dep_secs"), col("stop_id"))
+    val n = count(lit(1)).as("n_violations")
+    val checks: Seq[(String, DataFrame)] = Seq(
+      "1_missing_stop_ref" ->
+        st.join(t.stops.select("stop_id"), Seq("stop_id"), "left_anti").agg(n),
+      "2_missing_trip_ref" ->
+        st.join(t.trips.select("trip_id"), Seq("trip_id"), "left_anti").agg(n),
+      "3_arrival_before_departure" ->
+        st.filter(col("arr_secs") < col("dep_secs")).agg(n),
+      "4_duplicate_stop_sequence" ->
+        st.groupBy(col("trip_id"), col("stop_sequence"))
+          .agg(count(lit(1)).as("c")).filter(col("c") > 1).agg(n),
+      "5_nonmonotone_departures" ->
+        st.select(col("trip_id"), col("stop_sequence"), col("dep_secs"),
+            col("stop_id"))
+          .withColumn("prev", lag(col("dep_secs"), 1).over(wTrip))
+          .filter(col("dep_secs") < col("prev")).agg(n),
+      "6_missing_stop_name" ->
+        t.stops.filter(col("stop_name").isNull).agg(n))
+    checks.map { case (nm, df) =>
+        df.select(lit(nm).as("check_name"), col("n_violations"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy("check_name")
+  }
 }

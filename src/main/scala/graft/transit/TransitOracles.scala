@@ -256,6 +256,35 @@ object TransitOracles {
        |ORDER BY s.stop_name, s.stop_id""".stripMargin
   }
 
+  val gtfsValidation: String =
+    s"""$P
+       |SELECT '1_missing_stop_ref' AS check_name,
+       |       CAST(COUNT(*) AS BIGINT) AS n_violations
+       |FROM stop_times st LEFT JOIN stops s ON s.stop_id = st.stop_id
+       |WHERE s.stop_id IS NULL
+       |UNION ALL
+       |SELECT '2_missing_trip_ref', CAST(COUNT(*) AS BIGINT)
+       |FROM stop_times st LEFT JOIN trips t ON t.trip_id = st.trip_id
+       |WHERE t.trip_id IS NULL
+       |UNION ALL
+       |SELECT '3_arrival_before_departure', CAST(COUNT(*) AS BIGINT)
+       |FROM stop_times WHERE arr_secs < dep_secs
+       |UNION ALL
+       |SELECT '4_duplicate_stop_sequence', CAST(COUNT(*) AS BIGINT)
+       |FROM (SELECT trip_id, stop_sequence FROM stop_times
+       |      GROUP BY trip_id, stop_sequence HAVING COUNT(*) > 1)
+       |UNION ALL
+       |SELECT '5_nonmonotone_departures', CAST(COUNT(*) AS BIGINT)
+       |FROM (SELECT dep_secs, lag(dep_secs) OVER (
+       |        PARTITION BY trip_id
+       |        ORDER BY stop_sequence, dep_secs, stop_id) AS prev
+       |      FROM stop_times)
+       |WHERE dep_secs < prev
+       |UNION ALL
+       |SELECT '6_missing_stop_name', CAST(COUNT(*) AS BIGINT)
+       |FROM stops WHERE stop_name IS NULL
+       |ORDER BY check_name""".stripMargin
+
   def nextDeparture(stopId: Long, nowSecs: Long): String =
     s"""$P
        |SELECT st.stop_id, st.trip_id, st.dep_secs,
