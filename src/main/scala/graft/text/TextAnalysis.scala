@@ -730,25 +730,38 @@ object TextAnalysis {
     * the n=2 shingle hash, prefix = the token hash), so the model-build
     * and scoring shuffles never carry text. The per-doc fold runs over
     * the KEY-SORTED probability list so both engines sum doubles in one
-    * order (the [[entropy]] discipline). */
+    * order (the [[entropy]] discipline). The corpus is tokenized exactly
+    * ONCE: occurrences collapse to per-(doc, bigram) multiplicities `k`
+    * first, and the model (cb, cu) derives from that hashed frame — a
+    * naive cb/cu/probe formulation re-runs the tokenize+hash pass three
+    * times (and column pruning defeats a plain repartition barrier: each
+    * consumer prunes a different projection below it, so exchange reuse
+    * never fires — the localCheckpoint is the [[graft.dedup.Dedup]]
+    * fixpoint's tool for the same problem: materialize the narrow hashed
+    * frame once, every model/probe consumer reads it). */
   def lmScore(spark: SparkSession, dir: String): DataFrame = {
-    val occ = Tables.documents(spark, dir)
+    val d = Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(TextHash.let(TextHash.tokenHashes(col("text")))(th =>
           zip_with(TextHash.shingleHashes(th, 2),
             slice(th, lit(1), size(th) - 1),
             (b, u) => struct(b.as("bh"), u.as("uh"))))).as("o"))
       .select(col("doc_id"), col("o.bh").as("bh"), col("o.uh").as("uh"))
-    val cb = occ.groupBy(col("bh")).agg(count(lit(1)).as("cb"))
-    val cu = occ.groupBy(col("uh")).agg(count(lit(1)).as("cu"))
-    occ.join(cb, "bh").join(cu, "uh")
-      .select(col("doc_id"), col("bh"),
+      .groupBy(col("doc_id"), col("bh"), col("uh"))
+      .agg(count(lit(1)).as("k"))
+      .localCheckpoint(true)
+    val m = d.groupBy(col("bh"), col("uh")).agg(sum(col("k")).as("cb"))
+    val cu = m.groupBy(col("uh")).agg(sum(col("cb")).as("cu"))
+    d.join(m, Seq("bh", "uh")).join(cu, Seq("uh"))
+      .select(col("doc_id"), col("bh"), col("k"),
         (col("cb").cast("double") / col("cu")).as("p"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        array_sort(collect_list(struct(col("bh"), col("p")))).as("ps"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        array_sort(collect_list(struct(col("bh"), col("p"), col("k"))))
+          .as("ps"))
       .select(col("doc_id"), col("n_bigrams"),
-        (aggregate(col("ps"), lit(0.0), (acc, e) => acc + log(e("p"))) /
+        (aggregate(col("ps"), lit(0.0),
+          (acc, e) => acc + e("k").cast("double") * log(e("p"))) /
           col("n_bigrams")).as("avg_raw"))
       .select(col("doc_id"), col("n_bigrams"),
         round(col("avg_raw"), 6).as("avg_ln_p"),

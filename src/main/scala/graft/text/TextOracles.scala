@@ -427,19 +427,22 @@ object TextOracles {
        |           ELSE [] END) AS o
        |  FROM t),
        |occ AS (SELECT doc_id, o.bh AS bh, o.uh AS uh FROM o),
-       |cb AS (SELECT bh, CAST(COUNT(*) AS BIGINT) AS cb FROM occ GROUP BY bh),
-       |cu AS (SELECT uh, CAST(COUNT(*) AS BIGINT) AS cu FROM occ GROUP BY uh),
+       |d AS (SELECT doc_id, bh, uh, CAST(COUNT(*) AS BIGINT) AS k
+       |      FROM occ GROUP BY doc_id, bh, uh),
+       |m AS (SELECT bh, uh, CAST(SUM(k) AS BIGINT) AS cb
+       |      FROM d GROUP BY bh, uh),
+       |cu AS (SELECT uh, CAST(SUM(cb) AS BIGINT) AS cu FROM m GROUP BY uh),
        |p AS (
-       |  SELECT doc_id, bh, CAST(cb AS DOUBLE) / cu AS p
-       |  FROM occ JOIN cb USING (bh) JOIN cu USING (uh)),
+       |  SELECT doc_id, bh, k, CAST(cb AS DOUBLE) / cu AS p
+       |  FROM d JOIN m USING (bh, uh) JOIN cu USING (uh)),
        |g AS (
-       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-       |         list(p ORDER BY bh, p) AS ps
+       |  SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+       |         list({'k': k, 'p': p} ORDER BY bh, p) AS ps
        |  FROM p GROUP BY doc_id),
        |s AS (
        |  SELECT doc_id, n_bigrams,
        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-       |           list_transform(ps, x -> ln(x))), (a, b) -> a + b)
+       |           list_transform(ps, x -> x.k * ln(x.p))), (a, b) -> a + b)
        |           / n_bigrams AS avg_raw
        |  FROM g)
        |SELECT doc_id, n_bigrams, ROUND(avg_raw, 6) AS avg_ln_p,
