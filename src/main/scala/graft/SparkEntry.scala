@@ -112,6 +112,8 @@ object SparkEntry {
     // §2-adjacent feed QA: the validation pass a GTFS ingest runs first
     "transit_gtfs_validation" -> ((s, dir) =>
       Queries.gtfsValidation(TransitTables.fromTpch(s, dir))),
+    "transit_triangles" -> ((s, dir) =>
+      Queries.triangleCount(TransitTables.fromTpch(s, dir))),
     // §4 R4: the serving layer's snapshot fast path, end to end — build
     // the partitioned Q1 result snapshot, then serve the weekday request
     // FROM the snapshot (partition-pruned read-back, not the live plan).
@@ -160,6 +162,7 @@ object SparkEntry {
     "transit_pagerank" -> TransitOracles.pagerankRound,
     "transit_service_span" -> TransitOracles.serviceSpan,
     "transit_gtfs_validation" -> TransitOracles.gtfsValidation,
+    "transit_triangles" -> TransitOracles.triangleCount,
     // snapshot round trip is value-preserving (parquet doubles bit-exact)
     "transit_q1_snapshot" -> TransitOracles.q1Weekday,
   ) ++ graft.relational.RelationalOracles.all ++

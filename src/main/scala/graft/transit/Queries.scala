@@ -541,6 +541,54 @@ object Queries {
     labeled.orderBy(col("stop_id"))
   }
 
+  /** Neighbors each stop keeps in [[triangleCount]]'s sparsified graph. */
+  val TriangleTopK = 4
+
+  /** Triangle participation over the top-k consecutive-stop graph — the
+    * classic distributed-graph clustering metric (completes the graph
+    * family beside PageRank, connected components, and BFS
+    * reachability). The raw co-occurrence graph saturates toward
+    * complete as the feed grows (stop space is finite), so it is
+    * sparsified the standard way first: each stop keeps its
+    * [[TriangleTopK]] strongest neighbors by co-occurrence weight
+    * (deterministic ties → lowest neighbor id), union of both
+    * endpoints' picks — degree is bounded at ANY scale, so the wedge
+    * join is bounded too. Triangles a<b<c are found exactly once by the
+    * edge-iterator join E(a,b)⋈E(b,c)⋈E(a,c) — two hash joins keyed on
+    * node ids. The edge list is checkpointed once (three consumers);
+    * the top-k window rides WindowGroupLimit per node. */
+  def triangleCount(t: TransitTables): DataFrame = {
+    val st = t.stopTimes.select(col("trip_id"), col("stop_id"),
+      col("stop_sequence").as("seq"))
+    val pr = st.as("a").join(st.as("b"),
+        col("a.trip_id") === col("b.trip_id") &&
+          col("b.seq") === col("a.seq") + 1 &&
+          col("a.stop_id") =!= col("b.stop_id"))
+      .select(least(col("a.stop_id"), col("b.stop_id")).as("src"),
+        greatest(col("a.stop_id"), col("b.stop_id")).as("dst"))
+    val w = pr.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    val sym = w.unionByName(
+      w.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("w").desc, col("dst"))
+    val e = sym.withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= TriangleTopK)
+      .select(least(col("src"), col("dst")).as("s"),
+        greatest(col("src"), col("dst")).as("d"))
+      .select(col("s").as("src"), col("d").as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val wedges = e.as("e1").join(e.as("e2"), col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+        col("e2.dst").as("c"))
+    val tri = wedges.join(e.as("e3"),
+      col("a") === col("e3.src") && col("c") === col("e3.dst"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("stop_id"))
+      .groupBy(col("stop_id")).agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("stop_id"))
+      .limit(20)
+  }
+
   /** GTFS feed-validation report — the standard feed-QA pass (the checks
     * every GTFS validator ships) as one engine query: referential orphans
     * (stop_times → stops / trips), arrival-before-departure, duplicate

@@ -256,6 +256,36 @@ object TransitOracles {
        |ORDER BY s.stop_name, s.stop_id""".stripMargin
   }
 
+  val triangleCount: String =
+    s"""$P, pr AS (
+       |  SELECT least(a.stop_id, b.stop_id) AS src,
+       |         greatest(a.stop_id, b.stop_id) AS dst
+       |  FROM stop_times a JOIN stop_times b
+       |    ON a.trip_id = b.trip_id
+       |   AND b.stop_sequence = a.stop_sequence + 1
+       |   AND a.stop_id <> b.stop_id),
+       |w AS (SELECT src, dst, COUNT(*) AS w FROM pr GROUP BY src, dst),
+       |sym AS (SELECT src, dst, w FROM w
+       |        UNION ALL SELECT dst, src, w FROM w),
+       |topk AS (
+       |  SELECT src, dst,
+       |         row_number() OVER (PARTITION BY src
+       |                            ORDER BY w DESC, dst) AS rk
+       |  FROM sym),
+       |e AS (
+       |  SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+       |  FROM topk WHERE rk <= ${Queries.TriangleTopK}),
+       |tri AS (
+       |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+       |  FROM e e1
+       |  JOIN e e2 ON e1.dst = e2.src
+       |  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+       |SELECT stop_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+       |FROM (SELECT unnest([a, b, c]) AS stop_id FROM tri)
+       |GROUP BY stop_id
+       |ORDER BY n_triangles DESC, stop_id
+       |LIMIT 20""".stripMargin
+
   val gtfsValidation: String =
     s"""$P
        |SELECT '1_missing_stop_ref' AS check_name,
