@@ -431,7 +431,34 @@ object Dedup {
       .orderBy(col("threshold"))
   }
 
+  /** Cross-split near-dup leakage audit — the eval contamination an
+    * exact n-gram check misses: near-duplicate pairs (the X3 MinHash LSH
+    * pipeline unchanged) whose members landed in DIFFERENT
+    * train/valid/test splits. Any such pair leaks training signal into
+    * evaluation; the standard remedy is split assignment by cluster, and
+    * this report is the evidence that forces it. Split formula is the
+    * corpus's deterministic hash split ([[graft.text.TextAnalysis]]
+    * splitAssign); cost rides the existing pairs plan plus two key-only
+    * joins against the (doc_id, split) map. */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val h = TextHash.strHash(
+      concat(lit("split:"), col("doc_id").cast("string"))) % 100
+    val split = Tables.documents(spark, dir).select(col("doc_id"),
+      when(h < 80, "train").when(h < 90, "valid").otherwise("test")
+        .as("split"))
+    minhashPairs(spark, dir)
+      .join(split.select(col("doc_id").as("id1"), col("split").as("split1")),
+        "id1")
+      .join(split.select(col("doc_id").as("id2"), col("split").as("split2")),
+        "id2")
+      .filter(col("split1") =!= col("split2"))
+      .select(col("id1"), col("id2"), col("split1"), col("split2"),
+        col("est_sim"), col("jaccard"))
+      .orderBy(col("est_sim").desc, col("id1"), col("id2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_split_leakage" -> splitLeakage,
     "dedup_minhash_sweep" -> minhashSweep,
     "dedup_incremental" -> incremental,
     "dedup_canonical" -> canonical,

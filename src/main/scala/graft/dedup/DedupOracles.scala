@@ -185,6 +185,21 @@ object DedupOracles {
        |ORDER BY threshold""".stripMargin
   }
 
+  val splitLeakage: String = {
+    val h = s"(${strHash("'split:' || CAST(doc_id AS VARCHAR)")} % 100)"
+    s"""WITH pairs AS (SELECT * FROM ($minhashPairs)),
+       |sp AS (
+       |  SELECT doc_id, CASE WHEN $h < 80 THEN 'train'
+       |                      WHEN $h < 90 THEN 'valid'
+       |                      ELSE 'test' END AS split
+       |  FROM documents)
+       |SELECT id1, id2, a.split AS split1, b.split AS split2,
+       |       est_sim, jaccard
+       |FROM pairs JOIN sp a ON a.doc_id = id1 JOIN sp b ON b.doc_id = id2
+       |WHERE a.split <> b.split
+       |ORDER BY est_sim DESC, id1, id2""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "dedup_minhash_sweep" -> minhashSweep,
     "dedup_incremental" -> incremental,
@@ -195,6 +210,7 @@ object DedupOracles {
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_minhash_bands" -> minhashBands,
     "dedup_minhash_pairs" -> minhashPairs,
+    "dedup_split_leakage" -> splitLeakage,
     "dedup_simhash" -> simhashPairs,
     "dedup_embedding_neardup" -> embeddingNearDup)
 }
