@@ -119,6 +119,13 @@ object RelationalOracles {
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
 
+    "rel_bucketed_agg" ->
+      """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       ROUND(SUM(o_totalprice), 2) AS spend
+        |FROM orders
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+
     "rel_cdc_compact" ->
       """WITH log AS (
         |  SELECT o_orderkey AS k, 1 AS seq, 'I' AS op,

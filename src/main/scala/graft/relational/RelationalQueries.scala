@@ -1223,6 +1223,24 @@ object RelationalQueries {
         round(sum(col("o_totalprice")), 2).as("revenue"))
       .orderBy(col("c_mktsegment"))
 
+  /** Aggregation on the bucketed landing — the other dividend of the
+    * [[bucketedJoin]] layout: a groupBy on the bucket key needs NO
+    * exchange either (the bucketed scan's hash-partitioning already
+    * satisfies the aggregate's required distribution; plan-asserted in
+    * PlanQualitySpec). At warehouse scale this is every recurring
+    * per-customer rollup running shuffle-free. */
+  def bucketedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_bucketed_$tag"
+    val o = landBucketed(spark,
+      Tables.orders(spark, dir).select(col("o_custkey"), col("o_totalprice")),
+      "o_custkey", s"orders_bkt_$tag", s"$base/orders")
+    o.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("spend"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** CDC changelog compaction — replaying an ordered insert/update/delete
     * stream into final table state, the core move of every lakehouse
     * MERGE/compaction job. The changelog derives deterministically from
@@ -1353,6 +1371,7 @@ object RelationalQueries {
     "rel_snapshot_diff" -> snapshotDiff,
     "rel_partitioned_sink_read" -> partitionedSinkRead,
     "rel_bucketed_join" -> bucketedJoin,
+    "rel_bucketed_agg" -> bucketedAgg,
     "rel_cdc_compact" -> cdcCompact,
     "rel_fk_audit" -> fkAudit,
     "rel_cumulative_users" -> cumulativeUsers,

@@ -324,6 +324,15 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("bucketed aggregation: groupBy on the bucket key needs no hash exchange") {
+    val df = SparkEntry.queries("rel_bucketed_agg")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed agg re-shuffled:\n${p.take(1200)}")
+    assert(p.contains("HashAggregate"), p.take(400))
+  }
+
   test("covariance expands pairs per row: no self-join, one keyed aggregate") {
     val p = plan("sim_covariance")
     assert(!p.contains("Join"), s"pair expansion became a self-join:\n${p.take(800)}")
