@@ -118,14 +118,26 @@ object SparkEntry {
     // the partitioned Q1 result snapshot, then serve the weekday request
     // FROM the snapshot (partition-pruned read-back, not the live plan).
     // Lossless round trip, so the oracle is the direct-path weekday SQL.
-    "transit_q1_snapshot" -> ((s, dir) => {
-      val t = TransitTables.fromTpch(s, dir)
-      val snapDir = s"${sys.props("java.io.tmpdir")}/graft_snapshots_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_")
-      QueryService.buildQ1Snapshot(t, snapDir)
-      new QueryService(t, Some(snapDir)).q1(ServiceFilter.Weekday)
-    }),
+    "transit_q1_snapshot" -> snapshotServed(QueryService.Q1, _.q1(ServiceFilter.Weekday)),
+    // R4 parity for the other three dispatch paths (`SQL/app.py:85-125`
+    // serves ALL FOUR queries from the CSV cache): same build-then-serve
+    // round trip, partition-pruned to the weekday tag.
+    "transit_q2_snapshot" -> snapshotServed(QueryService.Q2, _.q2(ServiceFilter.Weekday)),
+    "transit_q3_snapshot" -> snapshotServed(QueryService.Q3, _.q3(ServiceFilter.Weekday)),
+    "transit_q4_snapshot" -> snapshotServed(QueryService.Q4, _.q4(ServiceFilter.Weekday)),
   )
+
+  /** Build ONE query's partitioned snapshot under a per-sf tmp dir, then
+    * serve the weekday request from it (QueryService dispatches snapshot-
+    * first when the path exists). Lossless round trip → live-path oracle. */
+  private def snapshotServed(name: String, serve: QueryService => DataFrame)
+      : (SparkSession, String) => DataFrame = (s, dir) => {
+    val t = TransitTables.fromTpch(s, dir)
+    val snapDir = s"${sys.props("java.io.tmpdir")}/graft_snapshots_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    QueryService.buildSnapshot(t, snapDir, name)
+    serve(new QueryService(t, Some(snapDir)))
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -163,8 +175,11 @@ object SparkEntry {
     "transit_service_span" -> TransitOracles.serviceSpan,
     "transit_gtfs_validation" -> TransitOracles.gtfsValidation,
     "transit_triangles" -> TransitOracles.triangleCount,
-    // snapshot round trip is value-preserving (parquet doubles bit-exact)
+    // snapshot round trips are value-preserving (parquet doubles bit-exact)
     "transit_q1_snapshot" -> TransitOracles.q1Weekday,
+    "transit_q2_snapshot" -> TransitOracles.q2Weekday,
+    "transit_q3_snapshot" -> TransitOracles.q3Weekday,
+    "transit_q4_snapshot" -> TransitOracles.q4Weekday,
   ) ++ graft.relational.RelationalOracles.all ++
     graft.text.TextOracles.all ++
     graft.dedup.DedupOracles.all ++

@@ -216,8 +216,11 @@ object RelationalOracles {
 
     "rel_equidepth_hist" ->
       """WITH cuts AS (
-        |  SELECT quantile_cont(o_totalprice,
-        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts
+  -- floor-quantized to 4 dp like the engine: quantile interpolation can
+  -- differ in the last ulp between engines, flipping '>' on exact-hit cuts
+        |  SELECT list_transform(quantile_cont(o_totalprice,
+        |      [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+        |    c -> floor(c * 10000 + 0.5) / 10000) AS cuts
         |  FROM orders)
         |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
         |       ROUND(MIN(o_totalprice), 2) AS lo,
@@ -275,8 +278,13 @@ object RelationalOracles {
 
     "rel_interpolate" ->
       """WITH sparse AS (
+  -- value-sorted fold + floor-quantize, mirroring the engine: AVG's
+  -- partial-sum order is partition-dependent and ROUND's half-case
+  -- diverges between engines, so neither may feed the lerp
         |  SELECT event_type, date_trunc('hour', ts) AS hour,
-        |         ROUND(AVG(value), 4) AS v
+        |         floor(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |                 list_sort(list(value))), (a, b) -> a + b)
+        |               / COUNT(*) * 10000 + 0.5) / 10000 AS v
         |  FROM events WHERE event_id % 23 = 0 GROUP BY 1, 2),
         |bounds AS (SELECT date_trunc('hour', MIN(ts)) AS lo,
         |                  date_trunc('hour', MAX(ts)) AS hi FROM events),

@@ -934,14 +934,21 @@ object RelationalQueries {
     * windows (last-known-before via last(ignoreNulls), next-known-after
     * via first over the following frame) — one series-keyed shuffle
     * serves spine join and both windows; the interpolation itself is a
-    * narrow map. Neighbor values are pre-rounded to 4 dp so the lerp is
-    * bit-identical cross-engine. */
+    * narrow map. Neighbor values are pre-quantized to 4 dp so the lerp is
+    * bit-identical cross-engine — and the mean that FEEDS the lerp is
+    * itself deterministic: a value-sorted fold (partial-sum order never
+    * depends on partitioning) quantized with the same floor(x·10⁴+0.5)
+    * idiom, not round(avg(...), 4) whose half-case behavior diverges
+    * between engines. */
   def interpolate(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sparse = Tables.events(spark, dir)
       .filter(col("event_id") % 23 === 0)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
-      .agg(round(avg(col("value")), 4).as("v"))
+      .agg(array_sort(collect_list(col("value"))).as("vs"))
+      .select(col("event_type"), col("hour"),
+        (floor(aggregate(col("vs"), lit(0.0), (s, x) => s + x) /
+          size(col("vs")) * 10000.0 + 0.5) / 10000.0).as("v"))
     val bounds = Tables.events(spark, dir)
       .agg(date_trunc("hour", min(col("ts"))).as("lo"),
         date_trunc("hour", max(col("ts"))).as("hi"))
@@ -1057,12 +1064,19 @@ object RelationalQueries {
     * boundaries are the 9 interior deciles from ONE percentile aggregate
     * (a 1-row frame broadcast back); each row's bucket is 1 + the count
     * of cuts strictly below its value — a narrow map, never a global
-    * ntile window over the corpus. */
+    * ntile window over the corpus. The cuts are floor-quantized to 4 dp
+    * before bucketing: Spark percentile and DuckDB quantile_cont
+    * interpolate with formulas that can differ in the last ulp, and when
+    * a cut lands exactly on a (duplicated) data value that ulp flips the
+    * strict '>' and shifts rows across buckets; after quantization both
+    * engines compare against the identical double. */
   def equidepthHist(spark: SparkSession, dir: String): DataFrame = {
     val cuts = Tables.orders(spark, dir)
       .agg(expr(
         "percentile(o_totalprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
-        .as("cuts"))
+        .as("cuts_raw"))
+      .select(transform(col("cuts_raw"),
+        c => floor(c * 10000.0 + 0.5) / 10000.0).as("cuts"))
     Tables.orders(spark, dir)
       .crossJoin(broadcast(cuts))
       .select(col("o_totalprice"),

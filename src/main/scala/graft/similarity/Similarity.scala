@@ -461,11 +461,14 @@ object Similarity {
     * new-half centroids (halves = deterministic vec_id parity). Same
     * integer-exact trick as [[centroidOutliers]] scaled to two
     * populations: with quantized per-half sums S₁/S₂ over n₁/n₂
-    * members, the cross-scaled distance is Σ(n₂·S₁ᵢ − n₁·S₂ᵢ)² — pure
-    * BIGINT, no mean division, no float order (exact while n·|S| stays
-    * under ~3·10⁹ per coordinate; beyond that, de-scale per half
-    * first). Two (label, half) hash aggs + a label-keyed join of two
-    * #labels-row frames. */
+    * members, the cross-scaled distance is Σ(n₂·S₁ᵢ − n₁·S₂ᵢ)² — integer-
+    * exact, no mean division, no float order. The squares and their sum
+    * accumulate in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so the
+    * 64-term sum cannot wrap a 64-bit lane: exactness needs only the
+    * per-coordinate product n·|S| < ~9.2·10¹⁸ (Long, pre-widening) and
+    * the REPORTED total < 2⁶³ (it is cast back to BIGINT at the edge —
+    * an output-domain constraint, not a silent wrap). Two (label, half)
+    * hash aggs + a label-keyed join of two #labels-row frames. */
   def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
     def quant(v: org.apache.spark.sql.Column) =
       transform(v, x => floor(x.cast("double") * 1000.0 + 0.5).cast("long"))
@@ -488,9 +491,14 @@ object Similarity {
       .select(col("label"), col("sums").as("s2"), col("n").as("n2"))
     o.join(nw, "label")
       .select(col("label"), col("n1").as("n_old"), col("n2").as("n_new"),
-        aggregate(zip_with(col("s1"), col("s2"),
-          (a, b) => (col("n2") * a - col("n1") * b) * (col("n2") * a - col("n1") * b)),
-          lit(0L), (s, x) => s + x).as("drift_q"))
+        aggregate(zip_with(col("s1"), col("s2"), (a, b) => {
+            val d = col("n2").cast("decimal(19,0)") * a.cast("decimal(19,0)") -
+              col("n1").cast("decimal(19,0)") * b.cast("decimal(19,0)")
+            d * d
+          }),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"),
+          (s, x) => s + x.cast("decimal(38,0)"))
+          .cast("long").as("drift_q"))
       .orderBy(col("label"))
   }
 
@@ -921,11 +929,11 @@ object SimilarityOracles {
        |           FROM q GROUP BY label, old_half),
        |side AS (SELECT * FROM sums JOIN counts USING (label, old_half))
        |SELECT o.label, o.n AS n_old, w.n AS n_new,
-       |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |       CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
        |         list_transform(range(1, len(o.sums) + 1),
-       |           i -> (w.n * o.sums[i] - o.n * w.sums[i]) *
-       |                (w.n * o.sums[i] - o.n * w.sums[i]))),
-       |         (a, b) -> a + b) AS drift_q
+       |           i -> (CAST(w.n AS HUGEINT) * o.sums[i] - CAST(o.n AS HUGEINT) * w.sums[i]) *
+       |                (CAST(w.n AS HUGEINT) * o.sums[i] - CAST(o.n AS HUGEINT) * w.sums[i]))),
+       |         (a, b) -> a + b) AS BIGINT) AS drift_q
        |FROM (SELECT * FROM side WHERE old_half) o
        |JOIN (SELECT * FROM side WHERE NOT old_half) w ON o.label = w.label
        |ORDER BY o.label""".stripMargin

@@ -66,11 +66,14 @@ object Streams {
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(array_sort(collect_list(col("value"))).as("vs"))
       .select(col("w.start").as("window_start"), col("event_type"),
-        size(col("vs")).as("n"), col("vs"))
+        // long like every other count in the suite (and the oracle's
+        // BIGINT); bare size() is 32-bit — wrong type and wrong ceiling
+        size(col("vs")).cast("long").as("n"), col("vs"))
     val idx0 = floor(lit(0.95) * (col("n") - 1)).cast("int") // 0-based lower
     val frac = lit(0.95) * (col("n") - 1) - idx0
+    val nI = col("n").cast("int") // element_at indices must be INT
     val lo = element_at(col("vs"), idx0 + 1)
-    val hi = element_at(col("vs"), least(col("n"), idx0 + 2))
+    val hi = element_at(col("vs"), least(nI, idx0 + 2))
     hourlyP95(Tables.events(spark, dir))
       .select(col("window_start"), col("event_type"), col("approx_p95_raw"))
       .join(sorted, Seq("window_start", "event_type"))
@@ -79,7 +82,7 @@ object Streams {
         (col("approx_p95_raw") >=
             element_at(col("vs"), greatest(lit(1), idx0)) &&
           col("approx_p95_raw") <=
-            element_at(col("vs"), least(col("n"), idx0 + 3)))
+            element_at(col("vs"), least(nI, idx0 + 3)))
           .as("approx_in_rank_band"))
       .orderBy("window_start", "event_type")
   }
@@ -406,7 +409,15 @@ object Streams {
     * In-order equality with the batch face holds because the first
     * qualifying event in time order IS the chained MIN; rows are sorted
     * per micro-batch and the watermark bounds cross-batch lateness
-    * (the [[sessionizeStreaming]] contract). */
+    * (the [[sessionizeStreaming]] contract). Cross-batch DISORDER is the
+    * documented boundary: advances are decided as events arrive, so a
+    * stage-k event landing in an earlier micro-batch than its stage-(k−1)
+    * predecessor is consumed (ignored), not buffered for replay once the
+    * predecessor shows up — where the batch chained-MIN, with hindsight,
+    * would count it. The watermark bounds lateness; it does not reorder
+    * across batches. Feed per-user in-order input (e.g. compacted by
+    * event time) when exact batch equality is required; StreamsSpec pins
+    * both the in-order equality and the disorder semantics. */
   def funnelStreaming(events: DataFrame): Dataset[StageAdvance] = {
     import events.sparkSession.implicits._
     events

@@ -151,9 +151,19 @@ object QueryService {
       tagged(s => Queries.q4ServiceFrequency(t, s, Limit.All)), s"$dir/$Q4", Seq(TAG))
   }
 
-  /** Snapshot build for ONE query — the registered read-back face uses
+  /** Snapshot build for ONE query — each registered read-back face uses
     * this so its measured cost is one snapshot's ETL, not all four. */
+  def buildSnapshot(t: TransitTables, dir: String, name: String): Unit = {
+    val live: ServiceFilter => DataFrame = name match {
+      case Q1 => Queries.q1BusiestStops(t, _, Limit.All)
+      case Q2 => Queries.q2RouteStats(t, _, Limit.All)
+      case Q3 => Queries.q3TransferPoints(t, _, Limit.All)
+      case Q4 => Queries.q4ServiceFrequency(t, _, Limit.All)
+      case other => throw new IllegalArgumentException(s"no snapshot named $other")
+    }
+    Writers.snapshotParquet(tagged(live), s"$dir/$name", Seq(TAG))
+  }
+
   def buildQ1Snapshot(t: TransitTables, dir: String): Unit =
-    Writers.snapshotParquet(
-      tagged(s => Queries.q1BusiestStops(t, s, Limit.All)), s"$dir/$Q1", Seq(TAG))
+    buildSnapshot(t, dir, Q1)
 }

@@ -181,6 +181,33 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(streamed2 == batch)
   }
 
+  test("streaming funnel cross-batch disorder: late stage-1 does not replay a seen stage-2") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val min = 60L * 1000000L
+    val base = 1000 * min
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    // micro-batch 1 delivers the click (event time 20min) BEFORE the view
+    // (event time 10min) arrives in micro-batch 2 — event-time order is
+    // view→click, arrival order is click→view
+    stream.addData((7L, "click", timestampFromUs(base + 20 * min)))
+    val q = Streams.funnelStreaming(
+      stream.toDF.toDF("user_id", "event_type", "ts")).writeStream
+      .format("memory").queryName("funnel_disorder").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      stream.addData((7L, "view", timestampFromUs(base + 10 * min)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("funnel_disorder").orderBy("stage").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    // the batch chained-MIN, with hindsight, would emit stages 1 AND 2
+    // (view@10 then click@20). The streaming machine's documented
+    // arrival-order semantics: the click seen before any view is
+    // consumed, not buffered, so only stage 1 is emitted.
+    assert(streamed == Seq((7L, 1, base + 10 * min)))
+  }
+
   test("streaming dropDuplicates keeps one row per key, matching batch dedup keys") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
