@@ -107,11 +107,22 @@ object SparkEntry {
     // one integer-exact PageRank power-iteration over the stop graph
     "transit_pagerank" -> ((s, dir) =>
       Queries.pagerankRound(TransitTables.fromTpch(s, dir))),
+    // the same rank loop run to a k=3 horizon under the localCheckpoint
+    // fixpoint harness — per-round BIGINT exactness means the oracle can
+    // unroll the identical three rounds as chained CTEs
+    "transit_pagerank_k3" -> ((s, dir) =>
+      Queries.pagerank(TransitTables.fromTpch(s, dir), 3)),
     "transit_service_span" -> ((s, dir) =>
       Queries.serviceSpan(TransitTables.fromTpch(s, dir))),
     // §2-adjacent feed QA: the validation pass a GTFS ingest runs first
     "transit_gtfs_validation" -> ((s, dir) =>
       Queries.gtfsValidation(TransitTables.fromTpch(s, dir))),
+    // the same six checks over the WRITTEN-AND-RE-READ feed: certifies the
+    // full 5-table S1 write/read surface (transit_gtfs_q4 only exercises
+    // Q4's slice). Lossless roundtrip → identical violation counts, so the
+    // direct-path oracle binds.
+    "transit_gtfs_validation_roundtrip" -> ((s, dir) =>
+      Queries.gtfsValidation(graft.sources.GtfsWriter.roundtrip(s, dir))),
     "transit_triangles" -> ((s, dir) =>
       Queries.triangleCount(TransitTables.fromTpch(s, dir))),
     // §4 R4: the serving layer's snapshot fast path, end to end — build
@@ -172,8 +183,10 @@ object SparkEntry {
     "transit_reachability_k3" -> TransitOracles.reachability(42L, maxRides = 3),
     "transit_stop_pairs" -> TransitOracles.stopPairsDirect,
     "transit_pagerank" -> TransitOracles.pagerankRound,
+    "transit_pagerank_k3" -> TransitOracles.pagerank(3),
     "transit_service_span" -> TransitOracles.serviceSpan,
     "transit_gtfs_validation" -> TransitOracles.gtfsValidation,
+    "transit_gtfs_validation_roundtrip" -> TransitOracles.gtfsValidation,
     "transit_triangles" -> TransitOracles.triangleCount,
     // snapshot round trips are value-preserving (parquet doubles bit-exact)
     "transit_q1_snapshot" -> TransitOracles.q1Weekday,

@@ -466,30 +466,43 @@ object Queries {
     * bit-exact cross-engine (rank 10⁶ per node; contribution = rank DIV
     * out-degree; damping 0.85 in thousandths — BIGINT throughout, no
     * float summation order). Per round: one edge-keyed join against the
-    * tiny degree frame + one dst-keyed sum — further iterations repeat
-    * the same plan with [[reachability]]'s localCheckpoint fixpoint
-    * mechanics. Top-20 hubs by updated rank. */
-  def pagerankRound(t: TransitTables): DataFrame = {
+    * tiny degree frame + one dst-keyed sum. Iteration rides
+    * [[reachability]]'s localCheckpoint fixpoint mechanics: the
+    * edge+degree frame is checkpointed ONCE (k plan references → one
+    * scan, not k), the rank frame each round (bounded lineage — Catalyst
+    * never re-analyzes a k-deep plan). Top-20 hubs by final rank. */
+  def pagerank(t: TransitTables, iters: Int): DataFrame = {
     val st = t.stopTimes.select(col("trip_id"), col("stop_id"), col("stop_sequence"))
     val edges = st.as("a").join(st.as("b"),
         col("a.trip_id") === col("b.trip_id") &&
           col("b.stop_sequence") === col("a.stop_sequence") + 1)
       .select(col("a.stop_id").as("src"), col("b.stop_id").as("dst")).distinct()
-    val nodes = edges.select(col("src").as("stop_id"))
-      .union(edges.select(col("dst"))).distinct()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
-    val inSum = edges.join(deg, "src")
-      .select(col("dst"), expr("CAST(1000000 DIV out_deg AS BIGINT)").as("c"))
-      .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-    nodes
-      .join(inSum, nodes("stop_id") === inSum("dst"), "left")
-      .join(deg, nodes("stop_id") === deg("src"), "left")
+    val ed = edges.join(deg, "src").localCheckpoint(true)
+    val nodes = ed.select(col("src").as("stop_id"))
+      .union(ed.select(col("dst"))).distinct().localCheckpoint(true)
+    var rank = nodes.withColumn("rank_q", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val inSum = ed.join(rank, ed("src") === rank("stop_id"))
+        .select(col("dst"), expr("CAST(rank_q DIV out_deg AS BIGINT)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      rank = nodes
+        .join(inSum, nodes("stop_id") === inSum("dst"), "left")
+        .select(col("stop_id"),
+          expr("CAST(150000 + (850 * coalesce(s, 0)) DIV 1000 AS BIGINT)").as("rank_q"))
+        .localCheckpoint(true)
+    }
+    rank
+      .join(ed.select(col("src"), col("out_deg")).distinct(),
+        rank("stop_id") === col("src"), "left")
       .select(col("stop_id"),
-        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
-        expr("CAST(150000 + (850 * coalesce(s, 0)) DIV 1000 AS BIGINT)").as("rank_q"))
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"), col("rank_q"))
       .orderBy(col("rank_q").desc, col("stop_id"))
       .limit(20)
   }
+
+  /** The single power-iteration face — the k=1 instance of [[pagerank]]. */
+  def pagerankRound(t: TransitTables): DataFrame = pagerank(t, 1)
 
   /** Transfer reachability — stops reachable from an origin within ≤k
     * rides, labeled with the minimum ride count (0 = origin). BFS over the

@@ -464,7 +464,20 @@ object TransitOracles {
        |GROUP BY route_id
        |ORDER BY route_id""".stripMargin
 
-  val pagerankRound: String =
+  /** k PageRank power-iterations unrolled as chained CTEs p0 → p1 → … →
+    * p_k, each round the same edge⋈deg⋈prev-rank sum the engine's
+    * checkpointed loop runs — integer-quantized, so every round is
+    * BIGINT-exact in both engines for any k. */
+  def pagerank(iters: Int): String = {
+    val rounds = (1 to iters).map { r =>
+      s"""i$r AS (SELECT e.dst,
+         |         CAST(SUM(CAST(p.rank_q // d.out_deg AS BIGINT)) AS BIGINT) AS s
+         |       FROM edges e JOIN deg d ON e.src = d.src
+         |       JOIN p${r - 1} p ON p.stop_id = e.src GROUP BY e.dst),
+         |p$r AS (SELECT n.stop_id,
+         |         CAST(150000 + (850 * COALESCE(i.s, 0)) // 1000 AS BIGINT) AS rank_q
+         |       FROM nodes n LEFT JOIN i$r i ON n.stop_id = i.dst)""".stripMargin
+    }.mkString(",\n")
     s"""$P, st2 AS (SELECT trip_id, stop_id, stop_sequence FROM stop_times),
        |edges AS (SELECT DISTINCT a.stop_id AS src, b.stop_id AS dst
        |          FROM st2 a JOIN st2 b ON a.trip_id = b.trip_id
@@ -474,15 +487,15 @@ object TransitOracles {
        |           UNION ALL SELECT dst FROM edges)),
        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg
        |        FROM edges GROUP BY src),
-       |ins AS (SELECT dst, CAST(SUM(CAST(1000000 // out_deg AS BIGINT)) AS BIGINT) AS s
-       |        FROM edges JOIN deg USING (src) GROUP BY dst)
-       |SELECT n.stop_id, COALESCE(d.out_deg, 0) AS out_deg,
-       |       CAST(150000 + (850 * COALESCE(i.s, 0)) // 1000 AS BIGINT) AS rank_q
-       |FROM nodes n
-       |LEFT JOIN ins i ON n.stop_id = i.dst
-       |LEFT JOIN deg d ON n.stop_id = d.src
-       |ORDER BY rank_q DESC, n.stop_id
+       |p0 AS (SELECT stop_id, CAST(1000000 AS BIGINT) AS rank_q FROM nodes),
+       |$rounds
+       |SELECT p.stop_id, COALESCE(d.out_deg, 0) AS out_deg, p.rank_q
+       |FROM p$iters p LEFT JOIN deg d ON p.stop_id = d.src
+       |ORDER BY p.rank_q DESC, p.stop_id
        |LIMIT 20""".stripMargin
+  }
+
+  val pagerankRound: String = pagerank(1)
 
   val stopPairsDirect: String =
     s"""$P
