@@ -279,10 +279,19 @@ object Dedup {
     * variant. The DuckDB oracle computes components independently via a
     * recursive-CTE transitive closure, cross-checking the iteration
     * against a first-class fixpoint. */
-  def clusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashPairs(spark, dir)
-      .filter(col("est_sim") >= MinClusterSim)
-      .select(col("id1"), col("id2"))
+  def clusters(spark: SparkSession, dir: String): DataFrame =
+    labelsFrom(minhashPairs(spark, dir)
+        .filter(col("est_sim") >= MinClusterSim)
+        .select(col("id1"), col("id2")))
+      .withColumn("n_members",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster_id"))))
+      .orderBy(col("cluster_id"), col("doc_id"))
+
+  /** The min-label-propagation fixpoint itself, over ANY (id1, id2) pair
+    * frame → (doc_id, cluster_id) labels. [[clusters]] feeds it the
+    * thresholded graph; [[splitClustered]] the full candidate graph. */
+  private[graft] def labelsFrom(pairs: DataFrame): DataFrame = {
     val edges = stageEdges(pairs)
     // seed with min(self, neighbors) instead of self: the first propagation
     // round folds into the (already materialized) edge list — one groupBy,
@@ -326,10 +335,6 @@ object Dedup {
       rounds += 1
     }
     labels
-      .withColumn("n_members",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("cluster_id"))))
-      .orderBy(col("cluster_id"), col("doc_id"))
   }
 
   /** Apply exact dedup: the surviving corpus after keeping one
@@ -446,7 +451,15 @@ object Dedup {
     val split = Tables.documents(spark, dir).select(col("doc_id"),
       when(h < 80, "train").when(h < 90, "valid").otherwise("test")
         .as("split"))
-    minhashPairs(spark, dir)
+    leakagePairs(minhashPairs(spark, dir), split)
+  }
+
+  /** The audit body, parameterized by the (doc_id, split) assignment —
+    * so the same report runs against the naive hash split ([[splitLeakage]],
+    * nonzero) and against [[splitClustered]]'s assignment (provably zero;
+    * DedupSpec pins it). */
+  private[graft] def leakagePairs(pairs: DataFrame, split: DataFrame): DataFrame =
+    pairs
       .join(split.select(col("doc_id").as("id1"), col("split").as("split1")),
         "id1")
       .join(split.select(col("doc_id").as("id2"), col("split").as("split2")),
@@ -455,9 +468,37 @@ object Dedup {
       .select(col("id1"), col("id2"), col("split1"), col("split2"),
         col("est_sim"), col("jaccard"))
       .orderBy(col("est_sim").desc, col("id1"), col("id2"))
+
+  /** Cluster-aware train/valid/test assignment — the REMEDY the
+    * [[splitLeakage]] audit exists to force: hash the near-dup CLUSTER
+    * REPRESENTATIVE (min doc_id of the component), not the document, so
+    * every member of a near-dup family lands in the same split and
+    * cross-split leakage is zero BY CONSTRUCTION. Components come from
+    * the FULL candidate graph (no similarity threshold): the audit checks
+    * every candidate pair, so the split gate must merge every candidate
+    * pair — a thresholded clustering would leave sub-threshold pairs
+    * straddling splits. Singletons (never a candidate) represent
+    * themselves, reproducing the naive gate for the ~whole corpus; only
+    * near-dup families move. Cost: the X37 label fixpoint over the
+    * candidate graph + one broadcast left join on the corpus scan —
+    * membership is O(near-dup docs), tiny at any scale. */
+  def splitClustered(spark: SparkSession, dir: String): DataFrame = {
+    val membership = labelsFrom(
+      minhashPairs(spark, dir).select(col("id1"), col("id2")))
+    val h = TextHash.strHash(
+      concat(lit("split:"), col("rep_id").cast("string"))) % 100
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(broadcast(membership), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("rep_id"))
+      .select(col("doc_id"), col("rep_id"),
+        when(h < 80, "train").when(h < 90, "valid").otherwise("test")
+          .as("split"))
+      .orderBy(col("doc_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_split_clustered" -> splitClustered,
     "dedup_split_leakage" -> splitLeakage,
     "dedup_minhash_sweep" -> minhashSweep,
     "dedup_incremental" -> incremental,

@@ -185,6 +185,37 @@ object DedupOracles {
        |ORDER BY threshold""".stripMargin
   }
 
+  /** Components over the UNTHRESHOLDED candidate graph (the split gate
+    * must merge every pair the audit checks) + the split hash on the
+    * representative — the recursive-CTE cross-check of
+    * Dedup.splitClustered's label fixpoint. */
+  val splitClustered: String = {
+    val h = s"(${strHash("'split:' || CAST(rep_id AS VARCHAR)")} % 100)"
+    "WITH RECURSIVE" + shinglePrelude.stripPrefix("WITH") +
+      s""", cand AS (
+         |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+         |undirected AS MATERIALIZED (
+         |  SELECT id1 AS src, id2 AS dst FROM cand
+         |  UNION SELECT id2, id1 FROM cand),
+         |reach AS (
+         |  SELECT src, src AS dst FROM undirected
+         |  UNION
+         |  SELECT r.src, u.dst FROM reach r JOIN undirected u ON r.dst = u.src),
+         |comp AS (
+         |  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+         |rep AS (
+         |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS rep_id
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+         |SELECT doc_id, rep_id,
+         |       CASE WHEN $h < 80 THEN 'train'
+         |            WHEN $h < 90 THEN 'valid'
+         |            ELSE 'test' END AS split
+         |FROM rep
+         |ORDER BY doc_id""".stripMargin
+  }
+
   val splitLeakage: String = {
     val h = s"(${strHash("'split:' || CAST(doc_id AS VARCHAR)")} % 100)"
     s"""WITH pairs AS (SELECT * FROM ($minhashPairs)),
@@ -201,6 +232,7 @@ object DedupOracles {
   }
 
   val all: Map[String, String] = Map(
+    "dedup_split_clustered" -> splitClustered,
     "dedup_minhash_sweep" -> minhashSweep,
     "dedup_incremental" -> incremental,
     "dedup_apply_exact" -> applyExact,

@@ -88,6 +88,28 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("cluster-aware split: zero cross-split leakage; naive split leaks on the same pairs") {
+    val sf = "/root/testdata/sf0.01"
+    val pairs = Dedup.minhashPairs(spark, sf).localCheckpoint(true)
+    assert(pairs.count() > 0, "fixture must produce candidate pairs")
+    val clustered = Dedup.splitClustered(spark, sf)
+      .select("doc_id", "split").localCheckpoint(true)
+    // the remedy: re-running the X127 audit over the cluster-aware
+    // assignment finds NOTHING — both members of every candidate pair
+    // share a component, hence a representative, hence a split
+    assert(Dedup.leakagePairs(pairs, clustered).isEmpty,
+      "cluster-aware assignment must have zero cross-split near-dup pairs")
+    // the audit has teeth: the naive per-doc hash gate DOES leak on the
+    // same pair set (if it didn't, the zero above would be vacuous)
+    assert(Dedup.splitLeakage(spark, sf).count() > 0,
+      "naive hash split should leak on the fixture's candidate pairs")
+    // and the gate still looks like 80/10/10: every split is populated
+    val by = clustered.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(Set("train", "valid", "test").subsetOf(by.keySet))
+    assert(by("train") > by("valid") && by("train") > by("test"))
+  }
+
   test("CC fixpoint parallelism tracks edge volume, capped by shuffle conf") {
     import spark.implicits._
     // pure sizing function across the scale range
