@@ -609,7 +609,47 @@ object Similarity {
       .orderBy("qid", "neg_rank")
   }
 
+  /** Within-cell cosine threshold for [[semanticDedup]] — tuned so the
+    * fixture's word-salad embeddings produce real drops (max pairwise
+    * cosine ≈ 0.51); a production corpus runs τ ≈ 0.95+. */
+  val SemTau = 0.3
+
+  /** Semantic (embedding-space) dedup — the SemDeDup shape (Abbas et al.
+    * 2023, arXiv:2303.09540) used on LAION/web-scale corpora: coarse-
+    * cluster embeddings into the [[IvfCells]] k-means-style cells, then
+    * within each cell drop every member whose cosine to a LOWER-id
+    * member reaches [[SemTau]] (keep min-id — the deterministic stand-in
+    * for the paper's keep-one-per-near-dup-group), and report the
+    * per-cell census. This is X62's cells composed with X5's within-
+    * bucket cosine: the pairwise join is keyed on the cell, so its cost
+    * is Σ|cell|², bounded by the largest cell — never corpus² (at 100 TB
+    * the cells come from a real k-means fit via [[kmeansUpdate]] and the
+    * census aggregates map-side per cell). Approximation vs brute
+    * all-pairs is cross-cell pair loss; SimilaritySpec measures that
+    * recall on the fixture. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(
+      col("vec_id"), col("embedding"),
+      graft.functions.GraftFunctions.l2norm(spark, col("embedding")).as("nrm"),
+      ivfCell(col("embedding")).as("cell"))
+    val dropped = e.as("a").join(e.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(round(
+          graft.functions.GraftFunctions.dot(spark, col("a.embedding"), col("b.embedding")) /
+            (col("a.nrm") * col("b.nrm")), 6) >= SemTau)
+      .select(col("b.vec_id").as("vec_id"), col("b.cell").as("cell"))
+      .distinct()
+    val drops = dropped.groupBy(col("cell")).agg(count(lit(1)).as("n_dropped"))
+    e.groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+      .join(drops, Seq("cell"), "left")
+      .select(col("cell"), col("n_members"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_members") - coalesce(col("n_dropped"), lit(0L))).as("n_survivors"))
+      .orderBy(col("cell"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_semantic" -> semanticDedup,
     "sim_negative_sample" -> negativeSample,
     "sim_ivf_cell_stats" -> ivfCellStats,
     "sim_covariance" -> covariance,
@@ -1009,7 +1049,36 @@ object SimilarityOracles {
        |ORDER BY qid, neg_rank""".stripMargin
   }
 
+  /** SemDeDup census: same cells, same within-cell lower-id cosine drop,
+    * computed independently (set semantics instead of the engine's
+    * anti-join arithmetic). */
+  val semanticDedup: String = {
+    val dots = ivfDots
+    s"""WITH d AS (
+       |  SELECT vec_id, embedding, [${dots.mkString(",\n    ")}] AS ds
+       |  FROM embeddings),
+       |e AS (
+       |  SELECT vec_id, embedding,
+       |         list_position(ds, list_aggregate(ds, 'max')) - 1 AS cell
+       |  FROM d),
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id, b.cell
+       |  FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE round(${TextHashSql.cosine("a.embedding", "b.embedding")}, 6)
+       |        >= ${Similarity.SemTau}),
+       |members AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members
+       |            FROM e GROUP BY cell),
+       |drops AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_dropped
+       |          FROM dropped GROUP BY cell)
+       |SELECT CAST(m.cell AS BIGINT) AS cell, m.n_members,
+       |       COALESCE(d.n_dropped, 0) AS n_dropped,
+       |       m.n_members - COALESCE(d.n_dropped, 0) AS n_survivors
+       |FROM members m LEFT JOIN drops d ON m.cell = d.cell
+       |ORDER BY cell""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
+    "dedup_semantic" -> semanticDedup,
     "sim_negative_sample" -> negativeSample,
     "sim_ivf_cell_stats" -> ivfCellStats,
     "sim_covariance" -> covariance,

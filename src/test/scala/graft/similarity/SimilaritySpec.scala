@@ -13,6 +13,38 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       .groupBy(_.getAs[Long]("qid"))
       .map { case (q, rows) => q -> rows.map(_.getAs[Long]("cid")).toSet }
 
+  test("semantic dedup: census ties out, drops happen, cell-blocked pair recall vs brute") {
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.embeddings(spark, sf).select(
+      col("vec_id"),
+      graft.functions.GraftFunctions.l2norm(spark, col("embedding")).as("nrm"),
+      col("embedding"),
+      Similarity.ivfCell(col("embedding")).as("cell"))
+      .localCheckpoint(true)
+    val nVecs = e.count()
+    val cos = round(
+      graft.functions.GraftFunctions.dot(spark, col("a.embedding"), col("b.embedding")) /
+        (col("a.nrm") * col("b.nrm")), 6)
+    // brute all-pairs at tau — the reference pair set the cells approximate
+    val brutePairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .filter(cos >= Similarity.SemTau).count()
+    val cellPairs = e.as("a").join(e.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(cos >= Similarity.SemTau).count()
+    assert(brutePairs > 0 && cellPairs > 0, "fixture must exercise the threshold")
+    val recall = cellPairs.toDouble / brutePairs
+    assert(recall >= 0.2 && recall <= 1.0,
+      s"cell blocking should keep a meaningful pair share (got $recall)")
+    // the census: members partition the corpus; survivors + drops tie out
+    val census = Similarity.semanticDedup(spark, sf).collect()
+    assert(census.map(_.getAs[Long]("n_members")).sum == nVecs)
+    assert(census.forall(r =>
+      r.getAs[Long]("n_survivors") ==
+        r.getAs[Long]("n_members") - r.getAs[Long]("n_dropped")))
+    assert(census.map(_.getAs[Long]("n_dropped")).sum > 0,
+      "tau must actually drop members on the fixture")
+  }
+
   test("ANN paths recall a meaningful share of true neighbors") {
     val brute = neighborSets(Similarity.knnBrute(spark, sf))
     def recall(ann: Map[Long, Set[Long]]): Double = {
