@@ -103,12 +103,16 @@ object Dedup {
     * similarity from signature agreement, verify with exact Jaccard.
     * Sparse at the synthetic SFs (word-salad docs share few shingles) —
     * the spec proves recall on constructed near-dups. */
-  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  private def candidates(spark: SparkSession, dir: String): DataFrame = {
     val b = bandsRaw(spark, dir)
-    val cand = b.as("x").join(b.as("y"),
+    b.as("x").join(b.as("y"),
         col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2")).distinct()
+  }
+
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val cand = candidates(spark, dir)
     val s = sigs(spark, dir)
     cand
       .join(s.as("s1"), col("id1") === col("s1.doc_id"))
@@ -120,6 +124,54 @@ object Dedup {
         round(size(array_intersect(col("s1.shs"), col("s2.shs"))).cast("double") /
           size(array_union(col("s1.shs"), col("s2.shs"))), 6).as("jaccard"))
       .orderBy(col("est_sim").desc, col("id1"), col("id2"))
+  }
+
+  /** Containment (Broder) near-dup report — the ASYMMETRIC measure
+    * resemblance misses: c(A→B) = |A∩B|/|A| flags a short document
+    * swallowed whole by a long one (quote extraction, boilerplate
+    * wrapping, page-in-site) even when Jaccard is tiny because the size
+    * gap inflates the union. Reported containment is the larger
+    * direction, |A∩B|/min(|A|,|B|); jaccard rides along so the gap
+    * (containment − jaccard) IS the asymmetry signal. Same banded
+    * candidates and shingle sets as [[minhashPairs]] — one more face of
+    * the already-paid signature pipeline, never an all-pairs pass. */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val s = sigs(spark, dir)
+    candidates(spark, dir)
+      .join(s.as("s1"), col("id1") === col("s1.doc_id"))
+      .join(s.as("s2"), col("id2") === col("s2.doc_id"))
+      .select(col("id1"), col("id2"),
+        size(array_intersect(col("s1.shs"), col("s2.shs"))).cast("long")
+          .as("n_common"),
+        size(col("s1.shs")).cast("long").as("n1"),
+        size(col("s2.shs")).cast("long").as("n2"))
+      .select(col("id1"), col("id2"), col("n1"), col("n2"), col("n_common"),
+        round(col("n_common").cast("double") / least(col("n1"), col("n2")), 6)
+          .as("containment"),
+        round(col("n_common").cast("double") /
+          (col("n1") + col("n2") - col("n_common")), 6).as("jaccard"))
+      .orderBy(col("containment").desc, col("id1"), col("id2"))
+      .limit(20)
+  }
+
+  /** Cross-source near-dup overlap matrix — the provenance report run
+    * before mixing corpora: per unordered source pair, how many near-dup
+    * candidate pairs straddle them (a big CommonCrawl∩curated cell means
+    * the curated set is already inside the crawl and the mixture
+    * double-counts it). Rides [[minhashPairs]] + two key-only joins
+    * against the (doc_id, source) map; similarity mass is summed
+    * 6-dp-quantized (BIGINT-exact, no float order). */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    minhashPairs(spark, dir)
+      .join(src.select(col("doc_id").as("id1"), col("source").as("src1")), "id1")
+      .join(src.select(col("doc_id").as("id2"), col("source").as("src2")), "id2")
+      .select(least(col("src1"), col("src2")).as("source_a"),
+        greatest(col("src1"), col("src2")).as("source_b"),
+        floor(col("est_sim") * 1000000.0 + 0.5).cast("long").as("sim_q"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("sim_q")).as("sim_sum_q"))
+      .orderBy(col("source_a"), col("source_b"))
   }
 
   /** Near-dup contract of [[simhashPairs]]: pairs at hamming distance ≤ 3.
@@ -498,6 +550,8 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_containment" -> containmentPairs,
+    "dedup_source_overlap" -> sourceOverlap,
     "dedup_split_clustered" -> splitClustered,
     "dedup_split_leakage" -> splitLeakage,
     "dedup_minhash_sweep" -> minhashSweep,

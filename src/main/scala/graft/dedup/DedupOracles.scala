@@ -185,6 +185,42 @@ object DedupOracles {
        |ORDER BY threshold""".stripMargin
   }
 
+  /** Containment both-directions max + jaccard over the banded
+    * candidates — mirrors Dedup.containmentPairs. */
+  val containmentPairs: String =
+    shinglePrelude +
+      s""", cand AS (
+         |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+         |m AS (
+         |  SELECT id1, id2,
+         |    CAST(len(s1.shs) AS BIGINT) AS n1,
+         |    CAST(len(s2.shs) AS BIGINT) AS n2,
+         |    CAST(len(list_intersect(s1.shs, s2.shs)) AS BIGINT) AS n_common
+         |  FROM cand JOIN sigs s1 ON cand.id1 = s1.doc_id
+         |            JOIN sigs s2 ON cand.id2 = s2.doc_id)
+         |SELECT id1, id2, n1, n2, n_common,
+         |  round(CAST(n_common AS DOUBLE) / least(n1, n2), 6) AS containment,
+         |  round(CAST(n_common AS DOUBLE) / (n1 + n2 - n_common), 6) AS jaccard
+         |FROM m
+         |ORDER BY containment DESC, id1, id2
+         |LIMIT 20""".stripMargin
+
+  /** Source-pair overlap census over the candidate pairs with 6-dp
+    * quantized similarity mass. */
+  val sourceOverlap: String =
+    s"""WITH pairs AS (SELECT * FROM ($minhashPairs)),
+       |src AS (SELECT doc_id, source FROM documents)
+       |SELECT least(a.source, b.source) AS source_a,
+       |       greatest(a.source, b.source) AS source_b,
+       |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |       CAST(SUM(CAST(floor(est_sim * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+       |         AS sim_sum_q
+       |FROM pairs JOIN src a ON a.doc_id = id1 JOIN src b ON b.doc_id = id2
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
   /** Components over the UNTHRESHOLDED candidate graph (the split gate
     * must merge every pair the audit checks) + the split hash on the
     * representative — the recursive-CTE cross-check of
@@ -232,6 +268,8 @@ object DedupOracles {
   }
 
   val all: Map[String, String] = Map(
+    "dedup_containment" -> containmentPairs,
+    "dedup_source_overlap" -> sourceOverlap,
     "dedup_split_clustered" -> splitClustered,
     "dedup_minhash_sweep" -> minhashSweep,
     "dedup_incremental" -> incremental,

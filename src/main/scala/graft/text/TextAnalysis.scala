@@ -805,7 +805,87 @@ object TextAnalysis {
       .orderBy("split", "shard")
   }
 
+  /** Per-source quality drift across snapshot halves — the text-side
+    * sibling of [[graft.similarity.Similarity.embeddingDrift]]: per
+    * source, compare the old-half vs new-half mean quality score (halves
+    * = deterministic hash gate on doc_id — in production, crawl
+    * snapshots; parity would do, but the fixture's source = doc_id % 20
+    * makes parity degenerate within source).
+    * The monitoring alarm for "this feed's quality is sliding". Scores
+    * are 6-dp-quantized to BIGINT per doc; the cross-scaled drift
+    * n_old·S_new − n_new·S_old avoids mean division entirely and is
+    * computed in DECIMAL so the products cannot wrap a 64-bit lane
+    * (reported value cast back to BIGINT — exact while it is < 2⁶³,
+    * an output-domain constraint). Positive drift_q = new half scores
+    * higher. One (source, half) hash agg + a source-keyed join of two
+    * #sources-row frames. */
+  def qualityDrift(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextHash.tokens(col("text"))
+    val score = round(
+      (size(array_distinct(toks)).cast("double") / size(toks)) *
+        log(lit(1.0) + size(toks)), 6)
+    val halves = Tables.documents(spark, dir).select(col("source"),
+      (TextHash.strHash(concat(lit("half:"), col("doc_id").cast("string")))
+        % 2 === 0).as("old_half"),
+      floor(score * 1000000.0 + 0.5).cast("long").as("q"))
+    val agg = halves.groupBy(col("source"), col("old_half"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"))
+    val o = agg.filter(col("old_half")).select(col("source"),
+      col("n").as("n_old"), col("s").as("s_old"))
+    val w = agg.filter(!col("old_half")).select(col("source"),
+      col("n").as("n_new"), col("s").as("s_new"))
+    o.join(w, "source")
+      .select(col("source"), col("n_old"), col("n_new"),
+        (col("n_old").cast("decimal(19,0)") * col("s_new").cast("decimal(19,0)") -
+          col("n_new").cast("decimal(19,0)") * col("s_old").cast("decimal(19,0)"))
+          .cast("long").as("drift_q"))
+      .orderBy(col("source"))
+  }
+
+  /** Docs per training batch for [[paddingWaste]]'s two strategies. */
+  val BatchDocs = 8
+
+  /** Padding-waste report — the measured argument for length-sorted
+    * (bucketed) batching: batch docs [[BatchDocs]] at a time within each
+    * split, pad every doc to its batch's max token count, and compare
+    * arrival-order batching against length-sorted batching. The waste
+    * share gap is the GPU-hours bill of ignoring length bucketing.
+    * Windows are split-keyed (never a global sort); at 100 TB batching
+    * happens within the X46 shard files, so the window key gains the
+    * shard id and the plan shape is unchanged. All integer until the
+    * final share division of two exact BIGINTs. */
+  def paddingWaste(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = TextHash.strHash(
+      concat(lit("split:"), col("doc_id").cast("string"))) % 100
+    val base = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      when(h < 80, "train").when(h < 90, "valid").otherwise("test").as("split"),
+      size(TextHash.tokens(col("text"))).cast("long").as("tok"))
+    def strategy(name: String, order: Seq[org.apache.spark.sql.Column]): DataFrame =
+      base
+        .withColumn("rn",
+          row_number().over(Window.partitionBy(col("split")).orderBy(order: _*)))
+        .withColumn("batch", expr(s"CAST((rn - 1) DIV $BatchDocs AS BIGINT)"))
+        .groupBy(col("split"), col("batch"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("toks"),
+          max(col("tok")).as("mx"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("toks")).cast("long").as("total_tokens"),
+          sum(col("mx") * col("n_docs")).cast("long").as("padded_tokens"))
+        .select(col("split"), lit(name).as("strategy"), col("n_batches"),
+          col("total_tokens"), col("padded_tokens"),
+          round((col("padded_tokens") - col("total_tokens")).cast("double") /
+            col("padded_tokens"), 6).as("waste_share"))
+    strategy("arrival", Seq(col("doc_id")))
+      .unionByName(strategy("length_sorted", Seq(col("tok"), col("doc_id"))))
+      .orderBy(col("split"), col("strategy"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality_drift" -> qualityDrift,
+    "text_padding_waste" -> paddingWaste,
     "text_shard_manifest" -> shardManifest,
     "text_lm_score" -> lmScore,
     "text_vocab_coverage" -> vocabCoverage,

@@ -68,6 +68,60 @@ object TextOracles {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Cross-scaled per-source drift of the 6-dp-quantized quality score —
+    * HUGEINT products cast to BIGINT at the edge, mirroring the engine's
+    * DECIMAL accumulation. */
+  val qualityDrift: String =
+    s"""WITH q AS (
+       |  SELECT source,
+       |    (${strHash("'half:' || CAST(doc_id AS VARCHAR)")} % 2) = 0 AS old_half,
+       |    CAST(floor(round((CAST(len(list_distinct(t.toks)) AS DOUBLE)
+       |           / len(t.toks)) * ln(1.0 + len(t.toks)), 6)
+       |         * 1000000 + 0.5) AS BIGINT) AS sq
+       |  FROM (SELECT source, doc_id, $toks AS toks FROM documents) t),
+       |agg AS (SELECT source, old_half, CAST(COUNT(*) AS BIGINT) AS n,
+       |               CAST(SUM(sq) AS BIGINT) AS s
+       |        FROM q GROUP BY source, old_half)
+       |SELECT o.source, o.n AS n_old, w.n AS n_new,
+       |       CAST(CAST(o.n AS HUGEINT) * w.s - CAST(w.n AS HUGEINT) * o.s
+       |            AS BIGINT) AS drift_q
+       |FROM (SELECT * FROM agg WHERE old_half) o
+       |JOIN (SELECT * FROM agg WHERE NOT old_half) w ON o.source = w.source
+       |ORDER BY o.source""".stripMargin
+
+  /** Split-keyed batch windows under both strategies; all-integer until
+    * the final share division. */
+  val paddingWaste: String = {
+    val h = s"(${strHash("'split:' || CAST(doc_id AS VARCHAR)")} % 100)"
+    def strat(name: String, order: String) =
+      s"""SELECT split, '$name' AS strategy,
+         |       CAST(COUNT(*) AS BIGINT) AS n_batches,
+         |       CAST(SUM(toks) AS BIGINT) AS total_tokens,
+         |       CAST(SUM(mx * n_docs) AS BIGINT) AS padded_tokens,
+         |       round(CAST(SUM(mx * n_docs) - SUM(toks) AS DOUBLE) /
+         |             SUM(mx * n_docs), 6) AS waste_share
+         |FROM (
+         |  SELECT split, batch, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(tok) AS BIGINT) AS toks, MAX(tok) AS mx
+         |  FROM (
+         |    SELECT split, tok,
+         |      CAST((ROW_NUMBER() OVER (PARTITION BY split ORDER BY $order) - 1)
+         |        // ${TextAnalysis.BatchDocs} AS BIGINT) AS batch
+         |    FROM base)
+         |  GROUP BY split, batch)
+         |GROUP BY split""".stripMargin
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    CASE WHEN $h < 80 THEN 'train'
+       |         WHEN $h < 90 THEN 'valid' ELSE 'test' END AS split,
+       |    CAST(len($toks) AS BIGINT) AS tok
+       |  FROM documents)
+       |${strat("arrival", "doc_id")}
+       |UNION ALL
+       |${strat("length_sorted", "tok, doc_id")}
+       |ORDER BY split, strategy""".stripMargin
+  }
+
   val splitAssign: String = {
     val h = s"(${strHash("'split:' || CAST(doc_id AS VARCHAR)")} % 100)"
     s"""SELECT doc_id, $h AS split_hash,
@@ -494,6 +548,8 @@ object TextOracles {
     "text_corpus_build" -> corpusBuild,
     "text_topk_words" -> topkWords,
     "text_tfidf" -> tfidf,
+    "text_quality_drift" -> qualityDrift,
+    "text_padding_waste" -> paddingWaste,
     "text_quality_deciles" -> qualityDeciles,
     "text_split_assign" -> splitAssign,
     "text_length_histogram" -> lengthHistogram,

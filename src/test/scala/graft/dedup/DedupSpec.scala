@@ -126,6 +126,22 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(Dedup.stageEdges(big).rdd.getNumPartitions == 3)
   }
 
+  test("containment: planted sub-document scores 1.0 while jaccard stays at the size ratio") {
+    // B = A ++ appendix: every trigram of A survives in B (only boundary
+    // trigrams are new), so c(A→B)=1 while jaccard = |A|/|B| — the
+    // asymmetric inclusion the resemblance measure structurally misses
+    val short = base
+    val long = base + " plus a long appendix of unrelated trailing words" +
+      " that stretches the union far beyond the shared prefix"
+    val df = docsDf(Seq(1L -> short, 2L -> long))
+    val shs = df.select(col("doc_id"), shingleSet(col("text")).as("shs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val common = shs(1L).intersect(shs(2L)).size.toDouble
+    assert(common / shs(1L).size == 1.0, "short doc fully contained")
+    val jac = common / shs(1L).union(shs(2L)).size
+    assert(jac < 0.8, s"jaccard should reflect the size gap (got $jac)")
+  }
+
   test("simhash hamming distance is 0 for dups and large for unrelated docs") {
     val docs = docsDf(Seq(
       1L -> base, 2L -> base,
