@@ -91,6 +91,27 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("semantic dedup: cell-keyed equi self-join, never a cartesian corpus pass") {
+    val df = SparkEntry.queries("dedup_semantic")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pairwise cosine must stay cell-blocked:\n${p.take(1200)}")
+  }
+
+  test("containment rides the shared signature exchange like the other pair faces") {
+    val df = SparkEntry.queries("dedup_containment")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"), s"containment lost exchange reuse:\n${p.take(1200)}")
+  }
+
+  test("cluster-aware split: membership broadcasts onto the corpus scan") {
+    val df = SparkEntry.queries("dedup_split_clustered")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"O(near-dup) membership must broadcast, not shuffle the corpus:\n${p.take(1200)}")
+  }
+
   test("simhash prunes per block before the global distinct (WindowGroupLimit)") {
     val df = SparkEntry.queries("dedup_simhash")(spark, sf)
     df.collect()
