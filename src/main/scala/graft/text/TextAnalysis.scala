@@ -842,6 +842,37 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Target mixture weights per language in thousandths (sum 1000) —
+    * the declared training-mix knob ([[mixtureWeights]] plans against
+    * the corpus's ACTUAL token mass). */
+  val targetMixture: Seq[(String, Int)] = Seq(
+    "de" -> 150, "en" -> 400, "es" -> 150, "fr" -> 150, "zh" -> 150)
+
+  /** Mixture/epoch planner — the Pile-style table a training run is
+    * configured from: per language, the corpus's actual token mass vs
+    * the declared target weight, the implied token quota for a budget of
+    * one total-corpus pass, and the implied epochs over that language's
+    * data in thousandths (epochs > 1000 = the language must repeat —
+    * the over-epoching decision made explicit; < 1000 = downsampled).
+    * All-BIGINT arithmetic (floor DIV), one language-keyed agg + a
+    * broadcast 1-row total — nothing corpus-scale moves. */
+  def mixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    val w = targetMixture.reverse.foldLeft(lit(0)) {
+      case (acc, (l, r)) => when(col("lang") === l, r).otherwise(acc)
+    }
+    val perLang = Tables.documents(spark, dir)
+      .select(col("lang"), size(TextHash.tokens(col("text"))).cast("long").as("tok"))
+      .groupBy(col("lang"))
+      .agg(sum(col("tok")).as("n_tokens"))
+    perLang
+      .crossJoin(broadcast(perLang.agg(sum(col("n_tokens")).as("budget"))))
+      .select(col("lang"), col("n_tokens"), w.cast("long").as("weight_target"),
+        expr("CAST(budget * weight_target DIV 1000 AS BIGINT)").as("target_tokens"))
+      .withColumn("epochs_milli",
+        expr("CAST(target_tokens * 1000 DIV n_tokens AS BIGINT)"))
+      .orderBy(col("lang"))
+  }
+
   /** Docs per training batch for [[paddingWaste]]'s two strategies. */
   val BatchDocs = 8
 
@@ -884,6 +915,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_mixture_weights" -> mixtureWeights,
     "text_quality_drift" -> qualityDrift,
     "text_padding_waste" -> paddingWaste,
     "text_shard_manifest" -> shardManifest,

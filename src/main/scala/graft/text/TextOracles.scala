@@ -68,6 +68,24 @@ object TextOracles {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-language epoch plan: all-BIGINT floor arithmetic against the
+    * declared thousandths weights. */
+  val mixtureWeights: String = {
+    val w = TextAnalysis.targetMixture.reverse.foldLeft("0") {
+      case (acc, (l, r)) => s"CASE WHEN lang = '$l' THEN $r ELSE $acc END"
+    }
+    s"""WITH per_lang AS (
+       |  SELECT lang, CAST(SUM(len($toks)) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY lang),
+       |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS budget FROM per_lang)
+       |SELECT lang, n_tokens, CAST($w AS BIGINT) AS weight_target,
+       |       CAST(budget * CAST($w AS BIGINT) // 1000 AS BIGINT) AS target_tokens,
+       |       CAST((budget * CAST($w AS BIGINT) // 1000) * 1000 // n_tokens
+       |            AS BIGINT) AS epochs_milli
+       |FROM per_lang CROSS JOIN tot
+       |ORDER BY lang""".stripMargin
+  }
+
   /** Cross-scaled per-source drift of the 6-dp-quantized quality score —
     * HUGEINT products cast to BIGINT at the edge, mirroring the engine's
     * DECIMAL accumulation. */
@@ -548,6 +566,7 @@ object TextOracles {
     "text_corpus_build" -> corpusBuild,
     "text_topk_words" -> topkWords,
     "text_tfidf" -> tfidf,
+    "text_mixture_weights" -> mixtureWeights,
     "text_quality_drift" -> qualityDrift,
     "text_padding_waste" -> paddingWaste,
     "text_quality_deciles" -> qualityDeciles,
