@@ -465,6 +465,42 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Incremental NEAR-dup admission check — [[incremental]]'s exact-fp
+    * gate misses a re-crawl with one word changed; this is the daily
+    * pass a production pipeline actually runs: the NEW batch's band
+    * index probes the STANDING corpus's band index (never
+    * standing×standing — that work was paid when those docs were
+    * admitted), and each new doc reports its candidate count and
+    * closest standing match (max signature agreement, ties → lowest
+    * standing id, the [[canonical]] two-level discipline). At 100 TB
+    * the standing bands are a bucketed table keyed on (band, band_hash)
+    * and the probe co-locates on it (X29's landing dividend). */
+  def incrementalMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val b = bandsRaw(spark, dir).withColumn("is_new", col("doc_id") % 5 === 0)
+    val cand = b.filter(col("is_new")).as("x")
+      .join(b.filter(!col("is_new")).as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash"))
+      .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("old_id"))
+      .distinct()
+    val s = sigs(spark, dir)
+    val scored = cand
+      .join(s.as("s1"), col("new_id") === col("s1.doc_id"))
+      .join(s.as("s2"), col("old_id") === col("s2.doc_id"))
+      .select(col("new_id"), col("old_id"),
+        round(aggregate(zip_with(col("s1.sig"), col("s2.sig"),
+          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (a, v) => a + v)
+          .cast("double") / MinhashK, 6).as("est_sim"))
+    val best = scored.groupBy(col("new_id"))
+      .agg(count(lit(1)).as("n_candidates"), max(col("est_sim")).as("max_est_sim"))
+    scored.join(best, "new_id")
+      .filter(col("est_sim") === col("max_est_sim"))
+      .groupBy(col("new_id"), col("n_candidates"), col("max_est_sim"))
+      .agg(min(col("old_id")).as("closest_old_id"))
+      .select(col("new_id"), col("n_candidates"), col("max_est_sim"),
+        col("closest_old_id"))
+      .orderBy(col("new_id"))
+  }
+
   /** Threshold sweep over the MinHash candidate pairs — the tuning report
     * behind picking [[MinClusterSim]]: for each candidate threshold, how
     * many pairs survive and how many documents they touch. One pairs
@@ -550,6 +586,7 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_incremental_minhash" -> incrementalMinhash,
     "dedup_containment" -> containmentPairs,
     "dedup_source_overlap" -> sourceOverlap,
     "dedup_split_clustered" -> splitClustered,

@@ -185,6 +185,33 @@ object DedupOracles {
        |ORDER BY threshold""".stripMargin
   }
 
+  /** New-batch-probes-standing-index candidates with closest-match pick
+    * (max agreement, ties → lowest standing id). */
+  val incrementalMinhash: String =
+    shinglePrelude +
+      s""", cand AS (
+         |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS old_id
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.band_hash = y.band_hash
+         |  WHERE x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0),
+         |scored AS (
+         |  SELECT new_id, old_id,
+         |    round(CAST(len(list_filter(range(1, ${Dedup.MinhashK + 1}),
+         |      i -> s1.sig[i] = s2.sig[i])) AS DOUBLE) / ${Dedup.MinhashK}, 6)
+         |      AS est_sim
+         |  FROM cand JOIN sigs s1 ON cand.new_id = s1.doc_id
+         |            JOIN sigs s2 ON cand.old_id = s2.doc_id),
+         |best AS (
+         |  SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         |         MAX(est_sim) AS max_est_sim
+         |  FROM scored GROUP BY new_id)
+         |SELECT b.new_id, b.n_candidates, b.max_est_sim,
+         |       MIN(s.old_id) AS closest_old_id
+         |FROM scored s JOIN best b
+         |  ON s.new_id = b.new_id AND s.est_sim = b.max_est_sim
+         |GROUP BY b.new_id, b.n_candidates, b.max_est_sim
+         |ORDER BY b.new_id""".stripMargin
+
   /** Containment both-directions max + jaccard over the banded
     * candidates — mirrors Dedup.containmentPairs. */
   val containmentPairs: String =
@@ -268,6 +295,7 @@ object DedupOracles {
   }
 
   val all: Map[String, String] = Map(
+    "dedup_incremental_minhash" -> incrementalMinhash,
     "dedup_containment" -> containmentPairs,
     "dedup_source_overlap" -> sourceOverlap,
     "dedup_split_clustered" -> splitClustered,
