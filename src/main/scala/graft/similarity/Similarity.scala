@@ -132,6 +132,37 @@ object Similarity {
           (col("qn") * col("cn"))).as("raw")))
   }
 
+  /** IVF served from a PERSISTED index — the ANN analog of the transit
+    * snapshot fast path: the corpus is landed ONCE as a parquet table
+    * partitioned by coarse cell (the inverted lists), and a query batch
+    * probes it through a cell equi-join, so dynamic partition pruning
+    * reads ONLY the probed cells' files — the index build is the paid
+    * batch job, each probe touches 1/[[IvfCells]] of the data. Same
+    * semantics as [[annIvf]] (lossless parquet round trip → same
+    * oracle); PlanQualitySpec asserts the pruning subquery is in the
+    * probe plan. At 100 TB this IS how an IVF index ships: lists are
+    * files, probes are pruned scans, re-centering is a rewrite. */
+  def annIvfPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    val e = Tables.embeddings(spark, dir).select(
+      col("vec_id"), col("embedding"),
+      graft.functions.GraftFunctions.l2norm(spark, col("embedding")).as("nrm"),
+      ivfCell(col("embedding")).as("cell"))
+    graft.sources.Writers.snapshotParquet(e, path, Seq("cell"))
+    val idx = spark.read.parquet(path)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("nrm").as("cn"), col("cell").cast("long").as("cell"))
+    val q = e.filter(col("vec_id") < QuerySet)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("nrm").as("qn"), col("cell"))
+    ranked(idx.join(broadcast(q), Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (graft.functions.GraftFunctions.dot(spark, col("qv"), col("cv")) /
+          (col("qn") * col("cn"))).as("raw")))
+  }
+
   /** IVF with nprobe>1: every query probes its top-`nprobe` coarse cells —
     * the standard IVF recall dial (recall at nprobe n+1 ⊇ n by
     * construction; the spec asserts monotonicity through nprobe=4 against
@@ -649,6 +680,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ann_ivf_persisted" -> annIvfPersisted,
     "dedup_semantic" -> semanticDedup,
     "sim_negative_sample" -> negativeSample,
     "sim_ivf_cell_stats" -> ivfCellStats,
@@ -1078,6 +1110,8 @@ object SimilarityOracles {
   }
 
   val all: Map[String, String] = Map(
+    // persisted-index round trip is lossless; probe semantics = annIvf
+    "sim_ann_ivf_persisted" -> annIvf,
     "dedup_semantic" -> semanticDedup,
     "sim_negative_sample" -> negativeSample,
     "sim_ivf_cell_stats" -> ivfCellStats,

@@ -112,6 +112,14 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
       s"O(near-dup) membership must broadcast, not shuffle the corpus:\n${p.take(1200)}")
   }
 
+  test("persisted IVF probe: dynamic partition pruning reads only the probed cells") {
+    val df = SparkEntry.queries("sim_ann_ivf_persisted")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruningexpression"),
+      s"probe scan must carry the DPP filter on cell:\n${p.take(1200)}")
+  }
+
   test("simhash prunes per block before the global distinct (WindowGroupLimit)") {
     val df = SparkEntry.queries("dedup_simhash")(spark, sf)
     df.collect()
