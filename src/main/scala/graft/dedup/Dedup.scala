@@ -501,6 +501,42 @@ object Dedup {
       .orderBy(col("new_id"))
   }
 
+  /** [[incrementalMinhash]]'s standing-index layout made executable (the
+    * X114 landing discipline applied to the band index): the standing
+    * corpus's bands are landed ONCE as a bucketed+sorted table on the
+    * probe key (band, band_hash); the daily probe then shuffles ONLY the
+    * new batch — the standing scan feeds the sort-merge join in place,
+    * zero Exchange, zero Sort (plan-asserted in PlanQualitySpec: exactly
+    * one Exchange in the join subplan, on the new side). At 100 TB the
+    * standing index is the multi-TB side — never re-shuffling it per
+    * daily batch is the whole economics of incremental admission. */
+  def standingProbeBase(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val b = bandsRaw(spark, dir).withColumn("is_new", col("doc_id") % 5 === 0)
+    b.filter(!col("is_new")).select(col("doc_id"), col("band"), col("band_hash"))
+      .repartition(BucketCount, col("band"), col("band_hash"))
+      .write.mode("overwrite")
+      .bucketBy(BucketCount, "band", "band_hash").sortBy("band", "band_hash")
+      .option("path", s"${sys.props("java.io.tmpdir")}/graft_bands_$tag")
+      .saveAsTable(s"bands_bkt_$tag")
+    val idx = spark.table(s"bands_bkt_$tag")
+    b.filter(col("is_new"))
+      .select(col("doc_id").as("new_id"), col("band"), col("band_hash"))
+      .hint("merge")
+      .join(idx, Seq("band", "band_hash"))
+      .select(col("new_id"), col("doc_id").as("old_id"))
+  }
+
+  /** Buckets for the standing band index (matches the relational landing
+    * dial's scale thinking: at 100 TB this is the cluster-width knob). */
+  val BucketCount = 8
+
+  /** The registered face: distinct candidate pairs off the bucketed
+    * probe — identical pair set to [[incrementalMinhash]]'s cand stage,
+    * so the oracle recomputes it from the shingle prelude. */
+  def standingProbe(spark: SparkSession, dir: String): DataFrame =
+    standingProbeBase(spark, dir).distinct().orderBy(col("new_id"), col("old_id"))
+
   /** Threshold sweep over the MinHash candidate pairs — the tuning report
     * behind picking [[MinClusterSim]]: for each candidate threshold, how
     * many pairs survive and how many documents they touch. One pairs
@@ -586,6 +622,7 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_standing_probe" -> standingProbe,
     "dedup_incremental_minhash" -> incrementalMinhash,
     "dedup_containment" -> containmentPairs,
     "dedup_source_overlap" -> sourceOverlap,

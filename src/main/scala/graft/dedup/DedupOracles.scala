@@ -185,6 +185,16 @@ object DedupOracles {
        |ORDER BY threshold""".stripMargin
   }
 
+  /** Distinct new×standing candidate pairs — the bucketed probe's logical
+    * result, independent of the physical landing. */
+  val standingProbe: String =
+    shinglePrelude +
+      s"""SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS old_id
+         |FROM bands x JOIN bands y
+         |  ON x.band = y.band AND x.band_hash = y.band_hash
+         |WHERE x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0
+         |ORDER BY new_id, old_id""".stripMargin
+
   /** New-batch-probes-standing-index candidates with closest-match pick
     * (max agreement, ties → lowest standing id). */
   val incrementalMinhash: String =
@@ -295,6 +305,7 @@ object DedupOracles {
   }
 
   val all: Map[String, String] = Map(
+    "dedup_standing_probe" -> standingProbe,
     "dedup_incremental_minhash" -> incrementalMinhash,
     "dedup_containment" -> containmentPairs,
     "dedup_source_overlap" -> sourceOverlap,

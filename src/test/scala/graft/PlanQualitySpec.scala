@@ -112,6 +112,26 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
       s"O(near-dup) membership must broadcast, not shuffle the corpus:\n${p.take(1200)}")
   }
 
+  test("standing band index probe: only the new batch shuffles; standing scan in place") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+    val df = graft.dedup.Dedup.standingProbeBase(spark, sf)
+    val join = df.queryExecution.sparkPlan.collectFirst {
+      case j: SortMergeJoinExec => j
+    }.getOrElse(fail("no sort-merge join in probe plan"))
+    def count[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Int =
+      p.collect(pf).size
+    // the small daily batch pays its shuffle+sort...
+    assert(count(join.left) { case e: Exchange => e } >= 1, "new side should shuffle")
+    // ...the multi-TB standing index is consumed exactly as landed:
+    // bucketed scan, no re-shuffle, no re-sort
+    assert(count(join.right) { case e: Exchange => e } == 0,
+      s"standing side re-shuffled:\n${join.right.toString.take(1200)}")
+    assert(count(join.right) { case s: SortExec => s } == 0,
+      s"standing side re-sorted:\n${join.right.toString.take(1200)}")
+  }
+
   test("persisted IVF probe: dynamic partition pruning reads only the probed cells") {
     val df = SparkEntry.queries("sim_ann_ivf_persisted")(spark, sf)
     df.collect()
