@@ -104,6 +104,9 @@ object SparkEntry {
       Queries.reachability(TransitTables.fromTpch(s, dir), 42L, maxRides = 3)),
     "transit_stop_pairs" -> ((s, dir) =>
       Queries.stopPairsDirect(TransitTables.fromTpch(s, dir))),
+    // word2vec-style association over the trip-as-sentence corpus
+    "transit_stop_pmi" -> ((s, dir) =>
+      Queries.stopPmi(TransitTables.fromTpch(s, dir))),
     // one integer-exact PageRank power-iteration over the stop graph
     "transit_pagerank" -> ((s, dir) =>
       Queries.pagerankRound(TransitTables.fromTpch(s, dir))),
@@ -182,6 +185,7 @@ object SparkEntry {
     "transit_reachability" -> TransitOracles.reachability(42L),
     "transit_reachability_k3" -> TransitOracles.reachability(42L, maxRides = 3),
     "transit_stop_pairs" -> TransitOracles.stopPairsDirect,
+    "transit_stop_pmi" -> TransitOracles.stopPmi,
     "transit_pagerank" -> TransitOracles.pagerankRound,
     "transit_pagerank_k3" -> TransitOracles.pagerank(3),
     "transit_service_span" -> TransitOracles.serviceSpan,

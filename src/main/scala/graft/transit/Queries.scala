@@ -438,6 +438,37 @@ object Queries {
       .limit(20)
   }
 
+  /** Stop co-occurrence PMI — the feature-engineering primitive behind
+    * embedding-style stop similarity (word2vec's association measure on
+    * the trip-as-sentence corpus): for stops a,b, ln(n_ab·N / (n_a·n_b))
+    * over distinct-trip co-occurrence counts. High PMI = stops that
+    * co-occur far beyond what their individual frequency predicts —
+    * candidate transfer corridors. All counts are exact BIGINTs from the
+    * same per-trip distinct frame; the only float op is the final single
+    * ln on an identically-computed double (round 6), so the oracle
+    * hash-matches. Support floor n_ab ≥ 5 — PMI on rare pairs is noise.
+    * Same bounded shape as [[stopPairsDirect]]: the per-trip pair join
+    * is quadratic in stops-per-trip (bounded), never corpus². */
+  def stopPmi(t: TransitTables): DataFrame = {
+    val st = t.stopTimes.select(col("trip_id"), col("stop_id")).distinct()
+    val totals = st.agg(countDistinct(col("trip_id")).as("n_trips"))
+    val perStop = st.groupBy(col("stop_id")).agg(count(lit(1)).as("n"))
+    st.as("a").join(st.as("b"),
+        col("a.trip_id") === col("b.trip_id") &&
+          col("a.stop_id") < col("b.stop_id"))
+      .groupBy(col("a.stop_id").as("s1"), col("b.stop_id").as("s2"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 5)
+      .join(perStop.select(col("stop_id").as("s1"), col("n").as("n1")), "s1")
+      .join(perStop.select(col("stop_id").as("s2"), col("n").as("n2")), "s2")
+      .crossJoin(broadcast(totals))
+      .select(col("s1"), col("s2"), col("n_ab"), col("n1"), col("n2"),
+        round(log(col("n_ab").cast("double") * col("n_trips") /
+          (col("n1") * col("n2"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("s1"), col("s2"))
+      .limit(20)
+  }
+
   /** Per-route service span — the planning stat behind "when does this
     * route run": first/last departure (GTFS strings, >24 h preserved),
     * distinct trips, and the span in hours. One fact⋈trips join (trips

@@ -497,6 +497,25 @@ object TransitOracles {
 
   val pagerankRound: String = pagerank(1)
 
+  /** PMI over distinct-trip co-occurrence; exact BIGINT counts, one ln
+    * on an identically-ordered double expression, round 6. */
+  val stopPmi: String =
+    s"""$P, st AS (SELECT DISTINCT trip_id, stop_id FROM stop_times),
+       |tot AS (SELECT CAST(COUNT(DISTINCT trip_id) AS BIGINT) AS n_trips FROM st),
+       |per AS (SELECT stop_id, CAST(COUNT(*) AS BIGINT) AS n FROM st GROUP BY stop_id),
+       |p AS (SELECT a.stop_id AS s1, b.stop_id AS s2, CAST(COUNT(*) AS BIGINT) AS n_ab
+       |      FROM st a JOIN st b
+       |        ON a.trip_id = b.trip_id AND a.stop_id < b.stop_id
+       |      GROUP BY 1, 2)
+       |SELECT s1, s2, n_ab, p1.n AS n1, p2.n AS n2,
+       |       round(ln(CAST(n_ab AS DOUBLE) * n_trips / (p1.n * p2.n)), 6) AS pmi
+       |FROM p JOIN per p1 ON p.s1 = p1.stop_id
+       |       JOIN per p2 ON p.s2 = p2.stop_id
+       |CROSS JOIN tot
+       |WHERE n_ab >= 5
+       |ORDER BY pmi DESC, s1, s2
+       |LIMIT 20""".stripMargin
+
   val stopPairsDirect: String =
     s"""$P
        |SELECT a.stop_id AS from_stop, b.stop_id AS to_stop,
