@@ -427,6 +427,43 @@ object Dedup {
       .orderBy("cluster_id")
   }
 
+  /** Apply NEAR-dup dedup end to end — the step that closes the
+    * clusters → canonical loop by actually shrinking the corpus:
+    * survivors are every unclustered doc plus each cluster's canonical
+    * pick ([[canonical]]'s max-score/min-id rule), reported as the
+    * per-language census ([[applyExact]]'s shape, so the two gates'
+    * yields read side by side). ONE label fixpoint feeds both the
+    * canonical pick and the drop list (localCheckpoint barrier); scoring
+    * runs only over cluster members via a broadcast semi-join; the
+    * corpus-wide application is a broadcast anti-join of the
+    * O(near-dup) drop list against the scan. */
+  def applyNear(spark: SparkSession, dir: String): DataFrame = {
+    val members = labelsFrom(minhashPairs(spark, dir)
+        .filter(col("est_sim") >= MinClusterSim)
+        .select(col("id1"), col("id2")))
+      .localCheckpoint(true)
+    val toks = TextHash.tokens(col("text"))
+    val score = round(
+      (size(array_distinct(toks)).cast("double") / size(toks)) *
+        log(lit(1.0) + size(toks)), 6)
+    val j = Tables.documents(spark, dir)
+      .join(broadcast(members), "doc_id")
+      .select(col("doc_id"), col("cluster_id"), score.as("score"))
+    val best = j.groupBy(col("cluster_id")).agg(max(col("score")).as("best_score"))
+    val canon = j.join(best, "cluster_id")
+      .filter(col("score") === col("best_score"))
+      .groupBy(col("cluster_id")).agg(min(col("doc_id")).as("canonical_id"))
+    val dropped = members
+      .join(canon, members("doc_id") === canon("canonical_id"), "left_anti")
+      .select(col("doc_id"))
+    Tables.documents(spark, dir)
+      .join(broadcast(dropped), Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("n_chars"))
+      .orderBy(col("lang"))
+  }
+
   def applyExact(spark: SparkSession, dir: String): DataFrame =
     // Single pass, no self-join: the survivor's (lang, n_chars) ride along
     // with the min-doc_id pick via min_by, so the fp shuffle carries four
@@ -622,6 +659,7 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_apply_near" -> applyNear,
     "dedup_standing_probe" -> standingProbe,
     "dedup_incremental_minhash" -> incrementalMinhash,
     "dedup_containment" -> containmentPairs,

@@ -123,6 +123,32 @@ object DedupOracles {
          |GROUP BY b.cluster_id, b.best_score, b.n_members
          |ORDER BY b.cluster_id""".stripMargin
 
+  /** Survivor census after near-dup application: unclustered docs + each
+    * cluster's canonical pick, per language. */
+  val applyNear: String =
+    compPrelude.stripSuffix("\n") +
+      s""", scored AS (
+         |  SELECT doc_id,
+         |         round((CAST(len(list_distinct(t.toks)) AS DOUBLE) / len(t.toks))
+         |               * ln(1.0 + len(t.toks)), 6) AS score
+         |  FROM (SELECT doc_id, ${tokens("text")} AS toks FROM documents) t),
+         |j AS (SELECT comp.cluster_id, comp.doc_id, scored.score
+         |      FROM comp JOIN scored USING (doc_id)),
+         |best AS (SELECT cluster_id, MAX(score) AS best_score
+         |         FROM j GROUP BY cluster_id),
+         |can AS (SELECT b.cluster_id, MIN(j.doc_id) AS canonical_id
+         |        FROM j JOIN best b
+         |          ON j.cluster_id = b.cluster_id AND j.score = b.best_score
+         |        GROUP BY b.cluster_id),
+         |dropped AS (SELECT doc_id FROM comp
+         |            WHERE doc_id NOT IN (SELECT canonical_id FROM can))
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(length(text)) AS BIGINT) AS n_chars
+         |FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+         |GROUP BY lang
+         |ORDER BY lang""".stripMargin
+
   /** Blocking-FREE brute force over all doc pairs at hamming ≤ 3 — an
     * independent check that the Spark side's slice-blocked LSH join loses
     * no pair within the threshold (Dedup.MaxHamming pigeonhole bound). */
@@ -305,6 +331,7 @@ object DedupOracles {
   }
 
   val all: Map[String, String] = Map(
+    "dedup_apply_near" -> applyNear,
     "dedup_standing_probe" -> standingProbe,
     "dedup_incremental_minhash" -> incrementalMinhash,
     "dedup_containment" -> containmentPairs,
