@@ -36,11 +36,15 @@ object Dedup {
       .orderBy("rep_id")
 
   private def shingleSets(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
+    shingleSetsOf(Tables.documents(spark, dir))
+
+  private def shingleSetsOf(docs: DataFrame): DataFrame =
+    docs.select(
       col("doc_id"),
       // native fused pass (ShingleSetExpr); TextHash.shingleSet remains
       // the interpreted executable spec it is asserted against
-      graft.functions.GraftFunctions.shingleSet(spark, col("text")).as("shs"))
+      graft.functions.GraftFunctions.shingleSet(docs.sparkSession, col("text"))
+        .as("shs"))
 
   /** N-gram Jaccard near-dup: block on shared shingle, count common
     * shingles per pair, exact Jaccard, top-20. */
@@ -68,7 +72,7 @@ object Dedup {
   val RowsPerBand = 4
 
   private def sigs(spark: SparkSession, dir: String): DataFrame =
-    shingleSets(spark, dir).select(
+    shingleSetsOf(Tables.documents(spark, dir)).select(
       col("doc_id"), col("shs"),
       // native codegen'd signature (MinHashSigExpr); TextHash.minhashSig
       // remains the interpreted executable spec it is asserted against
@@ -78,8 +82,22 @@ object Dedup {
       // the signature pipeline per reference — measured 7 scans → 1
       .repartition(col("doc_id"))
 
+  /** Band rows for ANY (doc_id, text) frame — batch or streaming: the
+    * whole signature pipeline is stateless projections (native codegen
+    * expressions), so it runs unchanged inside a micro-batch. Used by
+    * the streaming admission probe; the batch path keeps its
+    * ReuseExchange barrier via [[sigs]]. */
+  private[graft] def bandsOf(docs: DataFrame): DataFrame =
+    bandsFromSigs(shingleSetsOf(docs).select(
+      col("doc_id"), col("shs"),
+      graft.functions.GraftFunctions.minhash32(docs.sparkSession, col("shs"))
+        .as("sig")))
+
   private def bandsRaw(spark: SparkSession, dir: String): DataFrame =
-    sigs(spark, dir).select(
+    bandsFromSigs(sigs(spark, dir))
+
+  private def bandsFromSigs(s: DataFrame): DataFrame =
+    s.select(
       col("doc_id"),
       // `let` so the signature is evaluated once, not once per element_at
       // (Project collapsing would otherwise inline `sig` 32×)

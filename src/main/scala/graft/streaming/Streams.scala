@@ -276,6 +276,24 @@ object Streams {
     enriched(Tables.events(spark, dir), Tables.customer(spark, dir))
       .orderBy("window_start", "c_mktsegment")
 
+  /** Streaming admission probe — the production shape of the incremental
+    * near-dup check (X139/X141): new documents arrive as a STREAM, band
+    * signatures are computed inline (the whole MinHash pipeline is
+    * stateless native-expression projections, so it runs unchanged
+    * inside a micro-batch), and a stream-static join against the landed
+    * standing band index emits candidate (new, standing) matches in
+    * append mode. NO streaming state at all — the standing side is the
+    * static bucketed table, and at scale each executor probes its own
+    * micro-batch partitions against it. Matches the batch probe's
+    * candidate set exactly (StreamsSpec, cross-micro-batch). */
+  def admissionStreaming(newDocs: DataFrame, standingBands: DataFrame): DataFrame =
+    graft.dedup.Dedup.bandsOf(newDocs)
+      .withColumnRenamed("doc_id", "new_id")
+      .join(standingBands
+          .select(col("doc_id").as("old_id"), col("band"), col("band_hash")),
+        Seq("band", "band_hash"))
+      .select(col("new_id"), col("old_id"))
+
   /** LEFT OUTER variant of the stream-stream interval join: clicks with no
     * view in the window still emit (null view columns) — but only once the
     * watermark passes the end of their join window, because until then a

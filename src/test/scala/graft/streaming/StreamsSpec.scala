@@ -208,6 +208,36 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == Seq((7L, 1, base + 10 * min)))
   }
 
+  test("streaming admission probe matches the batch candidate set across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.01"
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val standing = graft.dedup.Dedup.bandsOf(docs.filter(col("doc_id") % 5 =!= 0))
+      .localCheckpoint(true)
+    // batch truth: the registered bucketed probe's distinct pair set
+    val want = graft.dedup.Dedup.standingProbe(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "fixture must produce candidate pairs")
+    val newDocs = docs.filter(col("doc_id") % 5 === 0)
+      .as[(Long, String)].collect()
+    val stream = MemoryStream[(Long, String)]
+    val q = Streams.admissionStreaming(
+      stream.toDF.toDF("doc_id", "text"), standing).writeStream
+      .format("memory").queryName("admission_test").outputMode("append").start()
+    try {
+      // two micro-batches: admission is stateless, so the union of the
+      // per-batch probes must equal the one-shot batch result
+      val (b1, b2) = newDocs.splitAt(newDocs.length / 2)
+      stream.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      stream.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("admission_test").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
   test("streaming dropDuplicates keeps one row per key, matching batch dedup keys") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
