@@ -201,7 +201,34 @@ object Multimodal {
       .orderBy(col("kind"))
   }
 
+  /** Exact payload dedup across the media store — byte-identical
+    * re-crawls are the dominant redundancy in image/video corpora, and
+    * they dedup on the PAYLOAD hash, not any text: fp = md5(payload), so
+    * the shuffle carries 16 bytes per blob, never the blob. A
+    * deterministic re-crawl batch (every 7th blob re-ingested under a
+    * new id — production reads the second crawl snapshot) gives the
+    * dup-free fixture real duplicates; the census reports, per modality,
+    * the blob count, distinct payloads, duplicate blobs, and the bytes a
+    * dedup pass reclaims. */
+  def payloadDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = blobs(spark, dir).toDF()
+    val recrawl = base.filter(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + 10000L)
+    base.unionByName(recrawl)
+      .select(col("kind"), md5(col("payload")).as("fp"),
+        length(col("payload")).as("len"))
+      .groupBy(col("kind"), col("fp"))
+      .agg(count(lit(1)).as("n_copies"), max(col("len")).as("len"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(col("n_copies")).cast("long").as("n_blobs"),
+        (sum(col("n_copies")) - count(lit(1))).cast("long").as("n_dup_blobs"),
+        sum((col("n_copies") - 1) * col("len")).cast("long").as("dup_bytes"))
+      .orderBy(col("kind"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_payload_dedup" -> payloadDedup,
     "mm_modality_mix" -> modalityMix,
     "mm_image_patches" -> imagePatches,
     "mm_decode" -> decode,
@@ -292,7 +319,26 @@ object MultimodalOracles {
        |FROM stats CROSS JOIN m
        |ORDER BY kind""".stripMargin
 
+  /** Payload-hash census with the same deterministic re-crawl union. */
+  val payloadDedup: String =
+    s"""WITH m AS (
+       |  SELECT doc_id, $kind AS kind, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000, $kind AS kind, text FROM documents
+       |  WHERE doc_id % 7 = 0),
+       |g AS (
+       |  SELECT kind, md5(text) AS fp, CAST(COUNT(*) AS BIGINT) AS n_copies,
+       |         MAX(strlen(text)) AS len
+       |  FROM m GROUP BY kind, md5(text))
+       |SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       |       CAST(SUM(n_copies) AS BIGINT) AS n_blobs,
+       |       CAST(SUM(n_copies) - COUNT(*) AS BIGINT) AS n_dup_blobs,
+       |       CAST(SUM((n_copies - 1) * len) AS BIGINT) AS dup_bytes
+       |FROM g GROUP BY kind
+       |ORDER BY kind""".stripMargin
+
   val all: Map[String, String] = Map(
+    "mm_payload_dedup" -> payloadDedup,
     "mm_modality_mix" -> modalityMix,
     "mm_image_patches" -> imagePatches,
     "mm_decode" -> decode,
