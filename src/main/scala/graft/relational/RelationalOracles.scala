@@ -126,6 +126,16 @@ object RelationalOracles {
         |GROUP BY o_custkey
         |ORDER BY o_custkey""".stripMargin,
 
+    "rel_json_props" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(COUNT(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS n_parsed,
+        |       MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
+        |       MAX(CAST(props->>'k' AS BIGINT)) AS max_k,
+        |       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
     "rel_cdc_compact" ->
       """WITH log AS (
         |  SELECT o_orderkey AS k, 1 AS seq, 'I' AS op,

@@ -1281,6 +1281,27 @@ object RelationalQueries {
         col("price")))
   }
 
+  /** Semi-structured JSON column handling — the events table carries a
+    * raw JSON `props` string, the shape every event pipeline ingests
+    * before schema-on-write lands it typed. `from_json` with an explicit
+    * schema (never schema inference on a 100 TB scan) is a codegen'd
+    * narrow map; malformed rows parse to NULL rather than failing the
+    * job, and the n vs n_parsed gap IS the data-quality signal. At scale
+    * this runs ONCE at landing and the extracted column is stored typed
+    * — this face is the landing transform itself. */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(StructField("k", LongType)))
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        from_json(col("props"), schema).getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), count(col("k")).as("n_parsed"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        sum(col("k")).cast("long").as("sum_k"))
+      .orderBy(col("event_type"))
+  }
+
   def cdcCompact(spark: SparkSession, dir: String): DataFrame = {
     cdcLog(spark, dir).groupBy(col("k"))
       .agg(max_by(struct(col("op"), col("status"), col("price")), col("seq"))
@@ -1387,6 +1408,7 @@ object RelationalQueries {
     "rel_bucketed_join" -> bucketedJoin,
     "rel_bucketed_agg" -> bucketedAgg,
     "rel_cdc_compact" -> cdcCompact,
+    "rel_json_props" -> jsonProps,
     "rel_fk_audit" -> fkAudit,
     "rel_cumulative_users" -> cumulativeUsers,
     "rel_zorder_key" -> zorderKey,
