@@ -405,6 +405,47 @@ object PyRoundOps {
       .setScale(scale, java.math.RoundingMode.HALF_EVEN).doubleValue()
 }
 
+/** Codegen'd Bloom-filter membership test over a BIGINT key column.
+  *
+  * The semi-join-reduction workhorse at 100 TB: build a Bloom filter over
+  * the (selective) build side's join keys, ship the few-KB bit array to
+  * every probe task, and drop non-joining fact rows AT THE SCAN — before
+  * they pay the join shuffle. False positives survive the filter but die
+  * in the actual join, so the end result is exact; the filter only has to
+  * be cheap and sound (no false negatives). Spark's own runtime row-level
+  * filters (`spark.sql.optimizer.runtime.bloomFilter.enabled`) inject the
+  * same shape automatically when statistics cooperate; this explicit face
+  * is for when they don't (pre-computed dims, multi-query reuse of one
+  * built filter).
+  *
+  * The serialized sketch rides in the expression tree (fine at few KB —
+  * same mechanics as a broadcast hash join's build side, minus the hash
+  * table). `test` is one virtual call from generated code; the underlying
+  * `mightContainLong` is a k-probe bit test, no allocation.
+  */
+case class BloomMightContainExpr(child: Expression, bloomBytes: Array[Byte])
+  extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "graft_bloom_contains"
+
+  @transient private lazy val bloom =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes))
+
+  def test(h: Long): Boolean = bloom.mightContainLong(h)
+
+  override def nullSafeEval(input: Any): Any = test(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBloom", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.test($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContainExpr =
+    copy(child = newChild)
+}
+
 /** Session-level registration for graft native expressions. Idempotent;
   * query builders call the accessors which register on first use per
   * session. (Production would instead wire these through
@@ -427,7 +468,13 @@ object GraftFunctions {
       (es: Seq[Expression]) => PqEncodeExpr(es.head)),
     ("graft_pyround", classOf[PyRoundExpr],
       (es: Seq[Expression]) => PyRoundExpr(es.head,
-        es(1).eval().asInstanceOf[Int])))
+        es(1).eval().asInstanceOf[Int])),
+    ("graft_bloom_contains", classOf[BloomMightContainExpr],
+      (es: Seq[Expression]) => BloomMightContainExpr(es.head,
+        es(1).eval().asInstanceOf[Array[Byte]])),
+    ("graft_topk_words", classOf[TopKSketchAgg],
+      (es: Seq[Expression]) => TopKSketchAgg(es.head,
+        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -466,6 +513,24 @@ object GraftFunctions {
   def pqEncode(spark: SparkSession, embedding: Column): Column = {
     register(spark)
     call_function("graft_pq_encode", embedding)
+  }
+
+  /** Codegen'd Bloom membership test of a BIGINT key against a pre-built
+    * serialized [[org.apache.spark.util.sketch.BloomFilter]] — see
+    * [[BloomMightContainExpr]] for the semi-join-reduction rationale. */
+  def bloomContains(spark: SparkSession, key: Column, bloomBytes: Array[Byte]): Column = {
+    register(spark)
+    call_function("graft_bloom_contains", key,
+      org.apache.spark.sql.functions.lit(bloomBytes))
+  }
+
+  /** Mergeable Misra–Gries top-`topN` heavy-hitters aggregate over a
+    * string column, `k` counters per partial — see [[TopKSketchAgg]]. */
+  def topkSketch(spark: SparkSession, word: Column, k: Int, topN: Int): Column = {
+    register(spark)
+    call_function("graft_topk_words", word,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(topN))
   }
 
   /** Codegen'd per-token [[TextHash.strHash]] over a text column (split

@@ -47,6 +47,25 @@ object RelationalOracles {
        |    (SELECT COUNT(*) AS c FROM $child GROUP BY $fk)) AS max_fanout""".stripMargin
 
   val all: Map[String, String] = Map(
+    // salting is a physical rewrite — the oracle is the plain join
+    "rel_salted_join" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the Bloom pre-filter only drops rows the join would drop anyway
+    "rel_bloom_join" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // exact distinct + the sketch gate (Spark computes the estimate; the
+    // oracle pins the exact count and asserts the gate held)
+    "rel_hll_shards" ->
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |       TRUE AS est_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "rel_star_join" ->
       """SELECT n_name,
         |       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,

@@ -1400,8 +1400,55 @@ object RelationalQueries {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** [[SkewJoin.saltedInner]] exercised end-to-end: the fact side joins the
+    * order dim on a salted composite key (8-way spread of every hot key),
+    * then aggregates revenue per priority. The salt is deterministic
+    * (xxhash64 of the fact row), so retries/partitioning can't change the
+    * result, and the oracle is the plain unsalted join — salting is a
+    * physical rewrite, not a semantic one. At 100 TB this is the fallback
+    * when AQE can't split a skewed partition (agg-after-join needs
+    * co-location; see SkewJoin's scaladoc). */
+  def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_orderkey").as("o_orderkey"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    SkewJoin.saltedInner(li, ord, "o_orderkey", salts = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"), round(sum(col("rev")), 2).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Shard-merged distinct-user estimation: per-(type, shard) datasketches
+    * HLL partials, union per type, estimate — the 100 TB replacement for
+    * COUNT(DISTINCT) when shards are aggregated independently (per file,
+    * per day, per region) and only fixed-size sketches move. Sketches are
+    * deterministic and register-max union is order-independent, so the 5%
+    * gate vs the exact count is stable; the exact count rides along so the
+    * oracle (exact + literal TRUE) binds tightly. Default lgConfigK=12 →
+    * ~1.6% standard error, 3× headroom under the gate. */
+  def hllShards(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val est = ev
+      .withColumn("shard", pmod(col("event_id"), lit(16L)))
+      .groupBy(col("event_type"), col("shard"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.join(est, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("est") - col("n_exact")) <= col("n_exact") * lit(0.05)).as("est_ok"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_star_join" -> starJoin,
+    "rel_salted_join" -> saltedJoin,
+    "rel_hll_shards" -> hllShards,
+    "rel_bloom_join" -> BloomJoin.bloomSemiReduce,
     "rel_benford_audit" -> benfordAudit,
     "rel_snapshot_diff" -> snapshotDiff,
     "rel_partitioned_sink_read" -> partitionedSinkRead,

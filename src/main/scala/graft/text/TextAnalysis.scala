@@ -914,7 +914,52 @@ object TextAnalysis {
       .orderBy(col("split"), col("strategy"))
   }
 
+  /** Corpus-global top-10 words via the mergeable Misra–Gries sketch
+    * ([[graft.functions.TopKSketchAgg]]) instead of a vocabulary-sized
+    * GROUP BY shuffle: partials keep ≤ k=64 counters, the final merge sees
+    * k-sized maps, O(k) bytes move. The fixture vocabulary (~31 words) is
+    * far under k, so the sketch operates in its exact regime and the
+    * oracle is the exact top-10 — at real scale the same query degrades
+    * gracefully to the N/(k+1)-bounded estimates the scaladoc proves. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(TextHash.tokens(col("text"))).as("word"))
+      .agg(graft.functions.GraftFunctions
+        .topkSketch(spark, col("word"), 64, 10).as("top"))
+      .select(posexplode(col("top")))
+      .select((col("pos") + 1).cast("int").as("rn"),
+        col("col.word").as("word"), col("col.n").as("n"))
+      .orderBy(col("rn"))
+
+  /** One BPE-training merge step: frequency of every adjacent character
+    * pair inside pretokens, weighted by pretoken frequency — the argmax is
+    * the pair a BPE trainer would merge next. Two hash aggregations (word
+    * counts are vocabulary-sized, pair counts alphabet²-sized — both tiny
+    * relative to the corpus), so the heavy text scan is map-only. Single-
+    * char words carry no pairs and are filtered before the pair explode
+    * (also keeps `sequence(1, len-1)` ascending). Top-10 by (count desc,
+    * pair asc) with a rank column pins a total order for the oracle. */
+  def bpeMerge(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("pair"))
+    val wordCounts = Tables.documents(spark, dir)
+      .select(explode(TextHash.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .filter(length(col("word")) >= 2)
+    wordCounts
+      .select(col("wc"), explode(
+        transform(sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("cnt"))
+      .select(col("pair"), col("cnt"), row_number().over(w).as("rn"))
+      .filter(col("rn") <= 10)
+      .select(col("rn"), col("pair"), col("cnt"))
+      .orderBy(col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_heavy_hitters" -> heavyHitters,
+    "text_bpe_merge" -> bpeMerge,
     "text_mixture_weights" -> mixtureWeights,
     "text_quality_drift" -> qualityDrift,
     "text_padding_waste" -> paddingWaste,

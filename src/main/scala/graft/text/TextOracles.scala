@@ -267,6 +267,31 @@ object TextOracles {
        |QUALIFY doc_id % 10 = 0
        |ORDER BY doc_id""".stripMargin
 
+  // exact top-10 — the MG sketch runs in its exact regime (vocab ≪ k)
+  val heavyHitters: String =
+    s"""SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, word) AS INT) AS rn,
+       |       word, n FROM (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest($toks) AS word FROM documents)
+       |  GROUP BY word)
+       |ORDER BY n DESC, word LIMIT 10""".stripMargin
+
+  val bpeMerge: String =
+    s"""WITH wc AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS wc
+       |  FROM (SELECT unnest($toks) AS word FROM documents)
+       |  GROUP BY word),
+       |pairs AS (
+       |  SELECT unnest(list_transform(range(1, length(word)),
+       |           i -> substr(word, CAST(i AS INT), 2))) AS pair, wc
+       |  FROM wc WHERE length(word) >= 2),
+       |cnts AS (SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt
+       |         FROM pairs GROUP BY pair)
+       |SELECT * FROM (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS INT) AS rn,
+       |         pair, cnt FROM cnts)
+       |WHERE rn <= 10 ORDER BY rn""".stripMargin
+
   val topkWords: String =
     s"""SELECT lang, word, n, rn FROM (
        |  SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS n,
@@ -564,6 +589,8 @@ object TextOracles {
     "text_repetition" -> repetition,
     "text_contamination" -> contamination,
     "text_corpus_build" -> corpusBuild,
+    "text_heavy_hitters" -> heavyHitters,
+    "text_bpe_merge" -> bpeMerge,
     "text_topk_words" -> topkWords,
     "text_tfidf" -> tfidf,
     "text_mixture_weights" -> mixtureWeights,
