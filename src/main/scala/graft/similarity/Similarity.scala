@@ -699,7 +699,52 @@ object Similarity {
     "sim_ann_ivf" -> annIvf,
     "sim_ann_pq" -> annPq,
     "sim_ann_ivfpq" -> annIvfPq,
+    // candK=25 pinned here for oracle parity; the dial is the 3rd param
+    "sim_ann_twostage" -> ((s: SparkSession, d: String) => annTwoStage(s, d)),
     "sim_quantize_int8" -> quantizeInt8)
+
+  val TruncDims = 16 // stage-1 prefix length (Matryoshka-style)
+  val CandK = 25     // candidates kept per query for the exact rerank
+
+  /** Two-stage retrieval: stage 1 scores every pair on only the first
+    * [[TruncDims]] coordinates (4× less arithmetic and — with the prefix
+    * stored as its own column at scale — 4× less scan), keeps [[CandK]]
+    * candidates per query; stage 2 fetches full vectors BY ID for just
+    * Q×CandK rows and reranks with the exact 64-dim cosine. The pipeline's
+    * semantics are the two-stage composition itself (deterministic: both
+    * engines fold the identical float data in the identical order, and
+    * ranks tiebreak on cid), so the oracle mirrors both stages; recall vs
+    * brute force is pinned by the spec, not the oracle: monotone in
+    * `candK`, and exactly brute once candK covers the corpus (the
+    * recall/cost dial, like IVF's nprobe). */
+  def annTwoStage(spark: SparkSession, dir: String, candK: Int = CandK): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val trunc = e.select(col("vec_id"),
+      slice(col("embedding"), 1, TruncDims).as("tv"))
+    val q1 = trunc.filter(col("vec_id") < QuerySet)
+      .select(col("vec_id").as("qid"), col("tv").as("qtv"),
+        graft.functions.GraftFunctions.l2norm(spark, col("tv")).as("qtn"))
+    val c1 = trunc.select(col("vec_id").as("cid"), col("tv").as("ctv"),
+      graft.functions.GraftFunctions.l2norm(spark, col("tv")).as("ctn"))
+    val cand = broadcast(q1).join(c1, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (graft.functions.GraftFunctions.dot(spark, col("qtv"), col("ctv")) /
+          (col("qtn") * col("ctn"))).as("s1"))
+      .withColumn("cand_rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("s1").desc, col("cid"))))
+      .filter(col("cand_rank") <= candK)
+      .select(col("qid"), col("cid"))
+    val full = e.select(col("vec_id"), col("embedding"),
+      graft.functions.GraftFunctions.l2norm(spark, col("embedding")).as("nrm"))
+    val qf = full.select(col("vec_id").as("qid"),
+      col("embedding").as("qv"), col("nrm").as("qn"))
+    val cf = full.select(col("vec_id").as("cid"),
+      col("embedding").as("cv"), col("nrm").as("cn"))
+    ranked(cand.join(broadcast(qf), Seq("qid")).join(cf, Seq("cid"))
+      .select(col("qid"), col("cid"),
+        (graft.functions.GraftFunctions.dot(spark, col("qv"), col("cv")) /
+          (col("qn") * col("cn"))).as("raw")))
+  }
 }
 
 object SimilarityOracles {
@@ -1129,5 +1174,26 @@ object SimilarityOracles {
     "sim_ann_ivf" -> annIvf,
     "sim_ann_pq" -> annPq,
     "sim_ann_ivfpq" -> annIvfPq,
+    "sim_ann_twostage" -> annTwoStage,
     "sim_quantize_int8" -> quantizeInt8)
+
+  /** Mirrors both stages of [[Similarity.annTwoStage]]: truncated-prefix
+    * candidate rank (list slice, same sequential fold), then the exact
+    * full-dim cosine over the fetched candidates. (`def`, not `val` — the
+    * `all` map above initializes first in declaration order.) */
+  def annTwoStage: String = rankedSql(
+    s"""WITH cand AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |             ${TextHashSql.cosine(s"q.embedding[1:${Similarity.TruncDims}]", s"c.embedding[1:${Similarity.TruncDims}]")} DESC,
+       |             c.vec_id) AS cand_rank
+       |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |    WHERE q.vec_id < ${Similarity.QuerySet})
+       |  WHERE cand_rank <= ${Similarity.CandK}),
+       |s AS (
+       |  SELECT cand.qid, cand.cid,
+       |         ${TextHashSql.cosine("q.embedding", "c.embedding")} AS raw
+       |  FROM cand JOIN embeddings q ON cand.qid = q.vec_id
+       |            JOIN embeddings c ON cand.cid = c.vec_id)""".stripMargin)
 }

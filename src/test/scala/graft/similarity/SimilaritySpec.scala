@@ -210,4 +210,26 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getAs[Long]("dist2"), r.getAs[Long]("vec_id")))
     assert(got.toSeq == want.toSeq)
   }
+
+  test("two-stage retrieval: recall monotone in candK, exactly brute at full depth") {
+    val brute = neighborSets(Similarity.knnBrute(spark, sf))
+    def recall(ann: Map[Long, Set[Long]]): Double = {
+      val hits = brute.map { case (q, truth) =>
+        ann.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+      }
+      hits.sum / hits.size
+    }
+    // a candidate superset can only improve the exact rerank's top-5: any
+    // newcomer displacing a true neighbor would outscore it globally and
+    // thus be a true neighbor itself — so recall is monotone in candK
+    val byK = Seq(10, Similarity.CandK, 100).map(k =>
+      k -> recall(neighborSets(Similarity.annTwoStage(spark, sf, candK = k))))
+    byK.sliding(2).foreach { case Seq((ka, ra), (kb, rb)) =>
+      assert(rb >= ra, s"recall fell from candK=$ka ($ra) to candK=$kb ($rb)")
+    }
+    // candK ≥ corpus ⇒ stage 1 filters nothing ⇒ bit-identical to brute
+    val full = Similarity.annTwoStage(spark, sf, candK = 1000).collect()
+    assert(full.toSeq == Similarity.knnBrute(spark, sf).collect().toSeq)
+    info(byK.map { case (k, r) => f"candK$k=$r%.2f" }.mkString("recall@5: ", " ", ""))
+  }
 }
