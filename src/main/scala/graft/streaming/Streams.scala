@@ -490,7 +490,36 @@ object Streams {
       }
   }
 
+  /** Per-type heavy-hitter users via the mergeable Misra–Gries sketch
+    * ([[graft.functions.TopKSketchAgg]]) — the streaming shape that makes
+    * the sketch earn its keep: the k-bounded counter map IS the
+    * aggregation state, so state per group stays O(k) no matter how many
+    * distinct users flow past (an exact streaming top-k would need
+    * unbounded per-group state). k=4096 far exceeds per-type user
+    * cardinality at every gated SF (1 500 at sf0.1), so the batch face
+    * runs in the sketch's exact regime and the oracle is the exact
+    * per-type top-3. */
+  def topkUsers(spark: SparkSession, events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(graft.functions.GraftFunctions
+        .topkSketch(spark, col("user_id").cast("string"), 4096, 3).as("top"))
+      .select(col("event_type"), posexplode(col("top")))
+      .select(col("event_type"), (col("pos") + 1).cast("int").as("rn"),
+        col("col.word").as("user_key"), col("col.n").as("n"))
+
+  def topkUsersBatch(spark: SparkSession, dir: String): DataFrame =
+    topkUsers(spark, Tables.events(spark, dir))
+      .orderBy(col("event_type"), col("rn"))
+
+  /** The same aggregate over an unbounded source (complete output mode:
+    * the state-store buffers are the MG partials; each micro-batch merges
+    * new partials into them and re-emits the current top-3). */
+  def topkUsersStreaming(spark: SparkSession, events: DataFrame): DataFrame =
+    topkUsers(spark, events)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_topk_users" -> topkUsersBatch,
     "stream_hourly_p95" -> hourlyP95Batch,
     "stream_funnel_stages" -> funnelStagesBatch,
     "stream_session_window" -> sessionWindowBatch,
@@ -606,7 +635,19 @@ object StreamOracles {
       |FROM events GROUP BY 1, 2
       |ORDER BY window_start, event_type""".stripMargin
 
+  // exact per-type top-3 — the MG sketch runs in its exact regime
+  val topkUsers: String =
+    """SELECT event_type, CAST(rn AS INT) AS rn, user_key, n FROM (
+      |  SELECT event_type, CAST(user_id AS VARCHAR) AS user_key,
+      |         CAST(COUNT(*) AS BIGINT) AS n,
+      |         ROW_NUMBER() OVER (PARTITION BY event_type
+      |           ORDER BY COUNT(*) DESC, CAST(user_id AS VARCHAR)) AS rn
+      |  FROM events GROUP BY event_type, user_id)
+      |WHERE rn <= 3
+      |ORDER BY event_type, rn""".stripMargin
+
   val all: Map[String, String] = Map(
+    "stream_topk_users" -> topkUsers,
     "stream_hourly_p95" -> hourlyP95,
     "stream_funnel_stages" -> funnelStages,
     "stream_session_window" -> sessionWindow,

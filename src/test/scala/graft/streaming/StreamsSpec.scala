@@ -459,4 +459,29 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
       .collect().toSeq
     assert(streamed == batch)
   }
+
+  test("streaming top-k users: MG sketch state across micro-batches equals the batch face") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val evs = graft.sources.Tables.events(spark, sf)
+      .select($"user_id", $"event_type").as[(Long, String)].collect()
+    // three micro-batches force real state-store merges of the MG partials
+    val (b1, rest) = evs.splitAt(evs.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    val stream = MemoryStream[(Long, String)]
+    val q = Streams.topkUsersStreaming(spark,
+        stream.toDF.toDF("user_id", "event_type"))
+      .writeStream.format("memory").queryName("topk_users_test")
+      .outputMode("complete").start()
+    try {
+      for (b <- Seq(b1, b2, b3)) { stream.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.table("topk_users_test")
+      .orderBy("event_type", "rn").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3))).toSeq
+    val batch = Streams.topkUsersBatch(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3))).toSeq
+    assert(streamed == batch)
+  }
 }
