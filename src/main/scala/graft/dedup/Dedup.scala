@@ -676,7 +676,44 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Sketch-algebra overlap matrix: each source reduced ONCE to a theta
+    * sketch of its distinct shingle hashes, every pairwise |∩| then
+    * computed on the 190 sketch pairs — vs the exact path's S² shingle
+    * self-join (which this face also runs, as the oracle anchor and as the
+    * cost contrast: at 100 TB the sketch path moves 20 × ~100 KB while
+    * the exact path shuffles the full distinct (source, shingle) set).
+    * Theta (not HLL) because registers can't intersect — see
+    * [[graft.functions.ThetaSketchAgg]]. At gated SFs the sketches sit in
+    * their exact regime (θ=1, every hash retained), so the 5% gate is met
+    * with identity and the oracle pins exact counts + TRUE. */
+  def thetaOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir).select(col("source"),
+      explode(graft.functions.GraftFunctions.shingleSet(spark, col("text"))).as("h"))
+    val sk = sh.groupBy(col("source"))
+      .agg(graft.functions.GraftFunctions.thetaSketch(spark, col("h")).as("sk"))
+    val est = sk.select(col("source").as("source_a"), col("sk").as("sk_a"))
+      .join(sk.select(col("source").as("source_b"), col("sk").as("sk_b")),
+        col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        graft.functions.GraftFunctions
+          .thetaIntersect(spark, col("sk_a"), col("sk_b")).as("est"))
+    val dsh = sh.distinct()
+    val exact = dsh.select(col("source").as("source_a"), col("h"))
+      .join(dsh.select(col("source").as("source_b"), col("h")), Seq("h"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_overlap"))
+    est.join(exact, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        when(coalesce(col("n_overlap"), lit(0L)) === 0L, col("est") <= 0.5)
+          .otherwise(abs(col("est") - col("n_overlap")) <=
+            col("n_overlap") * lit(0.05)).as("est_ok"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_theta_overlap" -> thetaOverlap,
     "dedup_apply_near" -> applyNear,
     "dedup_standing_probe" -> standingProbe,
     "dedup_incremental_minhash" -> incrementalMinhash,

@@ -330,7 +330,29 @@ object DedupOracles {
        |ORDER BY est_sim DESC, id1, id2""".stripMargin
   }
 
+  // exact pair overlap + the sketch gate (Spark computes the estimate;
+  // the oracle pins the exact counts and asserts the gate held)
+  def thetaOverlap: String =
+    s"""WITH docsh AS MATERIALIZED (
+       |  SELECT source, unnest(list_distinct(${shingleHashes("th")})) AS h
+       |  FROM (SELECT source, ${tokenHashes("text")} AS th FROM documents)),
+       |sh AS (SELECT DISTINCT source, h FROM docsh),
+       |srcs AS (SELECT DISTINCT source FROM documents),
+       |ov AS (
+       |  SELECT s1.source AS source_a, s2.source AS source_b,
+       |         CAST(COUNT(*) AS BIGINT) AS n_overlap
+       |  FROM sh s1 JOIN sh s2 ON s1.h = s2.h AND s1.source < s2.source
+       |  GROUP BY 1, 2)
+       |SELECT p.source_a, p.source_b,
+       |       COALESCE(ov.n_overlap, CAST(0 AS BIGINT)) AS n_overlap,
+       |       TRUE AS est_ok
+       |FROM (SELECT a.source AS source_a, b.source AS source_b
+       |      FROM srcs a JOIN srcs b ON a.source < b.source) p
+       |LEFT JOIN ov ON p.source_a = ov.source_a AND p.source_b = ov.source_b
+       |ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, String] = Map(
+    "dedup_theta_overlap" -> thetaOverlap,
     "dedup_apply_near" -> applyNear,
     "dedup_standing_probe" -> standingProbe,
     "dedup_incremental_minhash" -> incrementalMinhash,

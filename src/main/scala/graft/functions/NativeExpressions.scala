@@ -474,7 +474,12 @@ object GraftFunctions {
         es(1).eval().asInstanceOf[Array[Byte]])),
     ("graft_topk_words", classOf[TopKSketchAgg],
       (es: Seq[Expression]) => TopKSketchAgg(es.head,
-        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])))
+        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
+    ("graft_theta_sketch", classOf[ThetaSketchAgg],
+      (es: Seq[Expression]) => ThetaSketchAgg(es.head,
+        es(1).eval().asInstanceOf[Int])),
+    ("graft_theta_intersect", classOf[ThetaIntersectExpr],
+      (es: Seq[Expression]) => ThetaIntersectExpr(es(0), es(1))))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -531,6 +536,20 @@ object GraftFunctions {
     call_function("graft_topk_words", word,
       org.apache.spark.sql.functions.lit(k),
       org.apache.spark.sql.functions.lit(topN))
+  }
+
+  /** Theta sketch aggregate (binary) over a BIGINT key — see
+    * [[ThetaSketchAgg]] for the intersection-capable set algebra. */
+  def thetaSketch(spark: SparkSession, key: Column, lgK: Int = 14): Column = {
+    register(spark)
+    call_function("graft_theta_sketch", key,
+      org.apache.spark.sql.functions.lit(lgK))
+  }
+
+  /** |A ∩ B| estimate from two theta sketch columns. */
+  def thetaIntersect(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("graft_theta_intersect", a, b)
   }
 
   /** Codegen'd per-token [[TextHash.strHash]] over a text column (split
