@@ -172,6 +172,73 @@ object Dedup {
       .limit(20)
   }
 
+  /** Jaccard threshold for the prefix-filter join as the rational
+    * PrefixTauNum/PrefixTauDen, so every pruning and verification test is
+    * integer arithmetic (no float boundary can flip a pair between
+    * engines). */
+  val PrefixTauNum = 4
+  val PrefixTauDen = 5
+
+  /** Complete candidate pairs for the prefix-filter join: each document
+    * indexes only its p = n − ⌈τn⌉ + 1 rarest shingles (ascending global
+    * document frequency, hash tiebreak), candidates equi-join on those
+    * prefix shingles under the size filter min·den ≥ max·num. Exposed for
+    * the spec's reduction measurement vs the full inverted index. */
+  private[graft] def prefixCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleSets(spark, dir).repartition(col("doc_id"))
+    // barrier on the shingle key: df agg, the df join-back, and both
+    // candidate join sides all reuse ONE computed exchange
+    val ex = sh.select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("s"))
+      .repartition(col("s"))
+    val df = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val prefix = ex.join(df, "s")
+      .withColumn("pos", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("df"), col("s"))))
+      // p = n − ⌈τn⌉ + 1; ⌈num·n/den⌉ = (num·n + den − 1) DIV den
+      .filter(expr(s"pos <= n - ((n*$PrefixTauNum + ${PrefixTauDen - 1}) DIV $PrefixTauDen) + 1"))
+      .select(col("doc_id"), col("n"), col("s"))
+      .repartition(col("s"))
+    prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n"), col("b.n")) * PrefixTauDen >=
+          greatest(col("a.n"), col("b.n")) * PrefixTauNum)
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2")).distinct()
+  }
+
+  /** Prefix-filter EXACT set-similarity join (the PPJoin candidate scheme,
+    * Xiao et al. WWW'08): every pair with Jaccard ≥ τ = 4/5 over the same
+    * shingle sets the MinHash pipeline signs — exact where X3 is
+    * approximate — still never an all-pairs comparison. Completeness: for
+    * a qualifying pair, the first common shingle in the global rarity
+    * order must sit in BOTH prefixes — if it sat past either prefix, that
+    * side's suffix could hold at most ⌈τn⌉ − 1 < τn common shingles,
+    * while J ≥ τ together with the size filter demands ≥ τn. Candidates
+    * are then verified by exact set intersection; the threshold test
+    * c·(num+den) ≥ (n1+n2)·num is the cross-multiplied c/(n1+n2−c) ≥ τ.
+    *
+    * Scale: the rarity frame is one shingle-keyed agg; the candidate join
+    * is keyed on PREFIX shingles only — the corpus' rarest — so bucket
+    * sizes stay small exactly where an inverted-index join would blow up
+    * (a frequent shingle never enters a prefix until τ forces it). The
+    * oracle is an independent brute formulation; the spec proves the pair
+    * set equals brute all-pairs and measures the candidate reduction. */
+  def prefixFilterPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleSets(spark, dir).repartition(col("doc_id"))
+    prefixCandidates(spark, dir)
+      .join(sh.as("s1"), col("id1") === col("s1.doc_id"))
+      .join(sh.as("s2"), col("id2") === col("s2.doc_id"))
+      .select(col("id1"), col("id2"),
+        size(col("s1.shs")).cast("long").as("n1"),
+        size(col("s2.shs")).cast("long").as("n2"),
+        size(array_intersect(col("s1.shs"), col("s2.shs"))).cast("long").as("n_common"))
+      .filter(col("n_common") * (PrefixTauNum + PrefixTauDen) >=
+        (col("n1") + col("n2")) * PrefixTauNum)
+      .select(col("id1"), col("id2"), col("n1"), col("n2"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("n1") + col("n2") - col("n_common")), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("id1"), col("id2"))
+  }
+
   /** Cross-source near-dup overlap matrix — the provenance report run
     * before mixing corpora: per unordered source pair, how many near-dup
     * candidate pairs straddle them (a big CommonCrawl∩curated cell means
@@ -727,6 +794,7 @@ object Dedup {
     "dedup_apply_exact" -> applyExact,
     "dedup_clusters" -> clusters,
     "dedup_exact" -> exact,
+    "dedup_prefix_filter" -> prefixFilterPairs,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_minhash_bands" -> minhashBands,
     "dedup_minhash_pairs" -> minhashPairs,

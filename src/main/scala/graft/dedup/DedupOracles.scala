@@ -42,6 +42,27 @@ object DedupOracles {
          |ORDER BY jaccard DESC, id1, id2
          |LIMIT 20""".stripMargin
 
+  /** Brute formulation of the τ = 4/5 exact similarity join — deliberately
+    * structurally different from the engine's prefix-filtered plan (shared-
+    * shingle grouping, no prefix index), so the comparison checks the
+    * candidate scheme's completeness, not a shared shape. The threshold is
+    * the integer cross-multiplication 9c ≥ 4(n1+n2) in both engines. */
+  val prefixFilter: String =
+    shinglePrelude +
+      s""", ex AS (SELECT doc_id, len(shs) AS n, unnest(shs) AS s FROM sh),
+         |pairs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |         CAST(a.n AS BIGINT) AS n1, CAST(b.n AS BIGINT) AS n2,
+         |         CAST(count(*) AS BIGINT) AS n_common
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id, a.n, b.n)
+         |SELECT id1, id2, n1, n2, n_common,
+         |       round(CAST(n_common AS DOUBLE) / (n1 + n2 - n_common), 6) AS jaccard
+         |FROM pairs
+         |WHERE n_common * ${Dedup.PrefixTauNum + Dedup.PrefixTauDen} >=
+         |      (n1 + n2) * ${Dedup.PrefixTauNum}
+         |ORDER BY jaccard DESC, id1, id2""".stripMargin
+
   val minhashBands: String =
     shinglePrelude +
       """SELECT doc_id, CAST(band AS INT) AS band, band_hash FROM bands
@@ -365,6 +386,7 @@ object DedupOracles {
     "dedup_canonical" -> canonical,
     "dedup_clusters" -> clusters,
     "dedup_exact" -> exact,
+    "dedup_prefix_filter" -> prefixFilter,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_minhash_bands" -> minhashBands,
     "dedup_minhash_pairs" -> minhashPairs,

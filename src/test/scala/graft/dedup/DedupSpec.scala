@@ -45,6 +45,33 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       "unrelated doc must not produce candidates")
   }
 
+  test("prefix filter: pair set equals brute all-pairs at tau=4/5; candidates shrink") {
+    val sf = "/root/testdata/sf0.01"
+    val got = Dedup.prefixFilterPairs(spark, sf)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty, "fixture near-dups must reach tau")
+    // ground truth: brute all-pairs exact Jaccard over the same shingle sets
+    val sh = graft.sources.Tables.documents(spark, sf).select(col("doc_id"),
+      graft.functions.GraftFunctions.shingleSet(spark, col("text")).as("shs"))
+    val brute = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        size(col("a.shs")).as("n1"), size(col("b.shs")).as("n2"),
+        size(array_intersect(col("a.shs"), col("b.shs"))).as("c"))
+      .filter(col("c") * (Dedup.PrefixTauNum + Dedup.PrefixTauDen) >=
+        (col("n1") + col("n2")) * Dedup.PrefixTauNum)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute, "prefix filtering must lose no qualifying pair and add none")
+    // the point of the prefix index: fewer candidates than the full
+    // inverted index (any-shared-shingle) generates
+    val candN = Dedup.prefixCandidates(spark, sf).count()
+    val ex = sh.select(col("doc_id"), explode(col("shs")).as("s"))
+    val fullN = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select("a.doc_id", "b.doc_id").distinct().count()
+    assert(candN < fullN, s"prefix candidates $candN !< inverted-index $fullN")
+    assert(candN >= got.size.toLong, "candidates must cover every result pair")
+  }
+
   test("clusters: connected components over sf0.01 candidates, min-id representative") {
     val sf = "/root/testdata/sf0.01"
     val cl = Dedup.clusters(spark, sf).collect()
