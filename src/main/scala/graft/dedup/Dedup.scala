@@ -239,6 +239,47 @@ object Dedup {
       .orderBy(col("jaccard").desc, col("id1"), col("id2"))
   }
 
+  /** Duplicated-substring span report (the ExactSubstr dedup signal of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better"): per document, how many word-3-gram positions carry a
+    * shingle that occurs ≥2 times anywhere in the corpus (cross-doc OR
+    * within-doc), the share of positions so covered, and the longest
+    * consecutive duplicated run — long runs are verbatim-copied spans, the
+    * memorization risk exact-doc and near-dup gates both miss. Uses the
+    * POSITIONAL (non-distinct) shingle list, not the set the MinHash
+    * pipeline signs.
+    *
+    * Scale: shuffles carry (8-byte shingle hash, int position) — never
+    * text; one shingle-keyed occurrence agg, one shingle-keyed join back,
+    * then doc-keyed aggs/windows. The runs window is the gaps-and-islands
+    * pos − row_number trick, partitioned per document. */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val pos = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(let(tokenHashes(col("text")))(th => shingleHashes(th))))
+      .toDF("doc_id", "pos", "s")
+      // barrier: the occurrence agg and the flag join-back read ONE
+      // computed exchange
+      .repartition(col("s"))
+    val freq = pos.groupBy("s").agg(count(lit(1)).as("occ"))
+    val flagged = pos.join(freq, "s")
+      .select(col("doc_id"), col("pos"), (col("occ") >= 2).as("dup"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val runs = flagged.filter(col("dup"))
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
+      .groupBy("doc_id").agg(max("run").as("max_run"))
+    flagged.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pos"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_pos"))
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_pos"), col("n_dup_pos"),
+        round(col("n_dup_pos").cast("double") / col("n_pos"), 6).as("dup_share"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"))
+      .orderBy(col("dup_share").desc, col("doc_id"))
+  }
+
   /** Cross-source near-dup overlap matrix — the provenance report run
     * before mixing corpora: per unordered source pair, how many near-dup
     * candidate pairs straddle them (a big CommonCrawl∩curated cell means
@@ -780,6 +821,7 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_dup_spans" -> dupSpans,
     "dedup_theta_overlap" -> thetaOverlap,
     "dedup_apply_near" -> applyNear,
     "dedup_standing_probe" -> standingProbe,

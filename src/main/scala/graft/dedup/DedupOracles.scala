@@ -372,7 +372,38 @@ object DedupOracles {
        |LEFT JOIN ov ON p.source_a = ov.source_a AND p.source_b = ov.source_b
        |ORDER BY 1, 2""".stripMargin
 
+  /** Duplicated-substring span report (ExactSubstr signal): positional
+    * (non-distinct) 3-gram shingles via zipped unnest (parallel unnests
+    * expand in lockstep, and an empty shingle list yields no rows — both
+    * matching Spark's posexplode). */
+  val dupSpans: String =
+    s"""WITH pos AS MATERIALIZED (
+       |  SELECT doc_id, unnest(range(0, len(shs))) AS pos, unnest(shs) AS s
+       |  FROM (SELECT doc_id, ${shingleHashes("th")} AS shs
+       |        FROM (SELECT doc_id, ${tokenHashes("text")} AS th FROM documents))),
+       |freq AS (SELECT s, COUNT(*) AS occ FROM pos GROUP BY s),
+       |flagged AS (
+       |  SELECT p.doc_id, p.pos, (f.occ >= 2) AS dup
+       |  FROM pos p JOIN freq f USING (s)),
+       |runs AS (
+       |  SELECT doc_id, MAX(run) AS max_run FROM (
+       |    SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS run FROM (
+       |      SELECT doc_id,
+       |             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |      FROM flagged WHERE dup)
+       |    GROUP BY doc_id, grp)
+       |  GROUP BY doc_id)
+       |SELECT g.doc_id, g.n_pos, g.n_dup_pos,
+       |       round(CAST(g.n_dup_pos AS DOUBLE) / g.n_pos, 6) AS dup_share,
+       |       CAST(COALESCE(r.max_run, 0) AS BIGINT) AS max_run
+       |FROM (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pos,
+       |             CAST(COUNT(*) FILTER (WHERE dup) AS BIGINT) AS n_dup_pos
+       |      FROM flagged GROUP BY doc_id) g
+       |LEFT JOIN runs r USING (doc_id)
+       |ORDER BY dup_share DESC, doc_id""".stripMargin
+
   val all: Map[String, String] = Map(
+    "dedup_dup_spans" -> dupSpans,
     "dedup_theta_overlap" -> thetaOverlap,
     "dedup_apply_near" -> applyNear,
     "dedup_standing_probe" -> standingProbe,

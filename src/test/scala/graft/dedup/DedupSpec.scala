@@ -199,4 +199,25 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(sh(1L).size == 3 && sh(2L).size == 3)
     assert(sh(1L).intersect(sh(2L)).size == 2)
   }
+
+  test("dup spans: a verbatim-copied span is one consecutive run; clean doc reports zero") {
+    // 6-token span copied verbatim into two otherwise-disjoint docs →
+    // exactly the 4 trigram positions fully inside the span are duplicated
+    // (boundary trigrams mix unique context and stay singletons), and they
+    // are CONSECUTIVE — max_run must see the island, not just the count.
+    val span = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"one two three $span four five six"),
+      (2L, s"seven eight nine $span ten eleven twelve"),
+      (3L, "lone words never repeated anywhere here"))
+    val dir = java.nio.file.Files.createTempDirectory("dupspans").toString
+    import spark.implicits._
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val rows = Dedup.dupSpans(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    // 12 tokens → 10 trigram positions; 4 duplicated, in one run of 4
+    assert(rows(1L) == ((10L, 4L, 4L)) && rows(2L) == ((10L, 4L, 4L)))
+    // clean doc: present, zero duplicated positions, zero max run
+    assert(rows(3L) == ((4L, 0L, 0L)))
+  }
 }
