@@ -280,6 +280,48 @@ object Dedup {
       .orderBy(col("dup_share").desc, col("doc_id"))
   }
 
+  /** Eval-set n-gram length for [[decontaminate]] (GPT-3 used 13-gram
+    * overlap; 8 fits the 27-token fixture docs while staying far above
+    * chance collision in any real vocabulary). */
+  val DecontamN = 8
+
+  /** Benchmark decontamination: flag TRAIN documents sharing any
+    * [[DecontamN]]-token-gram with an EVAL document — the exact-overlap
+    * audit (GPT-3 appendix C / PaLM style) run before reporting benchmark
+    * numbers. Complements the near-dup split-leakage gate (X127): that
+    * catches fuzzy rewrites, this catches verbatim quoted passages too
+    * short to move a MinHash signature.
+    *
+    * Scale: the eval side is a benchmark (thousands of docs vs billions
+    * train), so its distinct gram hashes BROADCAST and the train scan is
+    * map-only — no shuffle touches the corpus until the tiny per-flagged-
+    * doc aggregate. Gram hashes are 8 bytes; text never moves. */
+  def decontaminateAgainst(train: DataFrame, eval: DataFrame): DataFrame = {
+    def grams(df: DataFrame, idCol: String) = df.select(col(idCol),
+      explode(let(tokenHashes(col("text")))(th =>
+        array_distinct(shingleHashes(th, DecontamN)))).as("g"))
+    grams(train, "doc_id")
+      .join(broadcast(grams(eval, "eval_id")), "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_ngrams"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .orderBy(col("n_shared_ngrams").desc, col("doc_id"))
+  }
+
+  /** Registered face: the benchmark is a deterministic extract — tokens
+    * 7..18 of every 25th document, re-keyed — modeling an eval question
+    * quoted verbatim from a crawled page (the fixture carries no organic
+    * cross-doc 8-gram overlap, so without the plant the audit is vacuous;
+    * snapshotDiff precedent). Expected flags: exactly the extract sources
+    * long enough to cover a full 8-gram. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val live = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val eval = live.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 2000000L).as("eval_id"),
+        concat_ws(" ", slice(tokens(col("text")), 7, 12)).as("text"))
+    decontaminateAgainst(live, eval)
+  }
+
   /** Cross-source near-dup overlap matrix — the provenance report run
     * before mixing corpora: per unordered source pair, how many near-dup
     * candidate pairs straddle them (a big CommonCrawl∩curated cell means
@@ -822,6 +864,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_dup_spans" -> dupSpans,
+    "dedup_decontaminate" -> decontaminate,
     "dedup_theta_overlap" -> thetaOverlap,
     "dedup_apply_near" -> applyNear,
     "dedup_standing_probe" -> standingProbe,

@@ -402,8 +402,31 @@ object DedupOracles {
        |LEFT JOIN runs r USING (doc_id)
        |ORDER BY dup_share DESC, doc_id""".stripMargin
 
+  /** Benchmark decontamination: the eval side slices the token-hash list
+    * directly (th[7:18] ≡ Spark's rejoin-then-retokenize of tokens 7..18 —
+    * single-space joins round-trip through the \s+ tokenizer). */
+  val decontaminate: String =
+    s"""WITH th AS MATERIALIZED (
+       |  SELECT doc_id, ${tokenHashes("text")} AS th FROM documents),
+       |tg AS (
+       |  SELECT doc_id,
+       |         unnest(list_distinct(${shingleHashes("th", Dedup.DecontamN)})) AS g
+       |  FROM th),
+       |ev AS (SELECT doc_id + 2000000 AS eval_id, th[7:18] AS th2
+       |       FROM th WHERE doc_id % 25 = 0),
+       |eg AS (
+       |  SELECT eval_id,
+       |         unnest(list_distinct(${shingleHashes("th2", Dedup.DecontamN)})) AS g
+       |  FROM ev)
+       |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams,
+       |       CAST(COUNT(DISTINCT e.eval_id) AS BIGINT) AS n_eval_docs
+       |FROM tg t JOIN eg e USING (g)
+       |GROUP BY t.doc_id
+       |ORDER BY n_shared_ngrams DESC, doc_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "dedup_dup_spans" -> dupSpans,
+    "dedup_decontaminate" -> decontaminate,
     "dedup_theta_overlap" -> thetaOverlap,
     "dedup_apply_near" -> applyNear,
     "dedup_standing_probe" -> standingProbe,

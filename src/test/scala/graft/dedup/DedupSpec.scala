@@ -220,4 +220,19 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     // clean doc: present, zero duplicated positions, zero max run
     assert(rows(3L) == ((4L, 0L, 0L)))
   }
+
+  test("decontamination: 8-token verbatim quote flags the source; 7-token overlap does not") {
+    import spark.implicits._
+    val quote = "q1 q2 q3 q4 q5 q6 q7 q8" // exactly DecontamN tokens
+    val train = Seq(
+      (1L, s"pre1 pre2 $quote post1 post2"),      // contains the full quote
+      (2L, "pre3 q1 q2 q3 q4 q5 q6 q7 post4"),    // only 7 consecutive shared
+      (3L, "other stuff entirely unrelated here today")).toDF("doc_id", "text")
+    val eval = Seq((100L, s"benchmark question says $quote"),
+      (101L, s"another item quoting $quote")).toDF("eval_id", "text")
+    val rows = Dedup.decontaminateAgainst(train, eval).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 1 shares the single 8-gram with BOTH eval items
+    assert(rows == Map(1L -> ((2L, 2L))))
+  }
 }
