@@ -47,6 +47,20 @@ object RelationalOracles {
        |    (SELECT COUNT(*) AS c FROM $child GROUP BY $fk)) AS max_fanout""".stripMargin
 
   val all: Map[String, String] = Map(
+    // exact half-life decay: integer-exponent power-of-two weights make
+    // every term a DECIMAL-exact product; the sum is order-independent
+    "rel_time_decay" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) AS tsu,
+        |                   CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |mx AS (SELECT max(tsu) AS max_tsu FROM ev)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       round(CAST(SUM(CASE WHEN k < 62
+        |                     THEN v * (CAST(1 AS BIGINT) << CAST(62 - k AS INT))
+        |                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |             / power(2.0, 62), 6) AS decayed
+        |FROM (SELECT event_type, (max_tsu - tsu) // 86400000000 AS k, v
+        |      FROM ev CROSS JOIN mx)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // salting is a physical rewrite — the oracle is the plain join
     "rel_salted_join" ->
       """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,

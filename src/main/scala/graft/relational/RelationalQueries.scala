@@ -1444,7 +1444,46 @@ object RelationalQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Time-decayed aggregation (half-life scoring, the "decayed popularity"
+    * ranking of feeds/trending dashboards): each event contributes
+    * value · 2^(−age_days), age measured in whole days back from the
+    * corpus max timestamp, half-life = 1 day.
+    *
+    * The decay weight is a power of two with an INTEGER exponent, so the
+    * term `value·2^(c−k)` is EXACT: value is cast to DECIMAL(18,2) (the
+    * fixture's native scale), the weight is a BIGINT shift, and their
+    * product sums in DECIMAL — order-independent, partial-aggregatable,
+    * bit-identical across engines. This is the scalable formulation of
+    * exponential decay: no sequential fold, no window — ONE hash aggregate
+    * whose partials merge on any cluster topology, vs the EWMA recurrence
+    * (s' = αx + (1−α)s) that forces per-key ordered folds. The single
+    * division by 2^c happens once per GROUP, in double, after the exact
+    * sum. Ages ≥ [[DecayCapDays]] days round to weight 0 (their true
+    * weight < 2^-62 ≈ 2e-19 — below double resolution of any group sum). */
+  val DecayCapDays = 62
+
+  def timeDecay(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("tsu"), col("value"))
+    val mx = ev.agg(max(col("tsu")).as("max_tsu"))
+    ev.crossJoin(broadcast(mx))
+      .select(col("event_type"),
+        expr("(max_tsu - tsu) div 86400000000").as("k"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .select(col("event_type"),
+        when(col("k") < DecayCapDays,
+          col("v") * expr(s"shiftleft(cast(1 as bigint), cast($DecayCapDays - k as int))"))
+          .otherwise(lit(0).cast("decimal(18,2)")).as("term"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("term")).as("s"))
+      .select(col("event_type"), col("n"),
+        round(col("s").cast("double") / lit(math.pow(2.0, DecayCapDays)), 6)
+          .as("decayed"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_time_decay" -> timeDecay,
     "rel_star_join" -> starJoin,
     "rel_salted_join" -> saltedJoin,
     "rel_hll_shards" -> hllShards,

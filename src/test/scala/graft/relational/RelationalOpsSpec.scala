@@ -242,6 +242,22 @@ class RelationalOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("time decay: hand-computed half-life weights; over-horizon events weigh zero") {
+    import spark.implicits._
+    val T = 1000000000000000000L // ts is raw parquet nanos; day = 86400e9
+    val day = 86400L * 1000000000L
+    val dir = java.nio.file.Files.createTempDirectory("decay").toString
+    Seq(
+      ("a", T, 2.0), ("a", T - day, 2.0),        // 2·2^0 + 2·2^-1 = 3.0
+      ("b", T - 2 * day, 4.0),                   // 4·2^-2 = 1.0
+      ("b", T - 70 * day, 512.0))                // past cap → weight 0, still counted
+      .toDF("event_type", "ts", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val rows = RelationalQueries.timeDecay(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(rows == Map("a" -> ((2L, 3.0)), "b" -> ((2L, 1.0))))
+  }
+
   test("mode: returned value is a true maximizer, smallest among ties") {
     val modes = RelationalQueries.modePerGroup(spark, sf).collect()
     val counts = graft.sources.Tables.lineitem(spark, sf)
