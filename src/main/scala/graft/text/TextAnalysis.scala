@@ -769,6 +769,62 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** BM25 params (the standard Robertson/Lucene defaults). */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** BM25 retrieval scoring — the ranking function behind every keyword
+    * search / sparse-retrieval baseline (Robertson et al., TREC-3; the
+    * Lucene `(1 + (N−df+0.5)/(df+0.5))` idf variant). Queries are
+    * data-driven to stay fixture-independent: the top-6 document-frequency
+    * terms form three 2-term queries; each scores every matching doc and
+    * keeps the top 10.
+    *
+    * Scale: tf is a (term, doc)-keyed agg over exploded tokens RESTRICTED
+    * to query terms first — the corpus-wide token explode never shuffles;
+    * it broadcast-joins against the 6-term query frame and only hits
+    * survive. Corpus stats (N, avgdl) ride a broadcast 1-row frame. The
+    * per-(query, doc) sum folds term-sorted (collect_list + aggregate) so
+    * the double addition order is engine-independent; ranks use the
+    * 6-dp-rounded score (ties → doc_id). */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextHash.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+      .localCheckpoint(true)
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tok = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+    val qterms = tok.select(col("term"), col("doc_id")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term")).limit(6)
+      .withColumn("qrank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("df").desc, col("term"))))
+      .select((((col("qrank") - 1) / 2).cast("int") + 1).as("query_id"),
+        col("term"), col("df"))
+    val tf = tok.join(broadcast(qterms), "term")
+      .groupBy(col("query_id"), col("term"), col("df"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val scored = tf.crossJoin(broadcast(stats)).select(
+      col("query_id"), col("term"), col("doc_id"),
+      (log(lit(1.0) + (col("n_docs").cast("double") - col("df") + 0.5) /
+        (col("df").cast("double") + 0.5)) *
+        (col("tf").cast("double") * lit(Bm25K1 + 1.0) /
+          (col("tf").cast("double") + lit(Bm25K1) *
+            (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl").cast("double") / col("avgdl")))))
+        .as("s"))
+    val folded = scored.groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        array_sort(collect_list(struct(col("term"), col("s")))).as("ss"))
+      .select(col("query_id"), col("doc_id"), col("n_terms_hit"),
+        round(aggregate(col("ss"), lit(0.0), (acc, e) => acc + e("s")), 6).as("score"))
+    folded.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Shards per split in [[shardManifest]]. */
   val ManifestShards = 4
 
@@ -984,6 +1040,7 @@ object TextAnalysis {
     "text_pack_sequences" -> packSequences,
     "text_topk_words" -> topkWords,
     "text_tfidf" -> tfidf,
+    "text_bm25" -> bm25,
     "text_quality_deciles" -> qualityDeciles,
     "text_split_assign" -> splitAssign,
     "text_length_histogram" -> lengthHistogram,

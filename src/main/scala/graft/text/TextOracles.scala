@@ -569,7 +569,43 @@ object TextOracles {
        |ORDER BY split, shard""".stripMargin
   }
 
+  /** BM25: literals written as the same arithmetic Scala folds
+    * ((1.2 + 1.0), (1.0 - 0.75)) so both engines evaluate identical
+    * doubles; the per-(query, doc) sum folds term-sorted. */
+  val bm25: String =
+    s"""WITH d2 AS MATERIALIZED (
+       |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl
+       |  FROM (SELECT doc_id, $toks AS toks FROM documents)),
+       |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |                 CAST(CAST(SUM(dl) AS BIGINT) AS DOUBLE) / COUNT(*) AS avgdl
+       |          FROM d2),
+       |tok AS (SELECT doc_id, dl, unnest(toks) AS term FROM d2),
+       |qt AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+       |       FROM tok GROUP BY term ORDER BY df DESC, term LIMIT 6),
+       |q AS (SELECT CAST((row_number() OVER (ORDER BY df DESC, term) - 1) // 2 AS INT) + 1
+       |               AS query_id, term, df FROM qt),
+       |tf AS (SELECT query_id, q.term AS term, df, doc_id, dl,
+       |              CAST(COUNT(*) AS BIGINT) AS tf
+       |       FROM tok JOIN q ON tok.term = q.term GROUP BY 1, 2, 3, 4, 5),
+       |scored AS (SELECT query_id, term, doc_id,
+       |  ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+       |  (CAST(tf AS DOUBLE) * (1.2 + 1.0) /
+       |   (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl AS DOUBLE) / avgdl)))
+       |    AS s
+       |  FROM tf CROSS JOIN stats),
+       |folded AS (SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+       |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), array_agg(s ORDER BY term)),
+       |        (a, b) -> a + b), 6) AS score
+       |  FROM scored GROUP BY query_id, doc_id)
+       |SELECT query_id, doc_id, n_terms_hit, score,
+       |       CAST(row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY score DESC, doc_id) AS INT) AS rank
+       |FROM folded
+       |QUALIFY rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
   val all: Map[String, String] = Map(
+    "text_bm25" -> bm25,
     "text_shard_manifest" -> shardManifest,
     "text_lm_score" -> lmScore,
     "text_vocab_coverage" -> vocabCoverage,

