@@ -115,6 +115,10 @@ object SparkEntry {
     // unroll the identical three rounds as chained CTEs
     "transit_pagerank_k3" -> ((s, dir) =>
       Queries.pagerank(TransitTables.fromTpch(s, dir), 3)),
+    // onion-layer (k-core peeling) census at a data-driven k; fixed
+    // horizon, idempotent past the fixpoint (spec proves convergence)
+    "transit_core_layers" -> ((s, dir) =>
+      Queries.coreLayers(TransitTables.fromTpch(s, dir))),
     "transit_service_span" -> ((s, dir) =>
       Queries.serviceSpan(TransitTables.fromTpch(s, dir))),
     // §2-adjacent feed QA: the validation pass a GTFS ingest runs first
@@ -188,6 +192,7 @@ object SparkEntry {
     "transit_stop_pmi" -> TransitOracles.stopPmi,
     "transit_pagerank" -> TransitOracles.pagerankRound,
     "transit_pagerank_k3" -> TransitOracles.pagerank(3),
+    "transit_core_layers" -> TransitOracles.coreLayers(),
     "transit_service_span" -> TransitOracles.serviceSpan,
     "transit_gtfs_validation" -> TransitOracles.gtfsValidation,
     "transit_gtfs_validation_roundtrip" -> TransitOracles.gtfsValidation,

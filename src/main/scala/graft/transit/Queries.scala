@@ -535,6 +535,58 @@ object Queries {
   /** The single power-iteration face — the k=1 instance of [[pagerank]]. */
   def pagerankRound(t: TransitTables): DataFrame = pagerank(t, 1)
 
+  /** Onion-layer census (iterative k-core peeling, Batagelj–Zaveršnik
+    * shape): repeatedly remove stops whose alive-degree in the undirected
+    * adjacency graph falls below k, tagging each stop with the round it
+    * fell (layer 0 = survived every round — the k-core). k is data-driven
+    * (19/20 of the average degree, integer-exact `(2E·19) DIV (20N)`), so
+    * the peel is non-degenerate at every SF. The census (layer → stop
+    * count) exposes the cascade: near-uniform random graphs collapse in
+    * 2–3 rounds, which is itself the structural finding.
+    *
+    * Scale: per round — two semi-joins of the symmetric edge list against
+    * the alive set + one s-keyed count; nothing materializes beyond
+    * (stop, layer). The alive frame localCheckpoints per round (X37
+    * mechanics: bounded lineage, one scan per plan reference). The horizon
+    * is fixed (oracle unrolls the same rounds); peeling past the fixpoint
+    * is idempotent, so a production run can early-exit on a no-removal
+    * round and still match. */
+  def coreLayers(t: TransitTables, rounds: Int = 6): DataFrame = {
+    val st = t.stopTimes.select(col("trip_id"), col("stop_id"), col("stop_sequence"))
+    val und = st.as("a").join(st.as("b"),
+        col("a.trip_id") === col("b.trip_id") &&
+          col("b.stop_sequence") === col("a.stop_sequence") + 1 &&
+          col("a.stop_id") =!= col("b.stop_id"))
+      .select(least(col("a.stop_id"), col("b.stop_id")).as("u"),
+        greatest(col("a.stop_id"), col("b.stop_id")).as("v"))
+      .distinct()
+    val sym = und.select(col("u").as("s"), col("v").as("t"))
+      .union(und.select(col("v").as("s"), col("u").as("t")))
+      .localCheckpoint(true)
+    val kdf = sym.agg(
+      expr("(COUNT(*) * 19) DIV (20 * COUNT(DISTINCT s))").as("kv"))
+    var state = sym.select(col("s").as("stop_id")).distinct()
+      .withColumn("layer", lit(null).cast("int")).localCheckpoint(true)
+    for (r <- 1 to rounds) {
+      val alive = state.filter(col("layer").isNull).select(col("stop_id"))
+      val deg = sym
+        .join(alive.select(col("stop_id").as("s")), Seq("s"), "left_semi")
+        .join(alive.select(col("stop_id").as("t")), Seq("t"), "left_semi")
+        .groupBy(col("s")).agg(count(lit(1)).as("dg"))
+      val removed = alive
+        .join(deg.select(col("s").as("stop_id"), col("dg")), Seq("stop_id"), "left")
+        .crossJoin(broadcast(kdf))
+        .filter(coalesce(col("dg"), lit(0L)) < col("kv"))
+        .select(col("stop_id"), lit(r).as("nl"))
+      state = state.join(removed, Seq("stop_id"), "left")
+        .select(col("stop_id"), coalesce(col("layer"), col("nl")).as("layer"))
+        .localCheckpoint(true)
+    }
+    state.groupBy(coalesce(col("layer"), lit(0)).as("layer"))
+      .agg(count(lit(1)).as("n_stops"))
+      .orderBy(col("layer"))
+  }
+
   /** Transfer reachability — stops reachable from an origin within ≤k
     * rides, labeled with the minimum ride count (0 = origin). BFS over the
     * bipartite stop–route incidence expressed as alternating distinct

@@ -497,6 +497,36 @@ object TransitOracles {
 
   val pagerankRound: String = pagerank(1)
 
+  /** Onion-layer peeling census, unrolled to the same fixed horizon the
+    * engine runs; alive-set CTEs are MATERIALIZED (each is referenced by
+    * the next round's degree count twice plus the final layer CASE). */
+  def coreLayers(rounds: Int = 6): String = {
+    val rcte = (1 to rounds).map { r =>
+      s"""d$r AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS dg
+         |        FROM sym WHERE s IN (SELECT stop_id FROM a${r - 1})
+         |          AND t IN (SELECT stop_id FROM a${r - 1}) GROUP BY s),
+         |a$r AS MATERIALIZED (
+         |        SELECT a.stop_id FROM a${r - 1} a JOIN d$r d ON a.stop_id = d.s
+         |        CROSS JOIN k WHERE d.dg >= k.kv)""".stripMargin
+    }.mkString(",\n")
+    val layerCase = (1 to rounds).map(r =>
+      s"WHEN stop_id NOT IN (SELECT stop_id FROM a$r) THEN $r").mkString(" ")
+    s"""$P, st2 AS (SELECT trip_id, stop_id, stop_sequence FROM stop_times),
+       |und AS (SELECT DISTINCT LEAST(a.stop_id, b.stop_id) AS u,
+       |               GREATEST(a.stop_id, b.stop_id) AS v
+       |        FROM st2 a JOIN st2 b ON a.trip_id = b.trip_id
+       |         AND b.stop_sequence = a.stop_sequence + 1
+       |         AND a.stop_id <> b.stop_id),
+       |sym AS MATERIALIZED (
+       |        SELECT u AS s, v AS t FROM und UNION ALL SELECT v, u FROM und),
+       |k AS (SELECT (COUNT(*) * 19) // (20 * COUNT(DISTINCT s)) AS kv FROM sym),
+       |a0 AS MATERIALIZED (SELECT DISTINCT s AS stop_id FROM sym),
+       |$rcte
+       |SELECT CAST(CASE $layerCase ELSE 0 END AS INT) AS layer,
+       |       CAST(COUNT(*) AS BIGINT) AS n_stops
+       |FROM a0 GROUP BY 1 ORDER BY layer""".stripMargin
+  }
+
   /** PMI over distinct-trip co-occurrence; exact BIGINT counts, one ln
     * on an identically-ordered double expression, round 6. */
   val stopPmi: String =

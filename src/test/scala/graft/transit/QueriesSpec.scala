@@ -176,4 +176,16 @@ class QueriesSpec extends SparkSpec {
     assert(Limit.fromParam(Some("garbage")) == Limit.TopN(20))
     assert(Limit.fromParam(None) == Limit.TopN(20))
   }
+
+  test("core layers: peel reaches its fixpoint inside the horizon; census is total") {
+    val tt = TransitTables.fromTpch(spark, "/root/testdata/sf0.01")
+    val at6 = Queries.coreLayers(tt, 6).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val at7 = Queries.coreLayers(tt, 7).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // one extra round changes nothing → round 6 already was the fixpoint
+    assert(at6 == at7)
+    assert(at6.values.sum == 500L, "every stop lands in exactly one layer")
+    assert(at6.keys.count(_ > 0) >= 2, "peeling must cascade over ≥2 rounds")
+  }
 }
