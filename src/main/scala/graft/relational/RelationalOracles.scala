@@ -47,6 +47,15 @@ object RelationalOracles {
        |    (SELECT COUNT(*) AS c FROM $child GROUP BY $fk)) AS max_fanout""".stripMargin
 
   val all: Map[String, String] = Map(
+    // brute-force dominance check — structurally independent of the
+    // engine's bucketed prefix-max formulation
+    "rel_skyline" ->
+      """WITH s AS (SELECT p_partkey, p_retailprice, p_size FROM part)
+        |SELECT p_partkey, p_retailprice, p_size FROM s a
+        |WHERE NOT EXISTS (SELECT 1 FROM s b
+        |  WHERE (b.p_retailprice < a.p_retailprice AND b.p_size >= a.p_size)
+        |     OR (b.p_retailprice <= a.p_retailprice AND b.p_size > a.p_size))
+        |ORDER BY p_retailprice, p_partkey""".stripMargin,
     // exact half-life decay: integer-exponent power-of-two weights make
     // every term a DECIMAL-exact product; the sum is order-independent
     "rel_time_decay" ->

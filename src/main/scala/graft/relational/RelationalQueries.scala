@@ -1482,7 +1482,50 @@ object RelationalQueries {
       .orderBy(col("event_type"))
   }
 
+  /** 2-D skyline (Pareto frontier): parts no other part beats on BOTH
+    * axes — strictly cheaper at size ≥, or price ≤ at strictly larger
+    * size (minimize p_retailprice, maximize p_size; the Börzsönyi et al.
+    * ICDE'01 operator). Equal (price, size) twins are mutually
+    * non-dominating and both survive.
+    *
+    * Scale: the naive form is an O(n²) NOT-EXISTS self-join (the oracle
+    * runs exactly that — structurally independent check). The engine
+    * instead uses the sorted prefix-max identity: a price-group survives
+    * iff its max size strictly exceeds every max size at a strictly lower
+    * price. That prefix-max is computed WITHOUT a global window: per-price
+    * agg → 32 price-range buckets → per-bucket maxes (32-row frame,
+    * broadcast) give the cross-bucket prefix; a bucket-PARTITIONED window
+    * gives the within-bucket prefix; greatest() of the two is the strict
+    * predecessor max. Every stage is partitioned; the only unpartitioned
+    * window runs over 32 rows. */
+  def skyline(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_retailprice").as("price"), col("p_size").as("sz"))
+    val g = pts.groupBy(col("price")).agg(max(col("sz")).as("msz"))
+    val mm = g.agg(min(col("price")).as("lo"), max(col("price")).as("hi"))
+    val gb = g.crossJoin(broadcast(mm)).withColumn("b",
+      least(floor((col("price") - col("lo")) /
+        when(col("hi") === col("lo"), lit(1.0)).otherwise((col("hi") - col("lo")) / 32.0))
+        .cast("int"), lit(31)))
+    val bpre = gb.groupBy(col("b")).agg(max(col("msz")).as("bm"))
+      .withColumn("pre", max(col("bm")).over(
+        Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("b"), col("pre"))
+    val survivors = gb.join(broadcast(bpre), "b")
+      .withColumn("inb", max(col("msz")).over(
+        Window.partitionBy(col("b")).orderBy(col("price"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      // greatest() skips nulls; both-null (global minimum price) → survive
+      .filter(col("msz") > coalesce(greatest(col("pre"), col("inb")), lit(Int.MinValue)))
+      .select(col("price"), col("msz"))
+    pts.join(broadcast(survivors), "price")
+      .filter(col("sz") === col("msz"))
+      .select(col("p_partkey"), col("price").as("p_retailprice"), col("sz").as("p_size"))
+      .orderBy(col("p_retailprice"), col("p_partkey"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_skyline" -> skyline,
     "rel_time_decay" -> timeDecay,
     "rel_star_join" -> starJoin,
     "rel_salted_join" -> saltedJoin,

@@ -258,6 +258,17 @@ class RelationalOpsSpec extends AnyFunSuite with SparkSpec {
     assert(rows == Map("a" -> ((2L, 3.0)), "b" -> ((2L, 1.0))))
   }
 
+  test("skyline: output is exactly the non-dominated set (brute-force cross-check)") {
+    val pts = graft.sources.Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    def dominated(a: (Long, Double, Int)) = pts.exists(b =>
+      (b._2 < a._2 && b._3 >= a._3) || (b._2 <= a._2 && b._3 > a._3))
+    val expected = pts.filterNot(dominated).map(_._1).toSet
+    val got = RelationalQueries.skyline(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("mode: returned value is a true maximizer, smallest among ties") {
     val modes = RelationalQueries.modePerGroup(spark, sf).collect()
     val counts = graft.sources.Tables.lineitem(spark, sf)
