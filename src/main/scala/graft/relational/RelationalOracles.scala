@@ -47,6 +47,16 @@ object RelationalOracles {
        |    (SELECT COUNT(*) AS c FROM $child GROUP BY $fk)) AS max_fanout""".stripMargin
 
   val all: Map[String, String] = Map(
+    // definitional check: ΔV = (new full view) EXCEPT (old view) —
+    // runnable only at oracle scale, which is the point
+    "rel_incremental_join" ->
+      """WITH vnew AS (SELECT o_orderkey, l_linenumber, o_orderstatus, l_quantity
+        |              FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |vold AS (SELECT o_orderkey, l_linenumber, o_orderstatus, l_quantity
+        |         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |         WHERE o_orderkey % 50 <> 0 AND l_orderkey % 71 <> 0)
+        |SELECT * FROM vnew EXCEPT ALL SELECT * FROM vold
+        |ORDER BY o_orderkey, l_linenumber""".stripMargin,
     // brute-force dominance check — structurally independent of the
     // engine's bucketed prefix-max formulation
     "rel_skyline" ->

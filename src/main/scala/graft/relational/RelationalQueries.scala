@@ -1524,7 +1524,44 @@ object RelationalQueries {
       .orderBy(col("p_retailprice"), col("p_partkey"))
   }
 
+  /** Incremental JOIN-view maintenance — the algebraic delta rule for a
+    * standing join view V = O ⋈ L (Blakeley et al. SIGMOD'86):
+    * ΔV = ΔO⋈L₀ ∪ O₀⋈ΔL ∪ ΔO⋈ΔL. The batch split is deterministic
+    * (orders keys ≡0 mod 50 arrive; lineitem keys ≡0 mod 71 arrive; the
+    * moduli differ so every delta term, including the ΔO⋈ΔL corner,
+    * is exercised). Complements X59 `rel_incremental_agg` (aggregate
+    * views) — join views delta differently: no merge function, pure
+    * union of three joins.
+    *
+    * Scale: this is why view maintenance works at 100 TB — each term
+    * joins a BATCH-sized side against the standing table, so ΔO/ΔL
+    * broadcast and the standing sides never reshuffle; cost is
+    * O(|Δ| · selectivity), independent of |V|. The oracle is the
+    * definitionally-true but unrunnable-at-scale formulation:
+    * (full new view) EXCEPT ALL (old view) — multiset difference; the
+    * fixture's (orderkey, linenumber) pairs are NOT unique, so set
+    * semantics would under-count duplicated tuples. */
+  def incrementalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val oOld = o.filter(col("o_orderkey") % 50 =!= 0)
+    val dO = o.filter(col("o_orderkey") % 50 === 0)
+    val lOld = l.filter(col("l_orderkey") % 71 =!= 0)
+    val dL = l.filter(col("l_orderkey") % 71 === 0)
+    val cols = Seq(col("o_orderkey"), col("l_linenumber"),
+      col("o_orderstatus"), col("l_quantity"))
+    broadcast(dO).join(lOld, col("o_orderkey") === col("l_orderkey")).select(cols: _*)
+      .unionAll(oOld.join(broadcast(dL), col("o_orderkey") === col("l_orderkey"))
+        .select(cols: _*))
+      .unionAll(broadcast(dO).join(dL, col("o_orderkey") === col("l_orderkey"))
+        .select(cols: _*))
+      .orderBy(col("o_orderkey"), col("l_linenumber"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_incremental_join" -> incrementalJoin,
     "rel_skyline" -> skyline,
     "rel_time_decay" -> timeDecay,
     "rel_star_join" -> starJoin,

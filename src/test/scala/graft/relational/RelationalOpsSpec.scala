@@ -258,6 +258,22 @@ class RelationalOpsSpec extends AnyFunSuite with SparkSpec {
     assert(rows == Map("a" -> ((2L, 3.0)), "b" -> ((2L, 1.0))))
   }
 
+  test("incremental join view: old view + delta reassembles the full view (multiset)") {
+    import graft.sources.Tables
+    val o = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_orderstatus"))
+    val l = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val full = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("l_linenumber"), col("o_orderstatus"), col("l_quantity"))
+    val old = o.filter(col("o_orderkey") % 50 =!= 0)
+      .join(l.filter(col("l_orderkey") % 71 =!= 0), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("l_linenumber"), col("o_orderstatus"), col("l_quantity"))
+    val delta = RelationalQueries.incrementalJoin(spark, sf)
+    def bag(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(bag(old.unionAll(delta)) == bag(full))
+  }
+
   test("skyline: output is exactly the non-dominated set (brute-force cross-check)") {
     val pts = graft.sources.Tables.part(spark, sf)
       .select(col("p_partkey"), col("p_retailprice"), col("p_size")).collect()
