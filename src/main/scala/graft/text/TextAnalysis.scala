@@ -769,6 +769,57 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Span-corruption example generation (T5 denoising objective, Raffel
+    * et al. JMLR'20): each token position is noised by a deterministic
+    * hash gate (1-in-5 ≈ T5's 15% rate), contiguous noised runs collapse
+    * to one `<extra_id_K>` sentinel in the input and expand to
+    * sentinel-prefixed spans in the target — the (input, target) pair a
+    * denoising LM trains on, generated reproducibly on any cluster (no
+    * RNG: re-runs and retried tasks emit identical examples).
+    *
+    * Scale: map-side explode → doc-partitioned windows (lag + running
+    * sum for run ids) → one doc-keyed agg that reassembles both strings
+    * from a position-sorted collect_list. ONE shuffle on doc_id; state
+    * bounded by document length. */
+  def spanCorruption(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(TextHash.tokens(col("text"))))
+      .toDF("doc_id", "pos", "tok")
+      .withColumn("noised", TextHash.strHash(
+        concat(lit("sc:"), col("doc_id").cast("string"), lit(":"),
+          col("pos").cast("string"))) % 5 === 0)
+    val runs = toks
+      .withColumn("run_start",
+        col("noised") && !coalesce(lag(col("noised"), 1).over(w), lit(false)))
+      .withColumn("span_id",
+        sum(when(col("run_start"), 1L).otherwise(0L)).over(w))
+    val pieces = runs.select(col("doc_id"), col("pos"), col("noised"),
+      when(!col("noised"), col("tok"))
+        .when(col("run_start"),
+          concat(lit("<extra_id_"), (col("span_id") - 1).cast("string"), lit(">")))
+        .otherwise(lit(null).cast("string")).as("in_piece"),
+      when(col("run_start"),
+        concat(lit("<extra_id_"), (col("span_id") - 1).cast("string"), lit("> "),
+          col("tok")))
+        .when(col("noised"), col("tok"))
+        .otherwise(lit(null).cast("string")).as("tgt_piece"),
+      col("run_start"))
+    pieces.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("noised"), 1L).otherwise(0L)).as("n_noised"),
+        sum(when(col("run_start"), 1L).otherwise(0L)).as("n_spans"),
+        array_sort(collect_list(struct(col("pos"), col("in_piece")))).as("ins"),
+        array_sort(collect_list(struct(col("pos"), col("tgt_piece")))).as("tgts"))
+      .select(col("doc_id"), col("n_tokens"), col("n_noised"), col("n_spans"),
+        array_join(filter(transform(col("ins"), e => e("in_piece")),
+          p => p.isNotNull), " ").as("input_text"),
+        array_join(filter(transform(col("tgts"), e => e("tgt_piece")),
+          p => p.isNotNull), " ").as("target_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** BM25 params (the standard Robertson/Lucene defaults). */
   val Bm25K1 = 1.2
   val Bm25B = 0.75
@@ -1041,6 +1092,7 @@ object TextAnalysis {
     "text_topk_words" -> topkWords,
     "text_tfidf" -> tfidf,
     "text_bm25" -> bm25,
+    "text_span_corruption" -> spanCorruption,
     "text_quality_deciles" -> qualityDeciles,
     "text_split_assign" -> splitAssign,
     "text_length_histogram" -> lengthHistogram,

@@ -604,8 +604,44 @@ object TextOracles {
        |QUALIFY rank <= 10
        |ORDER BY query_id, rank""".stripMargin
 
+  /** T5 span corruption: zipped unnest for positions, the same lag /
+    * running-sum window pair, strings reassembled position-ordered. */
+  val spanCorruption: String = {
+    val noiseHash = strHash("'sc:' || CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)")
+    s"""WITH t0 AS MATERIALIZED (
+       |  SELECT doc_id, pos, tok, ($noiseHash % 5 = 0) AS noised
+       |  FROM (SELECT doc_id, unnest(range(0, len(t))) AS pos, unnest(t) AS tok
+       |        FROM (SELECT doc_id, $toks AS t FROM documents))),
+       |r1 AS (SELECT doc_id, pos, tok, noised,
+       |         noised AND NOT coalesce(
+       |           lag(noised) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
+       |           AS run_start
+       |       FROM t0),
+       |r2 AS (SELECT *, SUM(CASE WHEN run_start THEN 1 ELSE 0 END)
+       |         OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+       |       FROM r1),
+       |pieces AS (SELECT doc_id, pos, noised, run_start,
+       |  CASE WHEN NOT noised THEN tok
+       |       WHEN run_start THEN '<extra_id_' || CAST(span_id - 1 AS VARCHAR) || '>'
+       |       ELSE NULL END AS in_piece,
+       |  CASE WHEN run_start
+       |         THEN '<extra_id_' || CAST(span_id - 1 AS VARCHAR) || '> ' || tok
+       |       WHEN noised THEN tok
+       |       ELSE NULL END AS tgt_piece
+       |  FROM r2)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN noised THEN 1 ELSE 0 END) AS BIGINT) AS n_noised,
+       |  CAST(SUM(CASE WHEN run_start THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+       |  array_to_string(list_filter(array_agg(in_piece ORDER BY pos),
+       |    p -> p IS NOT NULL), ' ') AS input_text,
+       |  array_to_string(list_filter(array_agg(tgt_piece ORDER BY pos),
+       |    p -> p IS NOT NULL), ' ') AS target_text
+       |FROM pieces GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "text_bm25" -> bm25,
+    "text_span_corruption" -> spanCorruption,
     "text_shard_manifest" -> shardManifest,
     "text_lm_score" -> lmScore,
     "text_vocab_coverage" -> vocabCoverage,

@@ -194,6 +194,25 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("span corruption: splicing targets into the input reconstructs every document") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").mkString(" ")).toMap
+    val rows = TextAnalysis.spanCorruption(spark, sf).collect()
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val (id, nSpans) = (r.getLong(0), r.getLong(3))
+      val (input, target) = (r.getString(4), r.getString(5))
+      // target = "<extra_id_0> t t <extra_id_1> t ..." → span k's tokens
+      val spans = "<extra_id_(\\d+)>".r.split(target).drop(1).map(_.trim)
+      assert(spans.length == nSpans, s"doc $id: span count")
+      val rebuilt = spans.zipWithIndex.foldLeft(input) { case (acc, (sp, k)) =>
+        acc.replace(s"<extra_id_$k>", sp)
+      }.trim.split("\\s+").mkString(" ")
+      assert(rebuilt == docs(id), s"doc $id fails round-trip")
+    }
+  }
+
   test("bm25: 3 two-term queries, dense ranks, monotone scores, tf beats shorter overlap") {
     val rows = TextAnalysis.bm25(spark, sf).collect()
     val byQ = rows.groupBy(_.getAs[Int]("query_id"))
