@@ -47,6 +47,15 @@ object RelationalOracles {
        |    (SELECT COUNT(*) AS c FROM $child GROUP BY $fk)) AS max_fanout""".stripMargin
 
   val all: Map[String, String] = Map(
+    // exact sliding-window distinct + the sketch gate (hllShards contract)
+    "rel_sliding_distinct" ->
+      """WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day AS wday FROM ev)
+        |SELECT w.wday AS window_end_day,
+        |       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_exact,
+        |       TRUE AS est_ok
+        |FROM days w JOIN ev e ON e.day BETWEEN w.wday - 6 AND w.wday
+        |GROUP BY w.wday ORDER BY window_end_day""".stripMargin,
     // definitional check: ΔV = (new full view) EXCEPT (old view) —
     // runnable only at oracle scale, which is the point
     "rel_incremental_join" ->

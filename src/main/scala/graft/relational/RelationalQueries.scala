@@ -1560,7 +1560,41 @@ object RelationalQueries {
       .orderBy(col("o_orderkey"), col("l_linenumber"))
   }
 
+  /** Sliding 7-day distinct users — the retention/dashboard query that
+    * makes COUNT(DISTINCT) over overlapping windows tractable: users are
+    * sketched ONCE per day (datasketches HLL partials), and each window
+    * merges its 7 day-sketches — day sketches are computed once and
+    * reused by all 7 covering windows, vs the exact formulation that
+    * rescans every event 7 times. Estimate gated within 5% of the exact
+    * count, which rides along (fixture-sized; at 100 TB you'd serve the
+    * estimate — the oracle pins the exact value and that the gate held,
+    * the [[hllShards]] contract).
+    *
+    * Scale: the event scan aggregates to ~days × |HLL| bytes; the
+    * window expansion is a range join on the DAY frame (≤ a few thousand
+    * rows at any horizon), never on events. */
+  def slidingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+    val perDay = ev.groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val days = perDay.select(col("day").as("wday"))
+    val est = days.join(perDay,
+        col("day").between(col("wday") - 6, col("wday")))
+      .groupBy(col("wday"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = broadcast(days).join(ev,
+        col("day").between(col("wday") - 6, col("wday")))
+      .groupBy(col("wday"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.join(est, Seq("wday"))
+      .select(col("wday").as("window_end_day"), col("n_exact"),
+        (abs(col("est") - col("n_exact")) <= col("n_exact") * lit(0.05)).as("est_ok"))
+      .orderBy(col("window_end_day"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_sliding_distinct" -> slidingDistinct,
     "rel_incremental_join" -> incrementalJoin,
     "rel_skyline" -> skyline,
     "rel_time_decay" -> timeDecay,
