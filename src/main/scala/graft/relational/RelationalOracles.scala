@@ -47,6 +47,36 @@ object RelationalOracles {
        |    (SELECT COUNT(*) AS c FROM $child GROUP BY $fk)) AS max_fanout""".stripMargin
 
   val all: Map[String, String] = Map(
+    // same statistics algebra over the same exact counts
+    "rel_join_cardinality" ->
+      """WITH cnt AS (SELECT CASE WHEN l_orderkey % 10 < 4 THEN -1
+        |                         ELSE l_partkey % 500 END AS k,
+        |                    CAST(COUNT(*) AS BIGINT) AS c
+        |             FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS d,
+        |               CAST(SUM(c*c) AS BIGINT) AS actual_pairs FROM cnt),
+        |mcv AS (SELECT c FROM cnt ORDER BY c DESC, k LIMIT 10),
+        |m AS (SELECT CAST(SUM(c) AS BIGINT) AS m_n, CAST(SUM(c*c) AS BIGINT) AS m_sq,
+        |             CAST(COUNT(*) AS BIGINT) AS m_d FROM mcv),
+        |est AS (SELECT n, d, actual_pairs,
+        |  round(CAST(n AS DOUBLE) * n / d, 4) AS est_uniform,
+        |  round(m_sq + CAST(n - m_n AS DOUBLE) * (n - m_n) / (d - m_d), 4) AS est_mcv
+        |  FROM tot CROSS JOIN m)
+        |SELECT n, d, actual_pairs, est_uniform, est_mcv,
+        |  round(est_uniform / actual_pairs, 6) AS err_uniform,
+        |  round(est_mcv / actual_pairs, 6) AS err_mcv
+        |FROM est""".stripMargin,
+    // per-pair distinct counts computed independently (engine batches
+    // them per-LHS; the oracle's 20 scalar subqueries are the naive form)
+    "rel_fd_discovery" -> {
+      val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      val pairs = for (x <- cols; y <- cols if x != y) yield
+        s"""SELECT '$x' AS lhs, '$y' AS rhs,
+           |  CAST((SELECT COUNT(DISTINCT $x) FROM customer) AS BIGINT) AS n_lhs,
+           |  CAST((SELECT COUNT(DISTINCT ($x, $y)) FROM customer) AS BIGINT) AS n_pairs""".stripMargin
+      pairs.mkString("SELECT lhs, rhs, n_lhs, n_pairs, (n_pairs = n_lhs) AS holds FROM (\n",
+        "\nUNION ALL\n", "\n) ORDER BY lhs, rhs")
+    },
     // exact sliding-window distinct + the sketch gate (hllShards contract)
     "rel_sliding_distinct" ->
       """WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id FROM events),

@@ -1593,7 +1593,76 @@ object RelationalQueries {
       .orderBy(col("window_end_day"))
   }
 
+  /** Single-attribute functional-dependency discovery (the level-1 pass
+    * of TANE, Huhtala et al. 1999) over customer: X → Y holds iff every
+    * X-group is Y-constant, i.e. Σ_groups countDistinct(Y) = countDistinct(X).
+    * Finds the real structure (key FDs, c_name's accidental uniqueness)
+    * and reports violation mass (n_pairs − n_lhs) for the near-FDs — the
+    * data-profiling pass schema inference and join planning read.
+    *
+    * Scale: NOT one job per pair — one aggregate per LHS column computes
+    * ALL RHS distinct-counts in the same shuffle (5 passes for 20 ordered
+    * pairs), then a 1-row stack unpivot per LHS. Violation counting is
+    * exact, no sampling. */
+  def fdDiscovery(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val cust = Tables.customer(spark, dir)
+    val frames = cols.map { x =>
+      val others = cols.filterNot(_ == x)
+      val aggs = others.map(y => countDistinct(col(y)).as(s"d_$y"))
+      val g = cust.groupBy(col(x)).agg(aggs.head, aggs.tail: _*)
+      val sums = count(lit(1)).as("n_lhs") +:
+        others.map(y => sum(col(s"d_$y")).as(s"p_$y"))
+      val stackExpr = s"stack(${others.size}, " +
+        others.map(y => s"'$y', p_$y").mkString(", ") + ") AS (rhs, n_pairs)"
+      g.agg(sums.head, sums.tail: _*)
+        .select(lit(x).as("lhs"), col("n_lhs"), expr(stackExpr))
+    }
+    frames.reduce(_ unionAll _)
+      .select(col("lhs"), col("rhs"), col("n_lhs"), col("n_pairs"),
+        (col("n_pairs") === col("n_lhs")).as("holds"))
+      .orderBy(col("lhs"), col("rhs"))
+  }
+
+  /** Join-cardinality estimation from optimizer statistics — the planner
+    * arithmetic behind every join-order decision, run as a query so the
+    * model is auditable: the driver fixture is near-uniform on every key,
+    * so the join key is made deliberately hot the way the skew-join faces
+    * do it (40% of lineitem collapses to key −1, the rest spreads over
+    * l_partkey % 500). Compare the true self-join size Σc² against (a)
+    * the uniform model n²/d and (b) the Postgres-style MCV model (exact
+    * over the top-10 most-common values + uniform over the rest): uniform
+    * under-estimates ~80×, the MCV model lands within a percent — the
+    * reason real planners carry MCV lists, shown with exact integers.
+    *
+    * Scale: one key-keyed count agg; MCV selection is a top-10
+    * (`TakeOrderedAndProject`); everything downstream is 1-row broadcast
+    * algebra. Σc² and all MCV terms are BIGINT-exact; the two divisions
+    * round once at the end. */
+  def joinCardinality(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.lineitem(spark, dir)
+      .select(when(col("l_orderkey") % 10 < 4, lit(-1L))
+        .otherwise(col("l_partkey") % 500L).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("c"))
+    val mcv = cnt.orderBy(col("c").desc, col("k")).limit(10)
+    val tot = cnt.agg(sum(col("c")).as("n"), count(lit(1)).as("d"),
+      sum(col("c") * col("c")).as("actual_pairs"))
+    val m = mcv.agg(sum(col("c")).as("m_n"), sum(col("c") * col("c")).as("m_sq"),
+      count(lit(1)).as("m_d"))
+    broadcast(tot).crossJoin(broadcast(m))
+      .select(col("n"), col("d"), col("actual_pairs"),
+        round(col("n").cast("double") * col("n") / col("d"), 4).as("est_uniform"),
+        round(col("m_sq") +
+          (col("n") - col("m_n")).cast("double") * (col("n") - col("m_n")) /
+            (col("d") - col("m_d")), 4).as("est_mcv"))
+      .select(col("n"), col("d"), col("actual_pairs"), col("est_uniform"), col("est_mcv"),
+        round(col("est_uniform") / col("actual_pairs"), 6).as("err_uniform"),
+        round(col("est_mcv") / col("actual_pairs"), 6).as("err_mcv"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_join_cardinality" -> joinCardinality,
+    "rel_fd_discovery" -> fdDiscovery,
     "rel_sliding_distinct" -> slidingDistinct,
     "rel_incremental_join" -> incrementalJoin,
     "rel_skyline" -> skyline,
