@@ -47,6 +47,20 @@ object RelationalOracles {
        |    (SELECT COUNT(*) AS c FROM $child GROUP BY $fk)) AS max_fanout""".stripMargin
 
   val all: Map[String, String] = Map(
+    // logical split of the base table; the engine result arrives through
+    // a real two-generation parquet write + mergeSchema read
+    "rel_schema_evolution" ->
+      """SELECT * FROM (
+        |  SELECT 1 AS gen, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |         CAST(0 AS BIGINT) AS n_with_priority,
+        |         round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |           AS total
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(COUNT(o_orderpriority) AS BIGINT),
+        |         round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |  FROM orders WHERE o_orderkey % 2 = 1)
+        |ORDER BY gen""".stripMargin,
     // same statistics algebra over the same exact counts
     "rel_join_cardinality" ->
       """WITH cnt AS (SELECT CASE WHEN l_orderkey % 10 < 4 THEN -1

@@ -1660,7 +1660,41 @@ object RelationalQueries {
         round(col("est_mcv") / col("actual_pairs"), 6).as("err_mcv"))
   }
 
+  /** Schema-evolution landing read — the inevitable 100 TB reality that
+    * old shards predate new columns: generation-1 parquet carries
+    * (o_orderkey, o_totalprice), generation-2 adds o_orderpriority; both
+    * are REALLY WRITTEN under gen= partition dirs and read back in one
+    * scan with mergeSchema=true (schema union; the missing column reads
+    * NULL for old shards — no backfill rewrite). Without the option,
+    * Spark pins one footer's schema and silently drops the new column on
+    * half the data — the bug this face exists to rule out. The census
+    * (rows, non-null new-column count, DECIMAL-exact value mass per
+    * generation) binds against the oracle's logical split of the base
+    * table, so the write+merge-read hop is certified lossless.
+    *
+    * Scale: schema merge happens on file FOOTERS, not data; the read
+    * stays one partition-pruned scan. */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_schevo_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    val o = Tables.orders(spark, dir)
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$path/gen=1")
+    o.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$path/gen=2")
+    spark.read.option("mergeSchema", "true").parquet(path)
+      .groupBy(col("gen"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("o_orderpriority")).as("n_with_priority"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+          .as("total"))
+      .orderBy(col("gen"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_schema_evolution" -> schemaEvolution,
     "rel_join_cardinality" -> joinCardinality,
     "rel_fd_discovery" -> fdDiscovery,
     "rel_sliding_distinct" -> slidingDistinct,

@@ -912,6 +912,37 @@ object TextAnalysis {
       .orderBy("split", "shard")
   }
 
+  /** JSONL corpus roundtrip — line-delimited JSON is the interchange
+    * format crawled corpora actually land in (Common Crawl extracts,
+    * OpenWebText, every dataset dump): the full documents table is
+    * written as JSONL ([[graft.sources.Writers.resultJson]], distributed
+    * — one file per task, no coalesce) and re-read with an EXPLICIT
+    * schema ([[graft.sources.Writers.readJson]]; runtime inference is a
+    * second full scan at 100 TB and is banned by the engine rules). The
+    * census then proves the hop lossless: per-language doc count, char
+    * mass, and an order-independent bit_xor content checksum over
+    * doc_id:text — a row lost, duplicated, or text mangled by JSON
+    * escaping anywhere in the sink/source path breaks the hash against
+    * the oracle's logical census of the base table. */
+  def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_jsonl_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    graft.sources.Writers.resultJson(docs, path)
+    graft.sources.Writers.readJson(spark, path,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, text STRING, lang STRING, source STRING"))
+      .select(col("lang"),
+        length(col("text")).cast("long").as("len"),
+        TextHash.strHash(concat(col("doc_id").cast("string"), lit(":"),
+          col("text"))).as("rh"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("n_chars"),
+        expr("bit_xor(rh)").as("content_xor"))
+      .orderBy(col("lang"))
+  }
+
   /** Per-source quality drift across snapshot halves — the text-side
     * sibling of [[graft.similarity.Similarity.embeddingDrift]]: per
     * source, compare the old-half vs new-half mean quality score (halves
@@ -1093,6 +1124,7 @@ object TextAnalysis {
     "text_tfidf" -> tfidf,
     "text_bm25" -> bm25,
     "text_span_corruption" -> spanCorruption,
+    "text_jsonl_roundtrip" -> jsonlRoundtrip,
     "text_quality_deciles" -> qualityDeciles,
     "text_split_assign" -> splitAssign,
     "text_length_histogram" -> lengthHistogram,

@@ -639,8 +639,20 @@ object TextOracles {
        |FROM pieces GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Logical census of the base table — the engine result arrives through
+    * a real JSONL write + explicit-schema read, so equality certifies the
+    * hop was lossless. */
+  val jsonlRoundtrip: String = {
+    val rh = strHash("CAST(doc_id AS VARCHAR) || ':' || text")
+    s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+       |       bit_xor($rh) AS content_xor
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "text_bm25" -> bm25,
+    "text_jsonl_roundtrip" -> jsonlRoundtrip,
     "text_span_corruption" -> spanCorruption,
     "text_shard_manifest" -> shardManifest,
     "text_lm_score" -> lmScore,
