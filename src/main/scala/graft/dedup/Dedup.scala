@@ -258,9 +258,13 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(let(tokenHashes(col("text")))(th => shingleHashes(th))))
       .toDF("doc_id", "pos", "s")
-      // barrier: the occurrence agg and the flag join-back read ONE
-      // computed exchange
+      // barrier: the occurrence agg and the flag join-back both consume
+      // this frame; localCheckpoint materializes the (hash, pos) rows once
+      // so the shingle pipeline never recomputes (without it, AQE's
+      // broadcast choice defeats exchange reuse and the explode runs
+      // twice — observed in the physical plan)
       .repartition(col("s"))
+      .localCheckpoint(true)
     val freq = pos.groupBy("s").agg(count(lit(1)).as("occ"))
     val flagged = pos.join(freq, "s")
       .select(col("doc_id"), col("pos"), (col("occ") >= 2).as("dup"))

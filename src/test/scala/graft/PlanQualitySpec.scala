@@ -395,6 +395,37 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(1200))
   }
 
+  test("bm25: the corpus token explode joins the query-term frame broadcast") {
+    val p = plan("text_bm25")
+    // the corpus side must not shuffle before meeting the 6-term frame
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
+  test("decontamination: train grams probe the eval grams broadcast, text unshuffled") {
+    val p = plan("dedup_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    // no exchange may carry the text column (grams are 8-byte hashes)
+    val badExchange = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("text#"))
+    assert(!badExchange, "document text crossed a shuffle")
+  }
+
+  test("dup spans: the shingle explode is materialized once, not once per consumer") {
+    val p = plan("dedup_dup_spans")
+    // the occurrence agg and the flag join-back read the checkpointed
+    // (hash, pos) frame — the posexplode pipeline must not appear at all
+    // in the final plan (it ran once, inside the checkpoint job)
+    assert(!p.contains("posexplode"), p.take(1500))
+  }
+
+  test("skyline: windows ride the bucket partitioning / 32-row frames, never the table") {
+    val p = plan("rel_skyline")
+    // within-bucket prefix max is partitioned by b
+    assert(p.contains("windowspecdefinition(b#"), p.take(1500))
+    // the survivors frame reaches the fact join broadcast
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
   test("sketch aggregates land within 5% of exact (HLL distinct, t-digest median)") {
     // the tolerance check is computed in-plan from the real sketch values
     // (exact vs approx in one aggregate); the oracle hashes it as TRUE, and
