@@ -47,6 +47,30 @@ object RelationalOracles {
        |    (SELECT COUNT(*) AS c FROM $child GROUP BY $fk)) AS max_fanout""".stripMargin
 
   val all: Map[String, String] = Map(
+    // same decile cuts (quantile_cont quantized 1e-4, the equidepth
+    // mechanism), same smoothed ratios, one ln rounded at 6 dp
+    "rel_psi_drift" ->
+      """WITH o AS (SELECT o_orderkey % 2 AS half,
+        |                  CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice * 1.1
+        |                       ELSE o_totalprice END AS v FROM orders),
+        |cuts AS (SELECT list_transform(
+        |           quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+        |           c -> floor(c*10000.0 + 0.5)/10000.0) AS cuts
+        |         FROM o WHERE half = 0),
+        |counts AS (
+        |  SELECT 1 + len(list_filter(cuts, c -> v > c)) AS bucket,
+        |         CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+        |         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        |  FROM o CROSS JOIN cuts GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_old) AS BIGINT) AS t_old,
+        |               CAST(SUM(n_new) AS BIGINT) AS t_new FROM counts)
+        |SELECT bucket, n_old, n_new,
+        |  round((CAST(n_old + 1 AS DOUBLE) / (t_old + 10) -
+        |         CAST(n_new + 1 AS DOUBLE) / (t_new + 10)) *
+        |        ln((CAST(n_old + 1 AS DOUBLE) / (t_old + 10)) /
+        |           (CAST(n_new + 1 AS DOUBLE) / (t_new + 10))), 6) AS psi_term
+        |FROM counts CROSS JOIN tot
+        |ORDER BY bucket""".stripMargin,
     // logical split of the base table; the engine result arrives through
     // a real two-generation parquet write + mergeSchema read
     "rel_schema_evolution" ->

@@ -1693,7 +1693,55 @@ object RelationalQueries {
       .orderBy(col("gen"))
   }
 
+  /** Population Stability Index — THE production distribution-drift
+    * metric (credit-scoring lineage, now standard feature-store
+    * monitoring): bucket the metric by the BASELINE half's deciles, then
+    * PSI term = (p−q)·ln(p/q) per bucket with Laplace smoothing
+    * ((c+1)/(N+10) — a zero-count bucket must not produce ±∞). The
+    * "new" snapshot half is deliberately shifted +10% (the fixture's
+    * halves are iid, and a drift metric demonstrated on identical
+    * distributions demonstrates nothing — injected-skew precedent), so
+    * the report shows real mass migrating up-bucket. Rule of thumb reads:
+    * <0.1 stable, >0.25 action.
+    *
+    * Cuts ride [[equidepthHist]]'s hardened mechanism: exact percentile
+    * aggregate on the old half, 1e-4-quantized so Spark/DuckDB
+    * interpolation agrees bit-for-bit. Counts are exact BIGINTs; p, q
+    * are integer ratios; the single ln rounds at 6 dp.
+    *
+    * Scale: one pass computes the cuts (partial-merging percentile agg),
+    * one pass buckets both halves against the broadcast 9-value frame,
+    * one 10-row aggregate. */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select((col("o_orderkey") % 2).as("half"),
+        when(col("o_orderkey") % 2 === 1, col("o_totalprice") * 1.1)
+          .otherwise(col("o_totalprice")).as("v"))
+    val cuts = o.filter(col("half") === 0)
+      .agg(expr(
+        "percentile(v, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("cuts_raw"))
+      .select(transform(col("cuts_raw"),
+        c => floor(c * 10000.0 + 0.5) / 10000.0).as("cuts"))
+    val counts = o.crossJoin(broadcast(cuts))
+      .select(col("half"),
+        (lit(1) + aggregate(col("cuts"), lit(0),
+          (n, c) => n + when(col("v") > c, 1).otherwise(0))).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_old"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_new"))
+    val tot = counts.agg(sum(col("n_old")).as("t_old"), sum(col("n_new")).as("t_new"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_old"), col("n_new"),
+        round(((col("n_old") + 1).cast("double") / (col("t_old") + 10) -
+          (col("n_new") + 1).cast("double") / (col("t_new") + 10)) *
+          log(((col("n_old") + 1).cast("double") / (col("t_old") + 10)) /
+            ((col("n_new") + 1).cast("double") / (col("t_new") + 10))), 6)
+          .as("psi_term"))
+      .orderBy(col("bucket"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_psi_drift" -> psiDrift,
     "rel_schema_evolution" -> schemaEvolution,
     "rel_join_cardinality" -> joinCardinality,
     "rel_fd_discovery" -> fdDiscovery,
