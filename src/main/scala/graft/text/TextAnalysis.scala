@@ -912,6 +912,40 @@ object TextAnalysis {
       .orderBy("split", "shard")
   }
 
+  /** Per-source quality pass-rate with Wilson score intervals — the
+    * statistically honest version of "which feeds are bad": with ~25
+    * docs per source, a raw 40% pass rate means little; the Wilson
+    * interval (z=1.96) says what the data can actually support, and the
+    * gate flags a source only when its UPPER bound clears below the
+    * floor — the difference between "looks bad" and "provably bad",
+    * which at 100 TB decides whether a whole feed gets dropped.
+    * Pass = token count in the [30, 60] quality band (integer-exact).
+    *
+    * Determinism: p̂ and every ratio are integer divisions; sqrt is
+    * IEEE-correctly-rounded (unlike ln) so both engines compute the
+    * identical double; bounds round at 6 dp. One hash agg. */
+  def qualityCi(spark: SparkSession, dir: String): DataFrame = {
+    val z = 1.96
+    val n = col("n_docs").cast("double")
+    val p = col("n_pass").cast("double") / col("n_docs")
+    val half = lit(z) * sqrt(p * (lit(1.0) - p) / n +
+      lit(z * z) / (lit(4.0) * n * n))
+    val denom = lit(1.0) + lit(z * z) / n
+    val centre = p + lit(z * z) / (lit(2.0) * n)
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        size(TextHash.tokens(col("text"))).between(30, 60).as("pass"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"))
+      .select(col("source"), col("n_docs"), col("n_pass"),
+        round(p, 6).as("rate"),
+        round((centre - half) / denom, 6).as("wilson_lo"),
+        round((centre + half) / denom, 6).as("wilson_hi"),
+        (((centre + half) / denom) < 0.5).as("provably_below_half"))
+      .orderBy(col("source"))
+  }
+
   /** JSONL corpus roundtrip — line-delimited JSON is the interchange
     * format crawled corpora actually land in (Common Crawl extracts,
     * OpenWebText, every dataset dump): the full documents table is
@@ -1125,6 +1159,7 @@ object TextAnalysis {
     "text_bm25" -> bm25,
     "text_span_corruption" -> spanCorruption,
     "text_jsonl_roundtrip" -> jsonlRoundtrip,
+    "text_quality_ci" -> qualityCi,
     "text_quality_deciles" -> qualityDeciles,
     "text_split_assign" -> splitAssign,
     "text_length_histogram" -> lengthHistogram,

@@ -650,8 +650,31 @@ object TextOracles {
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** Wilson interval: identical arithmetic order; sqrt is IEEE-exact in
+    * both engines, z² written as the literal product both engines fold. */
+  val qualityCi: String = {
+    val ctr = "(p + (1.96*1.96)/(2.0*n))"
+    val half = "1.96*sqrt(p*(1.0-p)/n + (1.96*1.96)/(4.0*n*n))"
+    val den = "(1.0 + (1.96*1.96)/n)"
+    s"""WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |             CAST(SUM(CASE WHEN len(toks) BETWEEN 30 AND 60
+       |                           THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+       |           FROM (SELECT source, $toks AS toks FROM documents)
+       |           GROUP BY source),
+       |c AS (SELECT source, n_docs, n_pass,
+       |        CAST(n_pass AS DOUBLE) / n_docs AS p,
+       |        CAST(n_docs AS DOUBLE) AS n FROM s)
+       |SELECT source, n_docs, n_pass,
+       |  round(p, 6) AS rate,
+       |  round(($ctr - $half) / $den, 6) AS wilson_lo,
+       |  round(($ctr + $half) / $den, 6) AS wilson_hi,
+       |  (($ctr + $half) / $den) < 0.5 AS provably_below_half
+       |FROM c ORDER BY source""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "text_bm25" -> bm25,
+    "text_quality_ci" -> qualityCi,
     "text_jsonl_roundtrip" -> jsonlRoundtrip,
     "text_span_corruption" -> spanCorruption,
     "text_shard_manifest" -> shardManifest,
