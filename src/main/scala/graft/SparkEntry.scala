@@ -119,6 +119,9 @@ object SparkEntry {
     // horizon, idempotent past the fixpoint (spec proves convergence)
     "transit_core_layers" -> ((s, dir) =>
       Queries.coreLayers(TransitTables.fromTpch(s, dir))),
+    // per-corridor travel-time profile over consecutive hops
+    "transit_od_corridors" -> ((s, dir) =>
+      Queries.odCorridors(TransitTables.fromTpch(s, dir))),
     "transit_service_span" -> ((s, dir) =>
       Queries.serviceSpan(TransitTables.fromTpch(s, dir))),
     // §2-adjacent feed QA: the validation pass a GTFS ingest runs first
@@ -193,6 +196,7 @@ object SparkEntry {
     "transit_pagerank" -> TransitOracles.pagerankRound,
     "transit_pagerank_k3" -> TransitOracles.pagerank(3),
     "transit_core_layers" -> TransitOracles.coreLayers(),
+    "transit_od_corridors" -> TransitOracles.odCorridors,
     "transit_service_span" -> TransitOracles.serviceSpan,
     "transit_gtfs_validation" -> TransitOracles.gtfsValidation,
     "transit_gtfs_validation_roundtrip" -> TransitOracles.gtfsValidation,

@@ -535,6 +535,37 @@ object Queries {
   /** The single power-iteration face — the k=1 instance of [[pagerank]]. */
   def pagerankRound(t: TransitTables): DataFrame = pagerank(t, 1)
 
+  /** OD-corridor travel-time profile — the planning table behind "how
+    * long does this hop take": per directed consecutive corridor
+    * (a→b adjacent on some trip), observation count, distinct trips, and
+    * elapsed-seconds stats (b.arr − a.dep, kept as raw ints; the synthetic
+    * times can go negative and the profile reports the data as-is).
+    * Top-20 busiest corridors.
+    *
+    * Scale: the hop self-join is trip-keyed (bounded stops/trip), the agg
+    * is corridor-keyed, the mean divides ONCE after an exact BIGINT sum
+    * (never avg() on ints — its double partial-sums are order-dependent),
+    * and top-k compiles to TakeOrderedAndProject. */
+  def odCorridors(t: TransitTables): DataFrame = {
+    val st = t.stopTimes.select(col("trip_id"), col("stop_id"),
+      col("stop_sequence"), col("dep_secs"), col("arr_secs"))
+    st.as("a").join(st.as("b"),
+        col("a.trip_id") === col("b.trip_id") &&
+          col("b.stop_sequence") === col("a.stop_sequence") + 1 &&
+          col("a.stop_id") =!= col("b.stop_id"))
+      .select(col("a.stop_id").as("from_stop"), col("b.stop_id").as("to_stop"),
+        col("a.trip_id").as("trip_id"),
+        (col("b.arr_secs") - col("a.dep_secs")).as("elapsed"))
+      .groupBy(col("from_stop"), col("to_stop"))
+      .agg(count(lit(1)).as("n_obs"),
+        countDistinct(col("trip_id")).as("n_trips"),
+        round(sum(col("elapsed")).cast("double") / count(lit(1)), 4)
+          .as("mean_elapsed_secs"),
+        min(col("elapsed")).as("min_secs"), max(col("elapsed")).as("max_secs"))
+      .orderBy(col("n_obs").desc, col("from_stop"), col("to_stop"))
+      .limit(20)
+  }
+
   /** Onion-layer census (iterative k-core peeling, Batagelj–Zaveršnik
     * shape): repeatedly remove stops whose alive-degree in the undirected
     * adjacency graph falls below k, tagging each stop with the round it

@@ -497,6 +497,24 @@ object TransitOracles {
 
   val pagerankRound: String = pagerank(1)
 
+  /** OD corridors: same hop join; the mean divides the exact BIGINT sum
+    * once (DuckDB SUM(int) is HUGEINT → cast). */
+  val odCorridors: String =
+    s"""$P, st2 AS (SELECT trip_id, stop_id, stop_sequence, dep_secs, arr_secs
+       |            FROM stop_times)
+       |SELECT a.stop_id AS from_stop, b.stop_id AS to_stop,
+       |       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       |       CAST(COUNT(DISTINCT a.trip_id) AS BIGINT) AS n_trips,
+       |       round(CAST(CAST(SUM(b.arr_secs - a.dep_secs) AS BIGINT) AS DOUBLE)
+       |             / COUNT(*), 4) AS mean_elapsed_secs,
+       |       CAST(MIN(b.arr_secs - a.dep_secs) AS BIGINT) AS min_secs,
+       |       CAST(MAX(b.arr_secs - a.dep_secs) AS BIGINT) AS max_secs
+       |FROM st2 a JOIN st2 b ON a.trip_id = b.trip_id
+       |  AND b.stop_sequence = a.stop_sequence + 1 AND a.stop_id <> b.stop_id
+       |GROUP BY 1, 2
+       |ORDER BY n_obs DESC, from_stop, to_stop
+       |LIMIT 20""".stripMargin
+
   /** Onion-layer peeling census, unrolled to the same fixed horizon the
     * engine runs; alive-set CTEs are MATERIALIZED (each is referenced by
     * the next round's degree count twice plus the final layer CASE). */
