@@ -227,7 +227,43 @@ object Multimodal {
       .orderBy(col("kind"))
   }
 
+  /** Scene-cut detection over video frames — the consecutive-frame
+    * change detector every video pipeline runs (shot segmentation,
+    * static-scene dedup): each full 100-byte frame of the payload gets a
+    * CONTENT-derived fingerprint (hash of its byte slice — the stand-in
+    * for a perceptual hash, same stub contract as [[decodeFeatures]]),
+    * and a cut fires when consecutive fingerprints differ in > 20 of the
+    * hash's 31 bits (mean inter-frame hamming on unrelated content is
+    * ~15.5; the threshold puts cuts in the ~3% tail). Per video: frames, cuts, mean inter-frame hamming.
+    *
+    * Scale: frames explode map-side; the only shuffle is the doc-keyed
+    * window + agg (state bounded by frames/video); the mean divides an
+    * exact BIGINT sum once. */
+  def sceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val fp = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 2 && length(col("text")) >= 100)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L),
+          floor(length(col("text")) / 100).cast("long") - 1)).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        TextHash.strHash(expr("substring(text, CAST(frame_idx*100 + 1 AS INT), 100)"))
+          .as("fp"))
+    fp.withColumn("prev", lag(col("fp"), 1).over(w))
+      .withColumn("ham", when(col("prev").isNotNull,
+        TextHash.hamming(col("fp"), col("prev"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("ham") > 20, 1L).otherwise(0L)).as("n_cuts"),
+        when(count(col("ham")) > 0,
+          round(sum(coalesce(col("ham"), lit(0L))).cast("double") /
+            count(col("ham")), 4)).as("mean_hamming"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_scene_cuts" -> sceneCuts,
     "mm_payload_dedup" -> payloadDedup,
     "mm_modality_mix" -> modalityMix,
     "mm_image_patches" -> imagePatches,
@@ -337,7 +373,29 @@ object MultimodalOracles {
        |FROM g GROUP BY kind
        |ORDER BY kind""".stripMargin
 
+  val sceneCuts: String = {
+    val fp = TextHashSql.strHash("substr(text, CAST(frame_idx*100 + 1 AS INT), 100)")
+    s"""WITH fr AS (
+       |  SELECT doc_id, unnest(range(0, length(text) // 100)) AS frame_idx, text
+       |  FROM documents
+       |  WHERE CAST(doc_id % 3 AS INT) = 2 AND length(text) >= 100),
+       |fp AS (SELECT doc_id, frame_idx, $fp AS fp FROM fr),
+       |d AS (SELECT doc_id, fp,
+       |        lag(fp) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+       |      FROM fp)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+       |  CAST(SUM(CASE WHEN prev IS NOT NULL AND bit_count(xor(fp, prev)) > 20
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+       |  CASE WHEN COUNT(prev) > 0 THEN
+       |    round(CAST(CAST(SUM(CASE WHEN prev IS NOT NULL
+       |                         THEN bit_count(xor(fp, prev)) ELSE 0 END) AS BIGINT)
+       |               AS DOUBLE) / COUNT(prev), 4)
+       |  END AS mean_hamming
+       |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
+    "mm_scene_cuts" -> sceneCuts,
     "mm_payload_dedup" -> payloadDedup,
     "mm_modality_mix" -> modalityMix,
     "mm_image_patches" -> imagePatches,
