@@ -479,7 +479,15 @@ object GraftFunctions {
       (es: Seq[Expression]) => ThetaSketchAgg(es.head,
         es(1).eval().asInstanceOf[Int])),
     ("graft_theta_intersect", classOf[ThetaIntersectExpr],
-      (es: Seq[Expression]) => ThetaIntersectExpr(es(0), es(1))))
+      (es: Seq[Expression]) => ThetaIntersectExpr(es(0), es(1))),
+    ("graft_kll_sketch", classOf[KllSketchAgg],
+      (es: Seq[Expression]) => KllSketchAgg(es.head,
+        es(1).eval().asInstanceOf[Int])),
+    ("graft_kll_merge", classOf[KllMergeAgg],
+      (es: Seq[Expression]) => KllMergeAgg(es.head,
+        es(1).eval().asInstanceOf[Int])),
+    ("graft_kll_quantile", classOf[KllQuantileExpr],
+      (es: Seq[Expression]) => KllQuantileExpr(es(0), es(1))))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -550,6 +558,27 @@ object GraftFunctions {
   def thetaIntersect(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function("graft_theta_intersect", a, b)
+  }
+
+  /** KLL quantile sketch aggregate (binary) over a DOUBLE measure — see
+    * [[KllSketchAgg]] for the mergeable-quantiles rationale. */
+  def kllSketch(spark: SparkSession, v: Column, k: Int = 200): Column = {
+    register(spark)
+    call_function("graft_kll_sketch", v,
+      org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** Union of serialized KLL sketch partials — see [[KllMergeAgg]]. */
+  def kllMerge(spark: SparkSession, sk: Column, k: Int = 200): Column = {
+    register(spark)
+    call_function("graft_kll_merge", sk,
+      org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** Quantile estimate at normalized rank `p` from a KLL sketch column. */
+  def kllQuantile(spark: SparkSession, sk: Column, p: Column): Column = {
+    register(spark)
+    call_function("graft_kll_quantile", sk, p)
   }
 
   /** Codegen'd per-token [[TextHash.strHash]] over a text column (split

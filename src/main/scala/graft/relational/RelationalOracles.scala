@@ -47,6 +47,90 @@ object RelationalOracles {
        |    (SELECT COUNT(*) AS c FROM $child GROUP BY $fk)) AS max_fanout""".stripMargin
 
   val all: Map[String, String] = Map(
+    // exact order statistics at integer rank targets ceil(p·n) (pure row
+    // selection — no interpolation, no float); the sketch-side rank gates
+    // are literal TRUE (KLL's ±4% band is ~6σ of the proven error bound)
+    "rel_kll_quantiles" ->
+      """WITH e AS (SELECT event_type, event_id, value FROM events),
+        |n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1),
+        |r AS (SELECT event_type, value,
+        |       row_number() OVER (PARTITION BY event_type
+        |                          ORDER BY value, event_id) AS rk FROM e),
+        |x AS (SELECT r.event_type,
+        |       MAX(CASE WHEN rk = (n + 1) // 2 THEN value END) AS v50,
+        |       MAX(CASE WHEN rk = (9 * n + 9) // 10 THEN value END) AS v90,
+        |       MAX(CASE WHEN rk = (99 * n + 99) // 100 THEN value END) AS v99
+        |      FROM r JOIN n ON r.event_type = n.event_type GROUP BY 1)
+        |SELECT n.event_type, n.n AS n, v50, v90, v99,
+        |       TRUE AS ok50, TRUE AS ok90, TRUE AS ok99
+        |FROM n JOIN x ON n.event_type = x.event_type
+        |ORDER BY n.event_type""".stripMargin,
+    // integer-scaled CUSUM S'_d = D·cumsum − d·T; peak by (|S'| desc,
+    // day asc) ≡ Spark's max_by on (abs(s), −d_idx)
+    "rel_cusum_changepoint" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |                      CAST(COUNT(*) AS BIGINT) AS c
+        |               FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, c,
+        |       CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS cum,
+        |       CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS d_idx,
+        |       CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS t,
+        |       CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nd
+        |      FROM daily),
+        |s AS (SELECT event_type, day, nd, t, nd * cum - d_idx * t AS s FROM w),
+        |p AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |                  ORDER BY abs(s) DESC, day) AS pr FROM s)
+        |SELECT event_type, nd AS n_days, t AS total,
+        |       CAST(day AS TIMESTAMP) AS peak_day,
+        |       s AS s_peak, abs(s) AS abs_peak
+        |FROM p WHERE pr = 1 ORDER BY event_type""".stripMargin,
+    // identical z expression shape → identical doubles (Wilson precedent);
+    // significance tests the ROUNDED z in both engines
+    "rel_ab_test" ->
+      """WITH conv AS (SELECT user_id,
+        |         MAX(CASE WHEN event_type = 'purchase' AND value > 100
+        |             THEN 1 ELSE 0 END) AS converted
+        |       FROM events GROUP BY user_id),
+        |v AS (SELECT user_id % 2 AS variant, CAST(COUNT(*) AS BIGINT) AS n,
+        |             CAST(SUM(converted) AS BIGINT) AS x FROM conv GROUP BY 1),
+        |w AS (SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n_a,
+        |             MAX(CASE WHEN variant = 0 THEN x END) AS x_a,
+        |             MAX(CASE WHEN variant = 1 THEN n END) AS n_b,
+        |             MAX(CASE WHEN variant = 1 THEN x END) AS x_b FROM v),
+        |z AS (SELECT n_a, x_a, n_b, x_b,
+        |       round(((CAST(x_a AS DOUBLE) / n_a) - (CAST(x_b AS DOUBLE) / n_b)) /
+        |         sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) *
+        |              (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) *
+        |              (1.0 / n_a + 1.0 / n_b)), 6) AS z FROM w)
+        |SELECT n_a, x_a, n_b, x_b, z, abs(z) >= 1.96 AS significant FROM z""".stripMargin,
+    // median and MAD quantized at 1e-4 (equidepth/PSI cut mechanism);
+    // fence arithmetic then identical doubles in both engines
+    "rel_mad_outliers" ->
+      """WITH o AS (SELECT o_orderpriority AS grp, o_totalprice AS v FROM orders),
+        |m AS (SELECT grp, floor(quantile_cont(v, 0.5)*10000.0 + 0.5)/10000.0 AS med
+        |      FROM o GROUP BY 1),
+        |d AS (SELECT o.grp, v, m.med, abs(v - m.med) AS dev
+        |      FROM o JOIN m ON o.grp = m.grp),
+        |md AS (SELECT grp, floor(quantile_cont(dev, 0.5)*10000.0 + 0.5)/10000.0 AS mad
+        |       FROM d GROUP BY 1)
+        |SELECT d.grp AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+        |       MAX(d.med) AS med, MAX(md.mad) AS mad,
+        |       CAST(SUM(CASE WHEN dev > 4.4478 * mad THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_outliers
+        |FROM d JOIN md ON d.grp = md.grp GROUP BY 1 ORDER BY 1""".stripMargin,
+    // next-fit-decreasing over the shard manifest: file = prevcum // target
+    "rel_compaction_plan" ->
+      """WITH s AS (SELECT source || '_' || CAST(doc_id % 4 AS VARCHAR) AS shard_id,
+        |                  CAST(SUM(n_chars) AS BIGINT) AS bytes
+        |           FROM documents GROUP BY 1),
+        |w AS (SELECT shard_id, bytes,
+        |       COALESCE(CAST(SUM(bytes) OVER (ORDER BY bytes DESC, shard_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |         AS prevcum FROM s)
+        |SELECT prevcum // 16384 AS file_id, CAST(COUNT(*) AS BIGINT) AS n_inputs,
+        |       CAST(SUM(bytes) AS BIGINT) AS bytes, MIN(shard_id) AS first_shard,
+        |       round(CAST(SUM(bytes) AS DOUBLE) / 16384, 4) AS fill
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     // same decile cuts (quantile_cont quantized 1e-4, the equidepth
     // mechanism), same smoothed ratios, one ln rounded at 6 dp
     "rel_psi_drift" ->

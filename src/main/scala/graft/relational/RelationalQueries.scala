@@ -1740,7 +1740,193 @@ object RelationalQueries {
       .orderBy(col("bucket"))
   }
 
+  /** Shard-merged quantile estimation via KLL sketches — the mergeable-
+    * quantiles leg of the sketch family (HLL=distinct, theta=set algebra,
+    * MG=heavy hitters). Per-(type, shard) partials aggregated
+    * independently, union-merged per type, p50/p90/p99 estimated from the
+    * merged sketch — the 100 TB replacement for exact percentiles when
+    * shards (files/days/regions) are reduced separately and only
+    * O(k·log n)-byte sketches move.
+    *
+    * KLL compaction is RANDOMIZED (coin-flip survivor parity), so the
+    * estimate is not bit-stable across runs; what is stable is the proven
+    * rank error bound (σ ≈ 0.7% of rank at k=200). The registered output
+    * therefore carries exact order statistics (pure row selection — engine-
+    * comparable bit-for-bit) plus boolean gates that each estimate's EXACT
+    * rank lands within ±4% (≈ 6σ) of target — stable for any coin outcome
+    * the sketch's error bound permits (same contract as [[hllShards]]'
+    * 5% gate). All gate arithmetic is BIGINT cross-multiplication. */
+  def kllQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val est = ev
+      .withColumn("shard", pmod(col("event_id"), lit(16L)))
+      .groupBy(col("event_type"), col("shard"))
+      .agg(GraftFunctions.kllSketch(spark, col("value")).as("sk"))
+      .groupBy(col("event_type"))
+      .agg(GraftFunctions.kllMerge(spark, col("sk")).as("sk"))
+      .select(col("event_type"),
+        GraftFunctions.kllQuantile(spark, col("sk"), lit(0.5)).as("e50"),
+        GraftFunctions.kllQuantile(spark, col("sk"), lit(0.9)).as("e90"),
+        GraftFunctions.kllQuantile(spark, col("sk"), lit(0.99)).as("e99"))
+    val n = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    // exact order statistics at ceil(p·n) — integer rank targets, ties
+    // broken by event_id so the selected VALUE is position-determined
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val exact = ev.withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(n), Seq("event_type"))
+      .filter(col("rk") === expr("(n + 1) div 2") ||
+        col("rk") === expr("(9 * n + 9) div 10") ||
+        col("rk") === expr("(99 * n + 99) div 100"))
+      .groupBy(col("event_type"))
+      .agg(
+        max(when(col("rk") === expr("(n + 1) div 2"), col("value"))).as("v50"),
+        max(when(col("rk") === expr("(9 * n + 9) div 10"), col("value"))).as("v90"),
+        max(when(col("rk") === expr("(99 * n + 99) div 100"), col("value"))).as("v99"))
+    // exact rank of each estimate: one more pass over the measure column
+    val ranks = ev.join(broadcast(est), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("value") <= col("e50"), 1L).otherwise(0L)).as("k50"),
+        sum(when(col("value") <= col("e90"), 1L).otherwise(0L)).as("k90"),
+        sum(when(col("value") <= col("e99"), 1L).otherwise(0L)).as("k99"))
+    n.join(exact, Seq("event_type")).join(ranks, Seq("event_type"))
+      .select(col("event_type"), col("n"), col("v50"), col("v90"), col("v99"),
+        (abs(col("k50") * 100L - col("n") * 50L) <= col("n") * 4L).as("ok50"),
+        (abs(col("k90") * 100L - col("n") * 90L) <= col("n") * 4L).as("ok90"),
+        (abs(col("k99") * 100L - col("n") * 99L) <= col("n") * 4L).as("ok99"))
+      .orderBy(col("event_type"))
+  }
+
+  /** CUSUM mean-shift change-point detection over the per-type daily event
+    * series — the standard "did this feed's volume regime change, and
+    * when" monitor. The classic statistic S_d = Σ_{i≤d}(c_i − mean) needs
+    * a float mean; scaling by the day count D makes it BIGINT-exact:
+    * S'_d = D·cumsum_d − d·T (T = total). The change point is the day of
+    * peak |S'|, ties resolved to the earliest day. Everything after the
+    * one daily rollup runs on a #types×#days frame; windows are
+    * type-partitioned (never global). */
+  def cusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val s = daily
+      .withColumn("cum", sum(col("c")).over(wOrd))
+      .withColumn("d_idx", row_number().over(wOrd).cast("long"))
+      .withColumn("t", sum(col("c")).over(wAll))
+      .withColumn("nd", count(lit(1)).over(wAll))
+      .withColumn("s", col("nd") * col("cum") - col("d_idx") * col("t"))
+    s.groupBy(col("event_type"))
+      .agg(
+        max(col("nd")).as("n_days"),
+        max(col("t")).as("total"),
+        max_by(struct(col("day"), col("s")),
+          struct(abs(col("s")), (-col("d_idx")).as("nd_ord"))).as("pk"))
+      .select(col("event_type"), col("n_days"), col("total"),
+        // timestamp, not date: the parquet↔oracle compare stringifies, and
+        // date32 vs DuckDB's timestamp render differently
+        col("pk.day").cast("timestamp").as("peak_day"),
+        col("pk.s").as("s_peak"), abs(col("pk.s")).as("abs_peak"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Two-proportion z-test — the A/B experiment readout. Deterministic
+    * variant assignment (user_id mod 2 — the hash-gate pattern), conversion
+    * = any purchase event with value > 100. Counts are exact BIGINT; the
+    * z statistic is a fixed chain of correctly-rounded double ops (divide,
+    * multiply, sqrt — the Wilson-interval precedent: both engines compute
+    * identical doubles given the identical expression shape), rounded at
+    * 6 dp, and the significance flag tests the ROUNDED z so the boundary
+    * decision is shared. One user-keyed aggregate + a 2-row pivot. */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    val conv = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 100.0,
+        1L).otherwise(0L)).as("converted"))
+      .withColumn("variant", pmod(col("user_id"), lit(2L)))
+    conv.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("x"))
+      .groupBy()
+      .agg(
+        max(when(col("variant") === 0L, col("n"))).as("n_a"),
+        max(when(col("variant") === 0L, col("x"))).as("x_a"),
+        max(when(col("variant") === 1L, col("n"))).as("n_b"),
+        max(when(col("variant") === 1L, col("x"))).as("x_b"))
+      .withColumn("z", round(expr(
+        """((CAST(x_a AS DOUBLE) / n_a) - (CAST(x_b AS DOUBLE) / n_b)) /
+          |sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) *
+          |     (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) *
+          |     (1.0 / n_a + 1.0 / n_b))""".stripMargin), 6))
+      .withColumn("significant", abs(col("z")) >= 1.96)
+  }
+
+  /** Robust outlier census via median/MAD — the data-quality screen that
+    * survives the heavy tail stddev gates drown in. Median and MAD come
+    * from exact percentiles QUANTIZED at 1e-4 (the proven equidepth/PSI
+    * cut mechanism — kills the 1-ulp interpolation disagreement between
+    * engines); deviations and the 3σ-equivalent fence (3·1.4826·MAD) are
+    * then identical double arithmetic on identical inputs. Two grouped
+    * percentile passes + one census aggregate, all keyed by the group. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("grp"), col("o_totalprice").as("v"))
+    val med = o.groupBy(col("grp"))
+      .agg((floor(expr("percentile(v, 0.5)") * 1e4 + 0.5) / 1e4).as("med"))
+    val dev = o.join(broadcast(med), Seq("grp"))
+      .withColumn("dev", abs(col("v") - col("med")))
+    val mad = dev.groupBy(col("grp"))
+      .agg((floor(expr("percentile(dev, 0.5)") * 1e4 + 0.5) / 1e4).as("mad"))
+    dev.join(broadcast(mad), Seq("grp"))
+      .groupBy(col("grp"))
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        sum(when(col("dev") > lit(4.4478) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy(col("grp"))
+  }
+
+  /** Small-file compaction planner — the Delta OPTIMIZE / Iceberg rewrite
+    * planning pass as a query. Input is the shard MANIFEST (metadata —
+    * O(#files), like [[graft.text.TextAnalysis]]'s shard manifest, never
+    * the data); shards sorted by (bytes desc, id) are packed next-fit:
+    * output file = prevcum div target, so every planned file except the
+    * last fills to ≥ target. The ordered window runs over the manifest
+    * only — the same driver-scale metadata pass every table-maintenance
+    * planner performs; the data itself never moves until the plan is
+    * executed. All arithmetic BIGINT. */
+  def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val target = 16384L
+    val shards = Tables.documents(spark, dir)
+      .groupBy(concat(col("source"), lit("_"),
+        pmod(col("doc_id"), lit(4L))).as("shard_id"))
+      .agg(sum(col("n_chars")).as("bytes"))
+    val wOrd = Window.orderBy(col("bytes").desc, col("shard_id"))
+    shards
+      .withColumn("prevcum",
+        coalesce(sum(col("bytes")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("file_id", expr(s"prevcum div ${target}L"))
+      .groupBy(col("file_id"))
+      .agg(
+        count(lit(1)).as("n_inputs"),
+        sum(col("bytes")).as("bytes"),
+        min(col("shard_id")).as("first_shard"))
+      .withColumn("fill", round(col("bytes").cast("double") / target, 4))
+      .orderBy(col("file_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_kll_quantiles" -> kllQuantiles,
+    "rel_cusum_changepoint" -> cusumChangepoint,
+    "rel_ab_test" -> abTest,
+    "rel_mad_outliers" -> madOutliers,
+    "rel_compaction_plan" -> compactionPlan,
     "rel_psi_drift" -> psiDrift,
     "rel_schema_evolution" -> schemaEvolution,
     "rel_join_cardinality" -> joinCardinality,
