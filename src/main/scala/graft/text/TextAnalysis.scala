@@ -1129,7 +1129,97 @@ object TextAnalysis {
       .orderBy(col("rn"))
   }
 
+  /** Token-budget allocation + greedy fill — the sampling pass that turns
+    * a mixture plan into an actual doc selection: a global budget (60% of
+    * corpus tokens) is split across sources proportionally by the
+    * LARGEST-REMAINDER method (the seat-apportionment algorithm: floor
+    * quotas, then the leftover units go to the largest fractional
+    * remainders — exact, no float shares), and each source admits docs in
+    * deterministic hash-priority order while the running token total stays
+    * within quota (reproducible on any cluster/retry — the X35 gate
+    * pattern, no RNG).
+    *
+    * Scale: the doc scan computes (tokens, priority) map-side; the
+    * source census and quota algebra ride a #sources-row metadata frame
+    * (its global remainder-rank window is metadata-scale); the admission
+    * window is SOURCE-partitioned. Quota products are DECIMAL(38,0) —
+    * budget·mass overflows BIGINT at real corpus sizes. */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("source"), col("doc_id"),
+      size(TextHash.tokens(col("text"))).cast("long").as("n_tokens"),
+      TextHash.strHash(concat(lit("budget:"), col("doc_id").cast("string")))
+        .as("pri"))
+    val bySrc = docs.groupBy(col("source")).agg(sum(col("n_tokens")).as("m_tokens"))
+    val tot = bySrc.agg(sum(col("m_tokens")).as("m_total"))
+    val alloc = bySrc.crossJoin(broadcast(tot))
+      .withColumn("budget", expr("(m_total * 6) div 10"))
+      .withColumn("base",
+        expr("CAST((CAST(budget AS DECIMAL(38,0)) * m_tokens) div m_total AS BIGINT)"))
+      .withColumn("rem",
+        expr("CAST((CAST(budget AS DECIMAL(38,0)) * m_tokens) % m_total AS BIGINT)"))
+    val wRem = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("source"))
+    val quotas = alloc
+      .withColumn("leftover",
+        col("budget") - sum(col("base")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("rk", row_number().over(wRem).cast("long"))
+      .withColumn("quota",
+        col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+      .select(col("source"), col("m_tokens"), col("quota"))
+    val wSel = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("pri"), col("doc_id"))
+    val sel = docs.join(broadcast(quotas.select("source", "quota")), Seq("source"))
+      .withColumn("cum", sum(col("n_tokens")).over(wSel))
+      .filter(col("cum") <= col("quota"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_selected"), sum(col("n_tokens")).as("sel_tokens"))
+    quotas.join(sel, Seq("source"), "left")
+      .select(col("source"), col("m_tokens"), col("quota"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+        coalesce(col("sel_tokens"), lit(0L)).as("sel_tokens"))
+      .withColumn("fill_permille",
+        expr("(sel_tokens * 1000) div nullif(quota, 0)"))
+      .orderBy(col("source"))
+  }
+
+  /** Cross-source quantile normalization — the calibration pass run before
+    * mixing heterogeneously-scored corpora: each doc's within-source rank
+    * is mapped to the GLOBAL score distribution, so a "0.9-quantile doc"
+    * means the same thing whatever feed it came from (the batch-effect
+    * correction genomics calls quantile normalization). The within-source
+    * rank is integer-exact ((rk−1)·1000 div (n−1) on a 1001-point grid);
+    * the global grid values come from ONE percentile aggregate (partial-
+    * merging — no global sort, unlike a rank-join formulation), quantized
+    * at 1e-4 (the equidepth/PSI cut mechanism) so both engines' quantile
+    * interpolation agrees bit-for-bit. Per-source windows are key-
+    * partitioned; the 1001-value grid broadcasts. */
+  def quantileNorm(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars").as("score"))
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("score"), col("doc_id"))
+    val r = d
+      .withColumn("rk", row_number().over(wS).cast("long"))
+      .withColumn("ns", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source")))
+        .cast("long"))
+      .withColumn("q",
+        expr("CASE WHEN ns = 1 THEN 500 ELSE ((rk - 1) * 1000) div (ns - 1) END"))
+    // percentile's fraction argument must be a literal array
+    val fracs = typedLit((0 to 1000).map(_ / 1000.0))
+    val cuts = d.agg(transform(
+      call_function("percentile", col("score"), fracs),
+      c => floor(c * 1e4 + 0.5) / 1e4).as("cuts"))
+    r.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("source"), col("score"), col("q"),
+        element_at(col("cuts"), col("q").cast("int") + 1).as("norm_score"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_budget" -> tokenBudget,
+    "text_quantile_norm" -> quantileNorm,
     "text_heavy_hitters" -> heavyHitters,
     "text_bpe_merge" -> bpeMerge,
     "text_mixture_weights" -> mixtureWeights,

@@ -672,7 +672,60 @@ object TextOracles {
        |FROM c ORDER BY source""".stripMargin
   }
 
+  /** Largest-remainder token-budget allocation + hash-priority greedy
+    * fill; HUGEINT products mirror the Spark side's DECIMAL(38,0). */
+  val tokenBudget: String = {
+    val h = strHash("'budget:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH d AS (SELECT source, doc_id,
+       |         CAST(len($toks) AS BIGINT) AS n_tokens, $h AS pri
+       |       FROM documents),
+       |bysrc AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS m_tokens
+       |          FROM d GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(m_tokens) AS BIGINT) AS m_total FROM bysrc),
+       |alloc AS (SELECT source, m_tokens, (m_total * 6) // 10 AS budget,
+       |           CAST((CAST((m_total * 6) // 10 AS HUGEINT) * m_tokens) // m_total
+       |             AS BIGINT) AS base,
+       |           CAST((CAST((m_total * 6) // 10 AS HUGEINT) * m_tokens) % m_total
+       |             AS BIGINT) AS rem
+       |          FROM bysrc, tot),
+       |q AS (SELECT source, m_tokens,
+       |       base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+       |                   <= budget - SUM(base) OVER () THEN 1 ELSE 0 END AS quota
+       |      FROM alloc),
+       |sel AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_selected,
+       |         CAST(SUM(n_tokens) AS BIGINT) AS sel_tokens
+       |        FROM (SELECT source, n_tokens,
+       |               SUM(n_tokens) OVER (PARTITION BY source
+       |                 ORDER BY pri, doc_id) AS cum FROM d) d
+       |        JOIN q ON d.source = q.source
+       |        WHERE cum <= quota GROUP BY 1)
+       |SELECT q.source, m_tokens, CAST(quota AS BIGINT) AS quota,
+       |       COALESCE(n_selected, 0) AS n_selected,
+       |       COALESCE(sel_tokens, 0) AS sel_tokens,
+       |       (COALESCE(sel_tokens, 0) * 1000) // nullif(quota, 0) AS fill_permille
+       |FROM q LEFT JOIN sel ON q.source = sel.source
+       |ORDER BY q.source""".stripMargin
+  }
+
+  /** Integer rank grid + one global quantile list quantized at 1e-4. */
+  val quantileNorm: String =
+    """WITH d AS (SELECT doc_id, source, n_chars AS score FROM documents),
+      |r AS (SELECT doc_id, source, score,
+      |       CAST(row_number() OVER (PARTITION BY source
+      |         ORDER BY score, doc_id) AS BIGINT) AS rk,
+      |       CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS ns FROM d),
+      |g AS (SELECT list_transform(
+      |         quantile_cont(score, list_transform(range(0, 1001), i -> i/1000.0)),
+      |         c -> floor(c*10000.0 + 0.5)/10000.0) AS cuts FROM d)
+      |SELECT doc_id, source, score,
+      |  CASE WHEN ns = 1 THEN 500 ELSE ((rk - 1) * 1000) // (ns - 1) END AS q,
+      |  cuts[CAST(CASE WHEN ns = 1 THEN 500
+      |            ELSE ((rk - 1) * 1000) // (ns - 1) END AS INT) + 1] AS norm_score
+      |FROM r, g ORDER BY doc_id""".stripMargin
+
   val all: Map[String, String] = Map(
+    "text_token_budget" -> tokenBudget,
+    "text_quantile_norm" -> quantileNorm,
     "text_bm25" -> bm25,
     "text_quality_ci" -> qualityCi,
     "text_jsonl_roundtrip" -> jsonlRoundtrip,
