@@ -122,6 +122,10 @@ object SparkEntry {
     // per-corridor travel-time profile over consecutive hops
     "transit_od_corridors" -> ((s, dir) =>
       Queries.odCorridors(TransitTables.fromTpch(s, dir))),
+    // degree assortativity (Newman r) of the stop graph — exact integer
+    // moments plus one identically-written float division
+    "transit_assortativity" -> ((s, dir) =>
+      Queries.assortativity(TransitTables.fromTpch(s, dir))),
     "transit_service_span" -> ((s, dir) =>
       Queries.serviceSpan(TransitTables.fromTpch(s, dir))),
     // §2-adjacent feed QA: the validation pass a GTFS ingest runs first
@@ -197,6 +201,7 @@ object SparkEntry {
     "transit_pagerank_k3" -> TransitOracles.pagerank(3),
     "transit_core_layers" -> TransitOracles.coreLayers(),
     "transit_od_corridors" -> TransitOracles.odCorridors,
+    "transit_assortativity" -> TransitOracles.assortativity,
     "transit_service_span" -> TransitOracles.serviceSpan,
     "transit_gtfs_validation" -> TransitOracles.gtfsValidation,
     "transit_gtfs_validation_roundtrip" -> TransitOracles.gtfsValidation,

@@ -618,6 +618,46 @@ object Queries {
       .orderBy(col("layer"))
   }
 
+  /** Degree assortativity (Newman 2002) of the consecutive-stop graph —
+    * the one-number mixing summary: r > 0 means hubs attach to hubs
+    * (rich-club topology), r < 0 hubs to leaves (star/feeder topology) —
+    * the shape prior a partitioner or embedding trainer wants to know.
+    * Over the symmetric edge list, Pearson r of endpoint degrees reduces
+    * to r = (m·Σxy − (Σx)²)/(m·Σx² − (Σx)²) since symmetry makes the x
+    * and y marginals identical. Degree products sum in DECIMAL(38,0)
+    * (BIGINT would wrap at real-graph hub degrees); the BIGINT-exact sums
+    * are emitted alongside r so the oracle binds the integers tightly and
+    * the one float division is an identical expression in both engines.
+    * Shape: one edge build + a broadcastable degree frame joined twice +
+    * a single global aggregate — no windows, no iteration. */
+  def assortativity(t: TransitTables): DataFrame = {
+    val st = t.stopTimes.select(col("trip_id"), col("stop_id"), col("stop_sequence"))
+    val und = st.as("a").join(st.as("b"),
+        col("a.trip_id") === col("b.trip_id") &&
+          col("b.stop_sequence") === col("a.stop_sequence") + 1 &&
+          col("a.stop_id") =!= col("b.stop_id"))
+      .select(least(col("a.stop_id"), col("b.stop_id")).as("u"),
+        greatest(col("a.stop_id"), col("b.stop_id")).as("v"))
+      .distinct()
+    val sym = und.select(col("u").as("s"), col("v").as("t"))
+      .union(und.select(col("v").as("s"), col("u").as("t")))
+    val deg = sym.groupBy(col("s")).agg(count(lit(1)).as("d"))
+    sym
+      .join(broadcast(deg.select(col("s"), col("d").as("dx"))), Seq("s"))
+      .join(broadcast(deg.select(col("s").as("t"), col("d").as("dy"))), Seq("t"))
+      .agg(
+        count(lit(1)).as("m"),
+        sum(expr("CAST(dx AS DECIMAL(38,0)) * dy")).as("sxy_d"),
+        sum(col("dx")).as("sum_x"),
+        sum(expr("CAST(dx AS DECIMAL(38,0)) * dx")).as("sxx_d"))
+      .select(col("m"), col("sxy_d").cast("long").as("sum_xy"),
+        col("sum_x"), col("sxx_d").cast("long").as("sum_xx"))
+      .withColumn("r", round(expr(
+        """(CAST(m AS DOUBLE) * sum_xy - CAST(sum_x AS DOUBLE) * sum_x) /
+          |(CAST(m AS DOUBLE) * sum_xx - CAST(sum_x AS DOUBLE) * sum_x)"""
+          .stripMargin), 6))
+  }
+
   /** Transfer reachability — stops reachable from an origin within ≤k
     * rides, labeled with the minimum ride count (0 = origin). BFS over the
     * bipartite stop–route incidence expressed as alternating distinct

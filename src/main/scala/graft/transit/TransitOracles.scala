@@ -545,6 +545,30 @@ object TransitOracles {
        |FROM a0 GROUP BY 1 ORDER BY layer""".stripMargin
   }
 
+  /** Degree assortativity: exact HUGEINT sums (mirroring Spark's
+    * DECIMAL(38,0)), the single float division written as the identical
+    * expression, round 6. */
+  val assortativity: String =
+    s"""$P, st2 AS (SELECT trip_id, stop_id, stop_sequence FROM stop_times),
+       |und AS (SELECT DISTINCT LEAST(a.stop_id, b.stop_id) AS u,
+       |               GREATEST(a.stop_id, b.stop_id) AS v
+       |        FROM st2 a JOIN st2 b ON a.trip_id = b.trip_id
+       |         AND b.stop_sequence = a.stop_sequence + 1
+       |         AND a.stop_id <> b.stop_id),
+       |sym AS (SELECT u AS s, v AS t FROM und UNION ALL SELECT v, u FROM und),
+       |deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+       |e AS (SELECT d1.d AS dx, d2.d AS dy
+       |      FROM sym JOIN deg d1 ON sym.s = d1.s JOIN deg d2 ON sym.t = d2.s),
+       |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+       |       CAST(SUM(CAST(dx AS HUGEINT) * dy) AS BIGINT) AS sum_xy,
+       |       CAST(SUM(dx) AS BIGINT) AS sum_x,
+       |       CAST(SUM(CAST(dx AS HUGEINT) * dx) AS BIGINT) AS sum_xx FROM e)
+       |SELECT m, sum_xy, sum_x, sum_xx,
+       |       round((CAST(m AS DOUBLE) * sum_xy - CAST(sum_x AS DOUBLE) * sum_x) /
+       |             (CAST(m AS DOUBLE) * sum_xx - CAST(sum_x AS DOUBLE) * sum_x), 6)
+       |         AS r
+       |FROM a""".stripMargin
+
   /** PMI over distinct-trip co-occurrence; exact BIGINT counts, one ln
     * on an identically-ordered double expression, round 6. */
   val stopPmi: String =
