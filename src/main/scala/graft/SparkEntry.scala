@@ -126,6 +126,9 @@ object SparkEntry {
     // moments plus one identically-written float division
     "transit_assortativity" -> ((s, dir) =>
       Queries.assortativity(TransitTables.fromTpch(s, dir))),
+    // per-node local clustering coefficient over the same stop graph
+    "transit_clustering_coef" -> ((s, dir) =>
+      Queries.clusteringCoef(TransitTables.fromTpch(s, dir))),
     "transit_service_span" -> ((s, dir) =>
       Queries.serviceSpan(TransitTables.fromTpch(s, dir))),
     // §2-adjacent feed QA: the validation pass a GTFS ingest runs first
@@ -202,6 +205,7 @@ object SparkEntry {
     "transit_core_layers" -> TransitOracles.coreLayers(),
     "transit_od_corridors" -> TransitOracles.odCorridors,
     "transit_assortativity" -> TransitOracles.assortativity,
+    "transit_clustering_coef" -> TransitOracles.clusteringCoef,
     "transit_service_span" -> TransitOracles.serviceSpan,
     "transit_gtfs_validation" -> TransitOracles.gtfsValidation,
     "transit_gtfs_validation_roundtrip" -> TransitOracles.gtfsValidation,

@@ -658,6 +658,46 @@ object Queries {
           .stripMargin), 6))
   }
 
+  /** Local clustering coefficient per stop — the node-level companion to
+    * the global triangle count: lcc(v) = 2·tri(v)/(d(v)·(d(v)−1)), the
+    * fraction of v's neighbor pairs that are themselves adjacent. High-lcc
+    * stops sit in mesh-like interchange clusters; lcc≈0 marks pure
+    * corridor stops — the feature a graph-sampling or curriculum stage
+    * keys on. Counts are BIGINT-exact (wedge join on the canonical u<v
+    * edge orientation counts each triangle once per apex); the one float
+    * division is written as the identical expression in both engines.
+    * Shape: two self-joins on the symmetric edge list, both shuffling on
+    * the apex key, then a broadcastable degree frame — no windows. */
+  def clusteringCoef(t: TransitTables): DataFrame = {
+    val st = t.stopTimes.select(col("trip_id"), col("stop_id"), col("stop_sequence"))
+    val und = st.as("a").join(st.as("b"),
+        col("a.trip_id") === col("b.trip_id") &&
+          col("b.stop_sequence") === col("a.stop_sequence") + 1 &&
+          col("a.stop_id") =!= col("b.stop_id"))
+      .select(least(col("a.stop_id"), col("b.stop_id")).as("u"),
+        greatest(col("a.stop_id"), col("b.stop_id")).as("v"))
+      .distinct()
+    val sym = und.select(col("u").as("s"), col("v").as("t"))
+      .union(und.select(col("v").as("s"), col("u").as("t")))
+    val deg = sym.groupBy(col("s")).agg(count(lit(1)).as("d"))
+    // wedges at apex v with a<b match und's canonical orientation directly
+    val wedges = sym.as("e1").join(sym.as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
+      .select(col("e1.s").as("apex"), col("e1.t").as("a"), col("e2.t").as("b"))
+    val tri = wedges
+      .join(und.select(col("u").as("a"), col("v").as("b")), Seq("a", "b"))
+      .groupBy(col("apex")).agg(count(lit(1)).as("tri"))
+    deg.select(col("s").as("stop_id"), col("d"))
+      .join(tri.select(col("apex").as("stop_id"), col("tri")), Seq("stop_id"), "left")
+      .na.fill(0L, Seq("tri"))
+      .select(col("stop_id"), col("d"), col("tri"),
+        round(expr(
+          """CASE WHEN d >= 2
+            |  THEN CAST(2 AS DOUBLE) * tri / (CAST(d AS DOUBLE) * (d - 1))
+            |  ELSE CAST(0 AS DOUBLE) END""".stripMargin), 6).as("lcc"))
+      .orderBy(col("stop_id"))
+  }
+
   /** Transfer reachability — stops reachable from an origin within ≤k
     * rides, labeled with the minimum ride count (0 = origin). BFS over the
     * bipartite stop–route incidence expressed as alternating distinct

@@ -569,6 +569,30 @@ object TransitOracles {
        |         AS r
        |FROM a""".stripMargin
 
+  /** Local clustering coefficient: exact wedge/triangle counts, identical
+    * float division, round 6. */
+  val clusteringCoef: String =
+    s"""$P, st2 AS (SELECT trip_id, stop_id, stop_sequence FROM stop_times),
+       |und AS (SELECT DISTINCT LEAST(a.stop_id, b.stop_id) AS u,
+       |               GREATEST(a.stop_id, b.stop_id) AS v
+       |        FROM st2 a JOIN st2 b ON a.trip_id = b.trip_id
+       |         AND b.stop_sequence = a.stop_sequence + 1
+       |         AND a.stop_id <> b.stop_id),
+       |sym AS (SELECT u AS s, v AS t FROM und UNION ALL SELECT v, u FROM und),
+       |deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+       |w AS (SELECT e1.s AS apex, e1.t AS a, e2.t AS b
+       |      FROM sym e1 JOIN sym e2 ON e1.s = e2.s AND e1.t < e2.t),
+       |tri AS (SELECT apex, CAST(COUNT(*) AS BIGINT) AS tri
+       |        FROM w JOIN und ON w.a = und.u AND w.b = und.v GROUP BY 1)
+       |SELECT deg.s AS stop_id, deg.d,
+       |       COALESCE(tri.tri, CAST(0 AS BIGINT)) AS tri,
+       |       round(CASE WHEN deg.d >= 2
+       |               THEN CAST(2 AS DOUBLE) * COALESCE(tri.tri, 0)
+       |                    / (CAST(deg.d AS DOUBLE) * (deg.d - 1))
+       |               ELSE CAST(0 AS DOUBLE) END, 6) AS lcc
+       |FROM deg LEFT JOIN tri ON deg.s = tri.apex
+       |ORDER BY stop_id""".stripMargin
+
   /** PMI over distinct-trip co-occurrence; exact BIGINT counts, one ln
     * on an identically-ordered double expression, round 6. */
   val stopPmi: String =
