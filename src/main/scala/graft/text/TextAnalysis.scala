@@ -134,6 +134,31 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Rendezvous (highest-random-weight) sharding — the elastic alternative
+    * to `doc_id % N`: each doc goes to the shard maximizing
+    * hash(shard, doc), so growing N=8 → 9 moves ONLY the ≈1/9 of docs
+    * whose new shard-8 weight wins; modulo sharding would reshuffle ~8/9
+    * of a 100 TB corpus. The argmax is pure integer arithmetic both
+    * engines compute identically (weight·16 + shard packs the tie-break
+    * into one BIGINT; weights < 2³¹ so no overflow). Emits the per-shard
+    * census plus the movement count under N→N+1 — the audit that proves
+    * the minimal-movement property on real data. Embarrassingly parallel
+    * per row; the only shuffle is the final 16-group census. */
+  def hrwShards(spark: SparkSession, dir: String): DataFrame = {
+    def key(n: Int): Column = greatest((0 until n).map { i =>
+      TextHash.strHash(concat(lit(s"hrw:$i:"), col("doc_id").cast("string"))) * 16L + i
+    }: _*)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        (key(8) % 16).cast("int").as("shard"),
+        (key(9) % 16).cast("int").as("shard9"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        sum(when(col("shard9") =!= col("shard"), 1L).otherwise(0L)).as("n_moved"))
+      .orderBy(col("shard"))
+  }
+
   /** Per-language sampling gates out of 1000 — the corpus-rebalancing
     * knob: the dominant language (en) is downsampled hardest. */
   val sampleRates: Seq[(String, Int)] = Seq(
@@ -1252,6 +1277,7 @@ object TextAnalysis {
     "text_quality_ci" -> qualityCi,
     "text_quality_deciles" -> qualityDeciles,
     "text_split_assign" -> splitAssign,
+    "text_hrw_shards" -> hrwShards,
     "text_length_histogram" -> lengthHistogram,
     "text_token_stats" -> tokenStats,
     "text_quality" -> quality,

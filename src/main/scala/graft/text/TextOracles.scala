@@ -149,6 +149,22 @@ object TextOracles {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Rendezvous sharding: identical packed-BIGINT argmax, exact census. */
+  val hrwShards: String = {
+    def key(n: Int) = "greatest(" + (0 until n).map(i =>
+      s"(${strHash(s"'hrw:$i:' || CAST(doc_id AS VARCHAR)")} * 16 + $i)")
+      .mkString(", ") + ")"
+    s"""WITH a AS (SELECT doc_id, n_chars,
+       |  CAST(${key(8)} % 16 AS INT) AS shard,
+       |  CAST(${key(9)} % 16 AS INT) AS shard9
+       |FROM documents)
+       |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |       CAST(SUM(CASE WHEN shard9 <> shard THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_moved
+       |FROM a GROUP BY 1 ORDER BY shard""".stripMargin
+  }
+
   val stratifiedSample: String = {
     val h = s"(${strHash("'strat:' || CAST(doc_id AS VARCHAR)")} % 1000)"
     val rate = TextAnalysis.sampleRates.reverse.foldLeft("0") {
@@ -758,6 +774,7 @@ object TextOracles {
     "text_padding_waste" -> paddingWaste,
     "text_quality_deciles" -> qualityDeciles,
     "text_split_assign" -> splitAssign,
+    "text_hrw_shards" -> hrwShards,
     "text_length_histogram" -> lengthHistogram,
     "text_token_stats" -> tokenStats,
     "text_quality" -> quality,
