@@ -129,6 +129,9 @@ object SparkEntry {
     // per-node local clustering coefficient over the same stop graph
     "transit_clustering_coef" -> ((s, dir) =>
       Queries.clusteringCoef(TransitTables.fromTpch(s, dir))),
+    // deterministic hash-draw random walks: graph → embedding-training corpus
+    "transit_walk_corpus" -> ((s, dir) =>
+      Queries.walkCorpus(TransitTables.fromTpch(s, dir))),
     "transit_service_span" -> ((s, dir) =>
       Queries.serviceSpan(TransitTables.fromTpch(s, dir))),
     // §2-adjacent feed QA: the validation pass a GTFS ingest runs first
@@ -206,6 +209,7 @@ object SparkEntry {
     "transit_od_corridors" -> TransitOracles.odCorridors,
     "transit_assortativity" -> TransitOracles.assortativity,
     "transit_clustering_coef" -> TransitOracles.clusteringCoef,
+    "transit_walk_corpus" -> TransitOracles.walkCorpus(),
     "transit_service_span" -> TransitOracles.serviceSpan,
     "transit_gtfs_validation" -> TransitOracles.gtfsValidation,
     "transit_gtfs_validation_roundtrip" -> TransitOracles.gtfsValidation,

@@ -698,6 +698,46 @@ object Queries {
       .orderBy(col("stop_id"))
   }
 
+  /** Deterministic random-walk corpus (DeepWalk/node2vec input) — one
+    * length-4 walk per stop over the consecutive-stop graph, the
+    * graph→sentence bridge that turns topology into trainable token
+    * sequences. "Random" is a reproducible hash draw: at step k walk w
+    * moves to the neighbor minimizing strHash("walk:k:w:nbr") (ties by
+    * node id), so any cluster size, retry, or engine re-derives the same
+    * corpus — the property a 100 TB embedding pipeline needs from its
+    * sampler. Each step is one join frontier⋈edges shuffling on the walk
+    * key plus a per-walk top-1 window (WindowGroupLimit, no global sort);
+    * k steps = k such stages, no driver-side state. */
+  def walkCorpus(t: TransitTables, steps: Int = 3): DataFrame = {
+    import graft.functions.TextHash
+    val st = t.stopTimes.select(col("trip_id"), col("stop_id"), col("stop_sequence"))
+    val und = st.as("a").join(st.as("b"),
+        col("a.trip_id") === col("b.trip_id") &&
+          col("b.stop_sequence") === col("a.stop_sequence") + 1 &&
+          col("a.stop_id") =!= col("b.stop_id"))
+      .select(least(col("a.stop_id"), col("b.stop_id")).as("u"),
+        greatest(col("a.stop_id"), col("b.stop_id")).as("v"))
+      .distinct()
+    val sym = und.select(col("u").as("s"), col("v").as("nbr"))
+      .union(und.select(col("v").as("s"), col("u").as("nbr")))
+    val starts = sym.select(col("s")).distinct()
+      .select(col("s").as("walk_id"), lit(0).as("step"), col("s").as("node"))
+    var frontier = starts
+    var corpus = starts
+    for (k <- 1 to steps) {
+      val cand = frontier.join(sym, frontier("node") === sym("s"))
+        .select(col("walk_id"), lit(k).as("step"), col("nbr").as("node"),
+          TextHash.strHash(concat(lit(s"walk:$k:"), col("walk_id").cast("string"),
+            lit(":"), col("nbr").cast("string"))).as("h"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("walk_id")).orderBy(col("h"), col("node"))
+      frontier = cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("walk_id"), col("step"), col("node"))
+      corpus = corpus.unionByName(frontier)
+    }
+    corpus.orderBy(col("walk_id"), col("step"))
+  }
+
   /** Transfer reachability — stops reachable from an origin within ≤k
     * rides, labeled with the minimum ride count (0 = origin). BFS over the
     * bipartite stop–route incidence expressed as alternating distinct

@@ -593,6 +593,32 @@ object TransitOracles {
        |FROM deg LEFT JOIN tri ON deg.s = tri.apex
        |ORDER BY stop_id""".stripMargin
 
+  /** Deterministic walk corpus: the same hash-argmin unrolled as one CTE
+    * chain per step, row_number tie-broken on (h, node). */
+  def walkCorpus(steps: Int = 3): String = {
+    import graft.functions.TextHashSql.strHash
+    def stepCte(k: Int): String = {
+      val h = strHash(s"'walk:$k:' || CAST(walk_id AS VARCHAR) || ':' || CAST(nbr AS VARCHAR)")
+      s"""c$k AS (SELECT w${k - 1}.walk_id, $k AS step, sym.nbr AS node, $h AS h
+         |        FROM w${k - 1} JOIN sym ON w${k - 1}.node = sym.s),
+         |w$k AS (SELECT walk_id, step, node FROM (
+         |          SELECT *, ROW_NUMBER() OVER (PARTITION BY walk_id
+         |                      ORDER BY h, node) AS rn FROM c$k)
+         |        WHERE rn = 1)""".stripMargin
+    }
+    s"""$P, st2 AS (SELECT trip_id, stop_id, stop_sequence FROM stop_times),
+       |und AS (SELECT DISTINCT LEAST(a.stop_id, b.stop_id) AS u,
+       |               GREATEST(a.stop_id, b.stop_id) AS v
+       |        FROM st2 a JOIN st2 b ON a.trip_id = b.trip_id
+       |         AND b.stop_sequence = a.stop_sequence + 1
+       |         AND a.stop_id <> b.stop_id),
+       |sym AS (SELECT u AS s, v AS nbr FROM und UNION ALL SELECT v, u FROM und),
+       |w0 AS (SELECT DISTINCT s AS walk_id, 0 AS step, s AS node FROM sym),
+       |${(1 to steps).map(stepCte).mkString(",\n")}
+       |${(0 to steps).map(k => s"SELECT walk_id, step, node FROM w$k").mkString("\nUNION ALL\n")}
+       |ORDER BY walk_id, step""".stripMargin
+  }
+
   /** PMI over distinct-trip co-occurrence; exact BIGINT counts, one ln
     * on an identically-ordered double expression, round 6. */
   val stopPmi: String =
