@@ -132,6 +132,9 @@ object SparkEntry {
     // deterministic hash-draw random walks: graph → embedding-training corpus
     "transit_walk_corpus" -> ((s, dir) =>
       Queries.walkCorpus(TransitTables.fromTpch(s, dir))),
+    // synchronous label-propagation community census (3 unrolled rounds)
+    "transit_lp_communities" -> ((s, dir) =>
+      Queries.lpCommunities(TransitTables.fromTpch(s, dir))),
     "transit_service_span" -> ((s, dir) =>
       Queries.serviceSpan(TransitTables.fromTpch(s, dir))),
     // §2-adjacent feed QA: the validation pass a GTFS ingest runs first
@@ -210,6 +213,7 @@ object SparkEntry {
     "transit_assortativity" -> TransitOracles.assortativity,
     "transit_clustering_coef" -> TransitOracles.clusteringCoef,
     "transit_walk_corpus" -> TransitOracles.walkCorpus(),
+    "transit_lp_communities" -> TransitOracles.lpCommunities(),
     "transit_service_span" -> TransitOracles.serviceSpan,
     "transit_gtfs_validation" -> TransitOracles.gtfsValidation,
     "transit_gtfs_validation_roundtrip" -> TransitOracles.gtfsValidation,

@@ -738,6 +738,47 @@ object Queries {
     corpus.orderBy(col("walk_id"), col("step"))
   }
 
+  /** Label-propagation communities — k synchronous rounds of "adopt the
+    * most frequent neighbor label" (ties → smallest label) from singleton
+    * seeds, reporting the per-round coarsening trajectory
+    * (communities, largest size). The classic near-linear community
+    * detector (Raghavan 2007); the deterministic tie-break makes the
+    * rounds engine-reproducible, so the oracle unrolls the identical
+    * k-round chain as CTEs. Each round is one edge⋈labels join (shuffle on
+    * the neighbor key), a (node,label) count, and a per-node top-1 window —
+    * WindowGroupLimit keeps the argmax from sorting whole partitions; at
+    * 100 TB the label frame stays node-sized, never edge-sized. */
+  def lpCommunities(t: TransitTables, rounds: Int = 3): DataFrame = {
+    val st = t.stopTimes.select(col("trip_id"), col("stop_id"), col("stop_sequence"))
+    val und = st.as("a").join(st.as("b"),
+        col("a.trip_id") === col("b.trip_id") &&
+          col("b.stop_sequence") === col("a.stop_sequence") + 1 &&
+          col("a.stop_id") =!= col("b.stop_id"))
+      .select(least(col("a.stop_id"), col("b.stop_id")).as("u"),
+        greatest(col("a.stop_id"), col("b.stop_id")).as("v"))
+      .distinct()
+    val sym = und.select(col("u").as("s"), col("v").as("nbr"))
+      .union(und.select(col("v").as("s"), col("u").as("nbr")))
+    var labels = sym.select(col("s")).distinct().select(col("s"), col("s").as("lbl"))
+    var trajectory: DataFrame = null
+    for (k <- 1 to rounds) {
+      val freq = sym
+        .join(labels.select(col("s").as("nbr"), col("lbl")), Seq("nbr"))
+        .groupBy(col("s"), col("lbl")).agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("s")).orderBy(col("cnt").desc, col("lbl"))
+      labels = freq.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("s"), col("lbl"))
+      // coarsening trajectory: how fast the label space collapses is the
+      // signal (the fixture graph goes 23 → 8 → 1 over three rounds)
+      val summary = labels.groupBy(col("lbl")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_communities"), max(col("n")).as("largest"))
+        .select(lit(k).as("round"), col("n_communities"), col("largest"))
+      trajectory = if (trajectory == null) summary else trajectory.unionByName(summary)
+    }
+    trajectory.orderBy(col("round"))
+  }
+
   /** Transfer reachability — stops reachable from an origin within ≤k
     * rides, labeled with the minimum ride count (0 = origin). BFS over the
     * bipartite stop–route incidence expressed as alternating distinct

@@ -619,6 +619,34 @@ object TransitOracles {
        |ORDER BY walk_id, step""".stripMargin
   }
 
+  /** Label propagation: identical k unrolled rounds, (cnt DESC, lbl)
+    * row_number tie-break, BIGINT census. */
+  def lpCommunities(rounds: Int = 3): String = {
+    def roundCte(k: Int): String =
+      s"""f$k AS (SELECT sym.s, l${k - 1}.lbl, CAST(COUNT(*) AS BIGINT) AS cnt
+         |        FROM sym JOIN l${k - 1} ON sym.nbr = l${k - 1}.s
+         |        GROUP BY sym.s, l${k - 1}.lbl),
+         |l$k AS (SELECT s, lbl FROM (
+         |          SELECT *, ROW_NUMBER() OVER (PARTITION BY s
+         |                      ORDER BY cnt DESC, lbl) AS rn FROM f$k)
+         |        WHERE rn = 1)""".stripMargin
+    s"""$P, st2 AS (SELECT trip_id, stop_id, stop_sequence FROM stop_times),
+       |und AS (SELECT DISTINCT LEAST(a.stop_id, b.stop_id) AS u,
+       |               GREATEST(a.stop_id, b.stop_id) AS v
+       |        FROM st2 a JOIN st2 b ON a.trip_id = b.trip_id
+       |         AND b.stop_sequence = a.stop_sequence + 1
+       |         AND a.stop_id <> b.stop_id),
+       |sym AS (SELECT u AS s, v AS nbr FROM und UNION ALL SELECT v, u FROM und),
+       |l0 AS (SELECT DISTINCT s, s AS lbl FROM sym),
+       |${(1 to rounds).map(roundCte).mkString(",\n")}
+       |${(1 to rounds).map(k =>
+          s"""SELECT $k AS round, CAST(COUNT(*) AS BIGINT) AS n_communities,
+             |       CAST(MAX(n) AS BIGINT) AS largest
+             |FROM (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS n FROM l$k GROUP BY 1)"""
+            .stripMargin).mkString("\nUNION ALL\n")}
+       |ORDER BY round""".stripMargin
+  }
+
   /** PMI over distinct-trip co-occurrence; exact BIGINT counts, one ln
     * on an identically-ordered double expression, round 6. */
   val stopPmi: String =
