@@ -47,6 +47,23 @@ object RelationalOracles {
        |    (SELECT COUNT(*) AS c FROM $child GROUP BY $fk)) AS max_fanout""".stripMargin
 
   val all: Map[String, String] = Map(
+    // bitmap index: identical 63-bit word build, word-aligned algebra
+    "rel_bitmap_index" ->
+      """WITH a AS (SELECT o_orderkey // 63 AS word_id,
+        |             bit_or((CAST(1 AS BIGINT) << CAST(o_orderkey % 63 AS INT))) AS wa
+        |           FROM orders WHERE o_totalprice > 150000 GROUP BY 1),
+        |b AS (SELECT o_orderkey // 63 AS word_id,
+        |        bit_or((CAST(1 AS BIGINT) << CAST(o_orderkey % 63 AS INT))) AS wb
+        |      FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' GROUP BY 1),
+        |j AS (SELECT COALESCE(wa, CAST(0 AS BIGINT)) AS wa,
+        |             COALESCE(wb, CAST(0 AS BIGINT)) AS wb
+        |      FROM a FULL OUTER JOIN b ON a.word_id = b.word_id)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+        |       CAST(SUM(bit_count(wa)) AS BIGINT) AS n_a,
+        |       CAST(SUM(bit_count(wb)) AS BIGINT) AS n_b,
+        |       CAST(SUM(bit_count((wa & wb))) AS BIGINT) AS n_and,
+        |       CAST(SUM(bit_count((wa | wb))) AS BIGINT) AS n_or
+        |FROM j""".stripMargin,
     // exact order statistics at integer rank targets ceil(p·n) (pure row
     // selection — no interpolation, no float); the sketch-side rank gates
     // are literal TRUE (KLL's ±4% band is ~6σ of the proven error bound)

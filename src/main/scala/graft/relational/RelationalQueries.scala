@@ -1921,7 +1921,38 @@ object RelationalQueries {
       .orderBy(col("file_id"))
   }
 
+  /** Bitmap-index build + set algebra — the columnar-warehouse trick for
+    * multi-predicate counting: encode each predicate's matching row set as
+    * 63-bit words keyed by o_orderkey DIV 63 (bit 63 stays clear — DuckDB
+    * guards the sign bit, and staying off it keeps both engines exact),
+    * then answer AND/OR cardinalities with pure word algebra instead of a
+    * second scan. The build is one map-side projection + a word-keyed
+    * bit_or (partial-aggregated, so each 63-row span ships one long); the
+    * combine is a word-aligned full-outer join. At 100 TB the bitmap is
+    * ~rows/63 longs per predicate — small enough to cache and reuse across
+    * a dashboard's predicate combinations. All-integer, bit-exact. */
+  def bitmapIndex(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def bitmap(pred: String, as: String): DataFrame =
+      o.filter(expr(pred))
+        .groupBy(expr("o_orderkey DIV 63").as("word_id"))
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(o_orderkey % 63 AS INT)))")
+          .as(as))
+    val a = bitmap("o_totalprice > 150000", "wa")
+    val b = bitmap("o_orderdate >= TIMESTAMP '1997-01-01'", "wb")
+    a.join(b, Seq("word_id"), "full_outer")
+      .select(coalesce(col("wa"), lit(0L)).as("wa"),
+        coalesce(col("wb"), lit(0L)).as("wb"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(expr("bit_count(wa)")).cast("long").as("n_a"),
+        sum(expr("bit_count(wb)")).cast("long").as("n_b"),
+        sum(expr("bit_count((wa & wb))")).cast("long").as("n_and"),
+        sum(expr("bit_count((wa | wb))")).cast("long").as("n_or"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_bitmap_index" -> bitmapIndex,
     "rel_kll_quantiles" -> kllQuantiles,
     "rel_cusum_changepoint" -> cusumChangepoint,
     "rel_ab_test" -> abTest,
