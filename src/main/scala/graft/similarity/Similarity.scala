@@ -679,7 +679,51 @@ object Similarity {
       .orderBy(col("cell"))
   }
 
+  val KDensity = 8
+
+  /** kNN-density out-of-distribution scoring — each vector's score is the
+    * cosine to its k-th nearest same-LSH-bucket neighbor (k=8, clamped to
+    * the bucket population); the 10 lowest scores are the most isolated
+    * points, the standard non-parametric curation signal (low local
+    * density → mislabeled / off-distribution / junk). Complements
+    * [[centroidOutliers]] (parametric, global): kNN-density catches points
+    * far from everything even when the global moments look fine. Bucketing
+    * makes it the scale path — pairs grow per-bucket, never corpus², the
+    * same reason [[annLsh]] beats brute at 100 TB. Points alone in their
+    * bucket score −2 (below any cosine), surfacing them first. */
+  def oodKnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(
+      col("vec_id"), col("embedding"),
+      graft.functions.GraftFunctions.l2norm(spark, col("embedding")).as("nrm"),
+      lshBucket(col("embedding"), 64, graft.dedup.Dedup.AnnPlanes).as("bucket"))
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+      col("nrm").as("qn"), col("bucket"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+      col("nrm").as("cn"), col("bucket"))
+    val pairs = q.join(c, Seq("bucket")).filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (graft.functions.GraftFunctions.dot(spark, col("qv"), col("cv")) /
+          (col("qn") * col("cn"))).as("raw"))
+    val kth = pairs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("raw").desc, col("cid"))))
+      .withColumn("n_nbrs",
+        count(lit(1)).over(Window.partitionBy(col("qid"))))
+      .filter(col("rn") === least(lit(KDensity.toLong), col("n_nbrs")))
+      .select(col("qid").as("vec_id"), col("n_nbrs"), col("raw"))
+    val singletons = e.select(col("vec_id"))
+      .join(kth.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), lit(0L).as("n_nbrs"),
+        lit(null).cast("double").as("raw"))
+    kth.unionByName(singletons)
+      .select(col("vec_id"), col("n_nbrs"),
+        round(coalesce(col("raw"), lit(-2.0)), 6).as("ood_score"))
+      .orderBy(col("ood_score"), col("vec_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ood_knn" -> oodKnn,
     "sim_ann_ivf_persisted" -> annIvfPersisted,
     "dedup_semantic" -> semanticDedup,
     "sim_negative_sample" -> negativeSample,
@@ -1154,7 +1198,30 @@ object SimilarityOracles {
        |ORDER BY cell""".stripMargin
   }
 
+  /** kNN-density OOD: same bucketed pairs, kth-rank window, −2 singleton
+    * floor; cosine is the bit-identical fold. */
+  val oodKnn: String =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |         ${TextHashSql.lshBucket("embedding", 64, graft.dedup.Dedup.AnnPlanes)} AS bucket
+       |       FROM embeddings),
+       |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |        ${TextHashSql.cosine("q.embedding", "c.embedding")} AS raw
+       |      FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+       |r AS (SELECT qid, cid, raw,
+       |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY raw DESC, cid) AS rn,
+       |        CAST(COUNT(*) OVER (PARTITION BY qid) AS BIGINT) AS n_nbrs
+       |      FROM p),
+       |kth AS (SELECT qid AS vec_id, n_nbrs, raw FROM r
+       |        WHERE rn = LEAST(${Similarity.KDensity}, n_nbrs)),
+       |s AS (SELECT vec_id, CAST(0 AS BIGINT) AS n_nbrs, CAST(NULL AS DOUBLE) AS raw
+       |      FROM e WHERE vec_id NOT IN (SELECT vec_id FROM kth))
+       |SELECT vec_id, n_nbrs, round(COALESCE(raw, -2.0), 6) AS ood_score
+       |FROM (SELECT * FROM kth UNION ALL SELECT * FROM s)
+       |ORDER BY ood_score, vec_id
+       |LIMIT 10""".stripMargin
+
   val all: Map[String, String] = Map(
+    "sim_ood_knn" -> oodKnn,
     // persisted-index round trip is lossless; probe semantics = annIvf
     "sim_ann_ivf_persisted" -> annIvf,
     "dedup_semantic" -> semanticDedup,
