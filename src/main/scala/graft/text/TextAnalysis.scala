@@ -159,6 +159,57 @@ object TextAnalysis {
       .orderBy(col("shard"))
   }
 
+  /** Target "high-quality" source for [[dsirImportance]]. */
+  val DsirTarget = "src0"
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every doc by how
+    * much more likely its unigrams are under a target-domain LM than under
+    * the raw-corpus LM — w(doc) = (1/n)·Σ_t c_t·[ln p_T(t) − ln p_R(t)],
+    * add-1 smoothing over the shared vocab — and surface the top-20
+    * selection. The standard cheap proxy for "looks like the reference
+    * corpus" when picking pretraining data. Token stats are two hash
+    * aggregates over (token) — corpus-sized, not doc×vocab; the per-doc
+    * score folds c·Δ over the TOKEN-SORTED term list so both engines sum
+    * the doubles in one order (bit-identical, then 6-dp); the final top-20
+    * is TakeOrderedAndProject, never a global sort. */
+  def dsirImportance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tok = docs.select(col("doc_id"), col("source"),
+      explode(TextHash.tokens(col("text"))).as("token"))
+    val perDoc = tok.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val rawCnt = tok.groupBy(col("token")).agg(count(lit(1)).as("c_raw"))
+    val tgtCnt = tok.filter(col("source") === DsirTarget)
+      .groupBy(col("token")).agg(count(lit(1)).as("c_tgt"))
+    val vocab = rawCnt.join(tgtCnt, Seq("token"), "left")
+      .na.fill(0L, Seq("c_tgt"))
+    val scalars = vocab.agg(
+      sum(col("c_raw")).as("n_raw"), sum(col("c_tgt")).as("n_tgt"),
+      count(lit(1)).as("v"))
+    val delta = vocab.crossJoin(broadcast(scalars))
+      .select(col("token"),
+        expr("ln(CAST(c_tgt + 1 AS DOUBLE) / (n_tgt + v)) - " +
+          "ln(CAST(c_raw + 1 AS DOUBLE) / (n_raw + v))").as("delta"))
+    perDoc.join(delta, Seq("token"))
+      .select(col("doc_id"), col("token"), col("c"),
+        (col("c").cast("double") * col("delta")).as("cd"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        array_sort(collect_list(struct(col("token"), col("cd")))).as("terms"))
+      .select(col("doc_id"), col("n_tokens"),
+        (aggregate(col("terms"), lit(0.0), (acc, e) => acc + e("cd")) /
+          col("n_tokens")).as("w"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .orderBy(col("w").desc, col("doc_id")).limit(20)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("w").desc, col("doc_id"))))
+      .select(col("rnk"), col("doc_id"), col("source"), col("n_tokens"),
+        round(col("w"), 6).as("importance"))
+      .orderBy(col("rnk"))
+  }
+
   /** Per-language sampling gates out of 1000 — the corpus-rebalancing
     * knob: the dominant language (en) is downsampled hardest. */
   val sampleRates: Seq[(String, Int)] = Seq(
@@ -1278,6 +1329,7 @@ object TextAnalysis {
     "text_quality_deciles" -> qualityDeciles,
     "text_split_assign" -> splitAssign,
     "text_hrw_shards" -> hrwShards,
+    "text_dsir_importance" -> dsirImportance,
     "text_length_histogram" -> lengthHistogram,
     "text_token_stats" -> tokenStats,
     "text_quality" -> quality,

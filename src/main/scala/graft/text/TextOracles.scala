@@ -165,6 +165,37 @@ object TextOracles {
        |FROM a GROUP BY 1 ORDER BY shard""".stripMargin
   }
 
+  /** DSIR importance: identical smoothing arithmetic, token-sorted fold,
+    * rank on the raw (bit-identical) weight, round 6 at the edge. */
+  val dsirImportance: String =
+    s"""WITH tok AS (SELECT doc_id, source, unnest($toks) AS token FROM documents),
+       |per_doc AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+       |            FROM tok GROUP BY 1, 2),
+       |raw AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c_raw FROM tok GROUP BY 1),
+       |tgt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c_tgt FROM tok
+       |        WHERE source = '${TextAnalysis.DsirTarget}' GROUP BY 1),
+       |vocab AS (SELECT raw.token, c_raw, COALESCE(c_tgt, CAST(0 AS BIGINT)) AS c_tgt
+       |          FROM raw LEFT JOIN tgt ON raw.token = tgt.token),
+       |sc AS (SELECT CAST(SUM(c_raw) AS BIGINT) AS n_raw,
+       |              CAST(SUM(c_tgt) AS BIGINT) AS n_tgt,
+       |              CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+       |delta AS (SELECT token,
+       |            ln(CAST(c_tgt + 1 AS DOUBLE) / (n_tgt + v)) -
+       |            ln(CAST(c_raw + 1 AS DOUBLE) / (n_raw + v)) AS delta
+       |          FROM vocab CROSS JOIN sc),
+       |terms AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |              list(cd ORDER BY token)), (a, b) -> a + b) AS s
+       |          FROM (SELECT p.doc_id, p.token, p.c,
+       |                  CAST(p.c AS DOUBLE) * d.delta AS cd
+       |                FROM per_doc p JOIN delta d ON p.token = d.token)
+       |          GROUP BY doc_id),
+       |w AS (SELECT t.doc_id, d.source, t.n_tokens, t.s / t.n_tokens AS w
+       |      FROM terms t JOIN documents d ON t.doc_id = d.doc_id)
+       |SELECT rnk, doc_id, source, n_tokens, round(w, 6) AS importance
+       |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY w DESC, doc_id) AS rnk FROM w)
+       |WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+
   val stratifiedSample: String = {
     val h = s"(${strHash("'strat:' || CAST(doc_id AS VARCHAR)")} % 1000)"
     val rate = TextAnalysis.sampleRates.reverse.foldLeft("0") {
@@ -775,6 +806,7 @@ object TextOracles {
     "text_quality_deciles" -> qualityDeciles,
     "text_split_assign" -> splitAssign,
     "text_hrw_shards" -> hrwShards,
+    "text_dsir_importance" -> dsirImportance,
     "text_length_histogram" -> lengthHistogram,
     "text_token_stats" -> tokenStats,
     "text_quality" -> quality,
