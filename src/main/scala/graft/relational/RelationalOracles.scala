@@ -47,6 +47,51 @@ object RelationalOracles {
        |    (SELECT COUNT(*) AS c FROM $child GROUP BY $fk)) AS max_fanout""".stripMargin
 
   val all: Map[String, String] = Map(
+    // reproducible Laplace release: identical inverse-CDF arithmetic on the
+    // hash-uniform draw, round 4
+    "rel_dp_noise" -> {
+      val h = graft.functions.TextHashSql.strHash("'dp:' || o_orderpriority")
+      val p = graft.functions.TextHash.P
+      s"""WITH g AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+         |           FROM orders GROUP BY 1),
+         |u AS (SELECT *, CAST($h AS DOUBLE) / $p.0 - 0.5 AS u FROM g),
+         |z AS (SELECT o_orderpriority, n,
+         |        round(CASE WHEN u < 0 THEN 1.0 ELSE -1.0 END
+         |              * ln(1 - 2 * abs(u)) / 1.0, 4) AS noise
+         |      FROM u)
+         |SELECT o_orderpriority, n, noise, round(n + noise, 4) AS released
+         |FROM z ORDER BY o_orderpriority""".stripMargin
+    },
+    // zone-map audit: same 1024-row file simulation on both layouts
+    "rel_minmax_prune" -> {
+      def audit(layout: String, fileExpr: String, src: String) =
+        s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
+           |  CAST(SUM(CASE WHEN cls = 'skipped' THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+           |  CAST(SUM(CASE WHEN cls = 'full' THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
+           |  CAST(SUM(CASE WHEN cls <> 'skipped' THEN rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+           |  CAST(SUM(matched) AS BIGINT) AS rows_matched,
+           |  '$layout' AS layout
+           |FROM (
+           |  SELECT file_id, MIN(o_orderdate) AS f_min, MAX(o_orderdate) AS f_max,
+           |         CAST(COUNT(*) AS BIGINT) AS rows,
+           |         CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+           |                        AND o_orderdate <= TIMESTAMP '1996-12-31'
+           |                       THEN 1 ELSE 0 END) AS BIGINT) AS matched,
+           |         CASE WHEN MAX(o_orderdate) < TIMESTAMP '1996-01-01'
+           |                OR MIN(o_orderdate) > TIMESTAMP '1996-12-31' THEN 'skipped'
+           |              WHEN MIN(o_orderdate) >= TIMESTAMP '1996-01-01'
+           |               AND MAX(o_orderdate) <= TIMESTAMP '1996-12-31' THEN 'full'
+           |              ELSE 'partial' END AS cls
+           |  FROM (SELECT o_orderkey, o_orderdate, $fileExpr AS file_id FROM $src)
+           |  GROUP BY file_id)""".stripMargin
+      s"""WITH ranked AS (SELECT o_orderkey, o_orderdate,
+         |    ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS rn
+         |  FROM orders)
+         |${audit("key_order", "o_orderkey // 1024", "orders")}
+         |UNION ALL
+         |${audit("date_sorted", "(rn - 1) // 1024", "ranked")}
+         |ORDER BY layout""".stripMargin
+    },
     // bitmap index: identical 63-bit word build, word-aligned algebra
     "rel_bitmap_index" ->
       """WITH a AS (SELECT o_orderkey // 63 AS word_id,

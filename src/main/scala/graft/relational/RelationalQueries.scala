@@ -1,6 +1,6 @@
 package graft.relational
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
@@ -1951,8 +1951,76 @@ object RelationalQueries {
         sum(expr("bit_count((wa | wb))")).cast("long").as("n_or"))
   }
 
+  /** Differentially-private count release (ε=1 Laplace mechanism) with
+    * REPRODUCIBLE noise: the Laplace draw comes from the inverse CDF
+    * −sign(u)·ln(1−2|u|)/ε applied to a hash-uniform u ∈ (−½,½) derived
+    * from the group key — so a re-run (or a second engine) releases the
+    * IDENTICAL noised counts instead of burning privacy budget on every
+    * retry. That retry-idempotence is exactly what a distributed pipeline
+    * needs from a DP release stage; counts true n alongside for the audit
+    * view (the release face would drop it). Map-side partial agg + a
+    * per-group scalar transform — no extra shuffle beyond the count. */
+  def dpNoise(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextHash
+    val eps = 1.0
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      .withColumn("u",
+        TextHash.strHash(concat(lit("dp:"), col("o_orderpriority")))
+          .cast("double") / lit(TextHash.P.toDouble) - 0.5)
+      .withColumn("noise", round(
+        expr(s"CASE WHEN u < 0 THEN 1.0 ELSE -1.0 END * ln(1 - 2 * abs(u)) / $eps"), 4))
+      .select(col("o_orderpriority"), col("n"), col("noise"),
+        round(col("n") + col("noise"), 4).as("released"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Zone-map (per-file min/max) pruning audit across two physical
+    * layouts — the lakehouse question "how much does sorting by the
+    * filter column actually save?": files of 1024 rows are simulated
+    * keyed (a) by arrival order o_orderkey DIV 1024 and (b) by
+    * o_orderdate sort rank DIV 1024; each file's [min,max] o_orderdate
+    * interval is tested against a one-year predicate and classified
+    * skipped / fully-covered / partial. On the uncorrelated key layout
+    * zone maps skip ~nothing (every file's interval spans the predicate);
+    * on the date-clustered layout skips + full-covers dominate — the
+    * measured case for the repo's compaction/Z-order planners. The rank
+    * window is the layout SIMULATION only; a real writer range-partitions
+    * by the sort key instead of globally ranking. */
+  def minmaxPrune(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1996-12-31").cast("timestamp")
+    def audit(layout: String, fileId: Column): DataFrame =
+      o.withColumn("file_id", fileId)
+        .withColumn("m", (col("o_orderdate") >= lo && col("o_orderdate") <= hi)
+          .cast("long"))
+        .groupBy(col("file_id"))
+        .agg(min(col("o_orderdate")).as("f_min"), max(col("o_orderdate")).as("f_max"),
+          count(lit(1)).as("rows"), sum(col("m")).as("matched"))
+        .withColumn("cls",
+          when(col("f_max") < lo || col("f_min") > hi, "skipped")
+            .when(col("f_min") >= lo && col("f_max") <= hi, "full")
+            .otherwise("partial"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("cls") === "skipped", 1L).otherwise(0L)).as("n_skipped"),
+          sum(when(col("cls") === "full", 1L).otherwise(0L)).as("n_full"),
+          sum(when(col("cls") =!= "skipped", col("rows")).otherwise(0L)).as("rows_scanned"),
+          sum(col("matched")).as("rows_matched"))
+        .withColumn("layout", lit(layout))
+    val byKey = audit("key_order",
+      expr("o_orderkey DIV 1024"))
+    val byDate = audit("date_sorted",
+      shiftright(row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("o_orderdate"), col("o_orderkey"))) - 1, 10).cast("long"))
+    byKey.unionByName(byDate).orderBy(col("layout"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_bitmap_index" -> bitmapIndex,
+    "rel_dp_noise" -> dpNoise,
+    "rel_minmax_prune" -> minmaxPrune,
     "rel_kll_quantiles" -> kllQuantiles,
     "rel_cusum_changepoint" -> cusumChangepoint,
     "rel_ab_test" -> abTest,
