@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.transit.{Queries, TransitTables}
+
+/** Property invariants for the round-7 extension operators — the theorems
+  * the oracle's value-equality check can't express: structural guarantees
+  * (walks follow edges), algebraic identities (inclusion–exclusion), and
+  * bounds (lcc ∈ [0,1], |r| ≤ 1, rendezvous movement only toward the new
+  * shard). */
+class ExtensionInvariantsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val tables = TransitTables.fromTpch(spark, sf)
+
+  private def edgeSet = {
+    val st = tables.stopTimes.select(col("trip_id"), col("stop_id"), col("stop_sequence"))
+    st.as("a").join(st.as("b"),
+        col("a.trip_id") === col("b.trip_id") &&
+          col("b.stop_sequence") === col("a.stop_sequence") + 1 &&
+          col("a.stop_id") =!= col("b.stop_id"))
+      .select(least(col("a.stop_id"), col("b.stop_id")).as("u"),
+        greatest(col("a.stop_id"), col("b.stop_id")).as("v"))
+      .distinct()
+  }
+
+  test("walk corpus: every consecutive step is a graph edge, walks have 4 nodes") {
+    val corpus = Queries.walkCorpus(tables)
+    val byWalk = corpus.groupBy("walk_id").agg(count(lit(1)).as("len"))
+    assert(byWalk.filter(col("len") =!= 4).count() === 0)
+    val hops = corpus.as("x").join(corpus.as("y"),
+        col("x.walk_id") === col("y.walk_id") &&
+          col("y.step") === col("x.step") + 1)
+      .select(least(col("x.node"), col("y.node")).as("u"),
+        greatest(col("x.node"), col("y.node")).as("v"))
+    assert(hops.join(edgeSet, Seq("u", "v"), "left_anti").count() === 0,
+      "walk contains a hop that is not an edge")
+  }
+
+  test("clustering coefficient: lcc in [0,1] and tri <= d(d-1)/2") {
+    val lcc = Queries.clusteringCoef(tables)
+    assert(lcc.filter(col("lcc") < 0 || col("lcc") > 1).count() === 0)
+    assert(lcc.filter(col("tri") * 2 > col("d") * (col("d") - 1)).count() === 0)
+  }
+
+  test("assortativity r is a correlation: |r| <= 1") {
+    val r = Queries.assortativity(tables).select(col("r")).head().getDouble(0)
+    assert(r >= -1.0 && r <= 1.0, s"r=$r")
+  }
+
+  test("bitmap index satisfies inclusion-exclusion and matches direct counts") {
+    val row = graft.relational.RelationalQueries.bitmapIndex(spark, sf).head()
+    val (nA, nB, nAnd, nOr) = (row.getAs[Long]("n_a"), row.getAs[Long]("n_b"),
+      row.getAs[Long]("n_and"), row.getAs[Long]("n_or"))
+    assert(nA + nB === nAnd + nOr, "inclusion-exclusion violated")
+    val direct = graft.sources.Tables.orders(spark, sf)
+      .filter(expr("o_totalprice > 150000")).count()
+    assert(nA === direct, s"bitmap n_a=$nA != direct $direct")
+  }
+
+  test("zone-map audit: same answer from both layouts, sorted layout scans less") {
+    val rows = graft.relational.RelationalQueries.minmaxPrune(spark, sf)
+      .collect().map(r => r.getAs[String]("layout") ->
+        (r.getAs[Long]("rows_scanned"), r.getAs[Long]("rows_matched"))).toMap
+    assert(rows("key_order")._2 === rows("date_sorted")._2,
+      "layouts disagree on the query answer")
+    assert(rows("date_sorted")._1 <= rows("key_order")._1,
+      "date-clustered layout should never scan more")
+  }
+
+  test("rendezvous sharding: docs only ever move to the newly added shard") {
+    import graft.functions.TextHash
+    def key(n: Int) = greatest((0 until n).map { i =>
+      TextHash.strHash(concat(lit(s"hrw:$i:"), col("doc_id").cast("string"))) * 16L + i
+    }: _*)
+    val perDoc = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), (key(8) % 16).as("s8"), (key(9) % 16).as("s9"))
+    assert(perDoc.filter(col("s8") =!= col("s9") && col("s9") =!= 8).count() === 0,
+      "a resize-moved doc landed somewhere other than the new shard")
+    val n = perDoc.count().toDouble
+    val moved = perDoc.filter(col("s8") =!= col("s9")).count().toDouble
+    assert(moved / n < 0.35, s"movement ${moved / n} far above the ~1/9 theory")
+  }
+
+  test("dp release: released = n + noise, noise is re-run reproducible") {
+    val a = graft.relational.RelationalQueries.dpNoise(spark, sf).collect()
+    assert(a.forall(r => math.abs(
+      r.getAs[Double]("released") - r.getAs[Long]("n") -
+        r.getAs[Double]("noise")) < 1e-9))
+    val b = graft.relational.RelationalQueries.dpNoise(spark, sf).collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString)),
+      "noise changed between runs — privacy budget would burn on retries")
+  }
+
+  test("ood scores are valid cosines or the -2 singleton floor") {
+    val s = graft.similarity.Similarity.oodKnn(spark, sf)
+      .select(col("ood_score")).collect().map(_.getDouble(0))
+    assert(s.nonEmpty && s.forall(x => x === -2.0 || (x >= -1.000001 && x <= 1.000001)))
+  }
+
+  test("dsir importance is rank-consistent and complete") {
+    val rows = graft.text.TextAnalysis.dsirImportance(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("rnk")).toSeq === (1 to rows.length))
+    val imp = rows.map(_.getAs[Double]("importance"))
+    assert(imp.zip(imp.tail).forall { case (x, y) => x >= y },
+      "importance not descending with rank")
+  }
+}
