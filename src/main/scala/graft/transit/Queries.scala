@@ -663,11 +663,20 @@ object Queries {
     * fraction of v's neighbor pairs that are themselves adjacent. High-lcc
     * stops sit in mesh-like interchange clusters; lcc≈0 marks pure
     * corridor stops — the feature a graph-sampling or curriculum stage
-    * keys on. Counts are BIGINT-exact (wedge join on the canonical u<v
-    * edge orientation counts each triangle once per apex); the one float
-    * division is written as the identical expression in both engines.
-    * Shape: two self-joins on the symmetric edge list, both shuffling on
-    * the apex key, then a broadcastable degree frame — no windows. */
+    * keys on. Counts are BIGINT-exact; the one float division is written
+    * as the identical expression in both engines.
+    *
+    * Shape is picked for the DENSE regime this graph lives in (hundreds of
+    * stops, avg degree ~100+): per-node adjacency bitmaps (63-bit words),
+    * then per-EDGE shared-neighbor popcount via word-wise AND — work is
+    * E·(V/63) word ops instead of the Σd² wedge rows a sym⋈sym self-join
+    * materializes (22 s → sub-second at sf0.1; the wedge plan IS the
+    * oracle's naive SQL, so values are pinned). Each triangle at vertex v
+    * is seen by its two incident edges, hence the exact DIV 2. On a
+    * sparse billion-vertex graph you'd flip to degree-ordered wedge
+    * orientation instead; the bitmap variant is the right plan while
+    * V/63 words fit a row — i.e. any graph dense enough to make wedges
+    * explode in the first place. */
   def clusteringCoef(t: TransitTables): DataFrame = {
     val st = t.stopTimes.select(col("trip_id"), col("stop_id"), col("stop_sequence"))
     val und = st.as("a").join(st.as("b"),
@@ -680,15 +689,26 @@ object Queries {
     val sym = und.select(col("u").as("s"), col("v").as("t"))
       .union(und.select(col("v").as("s"), col("u").as("t")))
     val deg = sym.groupBy(col("s")).agg(count(lit(1)).as("d"))
-    // wedges at apex v with a<b match und's canonical orientation directly
-    val wedges = sym.as("e1").join(sym.as("e2"),
-        col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
-      .select(col("e1.s").as("apex"), col("e1.t").as("a"), col("e2.t").as("b"))
-    val tri = wedges
-      .join(und.select(col("u").as("a"), col("v").as("b")), Seq("a", "b"))
-      .groupBy(col("apex")).agg(count(lit(1)).as("tri"))
+    val words = sym
+      .select(col("s"), expr("t DIV 63").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(t % 63 AS INT))").as("m"))
+      .groupBy(col("s"), col("w")).agg(expr("bit_or(m)").as("bits"))
+    val maxW = words.agg(max(col("w")).as("mw"))
+    val adj = words.groupBy(col("s"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("bits")))).as("wm"))
+      .crossJoin(broadcast(maxW))
+      .select(col("s"), transform(sequence(lit(0L), col("mw")),
+        i => coalesce(element_at(col("wm"), i), lit(0L))).as("adj"))
+    val common = sym
+      .join(adj.select(col("s"), col("adj").as("a1")), Seq("s"))
+      .join(adj.select(col("s").as("t"), col("adj").as("a2")), Seq("t"))
+      .select(col("s"), aggregate(
+        zip_with(col("a1"), col("a2"), (x, y) => x.bitwiseAND(y)),
+        lit(0L), (acc, x) => acc + bit_count(x).cast("long")).as("c"))
+    val tri = common.groupBy(col("s")).agg(sum(col("c")).as("c2"))
+      .select(col("s").as("stop_id"), expr("CAST(c2 DIV 2 AS BIGINT)").as("tri"))
     deg.select(col("s").as("stop_id"), col("d"))
-      .join(tri.select(col("apex").as("stop_id"), col("tri")), Seq("stop_id"), "left")
+      .join(tri, Seq("stop_id"), "left")
       .na.fill(0L, Seq("tri"))
       .select(col("stop_id"), col("d"), col("tri"),
         round(expr(
