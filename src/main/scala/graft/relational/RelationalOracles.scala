@@ -47,6 +47,41 @@ object RelationalOracles {
        |    (SELECT COUNT(*) AS c FROM $child GROUP BY $fk)) AS max_fanout""".stripMargin
 
   val all: Map[String, String] = Map(
+    // CMS: identical depth-3 hashed counters, min-probe estimate
+    "rel_cms_estimate" -> {
+      def b(d: Int) =
+        s"(${graft.functions.TextHashSql.strHash(s"'cms$d:' || CAST(user_id AS VARCHAR)")} % 64)"
+      val cms = (0 until 3).map(d =>
+        s"SELECT $d AS depth, ${b(d)} AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt " +
+          s"FROM events GROUP BY 2").mkString("\nUNION ALL\n")
+      val probes = (0 until 3).map(d =>
+        s"SELECT user_id, true_cnt, $d AS depth, ${b(d)} AS bucket FROM keys")
+        .mkString("\nUNION ALL\n")
+      s"""WITH cms AS ($cms),
+         |keys AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_cnt
+         |         FROM events GROUP BY 1),
+         |probes AS ($probes),
+         |est AS (SELECT user_id, true_cnt, MIN(cnt) AS cms_est
+         |        FROM probes JOIN cms USING (depth, bucket) GROUP BY 1, 2)
+         |SELECT user_id, true_cnt, cms_est, cms_est - true_cnt AS overcount
+         |FROM est ORDER BY true_cnt DESC, user_id LIMIT 10""".stripMargin
+    },
+    // exact integer gradient; identical lr arithmetic at the edge
+    "rel_hash_features_lr" -> {
+      val h = graft.functions.TextHashSql.strHash("'feat:' || token")
+      s"""WITH tok AS (SELECT CASE WHEN source = '${graft.text.TextAnalysis.DsirTarget}'
+         |               THEN 1 ELSE 0 END AS y,
+         |             unnest(${graft.functions.TextHashSql.tokens("text")}) AS token
+         |      FROM documents),
+         |g AS (SELECT ($h % 64) AS feature,
+         |        CAST(COUNT(*) AS BIGINT) AS n_total,
+         |        CAST(SUM(y) AS BIGINT) AS n_pos
+         |      FROM tok GROUP BY 1)
+         |SELECT feature, n_total, n_pos,
+         |       2 * n_pos - n_total AS grad_x2,
+         |       round(0.1 * CAST(2 * n_pos - n_total AS DOUBLE) / 2, 6) AS w_step
+         |FROM g ORDER BY feature""".stripMargin
+    },
     // reproducible Laplace release: identical inverse-CDF arithmetic on the
     // hash-uniform draw, round 4
     "rel_dp_noise" -> {

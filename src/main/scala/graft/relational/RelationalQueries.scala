@@ -2017,10 +2017,74 @@ object RelationalQueries {
     byKey.unionByName(byDate).orderBy(col("layout"))
   }
 
+  /** Count–Min sketch frequency estimation — the counting member of the
+    * sketch family (KLL quantiles / HLL distinct / theta sets / top-k are
+    * already registered): depth-3 × width-64 hashed counters built as one
+    * map-side-combinable (depth, bucket) aggregate, then per-key estimates
+    * as the min over rows — never an underestimate, overestimates bounded
+    * by collisions (width ≪ 150 keys here, so the error is visibly
+    * exercised). At 100 TB the sketch is 192 integers regardless of key
+    * cardinality, mergeable across partitions/streams by plain addition —
+    * the reason CMS is the standard backbone for heavy-hitter and
+    * rate-limit counters. Emits the 10 largest true counts with their CMS
+    * estimates; `ExtensionInvariantsSpec` pins est ≥ true for EVERY key. */
+  def cmsEstimate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextHash
+    val CmsW = 64
+    val ev = Tables.events(spark, dir).select(col("user_id"))
+    def bucket(d: Int): Column =
+      TextHash.strHash(concat(lit(s"cms$d:"), col("user_id").cast("string"))) % CmsW
+    val cms = (0 until 3).map { d =>
+      ev.groupBy(bucket(d).as("bucket")).agg(count(lit(1)).as("cnt"))
+        .select(lit(d).as("depth"), col("bucket"), col("cnt"))
+    }.reduce(_ unionByName _)
+    val keys = ev.groupBy(col("user_id")).agg(count(lit(1)).as("true_cnt"))
+    val probes = (0 until 3).map { d =>
+      keys.select(col("user_id"), col("true_cnt"),
+        lit(d).as("depth"), bucket(d).as("bucket"))
+    }.reduce(_ unionByName _)
+    probes.join(cms, Seq("depth", "bucket"))
+      .groupBy(col("user_id"), col("true_cnt")).agg(min(col("cnt")).as("cms_est"))
+      .select(col("user_id"), col("true_cnt"), col("cms_est"),
+        (col("cms_est") - col("true_cnt")).as("overcount"))
+      .orderBy(col("true_cnt").desc, col("user_id")).limit(10)
+  }
+
+  /** Hashed-feature logistic-regression gradient — "train the quality
+    * filter inside the engine" (the fastText-style classifier CCNet/LLaMA
+    * pipelines use for data selection), done as the EXACT full-batch first
+    * GD step: features are 64 hashed unigram counts (integer), label is
+    * target-source membership, and from w=0 the gradient per feature is
+    * grad_j = Σ x_j·(y−½) = (2·Σ_{y=1}x_j − Σx_j)/2 — pure BIGINT sums,
+    * no sigmoid numerics, so both engines agree exactly; the learning
+    * rate scales it into the released weight at the edge. One token
+    * explode + one (feature) aggregate — corpus-sized shuffle keyed on 64
+    * values, partial-aggregated map-side. */
+  def hashFeaturesLr(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextHash
+    val lr = 0.1
+    val tok = Tables.documents(spark, dir).select(
+      (col("source") === graft.text.TextAnalysis.DsirTarget)
+        .cast("long").as("y"),
+      explode(TextHash.tokens(col("text"))).as("token"))
+    tok
+      .groupBy((TextHash.strHash(concat(lit("feat:"), col("token"))) % 64)
+        .as("feature"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("y")).as("n_pos"))
+      .select(col("feature"), col("n_total"), col("n_pos"),
+        (lit(2L) * col("n_pos") - col("n_total")).as("grad_x2"),
+        round(expr(s"$lr * CAST(2 * n_pos - n_total AS DOUBLE) / 2"), 6)
+          .as("w_step"))
+      .orderBy(col("feature"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_bitmap_index" -> bitmapIndex,
     "rel_dp_noise" -> dpNoise,
     "rel_minmax_prune" -> minmaxPrune,
+    "rel_cms_estimate" -> cmsEstimate,
+    "rel_hash_features_lr" -> hashFeaturesLr,
     "rel_kll_quantiles" -> kllQuantiles,
     "rel_cusum_changepoint" -> cusumChangepoint,
     "rel_ab_test" -> abTest,

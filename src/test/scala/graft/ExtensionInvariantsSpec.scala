@@ -98,6 +98,36 @@ class ExtensionInvariantsSpec extends SparkSpec {
     assert(s.nonEmpty && s.forall(x => x === -2.0 || (x >= -1.000001 && x <= 1.000001)))
   }
 
+  test("count-min sketch never underestimates any key") {
+    import graft.functions.TextHash
+    val ev = graft.sources.Tables.events(spark, sf).select(col("user_id"))
+    def bucket(d: Int) =
+      TextHash.strHash(concat(lit(s"cms$d:"), col("user_id").cast("string"))) % 64
+    val cms = (0 until 3).map { d =>
+      ev.groupBy(bucket(d).as("bucket")).agg(count(lit(1)).as("cnt"))
+        .select(lit(d).as("depth"), col("bucket"), col("cnt"))
+    }.reduce(_ unionByName _)
+    val keys = ev.groupBy(col("user_id")).agg(count(lit(1)).as("true_cnt"))
+    val probes = (0 until 3).map { d =>
+      keys.select(col("user_id"), col("true_cnt"), lit(d).as("depth"),
+        bucket(d).as("bucket"))
+    }.reduce(_ unionByName _)
+    val under = probes.join(cms, Seq("depth", "bucket"))
+      .groupBy(col("user_id"), col("true_cnt")).agg(min(col("cnt")).as("est"))
+      .filter(col("est") < col("true_cnt")).count()
+    assert(under === 0, "CMS underestimated a key — impossible by construction")
+  }
+
+  test("hashed-feature gradient partitions every token occurrence") {
+    val g = graft.relational.RelationalQueries.hashFeaturesLr(spark, sf)
+      .agg(sum(col("n_total")), sum(col("n_pos"))).head()
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextHash.tokens(col("text"))).as("t"))
+      .count()
+    assert(g.getLong(0) === toks, "feature counts don't cover the corpus")
+    assert(g.getLong(1) > 0 && g.getLong(1) < toks)
+  }
+
   test("dsir importance is rank-consistent and complete") {
     val rows = graft.text.TextAnalysis.dsirImportance(spark, sf).collect()
     assert(rows.map(_.getAs[Int]("rnk")).toSeq === (1 to rows.length))
