@@ -135,6 +135,9 @@ object SparkEntry {
     // synchronous label-propagation community census (3 unrolled rounds)
     "transit_lp_communities" -> ((s, dir) =>
       Queries.lpCommunities(TransitTables.fromTpch(s, dir))),
+    // timetable-aware isochrone: min arrival within 3 boardings of origin
+    "transit_isochrone" -> ((s, dir) =>
+      Queries.isochrone(TransitTables.fromTpch(s, dir))),
     "transit_service_span" -> ((s, dir) =>
       Queries.serviceSpan(TransitTables.fromTpch(s, dir))),
     // §2-adjacent feed QA: the validation pass a GTFS ingest runs first
@@ -214,6 +217,7 @@ object SparkEntry {
     "transit_clustering_coef" -> TransitOracles.clusteringCoef,
     "transit_walk_corpus" -> TransitOracles.walkCorpus(),
     "transit_lp_communities" -> TransitOracles.lpCommunities(),
+    "transit_isochrone" -> TransitOracles.isochrone(),
     "transit_service_span" -> TransitOracles.serviceSpan,
     "transit_gtfs_validation" -> TransitOracles.gtfsValidation,
     "transit_gtfs_validation_roundtrip" -> TransitOracles.gtfsValidation,

@@ -849,6 +849,49 @@ object Queries {
     labeled.orderBy(col("stop_id"))
   }
 
+  /** Time-bounded isochrone — minimum arrival time at every stop reachable
+    * from `origin` departing at `t0`, within `rounds` boardings: the
+    * Bellman-Ford-style relaxation transit planners draw as the isochrone
+    * map, and a different beast from [[reachability]] (ride COUNTS): here
+    * a hop is catchable only if its departure is no earlier than your
+    * current best arrival, so the answer depends on the timetable, not
+    * just topology. Hops are pre-filtered to physically consistent rows
+    * (the synthetic feed contains arr<dep anomalies — [[gtfsValidation]]'s
+    * department); transfers at a stop are instantaneous. Each round is one
+    * state⋈hops join on stop_id plus a min-merge groupBy — state stays
+    * stop-sized, hops edge-sized, per-round lineage cut by
+    * localCheckpoint like every fixpoint in this file. All-integer
+    * seconds, so the unrolled oracle binds exactly. */
+  def isochrone(t: TransitTables, origin: Long = 42L, t0: Long = 3600L,
+      rounds: Int = 3, horizon: Long = 7200L): DataFrame = {
+    val stCols = t.stopTimes
+      .select(col("trip_id"), col("stop_id"), col("stop_sequence"),
+        col("dep_secs"), col("arr_secs"))
+    val nxt = stCols.select(col("trip_id"),
+      (col("stop_sequence") - 1).as("stop_sequence"),
+      col("stop_id").as("next_stop"), col("arr_secs").as("next_arr"))
+    val hops = stCols.drop(col("arr_secs")).join(nxt, Seq("trip_id", "stop_sequence"))
+      .filter(col("next_arr") >= col("dep_secs") &&
+        col("next_stop") =!= col("stop_id"))
+      .select(col("stop_id"), col("dep_secs"), col("next_stop"), col("next_arr"))
+      .localCheckpoint(true)
+    var state = stCols.filter(col("stop_id") === origin)
+      .select(col("stop_id")).distinct()
+      .withColumn("best_arr", lit(t0)).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val relax = state.join(hops, Seq("stop_id"))
+        .filter(col("dep_secs") >= col("best_arr"))
+        .select(col("next_stop").as("stop_id"), col("next_arr").as("best_arr"))
+      state = state.unionByName(relax)
+        .groupBy(col("stop_id")).agg(min(col("best_arr")).as("best_arr"))
+        .localCheckpoint(true)
+    }
+    state.filter(col("best_arr") <= t0 + horizon)
+      .select(col("stop_id"), col("best_arr"),
+        (col("best_arr") - t0).as("travel_secs"))
+      .orderBy(col("stop_id"))
+  }
+
   /** Neighbors each stop keeps in [[triangleCount]]'s sparsified graph. */
   val TriangleTopK = 4
 

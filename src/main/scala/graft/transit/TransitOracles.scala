@@ -647,6 +647,32 @@ object TransitOracles {
        |ORDER BY round""".stripMargin
   }
 
+  /** Isochrone: identical hop filter, k unrolled min-merge rounds, all
+    * BIGINT seconds. */
+  def isochrone(origin: Long = 42L, t0: Long = 3600L, rounds: Int = 3,
+      horizon: Long = 7200L): String = {
+    def roundCte(k: Int): String =
+      s"""s$k AS (SELECT stop_id, MIN(best_arr) AS best_arr FROM (
+         |  SELECT stop_id, best_arr FROM s${k - 1}
+         |  UNION ALL
+         |  SELECT h.next_stop, h.next_arr FROM s${k - 1} p
+         |  JOIN hops h ON h.stop_id = p.stop_id AND h.dep_secs >= p.best_arr)
+         |GROUP BY 1)""".stripMargin
+    s"""$P,
+       |hops AS (SELECT a.stop_id, a.dep_secs, b.stop_id AS next_stop,
+       |                b.arr_secs AS next_arr
+       |         FROM stop_times a JOIN stop_times b
+       |           ON a.trip_id = b.trip_id
+       |          AND b.stop_sequence = a.stop_sequence + 1
+       |          AND b.arr_secs >= a.dep_secs AND b.stop_id <> a.stop_id),
+       |s0 AS (SELECT DISTINCT stop_id, CAST($t0 AS BIGINT) AS best_arr
+       |       FROM stop_times WHERE stop_id = $origin),
+       |${(1 to rounds).map(roundCte).mkString(",\n")}
+       |SELECT stop_id, best_arr, best_arr - $t0 AS travel_secs
+       |FROM s$rounds WHERE best_arr <= ${t0 + horizon} ORDER BY stop_id"""
+      .stripMargin
+  }
+
   /** PMI over distinct-trip co-occurrence; exact BIGINT counts, one ln
     * on an identically-ordered double expression, round 6. */
   val stopPmi: String =
