@@ -518,7 +518,43 @@ object Streams {
   def topkUsersStreaming(spark: SparkSession, events: DataFrame): DataFrame =
     topkUsers(spark, events)
 
+  /** Watermark late-data accounting — the admission arithmetic Structured
+    * Streaming applies, made exactly checkable: micro-batch assignment is
+    * the deterministic arrival order (event_id is the ingest sequence;
+    * 1-in-7 events are injected as stragglers arriving ~4 batches — ≈6
+    * event-days — after their event time, same injection discipline as
+    * [[graft.text.TextAnalysis.piiRedact]]), the watermark entering batch
+    * b is max(event time over batches < b) − 1 h, and a row is LATE iff
+    * its event time is behind that watermark — exactly the row a
+    * watermarked streaming aggregate would drop. Per-batch admission
+    * report; the only window runs over the BATCH-level frame (row count =
+    * number of micro-batches, never event-sized). */
+  def lateAuditBatch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextHash
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"),
+        (TextHash.strHash(concat(lit("late:"), col("event_id").cast("string")))
+          % 7).as("g"))
+      .select(col("ts"),
+        expr("(event_id + CASE WHEN g = 0 THEN 2000 ELSE 0 END) DIV 500")
+          .as("batch"))
+    val bm = ev.groupBy(col("batch"))
+      .agg(max(col("ts")).as("bmax"), count(lit(1)).as("n_rows"))
+    val wm = bm.withColumn("watermark",
+      expr("max(bmax) OVER (ORDER BY batch " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - INTERVAL 1 HOUR"))
+      .select(col("batch"), col("n_rows"), col("watermark"))
+    val late = ev.join(wm.select(col("batch"), col("watermark")), Seq("batch"))
+      .groupBy(col("batch"))
+      .agg(sum(when(col("watermark").isNotNull && col("ts") < col("watermark"),
+        1L).otherwise(0L)).as("n_late"))
+    wm.join(late, Seq("batch"))
+      .select(col("batch"), col("n_rows"), col("n_late"), col("watermark"))
+      .orderBy(col("batch"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_late_audit" -> lateAuditBatch,
     "stream_topk_users" -> topkUsersBatch,
     "stream_hourly_p95" -> hourlyP95Batch,
     "stream_funnel_stages" -> funnelStagesBatch,
@@ -646,7 +682,30 @@ object StreamOracles {
       |WHERE rn <= 3
       |ORDER BY event_type, rn""".stripMargin
 
+  /** Late-data audit: identical straggler injection, batch-level window,
+    * BIGINT admission counts. */
+  val lateAudit: String = {
+    val g = graft.functions.TextHashSql.strHash("'late:' || CAST(event_id AS VARCHAR)")
+    s"""WITH ev AS (SELECT ts,
+       |    (event_id + CASE WHEN ($g % 7) = 0 THEN 2000 ELSE 0 END) // 500 AS batch
+       |  FROM events),
+       |bm AS (SELECT batch, MAX(ts) AS bmax, CAST(COUNT(*) AS BIGINT) AS n_rows
+       |       FROM ev GROUP BY 1),
+       |wm AS (SELECT batch, n_rows,
+       |         MAX(bmax) OVER (ORDER BY batch
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |           - INTERVAL 1 HOUR AS watermark
+       |       FROM bm),
+       |late AS (SELECT e.batch,
+       |           CAST(SUM(CASE WHEN w.watermark IS NOT NULL AND e.ts < w.watermark
+       |                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+       |         FROM ev e JOIN wm w ON e.batch = w.batch GROUP BY 1)
+       |SELECT wm.batch, wm.n_rows, late.n_late, wm.watermark
+       |FROM wm JOIN late ON wm.batch = late.batch ORDER BY wm.batch""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
+    "stream_late_audit" -> lateAudit,
     "stream_topk_users" -> topkUsers,
     "stream_hourly_p95" -> hourlyP95,
     "stream_funnel_stages" -> funnelStages,
