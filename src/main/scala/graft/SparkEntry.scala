@@ -138,6 +138,9 @@ object SparkEntry {
     // timetable-aware isochrone: min arrival within 3 boardings of origin
     "transit_isochrone" -> ((s, dir) =>
       Queries.isochrone(TransitTables.fromTpch(s, dir))),
+    // top-20 most-traveled 3-stop corridors (sequence pattern mining)
+    "transit_stop_trigrams" -> ((s, dir) =>
+      Queries.stopTrigrams(TransitTables.fromTpch(s, dir))),
     "transit_service_span" -> ((s, dir) =>
       Queries.serviceSpan(TransitTables.fromTpch(s, dir))),
     // §2-adjacent feed QA: the validation pass a GTFS ingest runs first
@@ -218,6 +221,7 @@ object SparkEntry {
     "transit_walk_corpus" -> TransitOracles.walkCorpus(),
     "transit_lp_communities" -> TransitOracles.lpCommunities(),
     "transit_isochrone" -> TransitOracles.isochrone(),
+    "transit_stop_trigrams" -> TransitOracles.stopTrigrams(),
     "transit_service_span" -> TransitOracles.serviceSpan,
     "transit_gtfs_validation" -> TransitOracles.gtfsValidation,
     "transit_gtfs_validation_roundtrip" -> TransitOracles.gtfsValidation,

@@ -892,6 +892,26 @@ object Queries {
       .orderBy(col("stop_id"))
   }
 
+  /** Frequent consecutive-stop trigrams — the sequence-pattern face of the
+    * trip-as-sentence corpus ([[stopPmi]] is its co-occurrence face): the
+    * top-20 most-traveled 3-stop corridors, the unit a journey-pattern
+    * miner or a next-stop language model trains on. Two seq-aligned
+    * self-joins on trip_id (co-partitioned after the first shuffle), one
+    * count, TakeOrderedAndProject top-k — no windows, no explode. */
+  def stopTrigrams(t: TransitTables, k: Int = 20): DataFrame = {
+    val st = t.stopTimes.select(col("trip_id"), col("stop_id"), col("stop_sequence"))
+    st.as("a")
+      .join(st.as("b"), col("a.trip_id") === col("b.trip_id") &&
+        col("b.stop_sequence") === col("a.stop_sequence") + 1)
+      .join(st.as("c"), col("a.trip_id") === col("c.trip_id") &&
+        col("c.stop_sequence") === col("a.stop_sequence") + 2)
+      .groupBy(col("a.stop_id").as("s1"), col("b.stop_id").as("s2"),
+        col("c.stop_id").as("s3"))
+      .agg(count(lit(1)).as("n_trips"))
+      .orderBy(col("n_trips").desc, col("s1"), col("s2"), col("s3"))
+      .limit(k)
+  }
+
   /** Neighbors each stop keeps in [[triangleCount]]'s sparsified graph. */
   val TriangleTopK = 4
 

@@ -673,6 +673,20 @@ object TransitOracles {
       .stripMargin
   }
 
+  /** Stop trigrams: exact counts, same (count, keys) tie-break. */
+  def stopTrigrams(k: Int = 20): String =
+    s"""$P
+       |SELECT a.stop_id AS s1, b.stop_id AS s2, c.stop_id AS s3,
+       |       CAST(COUNT(*) AS BIGINT) AS n_trips
+       |FROM stop_times a
+       |JOIN stop_times b ON a.trip_id = b.trip_id
+       | AND b.stop_sequence = a.stop_sequence + 1
+       |JOIN stop_times c ON a.trip_id = c.trip_id
+       | AND c.stop_sequence = a.stop_sequence + 2
+       |GROUP BY 1, 2, 3
+       |ORDER BY n_trips DESC, s1, s2, s3
+       |LIMIT $k""".stripMargin
+
   /** PMI over distinct-trip co-occurrence; exact BIGINT counts, one ln
     * on an identically-ordered double expression, round 6. */
   val stopPmi: String =
