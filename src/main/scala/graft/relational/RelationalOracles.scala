@@ -47,6 +47,14 @@ object RelationalOracles {
        |    (SELECT COUNT(*) AS c FROM $child GROUP BY $fk)) AS max_fanout""".stripMargin
 
   val all: Map[String, String] = Map(
+    // ORC roundtrip binds to the DIRECT path (lossless landing required)
+    "rel_orc_roundtrip" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_price,
+        |       MIN(o_orderdate) AS first_date, MAX(o_orderdate) AS last_date
+        |FROM orders WHERE o_orderstatus <> 'P'
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     // CMS: identical depth-3 hashed counters, min-probe estimate
     "rel_cms_estimate" -> {
       def b(d: Int) =

@@ -2079,7 +2079,32 @@ object RelationalQueries {
       .orderBy(col("feature"))
   }
 
+  /** ORC landing roundtrip — the second Spark-native columnar format,
+    * exercised the same way the GTFS/CSV and JSONL faces are: land orders
+    * as ORC partitioned by o_orderstatus, re-read through the real
+    * source path with a partition-pruning predicate, and aggregate.
+    * Values bind to the DIRECT-path oracle, so the roundtrip must be
+    * lossless (types, timestamps, partition-column restoration) for the
+    * row to stay green. Price sums go through DECIMAL(18,2) — exact and
+    * order-independent for 2-dp money, the suite's standard trick. */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val out = s"target/tmp/orc_orders_$key"
+    Tables.orders(spark, dir).write.mode("overwrite")
+      .partitionBy("o_orderstatus").orc(out)
+    spark.read.orc(out)
+      .filter(col("o_orderstatus") =!= "P")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("sum_price"),
+        min(col("o_orderdate")).as("first_date"),
+        max(col("o_orderdate")).as("last_date"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_orc_roundtrip" -> orcRoundtrip,
     "rel_bitmap_index" -> bitmapIndex,
     "rel_dp_noise" -> dpNoise,
     "rel_minmax_prune" -> minmaxPrune,
