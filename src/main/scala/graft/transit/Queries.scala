@@ -725,9 +725,11 @@ object Queries {
     * moves to the neighbor minimizing strHash("walk:k:w:nbr") (ties by
     * node id), so any cluster size, retry, or engine re-derives the same
     * corpus — the property a 100 TB embedding pipeline needs from its
-    * sampler. Each step is one join frontier⋈edges shuffling on the walk
-    * key plus a per-walk top-1 window (WindowGroupLimit, no global sort);
-    * k steps = k such stages, no driver-side state. */
+    * sampler. Each step is one join frontier⋈edges plus a per-walk
+    * hash-argmin expressed as min(struct(h, node)) — a partial-aggregable
+    * aggregate that combines map-side, so the per-step shuffle moves one
+    * row per walk, not one per candidate; k steps = k such stages, no
+    * driver-side state. */
   def walkCorpus(t: TransitTables, steps: Int = 3): DataFrame = {
     import graft.functions.TextHash
     val st = t.stopTimes.select(col("trip_id"), col("stop_id"), col("stop_sequence"))
@@ -746,13 +748,14 @@ object Queries {
     var corpus = starts
     for (k <- 1 to steps) {
       val cand = frontier.join(sym, frontier("node") === sym("s"))
-        .select(col("walk_id"), lit(k).as("step"), col("nbr").as("node"),
+        .select(col("walk_id"), col("nbr").as("node"),
           TextHash.strHash(concat(lit(s"walk:$k:"), col("walk_id").cast("string"),
             lit(":"), col("nbr").cast("string"))).as("h"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("walk_id")).orderBy(col("h"), col("node"))
-      frontier = cand.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).select(col("walk_id"), col("step"), col("node"))
+      // argmin as min(struct(h, node)): partial-aggregable (map-side
+      // combine), unlike a per-walk row_number window which must sort
+      frontier = cand.groupBy(col("walk_id"))
+        .agg(min(struct(col("h"), col("node"))).as("m"))
+        .select(col("walk_id"), lit(k).as("step"), col("m.node").as("node"))
       corpus = corpus.unionByName(frontier)
     }
     corpus.orderBy(col("walk_id"), col("step"))
@@ -765,9 +768,9 @@ object Queries {
     * detector (Raghavan 2007); the deterministic tie-break makes the
     * rounds engine-reproducible, so the oracle unrolls the identical
     * k-round chain as CTEs. Each round is one edge⋈labels join (shuffle on
-    * the neighbor key), a (node,label) count, and a per-node top-1 window —
-    * WindowGroupLimit keeps the argmax from sorting whole partitions; at
-    * 100 TB the label frame stays node-sized, never edge-sized. */
+    * the neighbor key), a (node,label) count, and the deterministic mode
+    * as one partial-aggregable min(struct(−cnt, lbl)) — no per-node window
+    * sort; at 100 TB the label frame stays node-sized, never edge-sized. */
   def lpCommunities(t: TransitTables, rounds: Int = 3): DataFrame = {
     val st = t.stopTimes.select(col("trip_id"), col("stop_id"), col("stop_sequence"))
     val und = st.as("a").join(st.as("b"),
@@ -785,10 +788,11 @@ object Queries {
       val freq = sym
         .join(labels.select(col("s").as("nbr"), col("lbl")), Seq("nbr"))
         .groupBy(col("s"), col("lbl")).agg(count(lit(1)).as("cnt"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("s")).orderBy(col("cnt").desc, col("lbl"))
-      labels = freq.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).select(col("s"), col("lbl"))
+      // mode with (cnt DESC, lbl ASC) tie-break as one partial-aggregable
+      // min(struct(-cnt, lbl)) — no per-node window sort
+      labels = freq.groupBy(col("s"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("lbl"))).as("m"))
+        .select(col("s"), col("m.lbl").as("lbl"))
       // coarsening trajectory: how fast the label space collapses is the
       // signal (the fixture graph goes 23 → 8 → 1 over three rounds)
       val summary = labels.groupBy(col("lbl")).agg(count(lit(1)).as("n"))

@@ -30,6 +30,20 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(plan("transit_q1_weekday").contains("TakeOrderedAndProject"))
   }
 
+  test("iterative argmin/mode run as aggregates, not window sorts") {
+    // walk next-hop and LPA mode are min(struct(...)) — partial-aggregable;
+    // a Window here would sort every candidate partition per round
+    assert(!plan("transit_walk_corpus").contains("Window"))
+    assert(!plan("transit_lp_communities").contains("Window"))
+    assert(!plan("rel_cms_estimate").contains("Window"))
+  }
+
+  test("extension top-k faces compile to TakeOrderedAndProject") {
+    assert(plan("transit_stop_trigrams").contains("TakeOrderedAndProject"))
+    assert(plan("rel_cms_estimate").contains("TakeOrderedAndProject"))
+    assert(plan("text_dsir_importance").contains("TakeOrderedAndProject"))
+  }
+
   test("dim joins broadcast (stops/routes side)") {
     assert(plan("transit_q1_weekday").contains("BroadcastHashJoin"))
     assert(plan("rel_dim_chain").contains("BroadcastHashJoin"))
