@@ -1179,6 +1179,40 @@ object TextAnalysis {
         col("col.word").as("word"), col("col.n").as("n"))
       .orderBy(col("rn"))
 
+  /** Multi-round BPE training — [[bpeMerge]] is the single-step face; this
+    * runs the actual training loop for 3 merges: count adjacent symbol
+    * pairs (weighted by word frequency), adopt the most frequent pair as a
+    * new symbol, REWRITE the vocabulary, repeat. Merged symbols are
+    * single reserved uppercase chars (the corpus is lowercase-only), so a
+    * "pair" stays a 2-char substring every round and the rewrite is one
+    * `replace` — whose leftmost-non-overlapping global semantics is
+    * exactly BPE's merge rule, and identical in both engines. Pair counts
+    * are vocabulary-sized (never corpus-sized): the corpus scan happens
+    * once, rounds iterate on the tiny word-frequency frame. Emits the
+    * learned merge table — the artifact a tokenizer trainer ships. */
+  def bpeTrain(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    var words = Tables.documents(spark, dir)
+      .select(explode(TextHash.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+    var rules: DataFrame = null
+    for (k <- 1 to rounds) {
+      val sym = ('A' + k - 1).toChar.toString
+      val rule = words.filter(length(col("word")) >= 2)
+        .select(col("wc"), explode(
+          transform(sequence(lit(1), length(col("word")) - 1),
+            i => col("word").substr(i, lit(2)))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wc")).as("merged_count"))
+        .orderBy(col("merged_count").desc, col("pair")).limit(1)
+        .select(lit(k).as("round"), col("pair"), col("merged_count"),
+          lit(sym).as("new_symbol"))
+      words = words.crossJoin(broadcast(rule.select(col("pair"), col("new_symbol"))))
+        .select(expr("replace(word, pair, new_symbol)").as("word"), col("wc"))
+        .groupBy(col("word")).agg(sum(col("wc")).as("wc"))
+      rules = if (rules == null) rule else rules.unionByName(rule)
+    }
+    rules.orderBy(col("round"))
+  }
+
   /** One BPE-training merge step: frequency of every adjacent character
     * pair inside pretokens, weighted by pretoken frequency — the argmax is
     * the pair a BPE trainer would merge next. Two hash aggregations (word
@@ -1330,6 +1364,7 @@ object TextAnalysis {
     "text_split_assign" -> splitAssign,
     "text_hrw_shards" -> hrwShards,
     "text_dsir_importance" -> dsirImportance,
+    "text_bpe_train" -> ((s: SparkSession, d: String) => bpeTrain(s, d)),
     "text_length_histogram" -> lengthHistogram,
     "text_token_stats" -> tokenStats,
     "text_quality" -> quality,

@@ -196,6 +196,30 @@ object TextOracles {
        |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY w DESC, doc_id) AS rnk FROM w)
        |WHERE rnk <= 20 ORDER BY rnk""".stripMargin
 
+  /** Multi-round BPE: identical pair counts, (cnt DESC, pair) argmax,
+    * replace() rewrite per round. */
+  val bpeTrain: String = {
+    def roundCtes(k: Int): String = {
+      val sym = ('A' + k - 1).toChar
+      s"""p$k AS (SELECT pair, CAST(SUM(wc) AS BIGINT) AS merged_count FROM (
+         |  SELECT wc, unnest(list_transform(range(1, length(word)),
+         |    i -> substr(word, CAST(i AS INT), 2))) AS pair
+         |  FROM w${k - 1} WHERE length(word) >= 2) GROUP BY 1),
+         |r$k AS (SELECT $k AS round, pair, merged_count, '$sym' AS new_symbol
+         |        FROM p$k ORDER BY merged_count DESC, pair LIMIT 1),
+         |w$k AS (SELECT word, CAST(SUM(wc) AS BIGINT) AS wc FROM (
+         |          SELECT replace(word, (SELECT pair FROM r$k), '$sym') AS word, wc
+         |          FROM w${k - 1}) GROUP BY 1)""".stripMargin
+    }
+    s"""WITH w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wc
+       |  FROM (SELECT unnest($toks) AS word FROM documents) GROUP BY 1),
+       |${(1 to 3).map(roundCtes).mkString(",\n")}
+       |SELECT round, pair, merged_count, new_symbol
+       |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+       |      UNION ALL SELECT * FROM r3)
+       |ORDER BY round""".stripMargin
+  }
+
   val stratifiedSample: String = {
     val h = s"(${strHash("'strat:' || CAST(doc_id AS VARCHAR)")} % 1000)"
     val rate = TextAnalysis.sampleRates.reverse.foldLeft("0") {
@@ -807,6 +831,7 @@ object TextOracles {
     "text_split_assign" -> splitAssign,
     "text_hrw_shards" -> hrwShards,
     "text_dsir_importance" -> dsirImportance,
+    "text_bpe_train" -> bpeTrain,
     "text_length_histogram" -> lengthHistogram,
     "text_token_stats" -> tokenStats,
     "text_quality" -> quality,
