@@ -25,14 +25,24 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to read
-    * natively ([PARQUET_TYPE_ILLEGAL]); read nanos as long and convert with
-    * integer division (never through double — ~1.7e18 ns exceeds the 2^53
-    * exact-double range). */
+  /** `events.ts` has shipped as two physical types across driver data
+    * generations: TIMESTAMP(NANOS) (which Spark 4 refuses to read natively,
+    * [PARQUET_TYPE_ILLEGAL] — read nanos as long and convert with integer
+    * division, never through double: ~1.7e18 ns exceeds the 2^53
+    * exact-double range) and plain TIMESTAMP(MICROS) without the UTC
+    * adjustment flag (surfaces as TIMESTAMP_NTZ). Normalize both to
+    * session-zoned TimestampType here so every downstream operator sees one
+    * schema; all entry points pin `spark.sql.session.timeZone=UTC`, so the
+    * NTZ cast is value-preserving and matches DuckDB's naive read. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
