@@ -94,6 +94,13 @@ object SparkEntry {
     "transit_gtfs_q4" -> ((s, dir) =>
       Queries.q4ServiceFrequency(
         graft.sources.GtfsWriter.roundtrip(s, dir), ServiceFilter.Weekday)),
+    // the reference's other API half: the literal SQL text executed by
+    // spark.sql over the registered GTFS temp views — same Catalyst plan
+    // family as the DataFrame faces, so the same oracle binds
+    "transit_q1_sqltext" -> ((s, dir) =>
+      SqlFace.q1Weekday(s, TransitTables.fromTpch(s, dir))),
+    "transit_q4_sqltext" -> ((s, dir) =>
+      SqlFace.q4Weekday(s, TransitTables.fromTpch(s, dir))),
     "transit_headways" -> ((s, dir) =>
       Queries.headways(TransitTables.fromTpch(s, dir))),
     "transit_reachability" -> ((s, dir) =>
@@ -207,6 +214,8 @@ object SparkEntry {
     // the round trip is lossless for everything Q4 touches, so the oracle
     // is exactly the direct-path Q4 weekday SQL
     "transit_gtfs_q4" -> TransitOracles.q4Weekday,
+    "transit_q1_sqltext" -> TransitOracles.q1Weekday,
+    "transit_q4_sqltext" -> TransitOracles.q4Weekday,
     "transit_headways" -> TransitOracles.headways,
     "transit_reachability" -> TransitOracles.reachability(42L),
     "transit_reachability_k3" -> TransitOracles.reachability(42L, maxRides = 3),

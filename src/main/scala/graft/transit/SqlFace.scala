@@ -1,0 +1,82 @@
+package graft.transit
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The reference's raw-SQL entry point, reproduced as Spark SQL text.
+  *
+  * The reference is a *SQL platform*: its users submit the literal query
+  * text in `SQL/Q1_busiest_stop.sql` / `SQL/Q4 service frequency.sql`
+  * against MySQL. Every other transit face in this engine re-expresses
+  * those semantics through the DataFrame API; this face proves the other
+  * half of the API surface — the same GTFS views registered as temp views
+  * and the reference-shaped SQL strings executed verbatim by
+  * `spark.sql(...)`. Catalyst parses both faces into the same logical
+  * plan family, so all the physical wins (broadcast dim joins,
+  * partial+final aggregation, `TakeOrderedAndProject` top-k) apply to the
+  * SQL text unchanged — there is no separate "SQL engine" to keep fast.
+  *
+  * Scale: identical to [[Queries.q1BusiestStops]] / q4ServiceFrequency —
+  * the text compiles to the same exchanges; nothing here adds a shuffle.
+  */
+object SqlFace {
+
+  /** Session-scoped temp views over the GTFS bundle. Registration is
+    * idempotent (`createOrReplaceTempView`), so repeated query runs in one
+    * session are safe. */
+  def register(t: TransitTables): Unit = {
+    t.stopTimes.createOrReplaceTempView("stop_times")
+    t.trips.createOrReplaceTempView("trips")
+    t.stops.createOrReplaceTempView("stops")
+    t.routes.createOrReplaceTempView("routes")
+  }
+
+  /** Q1 busiest stops (reference `SQL/Q1_busiest_stop.sql`), weekday
+    * service, as executable Spark SQL text. */
+  val q1WeekdaySql: String =
+    """WITH counts AS (
+      |  SELECT st.stop_id,
+      |         COUNT(*) AS total_trip_events,
+      |         COUNT(DISTINCT t.route_id) AS num_unique_routes
+      |  FROM stop_times st JOIN trips t ON t.trip_id = st.trip_id
+      |  WHERE t.service_id = '1'
+      |  GROUP BY st.stop_id)
+      |SELECT c.stop_id, s.stop_code, s.stop_name,
+      |       ROUND(s.stop_lat, 6) AS stop_lat,
+      |       ROUND(s.stop_lon, 6) AS stop_lon,
+      |       c.total_trip_events, c.num_unique_routes
+      |FROM counts c JOIN stops s ON s.stop_id = c.stop_id
+      |ORDER BY total_trip_events DESC, c.stop_id
+      |LIMIT 20""".stripMargin
+
+  /** Q4 service frequency (reference `SQL/Q4 service frequency.sql` +
+    * `SQL/Q4 Create View.sql`), weekday service: per-hour distinct-trip
+    * counts (hour = floor(dep_secs/3600), >24h GTFS hours kept), rolled up
+    * per route with an hour-ordered `hour:count` profile string. */
+  val q4WeekdaySql: String =
+    """WITH hf AS (
+      |  SELECT t.route_id, t.service_id,
+      |         CAST(FLOOR(st.dep_secs / 3600.0) AS BIGINT) AS hour_of_day,
+      |         COUNT(DISTINCT st.trip_id) AS trips_per_hour
+      |  FROM stop_times st JOIN trips t ON t.trip_id = st.trip_id
+      |  GROUP BY t.route_id, t.service_id, CAST(FLOOR(st.dep_secs / 3600.0) AS BIGINT)),
+      |per_hour AS (SELECT route_id, hour_of_day, trips_per_hour FROM hf WHERE service_id = '1'),
+      |agg AS (
+      |  SELECT route_id,
+      |         SUM(trips_per_hour) AS total_daily_trips,
+      |         listagg(CAST(hour_of_day AS STRING) || ':' || CAST(trips_per_hour AS STRING), ' | ')
+      |           WITHIN GROUP (ORDER BY hour_of_day) AS hourly_profile
+      |  FROM per_hour GROUP BY route_id)
+      |SELECT a.route_id, r.route_long_name, r.route_short_name,
+      |       a.total_daily_trips, a.hourly_profile
+      |FROM agg a JOIN routes r ON r.route_id = a.route_id
+      |ORDER BY total_daily_trips DESC, a.route_id
+      |LIMIT 20""".stripMargin
+
+  def q1Weekday(spark: SparkSession, t: TransitTables): DataFrame = {
+    register(t); spark.sql(q1WeekdaySql)
+  }
+
+  def q4Weekday(spark: SparkSession, t: TransitTables): DataFrame = {
+    register(t); spark.sql(q4WeekdaySql)
+  }
+}
