@@ -47,6 +47,12 @@ object RelationalOracles {
        |    (SELECT COUNT(*) AS c FROM $child GROUP BY $fk)) AS max_fanout""".stripMargin
 
   val all: Map[String, String] = Map(
+    // the two-phase bucketed numbering must equal this global definition
+    "rel_global_ids" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       row_number() OVER (ORDER BY l_orderkey, l_linenumber)
+        |         AS global_id
+        |FROM lineitem""".stripMargin,
     // ORC roundtrip binds to the DIRECT path (lossless landing required)
     "rel_orc_roundtrip" ->
       """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,

@@ -2103,7 +2103,40 @@ object RelationalQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Dense global row ids (1..N) WITHOUT a global single-partition window
+    * — the scalable alternative to `row_number() OVER (ORDER BY ...)`,
+    * which funnels the whole table through one task. Standard two-phase
+    * numbering (the distributed zipWithIndex): (1) an order-preserving
+    * bucket key (`l_orderkey div 512` — integer range buckets, so bucket
+    * order IS key order; a hash bucket would scramble the total order);
+    * (2) per-bucket counts → prefix-sum offsets. That cumulative window IS
+    * single-partition, but over |buckets| metadata rows (~2k/TB), not the
+    * fact table; (3) `row_number` partitioned BY BUCKET over the fact side
+    * (parallel, one hash exchange) plus the broadcast offset. Ids are
+    * identical to the global-sort definition — the oracle states that
+    * definition directly. */
+  def globalIds(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .withColumn("bucket", expr("l_orderkey div 512"))
+    val counts = keyed.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    val offsets = counts
+      .withColumn("offset", coalesce(
+        sum(col("n")).over(
+          Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("bucket"), col("offset"))
+    val perBucket = Window.partitionBy(col("bucket"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+    keyed
+      .withColumn("rn", row_number().over(perBucket).cast("long"))
+      .join(broadcast(offsets), Seq("bucket"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("offset") + col("rn")).as("global_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_global_ids" -> globalIds,
     "rel_orc_roundtrip" -> orcRoundtrip,
     "rel_bitmap_index" -> bitmapIndex,
     "rel_dp_noise" -> dpNoise,

@@ -440,6 +440,20 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
   }
 
+  test("global ids: fact-side window partitions by bucket; ids are dense 1..N") {
+    val df = SparkEntry.queries("rel_global_ids")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the big-side row_number rides the bucket partitioning, never a
+    // whole-table single-partition window
+    assert(p.contains("windowspecdefinition(bucket#"), p.take(1500))
+    // the offsets frame reaches the fact join as a broadcast
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    val rows = df.collect()
+    val ids = rows.map(_.getLong(rows.head.fieldIndex("global_id"))).sorted
+    assert(ids.head == 1L && ids.last == rows.length.toLong &&
+      ids.distinct.length == rows.length, "ids not dense 1..N")
+  }
+
   test("sketch aggregates land within 5% of exact (HLL distinct, t-digest median)") {
     // the tolerance check is computed in-plan from the real sketch values
     // (exact vs approx in one aggregate); the oracle hashes it as TRUE, and
