@@ -161,6 +161,11 @@ object SparkEntry {
       Queries.gtfsValidation(graft.sources.GtfsWriter.roundtrip(s, dir))),
     "transit_triangles" -> ((s, dir) =>
       Queries.triangleCount(TransitTables.fromTpch(s, dir))),
+    // grid-cell-blocked spatial nearest-neighbor join; the oracle is the
+    // brute-force all-pairs definition, so the hash-match certifies the
+    // blocking loses nothing
+    "transit_stop_nn" -> ((s, dir) =>
+      Queries.stopNearestNeighbor(TransitTables.fromTpch(s, dir))),
     // §4 R4: the serving layer's snapshot fast path, end to end — build
     // the partitioned Q1 result snapshot, then serve the weekday request
     // FROM the snapshot (partition-pruned read-back, not the live plan).
@@ -235,6 +240,7 @@ object SparkEntry {
     "transit_gtfs_validation" -> TransitOracles.gtfsValidation,
     "transit_gtfs_validation_roundtrip" -> TransitOracles.gtfsValidation,
     "transit_triangles" -> TransitOracles.triangleCount,
+    "transit_stop_nn" -> TransitOracles.stopNearestNeighbor(),
     // snapshot round trips are value-preserving (parquet doubles bit-exact)
     "transit_q1_snapshot" -> TransitOracles.q1Weekday,
     "transit_q2_snapshot" -> TransitOracles.q2Weekday,

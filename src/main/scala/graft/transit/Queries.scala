@@ -964,6 +964,47 @@ object Queries {
       .limit(20)
   }
 
+  /** Spatial nearest-neighbor self-join via grid-cell blocking — "which
+    * stop is closest to each stop, within radius R" (stop-consolidation /
+    * duplicate-platform QA in feed tooling; the same plan serves any
+    * point-to-point spatial join). Semantics are EXACT nearest-within-R:
+    * a neighbor at distance ≤ R always lies in the 3×3 cells around the
+    * probe when the cell edge is R, so the blocked join misses nothing —
+    * candidate pairs are (cellx, celly)-keyed equi-joins (9× replication
+    * of one side, a fixed constant), never the |stops|² cross product.
+    * At 100 TB the cell key is the shuffle key and cells bound the
+    * quadratic exactly like the LSH/IVF buckets elsewhere in this suite.
+    *
+    * Determinism: distances are planar squared-degree (small-extent feed;
+    * the haversine face lives in [[Timetable.stopsNear]]) computed from
+    * the 6-dp-ROUNDED coordinates — both engines round to the same exact
+    * doubles first, so d2 is bit-identical and the (d2, neighbor-id)
+    * argmin cannot flip on summation noise. */
+  def stopNearestNeighbor(t: TransitTables, radiusDeg: Double = 0.05): DataFrame = {
+    val spark = t.stops.sparkSession
+    import spark.implicits._
+    val r2 = lit(radiusDeg) * lit(radiusDeg)
+    val pts = t.stops.select(col("stop_id"),
+      round(col("stop_lat"), 6).as("lat"), round(col("stop_lon"), 6).as("lon"))
+      .withColumn("cx", floor(col("lat") / lit(radiusDeg)).cast("long"))
+      .withColumn("cy", floor(col("lon") / lit(radiusDeg)).cast("long"))
+    val offs = (for { dx <- -1 to 1; dy <- -1 to 1 } yield (dx, dy)).toDF("dx", "dy")
+    val probes = pts.crossJoin(broadcast(offs)).select(
+      col("stop_id").as("b_id"), col("lat").as("b_lat"), col("lon").as("b_lon"),
+      (col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
+    val d2 = (col("lat") - col("b_lat")) * (col("lat") - col("b_lat")) +
+      (col("lon") - col("b_lon")) * (col("lon") - col("b_lon"))
+    pts.join(probes, Seq("cx", "cy"))
+      .filter(col("b_id") =!= col("stop_id"))
+      .withColumn("d2", d2)
+      .filter(col("d2") <= r2)
+      .groupBy(col("stop_id"))
+      .agg(min(struct(col("d2"), col("b_id"))).as("nn"))
+      .select(col("stop_id"), col("nn.b_id").as("nn_stop_id"),
+        round(col("nn.d2"), 10).as("nn_d2"))
+      .orderBy(col("stop_id"))
+  }
+
   /** GTFS feed-validation report — the standard feed-QA pass (the checks
     * every GTFS validator ships) as one engine query: referential orphans
     * (stop_times → stops / trips), arrival-before-departure, duplicate

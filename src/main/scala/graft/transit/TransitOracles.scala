@@ -167,6 +167,30 @@ object TransitOracles {
     """SELECT route_id, hour_of_day, CAST(SUM(trips_per_hour) AS BIGINT) AS trips_per_hour
       |   FROM hf GROUP BY route_id, hour_of_day""".stripMargin)
 
+  /** Brute-force all-pairs nearest-within-R — the definitional mirror of
+    * the grid-blocked join (exactness of the blocking is the theorem the
+    * hash-compare certifies). Coordinates are 6-dp-rounded then cast to
+    * DOUBLE so both engines run identical float arithmetic. */
+  def stopNearestNeighbor(r: Double = 0.05): String =
+    s"""$P, pts AS (
+       |  SELECT stop_id,
+       |         CAST(ROUND(stop_lat, 6) AS DOUBLE) AS lat,
+       |         CAST(ROUND(stop_lon, 6) AS DOUBLE) AS lon
+       |  FROM stops),
+       |pairs AS (
+       |  SELECT a.stop_id, b.stop_id AS b_id,
+       |         (a.lat - b.lat) * (a.lat - b.lat) +
+       |         (a.lon - b.lon) * (a.lon - b.lon) AS d2
+       |  FROM pts a JOIN pts b ON b.stop_id <> a.stop_id),
+       |ranked AS (
+       |  SELECT stop_id, b_id, d2,
+       |         row_number() OVER (PARTITION BY stop_id ORDER BY d2, b_id) AS rk
+       |  FROM pairs
+       |  WHERE d2 <= CAST($r AS DOUBLE) * CAST($r AS DOUBLE))
+       |SELECT stop_id, b_id AS nn_stop_id, ROUND(d2, 10) AS nn_d2
+       |FROM ranked WHERE rk = 1
+       |ORDER BY stop_id""".stripMargin
+
   /** Raw GTFS-time SQL mirroring GtfsTime.gtfsString (>24 h hours kept). */
   private def gtfsTime(secs: String): String =
     s"""LPAD(CAST(CAST(FLOOR($secs / 3600.0) AS BIGINT) AS VARCHAR), 2, '0')
