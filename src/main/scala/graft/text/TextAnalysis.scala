@@ -1213,6 +1213,41 @@ object TextAnalysis {
     rules.orderBy(col("round"))
   }
 
+  /** Apply the TRAINED merge table — the encode half of the tokenizer
+    * loop ([[bpeTrain]] is the train half): run the learned merges over
+    * the corpus in round order and report the per-source compression they
+    * buy. The merge table is rounds-sized metadata — pivoted to one row
+    * and broadcast, never collected to the driver — and the corpus-side
+    * work is a per-(source, word) count (vocabulary-sized shuffle, the
+    * text scan stays map-only) followed by `replace` chains evaluated on
+    * the VOCABULARY frame, not per document occurrence: at 100 TB the
+    * encode cost is |vocab| replaces, and the doc-frequency weights carry
+    * the totals. `replace`'s leftmost-non-overlapping global semantics is
+    * the BPE merge rule, identical in both engines. */
+  def bpeApply(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    val ruleCols = (1 to rounds).map(k =>
+      max(when(col("round") === k, col("pair"))).as(s"pair$k"))
+    val ruleRow = bpeTrain(spark, dir, rounds)
+      .groupBy().agg(ruleCols.head, ruleCols.tail: _*)
+    val enc = (1 to rounds).foldLeft("word") { (acc, k) =>
+      s"replace($acc, pair$k, '${('A' + k - 1).toChar}')"
+    }
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(TextHash.tokens(col("text"))).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("wc"))
+      .crossJoin(broadcast(ruleRow))
+      .withColumn("enc", expr(enc))
+      .groupBy(col("source"))
+      .agg(sum(col("wc")).as("n_words"),
+        sum(length(col("word")).cast("long") * col("wc")).as("chars_total"),
+        sum(length(col("enc")).cast("long") * col("wc")).as("symbols_total"))
+      .select(col("source"), col("n_words"), col("chars_total"),
+        col("symbols_total"),
+        round(col("symbols_total").cast("double") / col("chars_total"), 6)
+          .as("compression"))
+      .orderBy(col("source"))
+  }
+
   /** One BPE-training merge step: frequency of every adjacent character
     * pair inside pretokens, weighted by pretoken frequency — the argmax is
     * the pair a BPE trainer would merge next. Two hash aggregations (word
@@ -1365,6 +1400,7 @@ object TextAnalysis {
     "text_hrw_shards" -> hrwShards,
     "text_dsir_importance" -> dsirImportance,
     "text_bpe_train" -> ((s: SparkSession, d: String) => bpeTrain(s, d)),
+    "text_bpe_apply" -> ((s: SparkSession, d: String) => bpeApply(s, d)),
     "text_length_histogram" -> lengthHistogram,
     "text_token_stats" -> tokenStats,
     "text_quality" -> quality,

@@ -198,26 +198,53 @@ object TextOracles {
 
   /** Multi-round BPE: identical pair counts, (cnt DESC, pair) argmax,
     * replace() rewrite per round. */
-  val bpeTrain: String = {
-    def roundCtes(k: Int): String = {
-      val sym = ('A' + k - 1).toChar
-      s"""p$k AS (SELECT pair, CAST(SUM(wc) AS BIGINT) AS merged_count FROM (
-         |  SELECT wc, unnest(list_transform(range(1, length(word)),
-         |    i -> substr(word, CAST(i AS INT), 2))) AS pair
-         |  FROM w${k - 1} WHERE length(word) >= 2) GROUP BY 1),
-         |r$k AS (SELECT $k AS round, pair, merged_count, '$sym' AS new_symbol
-         |        FROM p$k ORDER BY merged_count DESC, pair LIMIT 1),
-         |w$k AS (SELECT word, CAST(SUM(wc) AS BIGINT) AS wc FROM (
-         |          SELECT replace(word, (SELECT pair FROM r$k), '$sym') AS word, wc
-         |          FROM w${k - 1}) GROUP BY 1)""".stripMargin
-    }
-    s"""WITH w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wc
+  /** The BPE training rounds as chained CTEs — shared by the train face
+    * (emits the merge table) and the apply face (encodes with it). */
+  private def bpeRoundCtes(k: Int): String = {
+    val sym = ('A' + k - 1).toChar
+    s"""p$k AS (SELECT pair, CAST(SUM(wc) AS BIGINT) AS merged_count FROM (
+       |  SELECT wc, unnest(list_transform(range(1, length(word)),
+       |    i -> substr(word, CAST(i AS INT), 2))) AS pair
+       |  FROM w${k - 1} WHERE length(word) >= 2) GROUP BY 1),
+       |r$k AS (SELECT $k AS round, pair, merged_count, '$sym' AS new_symbol
+       |        FROM p$k ORDER BY merged_count DESC, pair LIMIT 1),
+       |w$k AS (SELECT word, CAST(SUM(wc) AS BIGINT) AS wc FROM (
+       |          SELECT replace(word, (SELECT pair FROM r$k), '$sym') AS word, wc
+       |          FROM w${k - 1}) GROUP BY 1)""".stripMargin
+  }
+
+  private val bpeTrainCtes: String =
+    s"""w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wc
        |  FROM (SELECT unnest($toks) AS word FROM documents) GROUP BY 1),
-       |${(1 to 3).map(roundCtes).mkString(",\n")}
+       |${(1 to 3).map(bpeRoundCtes).mkString(",\n")}""".stripMargin
+
+  val bpeTrain: String =
+    s"""WITH $bpeTrainCtes
        |SELECT round, pair, merged_count, new_symbol
        |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
        |      UNION ALL SELECT * FROM r3)
        |ORDER BY round""".stripMargin
+
+  val bpeApply: String = {
+    val enc = (1 to 3).foldLeft("word") { (acc, k) =>
+      s"replace($acc, (SELECT pair FROM r$k), '${('A' + k - 1).toChar}')"
+    }
+    s"""WITH $bpeTrainCtes,
+       |sw AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS wc
+       |  FROM (SELECT source, unnest($toks) AS word FROM documents)
+       |  GROUP BY 1, 2),
+       |e AS (SELECT source, wc,
+       |        CAST(length(word) AS BIGINT) AS wl,
+       |        CAST(length($enc) AS BIGINT) AS el
+       |      FROM sw)
+       |SELECT source,
+       |       CAST(SUM(wc) AS BIGINT) AS n_words,
+       |       CAST(SUM(wl * wc) AS BIGINT) AS chars_total,
+       |       CAST(SUM(el * wc) AS BIGINT) AS symbols_total,
+       |       round(CAST(SUM(el * wc) AS DOUBLE) / SUM(wl * wc), 6)
+       |         AS compression
+       |FROM e GROUP BY source
+       |ORDER BY source""".stripMargin
   }
 
   val stratifiedSample: String = {
@@ -832,6 +859,7 @@ object TextOracles {
     "text_hrw_shards" -> hrwShards,
     "text_dsir_importance" -> dsirImportance,
     "text_bpe_train" -> bpeTrain,
+    "text_bpe_apply" -> bpeApply,
     "text_length_histogram" -> lengthHistogram,
     "text_token_stats" -> tokenStats,
     "text_quality" -> quality,
