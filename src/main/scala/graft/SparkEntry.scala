@@ -166,6 +166,10 @@ object SparkEntry {
     // blocking loses nothing
     "transit_stop_nn" -> ((s, dir) =>
       Queries.stopNearestNeighbor(TransitTables.fromTpch(s, dir))),
+    // integer-exact betweenness family: shortest-path through-counts over
+    // a 3-hop horizon from a deterministic 1-in-12 source sample
+    "transit_stress" -> ((s, dir) =>
+      Queries.stressCentrality(TransitTables.fromTpch(s, dir))),
     // §4 R4: the serving layer's snapshot fast path, end to end — build
     // the partitioned Q1 result snapshot, then serve the weekday request
     // FROM the snapshot (partition-pruned read-back, not the live plan).
@@ -241,6 +245,7 @@ object SparkEntry {
     "transit_gtfs_validation_roundtrip" -> TransitOracles.gtfsValidation,
     "transit_triangles" -> TransitOracles.triangleCount,
     "transit_stop_nn" -> TransitOracles.stopNearestNeighbor(),
+    "transit_stress" -> TransitOracles.stressCentrality,
     // snapshot round trips are value-preserving (parquet doubles bit-exact)
     "transit_q1_snapshot" -> TransitOracles.q1Weekday,
     "transit_q2_snapshot" -> TransitOracles.q2Weekday,

@@ -474,6 +474,35 @@ object Similarity {
     * per query, the fraction of true neighbors the approximate index
     * found. This is the recall dashboard an ANN deployment watches; both
     * sides are existing plans, the join keys are (qid, cid) pairs. */
+  /** Calibration audit of the kNN classifier — the reliability diagram +
+    * expected-calibration-error (ECE) contributions a model-eval pipeline
+    * computes before trusting a classifier's confidence as a data-quality
+    * gate. Confidence of a kNN vote is votes/k, so the bins are the k
+    * possible vote counts: per bin we report count, empirical accuracy,
+    * stated confidence, and the bin's weighted |conf − acc| ECE term
+    * (their sum IS the ECE). The prediction frame aggregates to ≤k
+    * metadata rows before any division happens, so the audit costs one
+    * keyed aggregation over predictions however many there are; every
+    * double is a ratio of exact BIGINTs in a fixed expression order, so
+    * both engines agree bit-for-bit. */
+  def knnCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val bins = knnClassify(spark, dir)
+      .groupBy(col("votes"))
+      .agg(count(lit(1)).as("n_preds"),
+        sum(col("correct").cast("long")).as("n_correct"))
+    val tot = bins.agg(sum(col("n_preds")).as("n_total"))
+    bins.crossJoin(broadcast(tot))
+      .select(col("votes"),
+        round(col("votes").cast("double") / TopK, 6).as("confidence"),
+        col("n_preds"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_preds"), 6)
+          .as("accuracy"),
+        round(abs(col("votes").cast("double") / TopK -
+            col("n_correct").cast("double") / col("n_preds")) *
+          col("n_preds") / col("n_total"), 6).as("ece_contrib"))
+      .orderBy(col("votes"))
+  }
+
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
     val brute = knnBrute(spark, dir).select(col("qid"), col("cid"))
     val approx = annLsh(spark, dir).select(col("qid"), col("cid"))
@@ -724,6 +753,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ood_knn" -> oodKnn,
+    "sim_knn_calibration" -> knnCalibration,
     "sim_ann_ivf_persisted" -> annIvfPersisted,
     "dedup_semantic" -> semanticDedup,
     "sim_negative_sample" -> negativeSample,
@@ -1119,6 +1149,25 @@ object SimilarityOracles {
        |WHERE b.rn = 1
        |ORDER BY b.qid""".stripMargin
 
+  /** Reliability bins over the classify predictions; every double is a
+    * ratio of exact BIGINTs in the same expression order as Spark. */
+  val knnCalibration: String =
+    s"""WITH preds AS ($knnClassify),
+       |bins AS (SELECT votes, CAST(COUNT(*) AS BIGINT) AS n_preds,
+       |           CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT)
+       |             AS n_correct
+       |         FROM preds GROUP BY votes),
+       |tot AS (SELECT CAST(SUM(n_preds) AS BIGINT) AS n_total FROM bins)
+       |SELECT votes,
+       |       round(CAST(votes AS DOUBLE) / ${Similarity.TopK}, 6) AS confidence,
+       |       n_preds, n_correct,
+       |       round(CAST(n_correct AS DOUBLE) / n_preds, 6) AS accuracy,
+       |       round(abs(CAST(votes AS DOUBLE) / ${Similarity.TopK} -
+       |               CAST(n_correct AS DOUBLE) / n_preds)
+       |             * n_preds / n_total, 6) AS ece_contrib
+       |FROM bins, tot
+       |ORDER BY votes""".stripMargin
+
   /** Same exact-decimal sums, same double expression shape — DuckDB's
     * unnest+self-join formulation is its natural spelling of the pair
     * expansion; the sums it feeds are identical by decimal exactness. */
@@ -1222,6 +1271,7 @@ object SimilarityOracles {
 
   val all: Map[String, String] = Map(
     "sim_ood_knn" -> oodKnn,
+    "sim_knn_calibration" -> knnCalibration,
     // persisted-index round trip is lossless; probe semantics = annIvf
     "sim_ann_ivf_persisted" -> annIvf,
     "dedup_semantic" -> semanticDedup,

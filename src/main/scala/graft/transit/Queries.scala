@@ -964,6 +964,73 @@ object Queries {
       .limit(20)
   }
 
+  /** Stress centrality — the betweenness-family measure that stays
+    * INTEGER-exact: the number of shortest paths passing through each
+    * stop, over all (sampled-source, target) pairs within a 3-hop
+    * horizon. Counting σ (shortest-path multiplicities) instead of
+    * Brandes' fractional δ keeps every intermediate a BIGINT, so the
+    * oracle binds bit-for-bit with no float-accumulation risk — the same
+    * trade [[pagerank]] makes with integer mass.
+    *
+    * Plan: shortest walks of length ≤3 via adjacency powers (a minimal-
+    * length walk cannot revisit a vertex, so walk counts ARE path
+    * counts): A² is one edge self-join, A³ one more join with A² — the
+    * wedge-join shape [[triangleCount]] already bounds at scale; (dist,
+    * σ) per pair is an argmin-struct over the three powers. The through-
+    * count is then pure relational algebra: σ(s,v)·σ(v,t) summed where
+    * dist(s,v)+dist(v,t) = dist(s,t), with the source side restricted to
+    * a deterministic 1-in-12 stop sample (the standard betweenness
+    * estimator at graph scale — widen the sample, not the algorithm).
+    * Every join is keyed on stop ids; nothing is quadratic in |stops|
+    * beyond the 3-hop reachability frame the fixpoint queries already
+    * materialize. */
+  def stressCentrality(t: TransitTables): DataFrame = {
+    val st = t.stopTimes.select(col("trip_id"), col("stop_id"),
+      col("stop_sequence").as("seq"))
+    val und = st.as("a").join(st.as("b"),
+        col("a.trip_id") === col("b.trip_id") &&
+          col("b.seq") === col("a.seq") + 1 &&
+          col("a.stop_id") =!= col("b.stop_id"))
+      .select(least(col("a.stop_id"), col("b.stop_id")).as("s"),
+        greatest(col("a.stop_id"), col("b.stop_id")).as("d"))
+      .distinct()
+    val e = und.select(col("s").as("src"), col("d").as("dst"))
+      .unionByName(und.select(col("d").as("src"), col("s").as("dst")))
+      .localCheckpoint(true)
+    val a1 = e.select(col("src"), col("dst"), lit(1).as("k"), lit(1L).as("n"))
+    val a2 = e.as("x").join(e.as("y"), col("x.dst") === col("y.src"))
+      .filter(col("x.src") =!= col("y.dst"))
+      .groupBy(col("x.src").as("src"), col("y.dst").as("dst"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("src"), col("dst"), lit(2).as("k"), col("n"))
+    val a3 = a2.as("x").join(e.as("y"), col("x.dst") === col("y.src"))
+      .filter(col("x.src") =!= col("y.dst"))
+      .groupBy(col("x.src").as("src"), col("y.dst").as("dst"))
+      .agg(sum(col("x.n")).as("n"))
+      .select(col("src"), col("dst"), lit(3).as("k"), col("n"))
+    val d = a1.unionByName(a2).unionByName(a3)
+      .groupBy(col("src"), col("dst"))
+      .agg(min(struct(col("k"), col("n"))).as("m"))
+      .select(col("src"), col("dst"),
+        col("m.k").as("dist"), col("m.n").as("sigma"))
+      .localCheckpoint(true)
+    val fromS = d.filter(col("src") % 12 === 0)
+    val p1 = fromS.select(col("src").as("s"), col("dst").as("v"),
+      col("dist").as("d1"), col("sigma").as("sig1"))
+    val p2 = d.select(col("src").as("v"), col("dst").as("t"),
+      col("dist").as("d2"), col("sigma").as("sig2"))
+    val tot = fromS.select(col("src").as("s"), col("dst").as("t"),
+      col("dist").as("dt"))
+    p1.join(p2, Seq("v"))
+      .filter(col("s") =!= col("t"))
+      .join(tot, Seq("s", "t"))
+      .filter(col("d1") + col("d2") === col("dt"))
+      .groupBy(col("v").as("stop_id"))
+      .agg(sum(col("sig1") * col("sig2")).as("stress"))
+      .orderBy(col("stress").desc, col("stop_id"))
+      .limit(20)
+  }
+
   /** Spatial nearest-neighbor self-join via grid-cell blocking — "which
     * stop is closest to each stop, within radius R" (stop-consolidation /
     * duplicate-platform QA in feed tooling; the same plan serves any

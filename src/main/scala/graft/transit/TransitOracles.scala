@@ -167,6 +167,41 @@ object TransitOracles {
     """SELECT route_id, hour_of_day, CAST(SUM(trips_per_hour) AS BIGINT) AS trips_per_hour
       |   FROM hf GROUP BY route_id, hour_of_day""".stripMargin)
 
+  /** Mirrors [[Queries.stressCentrality]]: adjacency powers as chained
+    * CTEs, argmin-(dist, σ) per pair, integer through-count join. */
+  val stressCentrality: String =
+    s"""$P, st AS (SELECT trip_id, stop_id, stop_sequence AS seq FROM stop_times),
+       |und AS (SELECT DISTINCT least(a.stop_id, b.stop_id) AS s,
+       |                        greatest(a.stop_id, b.stop_id) AS d
+       |        FROM st a JOIN st b ON a.trip_id = b.trip_id
+       |          AND b.seq = a.seq + 1 AND a.stop_id <> b.stop_id),
+       |e AS (SELECT s AS src, d AS dst FROM und
+       |      UNION ALL SELECT d, s FROM und),
+       |a1 AS (SELECT src, dst, 1 AS k, CAST(1 AS BIGINT) AS n FROM e),
+       |a2 AS (SELECT x.src, y.dst, 2 AS k, CAST(COUNT(*) AS BIGINT) AS n
+       |       FROM e x JOIN e y ON x.dst = y.src
+       |       WHERE x.src <> y.dst GROUP BY 1, 2),
+       |a3 AS (SELECT x.src, y.dst, 3 AS k, CAST(SUM(x.n) AS BIGINT) AS n
+       |       FROM a2 x JOIN e y ON x.dst = y.src
+       |       WHERE x.src <> y.dst GROUP BY 1, 2),
+       |dd AS (SELECT src, dst, k AS dist, n AS sigma FROM (
+       |         SELECT src, dst, k, n,
+       |                row_number() OVER (PARTITION BY src, dst ORDER BY k) AS rk
+       |         FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2
+       |               UNION ALL SELECT * FROM a3))
+       |       WHERE rk = 1),
+       |p1 AS (SELECT src AS s, dst AS v, dist AS d1, sigma AS sig1
+       |       FROM dd WHERE src % 12 = 0),
+       |p2 AS (SELECT src AS v, dst AS t, dist AS d2, sigma AS sig2 FROM dd),
+       |tot AS (SELECT src AS s, dst AS t, dist AS dt
+       |        FROM dd WHERE src % 12 = 0)
+       |SELECT p1.v AS stop_id, CAST(SUM(sig1 * sig2) AS BIGINT) AS stress
+       |FROM p1 JOIN p2 ON p1.v = p2.v AND p1.s <> p2.t
+       |JOIN tot ON tot.s = p1.s AND tot.t = p2.t AND p1.d1 + p2.d2 = tot.dt
+       |GROUP BY p1.v
+       |ORDER BY stress DESC, stop_id
+       |LIMIT 20""".stripMargin
+
   /** Brute-force all-pairs nearest-within-R — the definitional mirror of
     * the grid-blocked join (exactness of the blocking is the theorem the
     * hash-compare certifies). Coordinates are 6-dp-rounded then cast to
