@@ -170,6 +170,10 @@ object SparkEntry {
     // a 3-hop horizon from a deterministic 1-in-12 source sample
     "transit_stress" -> ((s, dir) =>
       Queries.stressCentrality(TransitTables.fromTpch(s, dir))),
+    // GTFS calendar.txt expansion: weekly service patterns → concrete
+    // service dates over a 14-day spine
+    "transit_service_dates" -> ((s, dir) =>
+      Queries.serviceDates(TransitTables.fromTpch(s, dir))),
     // §4 R4: the serving layer's snapshot fast path, end to end — build
     // the partitioned Q1 result snapshot, then serve the weekday request
     // FROM the snapshot (partition-pruned read-back, not the live plan).
@@ -246,6 +250,7 @@ object SparkEntry {
     "transit_triangles" -> TransitOracles.triangleCount,
     "transit_stop_nn" -> TransitOracles.stopNearestNeighbor(),
     "transit_stress" -> TransitOracles.stressCentrality,
+    "transit_service_dates" -> TransitOracles.serviceDates(),
     // snapshot round trips are value-preserving (parquet doubles bit-exact)
     "transit_q1_snapshot" -> TransitOracles.q1Weekday,
     "transit_q2_snapshot" -> TransitOracles.q2Weekday,

@@ -47,6 +47,26 @@ object RelationalOracles {
        |    (SELECT COUNT(*) AS c FROM $child GROUP BY $fk)) AS max_fanout""".stripMargin
 
   val all: Map[String, String] = Map(
+    // GDPR cascade audit; n_orphan_survivors must hash as 0
+    "rel_delete_propagation" ->
+      """WITH req AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+        |dead_o AS (SELECT o_orderkey FROM orders
+        |           WHERE o_custkey IN (SELECT c_custkey FROM req))
+        |SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM req) AS n_requests,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM dead_o) AS n_orders_deleted,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |   WHERE l_orderkey IN (SELECT o_orderkey FROM dead_o))
+        |    AS n_lineitems_deleted,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        |   WHERE o_custkey NOT IN (SELECT c_custkey FROM req)) AS n_orders_kept,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM dead_o))
+        |    AS n_lineitems_kept,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        |   WHERE o_custkey NOT IN (SELECT c_custkey FROM req)
+        |     AND o_custkey IN (SELECT c_custkey FROM req))
+        |    AS n_orphan_survivors""".stripMargin,
     // the two-phase bucketed numbering must equal this global definition
     "rel_global_ids" ->
       """SELECT l_orderkey, l_linenumber,

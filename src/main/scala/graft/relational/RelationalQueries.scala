@@ -2135,7 +2135,42 @@ object RelationalQueries {
         (col("offset") + col("rn")).as("global_id"))
   }
 
+  /** Right-to-be-forgotten (GDPR erasure) propagation audit — given a
+    * deterministic erasure-request set (customers with key % 97 == 0),
+    * cascade the delete through the FK chain (customer → orders →
+    * lineitem) and certify the result: counts deleted at each level, and
+    * — the compliance claim itself — ZERO surviving orders for erased
+    * customers and ZERO surviving lineitems of deleted orders. Every step
+    * is a KEY-ONLY semi/anti join (ids shuffle, never payloads), the
+    * shape that lets Catalyst inject runtime bloom filters on the fact
+    * scans; at 100 TB an erasure batch is exactly this plan plus the
+    * rewrite of affected partitions. */
+  def deletePropagation(spark: SparkSession, dir: String): DataFrame = {
+    val requests = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 97 === 0).select(col("c_custkey"))
+    val orders = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"))
+    val deadOrders = orders.join(requests,
+      col("o_custkey") === col("c_custkey"), "left_semi")
+    val liveOrders = orders.join(requests,
+      col("o_custkey") === col("c_custkey"), "left_anti")
+    val deadLi = li.join(deadOrders.select(col("o_orderkey")),
+      col("l_orderkey") === col("o_orderkey"), "left_semi")
+    val liveLi = li.join(deadOrders.select(col("o_orderkey")),
+      col("l_orderkey") === col("o_orderkey"), "left_anti")
+    // the compliance invariant: survivors referencing an erased key
+    val orphanOrders = liveOrders.join(requests,
+      col("o_custkey") === col("c_custkey"), "left_semi")
+    requests.agg(count(lit(1)).as("n_requests"))
+      .crossJoin(deadOrders.agg(count(lit(1)).as("n_orders_deleted")))
+      .crossJoin(deadLi.agg(count(lit(1)).as("n_lineitems_deleted")))
+      .crossJoin(liveOrders.agg(count(lit(1)).as("n_orders_kept")))
+      .crossJoin(liveLi.agg(count(lit(1)).as("n_lineitems_kept")))
+      .crossJoin(orphanOrders.agg(count(lit(1)).as("n_orphan_survivors")))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_delete_propagation" -> deletePropagation,
     "rel_global_ids" -> globalIds,
     "rel_orc_roundtrip" -> orcRoundtrip,
     "rel_bitmap_index" -> bitmapIndex,

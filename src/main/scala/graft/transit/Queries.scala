@@ -964,6 +964,35 @@ object Queries {
       .limit(20)
   }
 
+  /** GTFS calendar expansion — `calendar.txt` semantics: a service id is
+    * a weekly PATTERN (weekday / Saturday / Sunday in this feed's
+    * trichotomy), and consumers need it expanded into concrete service
+    * DATES before any "what runs on 2024-01-09" question. One date-spine
+    * explode (`sequence` + `explode`, the [[graft.relational.
+    * RelationalQueries.dateSpine]] idiom), a day-of-week derived as pure
+    * integer arithmetic from the spine start (engine-neutral — never a
+    * locale-dependent dayofweek()), and a broadcast join against the
+    * per-service trip census. The spine is |days| rows of metadata; the
+    * trip census is one keyed aggregate — feed size never multiplies the
+    * spine. */
+  def serviceDates(t: TransitTables, startDate: String = "2024-01-01",
+      days: Int = 14): DataFrame = {
+    val start = to_date(lit(startDate))
+    val spine = t.trips.sparkSession.range(1)
+      .select(explode(sequence(start, date_add(start, days - 1),
+        expr("interval 1 day"))).as("svc_date"))
+      .withColumn("day_index", (datediff(col("svc_date"), start) % 7).cast("int"))
+      .withColumn("service_id",
+        when(col("day_index") < 5, "1")
+          .when(col("day_index") === 5, "2").otherwise("3"))
+    val perSvc = t.trips.groupBy(col("service_id"))
+      .agg(count(lit(1)).as("n_trips"))
+    spine.join(broadcast(perSvc), Seq("service_id"))
+      .select(col("svc_date").cast("string").as("svc_date"),
+        col("service_id"), col("day_index"), col("n_trips"))
+      .orderBy(col("svc_date"))
+  }
+
   /** Stress centrality — the betweenness-family measure that stays
     * INTEGER-exact: the number of shortest paths passing through each
     * stop, over all (sampled-source, target) pairs within a 3-hop

@@ -167,6 +167,26 @@ object TransitOracles {
     """SELECT route_id, hour_of_day, CAST(SUM(trips_per_hour) AS BIGINT) AS trips_per_hour
       |   FROM hf GROUP BY route_id, hour_of_day""".stripMargin)
 
+  /** Mirrors [[Queries.serviceDates]]: generate_series spine, integer
+    * day-of-week from the spine start, per-service trip census. */
+  def serviceDates(start: String = "2024-01-01", days: Int = 14): String =
+    s"""$P, spine AS (
+       |  SELECT CAST(gs AS DATE) AS svc_date,
+       |         CAST((CAST(gs AS DATE) - DATE '$start') % 7 AS INT) AS day_index
+       |  FROM generate_series(DATE '$start',
+       |                       DATE '$start' + INTERVAL ${days - 1} DAY,
+       |                       INTERVAL 1 DAY) t(gs)),
+       |cal AS (SELECT svc_date, day_index,
+       |          CASE WHEN day_index < 5 THEN '1'
+       |               WHEN day_index = 5 THEN '2' ELSE '3' END AS service_id
+       |        FROM spine),
+       |per_svc AS (SELECT service_id, CAST(COUNT(*) AS BIGINT) AS n_trips
+       |            FROM trips GROUP BY 1)
+       |SELECT CAST(c.svc_date AS VARCHAR) AS svc_date, c.service_id,
+       |       c.day_index, p.n_trips
+       |FROM cal c JOIN per_svc p ON p.service_id = c.service_id
+       |ORDER BY svc_date""".stripMargin
+
   /** Mirrors [[Queries.stressCentrality]]: adjacency powers as chained
     * CTEs, argmin-(dist, σ) per pair, integer through-count join. */
   val stressCentrality: String =
