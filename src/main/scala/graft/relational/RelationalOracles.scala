@@ -47,6 +47,16 @@ object RelationalOracles {
        |    (SELECT COUNT(*) AS c FROM $child GROUP BY $fk)) AS max_fanout""".stripMargin
 
   val all: Map[String, String] = Map(
+    // retraction merge ≡ recompute over the FINAL state (base ∖ deletes ∪ inserts)
+    "rel_incremental_agg_retract" ->
+      """WITH fin AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v FROM events
+        |  WHERE NOT (event_id % 10 <> 0 AND event_id % 20 = 3))
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(CAST(SUM(v) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value,
+        |       ROUND(CAST(CAST(SUM(v) AS DECIMAL(18,2)) AS DOUBLE)
+        |             / CAST(COUNT(*) AS BIGINT), 6) AS avg_value
+        |FROM fin GROUP BY event_type ORDER BY event_type""".stripMargin,
     // GDPR cascade audit; n_orphan_survivors must hash as 0
     "rel_delete_propagation" ->
       """WITH req AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),

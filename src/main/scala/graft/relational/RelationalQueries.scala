@@ -657,6 +657,40 @@ object RelationalQueries {
       .orderBy(col("probe_id"), col("dist"), col("c_custkey"))
   }
 
+  /** Retraction-aware incremental aggregate maintenance — the general
+    * changelog case [[incrementalAgg]]'s insert-only delta can't handle:
+    * the delta batch carries +1 insert and −1 DELETE weights (upstream
+    * compaction emitted tombstones; a Flink-style retract stream), and
+    * the view absorbs both by summing SIGNED partials — counts as Σw,
+    * sums as Σw·v — never rescanning the base. Value mass rides
+    * DECIMAL(18,2) so retraction is EXACT: a float sum that subtracts
+    * what it once added drifts; a decimal one returns to the true value
+    * bit-for-bit, which is what lets the oracle state the final-state
+    * recompute directly. Deletes are a deterministic subset of the base
+    * (event_id % 20 == 3), inserts the usual held-out tenth. */
+  def incrementalAggRetract(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        col("value").cast("decimal(18,2)").as("v"))
+    val base = e.filter(col("event_id") % 10 =!= 0)
+    val inserts = e.filter(col("event_id") % 10 === 0)
+      .withColumn("w", lit(1L))
+    val deletes = base.filter(col("event_id") % 20 === 3)
+      .withColumn("w", lit(-1L))
+    def partial(df: DataFrame) = df.groupBy(col("event_type"))
+      .agg(sum(col("w")).as("n"), sum(col("w") * col("v")).as("sv"))
+    val snapshot = partial(base.withColumn("w", lit(1L)))
+    partial(inserts).unionByName(partial(deletes)).unionByName(snapshot)
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_events"),
+        sum(col("sv")).cast("decimal(18,2)").as("sum_value"))
+      .select(col("event_type"), col("n_events"),
+        col("sum_value").cast("double").as("sum_value"),
+        round(col("sum_value").cast("double") / col("n_events"), 6)
+          .as("avg_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** Incremental aggregate maintenance — the materialized-view update
     * pattern: a base aggregate (the snapshot) and a late-arriving delta
     * are each reduced to mergeable partial states (count, sum), then
@@ -2171,6 +2205,7 @@ object RelationalQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_delete_propagation" -> deletePropagation,
+    "rel_incremental_agg_retract" -> incrementalAggRetract,
     "rel_global_ids" -> globalIds,
     "rel_orc_roundtrip" -> orcRoundtrip,
     "rel_bitmap_index" -> bitmapIndex,

@@ -918,6 +918,8 @@ object Queries {
 
   /** Neighbors each stop keeps in [[triangleCount]]'s sparsified graph. */
   val TriangleTopK = 4
+  /** Per-stop degree cap for [[stressCentrality]]'s backbone graph. */
+  val StressTopK = 6
 
   /** Triangle participation over the top-k consecutive-stop graph — the
     * classic distributed-graph clustering metric (completes the graph
@@ -1016,12 +1018,27 @@ object Queries {
   def stressCentrality(t: TransitTables): DataFrame = {
     val st = t.stopTimes.select(col("trip_id"), col("stop_id"),
       col("stop_sequence").as("seq"))
-    val und = st.as("a").join(st.as("b"),
+    // Backbone sparsification, the [[triangleCount]] trick: keep each
+    // stop's top-[[StressTopK]] strongest corridors (by co-occurrence
+    // weight). A transit-shaped graph is degree-bounded already; the
+    // synthetic hub-skewed feed approaches DENSE at sf0.1, where A³ would
+    // cost |V|³ products — the cap bounds every power at |V|·K^p rows
+    // regardless of feed size, which is the property that survives 100 TB.
+    val pr = st.as("a").join(st.as("b"),
         col("a.trip_id") === col("b.trip_id") &&
           col("b.seq") === col("a.seq") + 1 &&
           col("a.stop_id") =!= col("b.stop_id"))
       .select(least(col("a.stop_id"), col("b.stop_id")).as("s"),
         greatest(col("a.stop_id"), col("b.stop_id")).as("d"))
+    val w = pr.groupBy(col("s"), col("d")).agg(count(lit(1)).as("w"))
+    val sym = w.select(col("s").as("src"), col("d").as("dst"), col("w"))
+      .unionByName(w.select(col("d").as("src"), col("s").as("dst"), col("w")))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("w").desc, col("dst"))
+    val und = sym.withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= StressTopK)
+      .select(least(col("src"), col("dst")).as("s"),
+        greatest(col("src"), col("dst")).as("d"))
       .distinct()
     val e = und.select(col("s").as("src"), col("d").as("dst"))
       .unionByName(und.select(col("d").as("src"), col("s").as("dst")))

@@ -191,10 +191,20 @@ object TransitOracles {
     * CTEs, argmin-(dist, σ) per pair, integer through-count join. */
   val stressCentrality: String =
     s"""$P, st AS (SELECT trip_id, stop_id, stop_sequence AS seq FROM stop_times),
-       |und AS (SELECT DISTINCT least(a.stop_id, b.stop_id) AS s,
-       |                        greatest(a.stop_id, b.stop_id) AS d
-       |        FROM st a JOIN st b ON a.trip_id = b.trip_id
-       |          AND b.seq = a.seq + 1 AND a.stop_id <> b.stop_id),
+       |w AS (SELECT least(a.stop_id, b.stop_id) AS s,
+       |             greatest(a.stop_id, b.stop_id) AS d,
+       |             CAST(COUNT(*) AS BIGINT) AS w
+       |      FROM st a JOIN st b ON a.trip_id = b.trip_id
+       |        AND b.seq = a.seq + 1 AND a.stop_id <> b.stop_id
+       |      GROUP BY 1, 2),
+       |sym AS (SELECT s AS src, d AS dst, w FROM w
+       |        UNION ALL SELECT d, s, w FROM w),
+       |und AS (SELECT DISTINCT least(src, dst) AS s, greatest(src, dst) AS d
+       |        FROM (SELECT src, dst,
+       |                row_number() OVER (PARTITION BY src
+       |                  ORDER BY w DESC, dst) AS rk
+       |              FROM sym)
+       |        WHERE rk <= ${Queries.StressTopK}),
        |e AS (SELECT s AS src, d AS dst FROM und
        |      UNION ALL SELECT d, s FROM und),
        |a1 AS (SELECT src, dst, 1 AS k, CAST(1 AS BIGINT) AS n FROM e),
