@@ -135,4 +135,69 @@ class ExtensionInvariantsSpec extends SparkSpec {
     assert(imp.zip(imp.tail).forall { case (x, y) => x >= y },
       "importance not descending with rank")
   }
+
+  test("stress centrality: strictly positive and held by backbone interior nodes") {
+    val rows = Queries.stressCentrality(tables).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("stress") > 0L))
+    // through-counts require degree >= 2 in the backbone: an interior
+    // vertex of any shortest path has at least two backbone neighbors
+    val ids = rows.map(_.getAs[Long]("stop_id")).toSet
+    val deg = edgeSet.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+      .filter(col("n").isInCollection(ids)).collect()
+    assert(deg.forall(_.getAs[Long]("d") >= 2L))
+  }
+
+  test("bpe apply: compression <= 1 and symbol mass bounded by char mass") {
+    val rows = graft.text.TextAnalysis.bpeApply(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Long]("symbols_total") <= r.getAs[Long]("chars_total"))
+      val c = r.getAs[Double]("compression")
+      assert(c > 0.0 && c <= 1.0, s"compression=$c")
+    }
+  }
+
+  test("knn calibration: bins partition the query set, ECE in [0,1]") {
+    val rows = graft.similarity.Similarity.knnCalibration(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_preds")).sum ===
+      graft.similarity.Similarity.QuerySet.toLong)
+    val ece = rows.map(_.getAs[Double]("ece_contrib")).sum
+    assert(ece >= 0.0 && ece <= 1.0, s"ece=$ece")
+  }
+
+  test("service dates: 14-day spine is 10 weekdays + 2 Saturdays + 2 Sundays") {
+    val rows = Queries.serviceDates(tables).collect()
+    assert(rows.length === 14)
+    val bySvc = rows.groupBy(_.getAs[String]("service_id")).view.mapValues(_.length).toMap
+    assert(bySvc === Map("1" -> 10, "2" -> 2, "3" -> 2))
+  }
+
+  test("delete propagation: cascade is complete and orphan-free") {
+    val r = graft.relational.RelationalQueries.deletePropagation(spark, sf).head()
+    assert(r.getAs[Long]("n_orphan_survivors") === 0L)
+    val totalOrders = graft.sources.Tables.orders(spark, sf).count()
+    assert(r.getAs[Long]("n_orders_deleted") + r.getAs[Long]("n_orders_kept")
+      === totalOrders)
+    val totalLi = graft.sources.Tables.lineitem(spark, sf).count()
+    assert(r.getAs[Long]("n_lineitems_deleted") + r.getAs[Long]("n_lineitems_kept")
+      === totalLi)
+  }
+
+  test("retraction merge equals direct recompute over the final state") {
+    import org.apache.spark.sql.functions.{sum => fsum}
+    val merged = graft.relational.RelationalQueries
+      .incrementalAggRetract(spark, sf)
+    val e = graft.sources.Tables.events(spark, sf)
+      .filter(!(col("event_id") % 10 =!= 0 && col("event_id") % 20 === 3))
+      .select(col("event_type"), col("value").cast("decimal(18,2)").as("v"))
+    val direct = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        fsum(col("v")).cast("decimal(18,2)").cast("double").as("sum_value"))
+      .select(col("event_type"), col("n_events"), col("sum_value"),
+        round(col("sum_value") / col("n_events"), 6).as("avg_value"))
+      .orderBy(col("event_type"))
+    assert(merged.collect().toSeq === direct.collect().toSeq)
+  }
 }
