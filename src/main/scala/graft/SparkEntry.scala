@@ -174,6 +174,10 @@ object SparkEntry {
     // service dates over a 14-day spine
     "transit_service_dates" -> ((s, dir) =>
       Queries.serviceDates(TransitTables.fromTpch(s, dir))),
+    // forward as-of join (next departure per arrival) through the native
+    // merge-scan operator, time keys negated
+    "transit_transfer_waits" -> ((s, dir) =>
+      Queries.transferWaits(TransitTables.fromTpch(s, dir))),
     // §4 R4: the serving layer's snapshot fast path, end to end — build
     // the partitioned Q1 result snapshot, then serve the weekday request
     // FROM the snapshot (partition-pruned read-back, not the live plan).
@@ -251,6 +255,7 @@ object SparkEntry {
     "transit_stop_nn" -> TransitOracles.stopNearestNeighbor(),
     "transit_stress" -> TransitOracles.stressCentrality,
     "transit_service_dates" -> TransitOracles.serviceDates(),
+    "transit_transfer_waits" -> TransitOracles.transferWaits,
     // snapshot round trips are value-preserving (parquet doubles bit-exact)
     "transit_q1_snapshot" -> TransitOracles.q1Weekday,
     "transit_q2_snapshot" -> TransitOracles.q2Weekday,

@@ -83,6 +83,24 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Language-ID confusion matrix — declared (metadata) vs detected
+    * (n-gram heuristic) language, with per-declared-language share: the
+    * audit that tells a multilingual pipeline whether its source metadata
+    * can be trusted before routing documents by it. Rides [[langId]] and
+    * collapses to a #langs² metadata frame in one keyed aggregate; the
+    * per-declared totals arrive by broadcast join, not a window. */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val cells = langId(spark, dir)
+      .groupBy(col("declared_lang"), col("detected_lang"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("declared_lang"))
+      .agg(sum(col("n")).as("tot"))
+    cells.join(broadcast(totals), Seq("declared_lang"))
+      .select(col("declared_lang"), col("detected_lang"), col("n"),
+        round(col("n").cast("double") / col("tot"), 6).as("share"))
+      .orderBy(col("declared_lang"), col("detected_lang"))
+  }
+
   /** Document fingerprints: md5, polynomial rolling hash, 32-bit SimHash
     * (the codegen'd native expression; TextHash.simhash32 is its
     * interpreted executable spec). */
@@ -1405,6 +1423,7 @@ object TextAnalysis {
     "text_token_stats" -> tokenStats,
     "text_quality" -> quality,
     "text_lang_id" -> langId,
+    "text_lang_confusion" -> langConfusion,
     "text_fingerprint" -> fingerprint,
     "text_bpe_pretokens" -> bpeTokens)
 }

@@ -48,6 +48,19 @@ object TextOracles {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Confusion cells + per-declared share over the [[langId]] CTE. */
+  val langConfusion: String =
+    s"""WITH ids AS ($langId),
+       |cells AS (SELECT declared_lang, detected_lang,
+       |            CAST(COUNT(*) AS BIGINT) AS n
+       |          FROM ids GROUP BY 1, 2),
+       |tots AS (SELECT declared_lang, CAST(SUM(n) AS BIGINT) AS tot
+       |         FROM cells GROUP BY 1)
+       |SELECT c.declared_lang, c.detected_lang, c.n,
+       |       round(CAST(c.n AS DOUBLE) / t.tot, 6) AS share
+       |FROM cells c JOIN tots t ON t.declared_lang = c.declared_lang
+       |ORDER BY c.declared_lang, c.detected_lang""".stripMargin
+
   val fingerprint: String =
     s"""SELECT doc_id,
        |  md5(text) AS md5_fp,
@@ -864,6 +877,7 @@ object TextOracles {
     "text_token_stats" -> tokenStats,
     "text_quality" -> quality,
     "text_lang_id" -> langId,
+    "text_lang_confusion" -> langConfusion,
     "text_fingerprint" -> fingerprint,
     "text_bpe_pretokens" -> bpeTokens)
 }

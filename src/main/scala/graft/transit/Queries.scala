@@ -966,6 +966,41 @@ object Queries {
       .limit(20)
   }
 
+  /** Transfer-wait profile — for every arrival event, the NEXT departure
+    * at the same stop ("when's my connection"), aggregated per stop. The
+    * per-arrival lookup is a FORWARD as-of join, run through the suite's
+    * native merge-scan operator ([[graft.plans.AsOfJoin]], the custom
+    * LogicalPlan/Strategy/Exec) with time keys NEGATED — backward-
+    * inclusive on (−arr, −dep) picks the maximal −dep ≤ −arr, i.e. the
+    * minimal dep ≥ arr — so the forward variant costs no new operator.
+    * One stop-keyed shuffle+sort on each side, then a linear merge per
+    * stop; waits aggregate to exact BIGINT sums (the avg divides once).
+    * Dead-end arrivals (no departure left that day) stay counted, not
+    * dropped — the left-outer null is the signal. Tie-safety: equal
+    * next-departure times yield the same WAIT whichever row the merge
+    * emits, and only waits are aggregated. */
+  def transferWaits(t: TransitTables): DataFrame = {
+    val arr = t.stopTimes.select(col("stop_id"), col("arr_secs"))
+      .withColumn("neg_arr", -col("arr_secs"))
+    val dep = t.stopTimes.select(col("stop_id").as("d_stop"), col("dep_secs"))
+      .withColumn("neg_dep", -col("dep_secs"))
+    graft.plans.AsOfJoin.backward(arr, dep,
+        Seq(arr("stop_id")), Seq(dep("d_stop")),
+        arr("neg_arr"), dep("neg_dep"))
+      .groupBy(col("stop_id"))
+      .agg(count(lit(1)).as("n_arrivals"),
+        count(col("dep_secs")).as("n_connected"),
+        sum(col("dep_secs") - col("arr_secs")).as("total_wait"),
+        min(col("dep_secs") - col("arr_secs")).as("min_wait"))
+      .select(col("stop_id"), col("n_arrivals"), col("n_connected"),
+        (col("n_arrivals") - col("n_connected")).as("n_dead_ends"),
+        col("min_wait"),
+        round(col("total_wait").cast("double") / col("n_connected"), 4)
+          .as("avg_wait"))
+      .orderBy(col("n_arrivals").desc, col("stop_id"))
+      .limit(20)
+  }
+
   /** GTFS calendar expansion — `calendar.txt` semantics: a service id is
     * a weekly PATTERN (weekday / Saturday / Sunday in this feed's
     * trichotomy), and consumers need it expanded into concrete service

@@ -167,6 +167,32 @@ object TransitOracles {
     """SELECT route_id, hour_of_day, CAST(SUM(trips_per_hour) AS BIGINT) AS trips_per_hour
       |   FROM hf GROUP BY route_id, hour_of_day""".stripMargin)
 
+  /** Definitional mirror of [[Queries.transferWaits]]: arrivals deduped
+    * to (stop, arr_secs) with multiplicity, per-arrival MIN(dep ≥ arr),
+    * multiplicity-weighted per-stop rollup — duplicate arrivals get the
+    * same next departure, so the weighted form equals the as-of output. */
+  val transferWaits: String =
+    s"""$P, a AS (SELECT stop_id, arr_secs, CAST(COUNT(*) AS BIGINT) AS m
+       |          FROM stop_times GROUP BY 1, 2),
+       |nxt AS (SELECT a.stop_id, a.arr_secs, a.m, MIN(d.dep_secs) AS nd
+       |        FROM a LEFT JOIN stop_times d
+       |          ON d.stop_id = a.stop_id AND d.dep_secs >= a.arr_secs
+       |        GROUP BY 1, 2, 3)
+       |SELECT stop_id,
+       |       CAST(SUM(m) AS BIGINT) AS n_arrivals,
+       |       CAST(SUM(CASE WHEN nd IS NOT NULL THEN m ELSE 0 END) AS BIGINT)
+       |         AS n_connected,
+       |       CAST(SUM(CASE WHEN nd IS NULL THEN m ELSE 0 END) AS BIGINT)
+       |         AS n_dead_ends,
+       |       MIN(nd - arr_secs) AS min_wait,
+       |       round(CAST(SUM(CASE WHEN nd IS NOT NULL
+       |                          THEN m * (nd - arr_secs) END) AS DOUBLE)
+       |             / SUM(CASE WHEN nd IS NOT NULL THEN m ELSE 0 END), 4)
+       |         AS avg_wait
+       |FROM nxt GROUP BY stop_id
+       |ORDER BY n_arrivals DESC, stop_id
+       |LIMIT 20""".stripMargin
+
   /** Mirrors [[Queries.serviceDates]]: generate_series spine, integer
     * day-of-week from the spine start, per-service trip census. */
   def serviceDates(start: String = "2024-01-01", days: Int = 14): String =
