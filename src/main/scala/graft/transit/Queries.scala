@@ -966,6 +966,35 @@ object Queries {
       .limit(20)
   }
 
+  /** Link prediction over the stop backbone — Jaccard neighborhood
+    * similarity for NON-edges: the "which corridor is missing" planning
+    * signal (and the classic link-prediction baseline). Jaccard = CN /
+    * (deg(u)+deg(v)−CN) keeps everything INTEGER until one final
+    * division — Adamic–Adar's Σ1/ln(deg) would stack order-dependent
+    * transcendental sums, the exact trade this suite avoids. Common
+    * neighbors come from one wedge join on the degree-capped backbone
+    * (|V|·K² products max), candidate pairs anti-join the edge set, and
+    * degrees are a K-bounded count — nothing quadratic in |stops|. */
+  def linkPrediction(t: TransitTables): DataFrame = {
+    val e = backboneEdges(t)
+    val deg = e.groupBy(col("src").as("n")).agg(count(lit(1)).as("deg"))
+    val cn = e.as("x").join(e.as("y"),
+        col("x.dst") === col("y.src") && col("x.src") < col("y.dst"))
+      .select(col("x.src").as("u"), col("y.dst").as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cn"))
+    val nonEdges = cn.join(e,
+        cn("u") === e("src") && cn("v") === e("dst"), "left_anti")
+    nonEdges
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(col("u"), col("v"), col("cn"),
+        (col("du") + col("dv") - col("cn")).as("union_size"),
+        round(col("cn").cast("double") /
+          (col("du") + col("dv") - col("cn")), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("cn").desc, col("u"), col("v"))
+      .limit(20)
+  }
+
   /** Transfer-wait profile — for every arrival event, the NEXT departure
     * at the same stop ("when's my connection"), aggregated per stop. The
     * per-arrival lookup is a FORWARD as-of join, run through the suite's
@@ -1050,15 +1079,17 @@ object Queries {
     * Every join is keyed on stop ids; nothing is quadratic in |stops|
     * beyond the 3-hop reachability frame the fixpoint queries already
     * materialize. */
-  def stressCentrality(t: TransitTables): DataFrame = {
+  /** Symmetric backbone edge set: each stop's top-[[StressTopK]]
+    * strongest corridors by co-occurrence weight — the [[triangleCount]]
+    * sparsification. A transit-shaped graph is degree-bounded already;
+    * the synthetic hub-skewed feed approaches DENSE at sf0.1, where
+    * adjacency powers would cost |V|³ products — the cap bounds every
+    * power at |V|·K^p rows regardless of feed size, which is the
+    * property that survives 100 TB. Checkpointed: every consumer walks
+    * it several times. */
+  private def backboneEdges(t: TransitTables): DataFrame = {
     val st = t.stopTimes.select(col("trip_id"), col("stop_id"),
       col("stop_sequence").as("seq"))
-    // Backbone sparsification, the [[triangleCount]] trick: keep each
-    // stop's top-[[StressTopK]] strongest corridors (by co-occurrence
-    // weight). A transit-shaped graph is degree-bounded already; the
-    // synthetic hub-skewed feed approaches DENSE at sf0.1, where A³ would
-    // cost |V|³ products — the cap bounds every power at |V|·K^p rows
-    // regardless of feed size, which is the property that survives 100 TB.
     val pr = st.as("a").join(st.as("b"),
         col("a.trip_id") === col("b.trip_id") &&
           col("b.seq") === col("a.seq") + 1 &&
@@ -1075,9 +1106,13 @@ object Queries {
       .select(least(col("src"), col("dst")).as("s"),
         greatest(col("src"), col("dst")).as("d"))
       .distinct()
-    val e = und.select(col("s").as("src"), col("d").as("dst"))
+    und.select(col("s").as("src"), col("d").as("dst"))
       .unionByName(und.select(col("d").as("src"), col("s").as("dst")))
       .localCheckpoint(true)
+  }
+
+  def stressCentrality(t: TransitTables): DataFrame = {
+    val e = backboneEdges(t)
     val a1 = e.select(col("src"), col("dst"), lit(1).as("k"), lit(1L).as("n"))
     val a2 = e.as("x").join(e.as("y"), col("x.dst") === col("y.src"))
       .filter(col("x.src") =!= col("y.dst"))

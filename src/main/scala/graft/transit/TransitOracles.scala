@@ -215,8 +215,10 @@ object TransitOracles {
 
   /** Mirrors [[Queries.stressCentrality]]: adjacency powers as chained
     * CTEs, argmin-(dist, σ) per pair, integer through-count join. */
-  val stressCentrality: String =
-    s"""$P, st AS (SELECT trip_id, stop_id, stop_sequence AS seq FROM stop_times),
+  /** Degree-capped backbone edge CTEs shared by [[stressCentrality]] and
+    * [[linkPrediction]] — mirrors [[Queries.backboneEdges]]. */
+  private val backboneCtes: String =
+    s"""st AS (SELECT trip_id, stop_id, stop_sequence AS seq FROM stop_times),
        |w AS (SELECT least(a.stop_id, b.stop_id) AS s,
        |             greatest(a.stop_id, b.stop_id) AS d,
        |             CAST(COUNT(*) AS BIGINT) AS w
@@ -232,7 +234,29 @@ object TransitOracles {
        |              FROM sym)
        |        WHERE rk <= ${Queries.StressTopK}),
        |e AS (SELECT s AS src, d AS dst FROM und
-       |      UNION ALL SELECT d, s FROM und),
+       |      UNION ALL SELECT d, s FROM und)""".stripMargin
+
+  /** Mirrors [[Queries.linkPrediction]]: wedge-join common neighbors on
+    * the backbone, anti-join to non-edges, one final double division. */
+  val linkPrediction: String =
+    s"""$P, $backboneCtes,
+       |deg AS (SELECT src AS n, CAST(COUNT(*) AS BIGINT) AS deg
+       |        FROM e GROUP BY 1),
+       |cn AS (SELECT x.src AS u, y.dst AS v, CAST(COUNT(*) AS BIGINT) AS cn
+       |       FROM e x JOIN e y ON x.dst = y.src AND x.src < y.dst
+       |       GROUP BY 1, 2),
+       |ne AS (SELECT * FROM cn WHERE NOT EXISTS (
+       |         SELECT 1 FROM e WHERE e.src = cn.u AND e.dst = cn.v))
+       |SELECT ne.u, ne.v, ne.cn,
+       |       du.deg + dv.deg - ne.cn AS union_size,
+       |       round(CAST(ne.cn AS DOUBLE) / (du.deg + dv.deg - ne.cn), 6)
+       |         AS jaccard
+       |FROM ne JOIN deg du ON du.n = ne.u JOIN deg dv ON dv.n = ne.v
+       |ORDER BY jaccard DESC, ne.cn DESC, ne.u, ne.v
+       |LIMIT 20""".stripMargin
+
+  val stressCentrality: String =
+    s"""$P, $backboneCtes,
        |a1 AS (SELECT src, dst, 1 AS k, CAST(1 AS BIGINT) AS n FROM e),
        |a2 AS (SELECT x.src, y.dst, 2 AS k, CAST(COUNT(*) AS BIGINT) AS n
        |       FROM e x JOIN e y ON x.dst = y.src
