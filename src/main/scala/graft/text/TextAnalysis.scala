@@ -83,6 +83,37 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Token-mass sequence-length quantiles — "what max_seq_len covers
+    * 50/90/99% of the corpus tokens": the table a pretraining config
+    * reads before fixing context length, where the cost of a longer
+    * context is weighed against the token mass truncation would discard.
+    * The corpus collapses to a per-distinct-length frame in one keyed
+    * aggregate (bounded by max doc length, metadata-scale); the running
+    * mass is a window over THAT frame, and each quantile row is picked
+    * with pure integer arithmetic (cum·100 ≥ q·total — no float
+    * thresholds to disagree across engines). */
+  def seqLenQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byLen = Tables.documents(spark, dir)
+      .select(size(TextHash.tokens(col("text"))).cast("long").as("len"))
+      .groupBy(col("len")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("mass", col("len") * col("n_docs"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("len")).rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = byLen.withColumn("cum", sum(col("mass")).over(wCum))
+    val tot = cum.agg(sum(col("mass")).as("tot"))
+    val qs = Seq(50, 90, 99).toDF("q")
+    cum.crossJoin(broadcast(tot))
+      .join(broadcast(qs), col("cum") * 100 >= col("q") * col("tot"))
+      .groupBy(col("q"))
+      .agg(min(struct(col("len"), col("cum"), col("tot"))).as("pick"))
+      .select(col("q"), col("pick.len").as("max_seq_len"),
+        col("pick.cum").as("covered_tokens"), col("pick.tot").as("total_tokens"),
+        round(col("pick.cum").cast("double") / col("pick.tot"), 6).as("coverage"))
+      .orderBy(col("q"))
+  }
+
   /** Language-ID confusion matrix — declared (metadata) vs detected
     * (n-gram heuristic) language, with per-declared-language share: the
     * audit that tells a multilingual pipeline whether its source metadata
@@ -1424,6 +1455,7 @@ object TextAnalysis {
     "text_quality" -> quality,
     "text_lang_id" -> langId,
     "text_lang_confusion" -> langConfusion,
+    "text_seqlen_quantiles" -> seqLenQuantiles,
     "text_fingerprint" -> fingerprint,
     "text_bpe_pretokens" -> bpeTokens)
 }

@@ -61,6 +61,29 @@ object TextOracles {
        |FROM cells c JOIN tots t ON t.declared_lang = c.declared_lang
        |ORDER BY c.declared_lang, c.detected_lang""".stripMargin
 
+  /** Per-length mass frame, running sum, integer quantile pick. */
+  val seqLenQuantiles: String =
+    s"""WITH by_len AS (
+       |  SELECT CAST(len($toks) AS BIGINT) AS len,
+       |         CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM documents GROUP BY 1),
+       |cum AS (SELECT len, len * n_docs AS mass,
+       |          CAST(SUM(len * n_docs) OVER (ORDER BY len
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |            AS BIGINT) AS cum
+       |        FROM by_len),
+       |tot AS (SELECT CAST(SUM(mass) AS BIGINT) AS tot FROM cum),
+       |qs AS (SELECT unnest([50, 90, 99]) AS q),
+       |hit AS (SELECT q, len, cum, tot,
+       |          row_number() OVER (PARTITION BY q ORDER BY len) AS rk
+       |        FROM cum, tot, qs
+       |        WHERE cum * 100 >= q * tot)
+       |SELECT CAST(q AS INT) AS q, len AS max_seq_len,
+       |       cum AS covered_tokens, tot AS total_tokens,
+       |       round(CAST(cum AS DOUBLE) / tot, 6) AS coverage
+       |FROM hit WHERE rk = 1
+       |ORDER BY q""".stripMargin
+
   val fingerprint: String =
     s"""SELECT doc_id,
        |  md5(text) AS md5_fp,
@@ -878,6 +901,7 @@ object TextOracles {
     "text_quality" -> quality,
     "text_lang_id" -> langId,
     "text_lang_confusion" -> langConfusion,
+    "text_seqlen_quantiles" -> seqLenQuantiles,
     "text_fingerprint" -> fingerprint,
     "text_bpe_pretokens" -> bpeTokens)
 }
