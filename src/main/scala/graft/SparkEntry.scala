@@ -181,6 +181,9 @@ object SparkEntry {
     // integer-exact Jaccard link prediction over the backbone graph
     "transit_link_prediction" -> ((s, dir) =>
       Queries.linkPrediction(TransitTables.fromTpch(s, dir))),
+    // route-pair service-redundancy census (the route-level dual of Q3)
+    "transit_route_overlap" -> ((s, dir) =>
+      Queries.routeOverlap(TransitTables.fromTpch(s, dir))),
     // §4 R4: the serving layer's snapshot fast path, end to end — build
     // the partitioned Q1 result snapshot, then serve the weekday request
     // FROM the snapshot (partition-pruned read-back, not the live plan).
@@ -260,6 +263,7 @@ object SparkEntry {
     "transit_service_dates" -> TransitOracles.serviceDates(),
     "transit_transfer_waits" -> TransitOracles.transferWaits,
     "transit_link_prediction" -> TransitOracles.linkPrediction,
+    "transit_route_overlap" -> TransitOracles.routeOverlap,
     // snapshot round trips are value-preserving (parquet doubles bit-exact)
     "transit_q1_snapshot" -> TransitOracles.q1Weekday,
     "transit_q2_snapshot" -> TransitOracles.q2Weekday,

@@ -866,7 +866,71 @@ object Dedup {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** LSH recall audit — "measure, don't guess" applied to the dedup
+    * pipeline itself: ground truth is the EXACT shared-shingle Jaccard
+    * join, detection is the banded MinHash candidate set, and the report
+    * is recall at τ ∈ {0.1, 0.2, 0.3} — the table that justifies (or
+    * indicts) the (bands, rows) configuration before anyone trusts the
+    * dedup at corpus scale. Threshold tests are integer cross-
+    * multiplications (10·c ≥ t·(n1+n2−c)), so both engines pick
+    * identical truth sets; counts divide once at the edge. Cost: the
+    * shared-shingle truth join is the expensive leg and exists to
+    * CERTIFY the cheap one — run it on a sample in production, which is
+    * exactly what this fixed-size corpus face is. */
+  def lshRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ex = shingleSets(spark, dir)
+      .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("s"))
+      .repartition(col("s"))
+    val truth = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.n").as("n1"), col("b.n").as("n2"))
+      .agg(count(lit(1)).as("c"))
+    val cand = candidates(spark, dir).withColumn("hit", lit(1L))
+    val taus = Seq(1, 2, 3).toDF("t10")
+    truth.join(cand, Seq("id1", "id2"), "left")
+      .crossJoin(broadcast(taus))
+      .filter(col("c") * 10 >= col("t10") * (col("n1") + col("n2") - col("c")))
+      .groupBy(col("t10"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_detected"))
+      .select((col("t10").cast("double") / 10).as("tau"),
+        col("n_truth"), col("n_detected"),
+        round(col("n_detected").cast("double") / col("n_truth"), 6)
+          .as("recall"))
+      .orderBy(col("tau"))
+  }
+
+  /** Dedup impact report — what exact dedup actually buys, per source:
+    * documents and character mass before/after keeping one global
+    * representative per content fingerprint (min doc_id; a duplicate
+    * whose representative lives in ANOTHER source still counts as
+    * removed here — the cross-source accounting quota decisions need).
+    * One fingerprint-keyed window on 16-byte md5s + one source-keyed
+    * aggregate; text never shuffles. */
+  def dedupImpact(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        md5(lower(trim(col("text"))).cast("binary")).as("fp"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_total"),
+        sum(col("keep").cast("long")).as("docs_kept"),
+        sum(col("n_chars")).as("chars_total"),
+        sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("chars_kept"))
+      .select(col("source"), col("docs_total"), col("docs_kept"),
+        col("chars_total"), col("chars_kept"),
+        round(lit(1.0) - col("docs_kept").cast("double") / col("docs_total"), 6)
+          .as("doc_removal_rate"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_lsh_recall" -> lshRecallAudit,
+    "dedup_impact" -> dedupImpact,
     "dedup_dup_spans" -> dupSpans,
     "dedup_decontaminate" -> decontaminate,
     "dedup_theta_overlap" -> thetaOverlap,

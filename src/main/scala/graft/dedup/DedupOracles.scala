@@ -424,7 +424,54 @@ object DedupOracles {
        |GROUP BY t.doc_id
        |ORDER BY n_shared_ngrams DESC, doc_id""".stripMargin
 
+  /** Recall of the banded candidates against the exact-Jaccard truth at
+    * integer-cross-multiplied thresholds. */
+  val lshRecall: String =
+    shinglePrelude +
+      s""", ex AS (SELECT doc_id, len(shs) AS n, unnest(shs) AS s FROM sh),
+         |truth AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |         CAST(a.n AS BIGINT) AS n1, CAST(b.n AS BIGINT) AS n2,
+         |         CAST(count(*) AS BIGINT) AS c
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id, a.n, b.n),
+         |cand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.band_hash = y.band_hash
+         |          AND x.doc_id < y.doc_id),
+         |taus AS (SELECT unnest([1, 2, 3]) AS t10)
+         |SELECT CAST(t10 AS DOUBLE) / 10 AS tau,
+         |       CAST(COUNT(*) AS BIGINT) AS n_truth,
+         |       CAST(SUM(CASE WHEN c2.id1 IS NOT NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_detected,
+         |       round(CAST(SUM(CASE WHEN c2.id1 IS NOT NULL THEN 1 ELSE 0 END)
+         |                  AS DOUBLE) / COUNT(*), 6) AS recall
+         |FROM truth t LEFT JOIN cand c2 ON c2.id1 = t.id1 AND c2.id2 = t.id2
+         |CROSS JOIN taus
+         |WHERE t.c * 10 >= t10 * (t.n1 + t.n2 - t.c)
+         |GROUP BY t10
+         |ORDER BY tau""".stripMargin
+
+  /** Per-source before/after census under global min-doc_id dedup. */
+  val dedupImpact: String =
+    """WITH d AS (SELECT doc_id, source, n_chars,
+      |             md5(lower(trim(text))) AS fp FROM documents),
+      |k AS (SELECT source, n_chars,
+      |        row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1 AS keep
+      |      FROM d)
+      |SELECT source,
+      |       CAST(COUNT(*) AS BIGINT) AS docs_total,
+      |       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+      |       CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+      |       CAST(SUM(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT)
+      |         AS chars_kept,
+      |       round(1.0 - CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+      |             / COUNT(*), 6) AS doc_removal_rate
+      |FROM k GROUP BY source ORDER BY source""".stripMargin
+
   val all: Map[String, String] = Map(
+    "dedup_lsh_recall" -> lshRecall,
+    "dedup_impact" -> dedupImpact,
     "dedup_dup_spans" -> dupSpans,
     "dedup_decontaminate" -> decontaminate,
     "dedup_theta_overlap" -> thetaOverlap,

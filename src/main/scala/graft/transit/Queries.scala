@@ -966,6 +966,34 @@ object Queries {
       .limit(20)
   }
 
+  /** Route-overlap redundancy census — pairs of routes serving largely
+    * the same stops (network-planning's duplicate-service signal; the
+    * route-level dual of Q3's transfer points). Incidence dedupes to
+    * (route, stop) first, so the stop-keyed pair join is bounded by the
+    * per-stop ROUTE count (≤|routes|, hub or not) — never by raw
+    * stop_time volume; Jaccard keeps everything integer until the one
+    * edge division, the suite's standing rule. */
+  def routeOverlap(t: TransitTables): DataFrame = {
+    val inc = t.stopTimes.select(col("trip_id"), col("stop_id"))
+      .join(t.trips.select(col("trip_id"), col("route_id")), "trip_id")
+      .select(col("route_id"), col("stop_id")).distinct()
+    val sizes = inc.groupBy(col("route_id")).agg(count(lit(1)).as("n_stops"))
+    val pairs = inc.as("a").join(inc.as("b"),
+        col("a.stop_id") === col("b.stop_id") &&
+          col("a.route_id") < col("b.route_id"))
+      .groupBy(col("a.route_id").as("r1"), col("b.route_id").as("r2"))
+      .agg(count(lit(1)).as("shared_stops"))
+    pairs
+      .join(sizes.select(col("route_id").as("r1"), col("n_stops").as("n1")), Seq("r1"))
+      .join(sizes.select(col("route_id").as("r2"), col("n_stops").as("n2")), Seq("r2"))
+      .select(col("r1"), col("r2"), col("shared_stops"), col("n1"), col("n2"),
+        round(col("shared_stops").cast("double") /
+          (col("n1") + col("n2") - col("shared_stops")), 6)
+          .as("overlap_jaccard"))
+      .orderBy(col("overlap_jaccard").desc, col("r1"), col("r2"))
+      .limit(20)
+  }
+
   /** Link prediction over the stop backbone — Jaccard neighborhood
     * similarity for NON-edges: the "which corridor is missing" planning
     * signal (and the classic link-prediction baseline). Jaccard = CN /

@@ -215,6 +215,27 @@ object TransitOracles {
 
   /** Mirrors [[Queries.stressCentrality]]: adjacency powers as chained
     * CTEs, argmin-(dist, σ) per pair, integer through-count join. */
+  /** Mirrors [[Queries.routeOverlap]]. */
+  val routeOverlap: String =
+    s"""$P, inc AS (SELECT DISTINCT t.route_id, st.stop_id
+       |            FROM stop_times st JOIN trips t ON t.trip_id = st.trip_id),
+       |sizes AS (SELECT route_id, CAST(COUNT(*) AS BIGINT) AS n_stops
+       |          FROM inc GROUP BY 1),
+       |pairs AS (SELECT a.route_id AS r1, b.route_id AS r2,
+       |            CAST(COUNT(*) AS BIGINT) AS shared_stops
+       |          FROM inc a JOIN inc b ON a.stop_id = b.stop_id
+       |            AND a.route_id < b.route_id
+       |          GROUP BY 1, 2)
+       |SELECT p.r1, p.r2, p.shared_stops,
+       |       s1.n_stops AS n1, s2.n_stops AS n2,
+       |       round(CAST(p.shared_stops AS DOUBLE)
+       |             / (s1.n_stops + s2.n_stops - p.shared_stops), 6)
+       |         AS overlap_jaccard
+       |FROM pairs p JOIN sizes s1 ON s1.route_id = p.r1
+       |JOIN sizes s2 ON s2.route_id = p.r2
+       |ORDER BY overlap_jaccard DESC, p.r1, p.r2
+       |LIMIT 20""".stripMargin
+
   /** Degree-capped backbone edge CTEs shared by [[stressCentrality]] and
     * [[linkPrediction]] — mirrors [[Queries.backboneEdges]]. */
   private val backboneCtes: String =
