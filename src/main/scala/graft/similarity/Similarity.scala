@@ -474,6 +474,57 @@ object Similarity {
     * per query, the fraction of true neighbors the approximate index
     * found. This is the recall dashboard an ANN deployment watches; both
     * sides are existing plans, the join keys are (qid, cid) pairs. */
+  /** Top principal direction of the embedding cloud via TWO integer-exact
+    * power iterations — the spectral health check (dominant-direction
+    * collapse, whitening precursor) a representation pipeline runs over
+    * its embedding table. Float power iteration accumulates order-
+    * dependent sums the oracle could never hash; here components quantize
+    * to milli-units ONCE (the [[kmeansUpdate]] trick) and every
+    * accumulation — per-row dots, per-dim Σ x_j·(x·v), the max-|w|
+    * renormalizer — is BIGINT arithmetic, order-independent on any
+    * cluster. Renormalization is sign·((|w|·1000) div max|w|): integer
+    * division of POSITIVE terms, identical truncation semantics in both
+    * engines (signed `div` floors in one engine and truncates in the
+    * other — the sign split avoids the trap). Per iteration: one map-side
+    * dot pass + one dim-keyed aggregate (64 keys, partial-agg'd); the
+    * 1-row normalizer broadcasts. Bounds: |q|≤600 milli, |v|≤1000, so
+    * w ≤ rows·600·(64·600·1000) — BIGINT-safe far past this corpus
+    * (DECIMAL(38,0) is the documented swap at 10¹² rows). */
+  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+    def quant(v: org.apache.spark.sql.Column) =
+      transform(v, x => floor(x.cast("double") * 1000.0 + 0.5).cast("long"))
+    val q = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quant(col("embedding")).as("qv"))
+    def dimSums(withDot: DataFrame): DataFrame =
+      withDot.select(col("dot"), posexplode(col("qv")).as(Seq("j", "x")))
+        .groupBy(col("j")).agg(sum(col("x") * col("dot")).as("w"))
+    def renorm(w: DataFrame): DataFrame = {
+      val m = w.agg(max(abs(col("w"))).as("m"))
+      w.crossJoin(broadcast(m)).select(col("j"),
+        (when(col("w") < 0, -1L).otherwise(1L) *
+          expr("(abs(w) * 1000) div m")).as("v"))
+    }
+    // iteration 1: v0 = 1000·𝟙, so the dot is 1000·Σ qv
+    val d1 = q.select(col("qv"),
+      (aggregate(col("qv"), lit(0L), (a, x) => a + x) * 1000L).as("dot"))
+    val v1 = renorm(dimSums(d1))
+    // iteration 2: fold v1 back to an ordered array, one broadcast row
+    val v1arr = v1.agg(array_sort(collect_list(struct(col("j"), col("v"))))
+      .as("vs"))
+    val d2 = q.crossJoin(broadcast(v1arr)).select(col("qv"),
+      aggregate(zip_with(col("qv"), transform(col("vs"), s => s("v")),
+        (x, vj) => x * vj), lit(0L), (a, x) => a + x).as("dot"))
+    val w2 = dimSums(d2)
+    val v2 = renorm(w2)
+    val tot = v2.agg(sum(col("v") * col("v")).as("vv"))
+    w2.join(v2, Seq("j")).crossJoin(broadcast(tot))
+      .select(col("j").as("dim"), col("w").as("w_exact"),
+        col("v").as("v_milli"),
+        round((col("v") * col("v")).cast("double") / col("vv"), 6)
+          .as("loading_share"))
+      .orderBy(col("dim"))
+  }
+
   /** Calibration audit of the kNN classifier — the reliability diagram +
     * expected-calibration-error (ECE) contributions a model-eval pipeline
     * computes before trusting a classifier's confidence as a data-quality
@@ -754,6 +805,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ood_knn" -> oodKnn,
     "sim_knn_calibration" -> knnCalibration,
+    "sim_pca_power" -> pcaPower,
     "sim_ann_ivf_persisted" -> annIvfPersisted,
     "dedup_semantic" -> semanticDedup,
     "sim_negative_sample" -> negativeSample,
@@ -1149,6 +1201,41 @@ object SimilarityOracles {
        |WHERE b.rn = 1
        |ORDER BY b.qid""".stripMargin
 
+  /** Mirrors [[Similarity.pcaPower]]: milli-quantized components, two
+    * BIGINT power iterations, sign-split positive integer division for
+    * the renormalizer (`//` on positives ≡ Spark `div`). */
+  val pcaPower: String =
+    s"""WITH q AS (SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |dims AS (SELECT unnest(range(0, 64)) AS j),
+       |d1 AS (SELECT qv,
+       |         1000 * list_reduce(list_prepend(CAST(0 AS BIGINT), qv),
+       |                            (a, b) -> a + b) AS dot
+       |       FROM q),
+       |x1 AS (SELECT j, CAST(SUM(qv[CAST(j + 1 AS INT)] * dot) AS BIGINT) AS w
+       |       FROM d1 CROSS JOIN dims GROUP BY j),
+       |m1 AS (SELECT MAX(abs(w)) AS m FROM x1),
+       |v1 AS (SELECT j, (CASE WHEN w < 0 THEN -1 ELSE 1 END)
+       |                 * ((abs(w) * 1000) // m) AS v
+       |       FROM x1, m1),
+       |d2 AS (SELECT q.qv AS qv,
+       |         CAST(SUM(q.qv[CAST(v1.j + 1 AS INT)] * v1.v) AS BIGINT) AS dot
+       |       FROM q CROSS JOIN v1 GROUP BY q.vec_id, q.qv),
+       |x2 AS (SELECT j, CAST(SUM(qv[CAST(j + 1 AS INT)] * dot) AS BIGINT) AS w
+       |       FROM d2 CROSS JOIN dims GROUP BY j),
+       |m2 AS (SELECT MAX(abs(w)) AS m FROM x2),
+       |v2 AS (SELECT j, (CASE WHEN w < 0 THEN -1 ELSE 1 END)
+       |                 * ((abs(w) * 1000) // m) AS v
+       |       FROM x2, m2),
+       |tot AS (SELECT CAST(SUM(v * v) AS BIGINT) AS vv FROM v2)
+       |SELECT CAST(x2.j AS INT) AS dim, x2.w AS w_exact,
+       |       CAST(v2.v AS BIGINT) AS v_milli,
+       |       round(CAST(v2.v * v2.v AS DOUBLE) / tot.vv, 6) AS loading_share
+       |FROM x2 JOIN v2 ON v2.j = x2.j, tot
+       |ORDER BY dim""".stripMargin
+
   /** Reliability bins over the classify predictions; every double is a
     * ratio of exact BIGINTs in the same expression order as Spark. */
   val knnCalibration: String =
@@ -1272,6 +1359,7 @@ object SimilarityOracles {
   val all: Map[String, String] = Map(
     "sim_ood_knn" -> oodKnn,
     "sim_knn_calibration" -> knnCalibration,
+    "sim_pca_power" -> pcaPower,
     // persisted-index round trip is lossless; probe semantics = annIvf
     "sim_ann_ivf_persisted" -> annIvf,
     "dedup_semantic" -> semanticDedup,
