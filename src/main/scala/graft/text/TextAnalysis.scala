@@ -83,6 +83,29 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Duplicate n-gram coverage — the memorization-risk scalar from the
+    * dedup literature (Lee et al. 2022's "fraction of corpus n-grams
+    * occurring more than once"): all 8-gram occurrences WITH multiplicity
+    * (unlike the dedup shingle sets, which dedupe per doc), counted
+    * corpus-wide, reporting total/distinct mass, the occurrence mass in
+    * duplicated grams, the removable excess (Σ(c−1)), and the dup
+    * fraction. One gram-hash keyed aggregate: 8-byte keys shuffle with
+    * map-side partials, the text scan is map-only — the canonical
+    * corpus-statistic shape at any scale. */
+  def dupNgramCoverage(spark: SparkSession, dir: String, n: Int = 8): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(TextHash.shingleHashes(
+        TextHash.tokenHashes(col("text")), n)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("n_grams_total"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_occurrences"),
+        sum(when(col("c") > 1, col("c") - 1).otherwise(0L)).as("removable_mass"))
+      .select(col("n_grams_total"), col("n_distinct"),
+        col("dup_occurrences"), col("removable_mass"),
+        round(col("dup_occurrences").cast("double") / col("n_grams_total"), 6)
+          .as("dup_fraction"))
+
   /** Token-mass sequence-length quantiles — "what max_seq_len covers
     * 50/90/99% of the corpus tokens": the table a pretraining config
     * reads before fixing context length, where the cost of a longer
@@ -1456,6 +1479,7 @@ object TextAnalysis {
     "text_lang_id" -> langId,
     "text_lang_confusion" -> langConfusion,
     "text_seqlen_quantiles" -> seqLenQuantiles,
+    "text_dup_ngram_coverage" -> ((s: SparkSession, d: String) => dupNgramCoverage(s, d)),
     "text_fingerprint" -> fingerprint,
     "text_bpe_pretokens" -> bpeTokens)
 }

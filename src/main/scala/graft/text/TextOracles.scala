@@ -61,6 +61,21 @@ object TextOracles {
        |FROM cells c JOIN tots t ON t.declared_lang = c.declared_lang
        |ORDER BY c.declared_lang, c.detected_lang""".stripMargin
 
+  /** All-occurrence 8-gram census; same rolling shingle hash. */
+  val dupNgramCoverage: String =
+    s"""WITH th AS (SELECT ${tokenHashes("text")} AS th FROM documents),
+       |g AS (SELECT unnest(${shingleHashes("th", 8)}) AS g FROM th),
+       |c AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY g)
+       |SELECT CAST(SUM(c) AS BIGINT) AS n_grams_total,
+       |       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       |       CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+       |         AS dup_occurrences,
+       |       CAST(SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT)
+       |         AS removable_mass,
+       |       round(CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+       |             / SUM(c), 6) AS dup_fraction
+       |FROM c""".stripMargin
+
   /** Per-length mass frame, running sum, integer quantile pick. */
   val seqLenQuantiles: String =
     s"""WITH by_len AS (
@@ -902,6 +917,7 @@ object TextOracles {
     "text_lang_id" -> langId,
     "text_lang_confusion" -> langConfusion,
     "text_seqlen_quantiles" -> seqLenQuantiles,
+    "text_dup_ngram_coverage" -> dupNgramCoverage,
     "text_fingerprint" -> fingerprint,
     "text_bpe_pretokens" -> bpeTokens)
 }
