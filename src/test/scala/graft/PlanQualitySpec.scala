@@ -454,6 +454,26 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
       ids.distinct.length == rows.length, "ids not dense 1..N")
   }
 
+  test("SQL-text faces compile to the same physical shapes as the DataFrame faces") {
+    val p1 = plan("transit_q1_sqltext")
+    assert(p1.contains("TakeOrderedAndProject"), p1.take(1500))
+    assert(p1.contains("BroadcastHashJoin"), p1.take(1500))
+    val p4 = plan("transit_q4_sqltext")
+    assert(p4.contains("TakeOrderedAndProject"), p4.take(1500))
+  }
+
+  test("transfer waits run through the native as-of merge-scan operator") {
+    val p = plan("transit_transfer_waits")
+    assert(p.contains("AsOfJoin"), p.take(1500))
+  }
+
+  test("pca power: dim aggregate is partial+final, normalizers broadcast") {
+    val p = plan("sim_pca_power")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p.take(1500))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(1500))
+  }
+
   test("sketch aggregates land within 5% of exact (HLL distinct, t-digest median)") {
     // the tolerance check is computed in-plan from the real sketch values
     // (exact vs approx in one aggregate); the oracle hashes it as TRUE, and
