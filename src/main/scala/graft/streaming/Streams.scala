@@ -490,6 +490,25 @@ object Streams {
       }
   }
 
+  /** Retraction-aware streaming aggregate view — the streaming face of
+    * [[graft.relational.RelationalQueries.incrementalAggRetract]]: a
+    * signed-weight changelog (+1 inserts, −1 deletes — a Flink-style
+    * retract stream) flows through a grouped aggregate in complete mode,
+    * so the state-store partials per key are exactly the (Σw, Σw·v)
+    * pair and a delete arriving batches after its insert cancels it
+    * EXACTLY (value mass rides DECIMAL(18,2): a float that subtracts
+    * what it once added drifts; the decimal returns bit-for-bit — which
+    * is what lets the spec assert streamed ≡ batch recompute). O(1)
+    * state per key regardless of changelog length. */
+  def retractAggStreaming(changes: DataFrame): DataFrame =
+    changes
+      .groupBy(col("event_type"))
+      .agg(sum(col("w")).as("n_events"),
+        sum(col("w") * col("v")).cast("decimal(18,2)").as("sv"))
+      .select(col("event_type"), col("n_events"),
+        col("sv").cast("double").as("sum_value"),
+        round(col("sv").cast("double") / col("n_events"), 6).as("avg_value"))
+
   /** Per-type heavy-hitter users via the mergeable Misra–Gries sketch
     * ([[graft.functions.TopKSketchAgg]]) — the streaming shape that makes
     * the sketch earn its keep: the k-bounded counter map IS the

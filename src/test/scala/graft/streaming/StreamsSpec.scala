@@ -484,4 +484,36 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3))).toSeq
     assert(streamed == batch)
   }
+
+  test("streaming retract aggregate: deletes arriving late cancel exactly (≡ batch face)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    // the incrementalAggRetract changelog: base +1, inserts +1, deletes −1
+    val e = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .as[(Long, String, Double)].collect()
+      // mirror Cast(double AS DECIMAL(18,2)): exact binary value, HALF_UP
+      .map { case (id, t, v) =>
+        (id, t, BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)) }
+    val base = e.filter(_._1 % 10 != 0).map { case (_, t, v) => (t, 1L, v) }
+    val ins = e.filter(_._1 % 10 == 0).map { case (_, t, v) => (t, 1L, v) }
+    val del = e.filter(x => x._1 % 10 != 0 && x._1 % 20 == 3)
+      .map { case (_, t, v) => (t, -1L, v) }
+    val stream = MemoryStream[(String, Long, BigDecimal)]
+    val q = Streams.retractAggStreaming(
+        stream.toDF.toDF("event_type", "w", "v")
+          .withColumn("v", col("v").cast("decimal(18,2)")))
+      .writeStream.format("memory").queryName("retract_agg_test")
+      .outputMode("complete").start()
+    try {
+      // deletes land two batches after the rows they retract
+      for (b <- Seq(base, ins, del)) { stream.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.table("retract_agg_test").orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    val batch = graft.relational.RelationalQueries.incrementalAggRetract(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(streamed == batch)
+  }
 }
