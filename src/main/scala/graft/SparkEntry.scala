@@ -184,6 +184,9 @@ object SparkEntry {
     // route-pair service-redundancy census (the route-level dual of Q3)
     "transit_route_overlap" -> ((s, dir) =>
       Queries.routeOverlap(TransitTables.fromTpch(s, dir))),
+    // feed-version diff: one full-outer join classifying every slot
+    "transit_feed_diff" -> ((s, dir) =>
+      Queries.feedDiff(TransitTables.fromTpch(s, dir))),
     // §4 R4: the serving layer's snapshot fast path, end to end — build
     // the partitioned Q1 result snapshot, then serve the weekday request
     // FROM the snapshot (partition-pruned read-back, not the live plan).
@@ -264,6 +267,7 @@ object SparkEntry {
     "transit_transfer_waits" -> TransitOracles.transferWaits,
     "transit_link_prediction" -> TransitOracles.linkPrediction,
     "transit_route_overlap" -> TransitOracles.routeOverlap,
+    "transit_feed_diff" -> TransitOracles.feedDiff,
     // snapshot round trips are value-preserving (parquet doubles bit-exact)
     "transit_q1_snapshot" -> TransitOracles.q1Weekday,
     "transit_q2_snapshot" -> TransitOracles.q2Weekday,

@@ -966,6 +966,42 @@ object Queries {
       .limit(20)
   }
 
+  /** Feed-version diff — the schedule-CI operator: given two feed
+    * versions, classify every (trip, stop, sequence) slot as unchanged /
+    * retimed / removed / added and report row and distinct-trip counts
+    * per class. Version 2 is derived deterministically from version 1
+    * (drop trips ≡0 mod 13, shift departures +300 s for trips ≡0 mod 7,
+    * add cloned trips ≡0 mod 11 under offset ids), so the diff exercises
+    * all four classes with an exactly mirrorable oracle. The diff itself
+    * is ONE full-outer join on the composite key plus a value compare —
+    * key-only shuffle, the same shape as [[graft.relational.
+    * RelationalQueries.snapshotDiff]] but over the transit fact table at
+    * feed scale. */
+  def feedDiff(t: TransitTables): DataFrame = {
+    val v1 = t.stopTimes.select(col("trip_id"), col("stop_id"),
+      col("stop_sequence").as("seq"), col("dep_secs"))
+    val v2 = v1.filter(col("trip_id") % 13 =!= 0)
+      .withColumn("dep_secs",
+        when(col("trip_id") % 7 === 0, col("dep_secs") + 300L)
+          .otherwise(col("dep_secs")))
+      .unionByName(v1.filter(col("trip_id") % 11 === 0)
+        .withColumn("trip_id", col("trip_id") + 10000000L))
+    val j = v1.select(col("trip_id"), col("stop_id"), col("seq"),
+        col("dep_secs").as("dep1"))
+      .join(v2.select(col("trip_id"), col("stop_id"), col("seq"),
+        col("dep_secs").as("dep2")),
+        Seq("trip_id", "stop_id", "seq"), "full_outer")
+    j.select(col("trip_id"),
+        when(col("dep1").isNull, "added")
+          .when(col("dep2").isNull, "removed")
+          .when(col("dep1") =!= col("dep2"), "retimed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("trip_id")).as("n_trips"))
+      .orderBy(col("status"))
+  }
+
   /** Route-overlap redundancy census — pairs of routes serving largely
     * the same stops (network-planning's duplicate-service signal; the
     * route-level dual of Q3's transfer points). Incidence dedupes to

@@ -215,6 +215,32 @@ object TransitOracles {
 
   /** Mirrors [[Queries.stressCentrality]]: adjacency powers as chained
     * CTEs, argmin-(dist, σ) per pair, integer through-count join. */
+  /** Mirrors [[Queries.feedDiff]]: identical synthetic v2, one full
+    * outer join, same four-way classification. */
+  val feedDiff: String =
+    s"""$P, v1 AS (SELECT trip_id, stop_id, stop_sequence AS seq, dep_secs
+       |           FROM stop_times),
+       |v2 AS (SELECT trip_id, stop_id, seq,
+       |         CASE WHEN trip_id % 7 = 0 THEN dep_secs + 300
+       |              ELSE dep_secs END AS dep_secs
+       |       FROM v1 WHERE trip_id % 13 <> 0
+       |       UNION ALL
+       |       SELECT trip_id + 10000000, stop_id, seq, dep_secs
+       |       FROM v1 WHERE trip_id % 11 = 0),
+       |j AS (SELECT COALESCE(a.trip_id, b.trip_id) AS trip_id,
+       |        CASE WHEN a.dep_secs IS NULL THEN 'added'
+       |             WHEN b.dep_secs IS NULL THEN 'removed'
+       |             WHEN a.dep_secs <> b.dep_secs THEN 'retimed'
+       |             ELSE 'unchanged' END AS status
+       |      FROM (SELECT trip_id, stop_id, seq, dep_secs FROM v1) a
+       |      FULL OUTER JOIN v2 b
+       |        ON b.trip_id = a.trip_id AND b.stop_id = a.stop_id
+       |       AND b.seq = a.seq)
+       |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |       CAST(COUNT(DISTINCT trip_id) AS BIGINT) AS n_trips
+       |FROM j GROUP BY status
+       |ORDER BY status""".stripMargin
+
   /** Mirrors [[Queries.routeOverlap]]. */
   val routeOverlap: String =
     s"""$P, inc AS (SELECT DISTINCT t.route_id, st.stop_id
