@@ -94,8 +94,12 @@ object TextAnalysis {
     * corpus-statistic shape at any scale. */
   def dupNgramCoverage(spark: SparkSession, dir: String, n: Int = 8): DataFrame =
     Tables.documents(spark, dir)
-      .select(explode(TextHash.shingleHashes(
-        TextHash.tokenHashes(col("text")), n)).as("g"))
+      // let-bind the token hashes: the interpreted shingle HOF references
+      // its input n times per position, which without the binder
+      // recomputes tokenHashes O(n·len) per doc (measured 129 s → ~2 s
+      // at sf0.1 — the exact hazard TextHash.let exists for)
+      .select(explode(TextHash.let(TextHash.tokenHashes(col("text")))(th =>
+        TextHash.shingleHashes(th, n))).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("c"))
       .agg(sum(col("c")).as("n_grams_total"),
         count(lit(1)).as("n_distinct"),
