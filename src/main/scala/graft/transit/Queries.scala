@@ -740,8 +740,13 @@ object Queries {
       .select(least(col("a.stop_id"), col("b.stop_id")).as("u"),
         greatest(col("a.stop_id"), col("b.stop_id")).as("v"))
       .distinct()
+    // checkpoint the edge frame and each round's frontier: the corpus is
+    // a 4-way union whose members otherwise chain lineage — the fact-
+    // table self-join would replan/rescan once per union member and each
+    // round would recompute every earlier round (the CC-fixpoint rule)
     val sym = und.select(col("u").as("s"), col("v").as("nbr"))
       .union(und.select(col("v").as("s"), col("u").as("nbr")))
+      .localCheckpoint(true)
     val starts = sym.select(col("s")).distinct()
       .select(col("s").as("walk_id"), lit(0).as("step"), col("s").as("node"))
     var frontier = starts
@@ -756,6 +761,7 @@ object Queries {
       frontier = cand.groupBy(col("walk_id"))
         .agg(min(struct(col("h"), col("node"))).as("m"))
         .select(col("walk_id"), lit(k).as("step"), col("m.node").as("node"))
+        .localCheckpoint(true)
       corpus = corpus.unionByName(frontier)
     }
     corpus.orderBy(col("walk_id"), col("step"))
