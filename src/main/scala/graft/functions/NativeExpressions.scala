@@ -640,5 +640,9 @@ class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions 
       new ExpressionInfo(classOf[PyRoundExpr].getName, "graft_pyround"),
       (es: Seq[Expression]) => PyRoundExpr(es.head,
         es(1).eval().asInstanceOf[Int])))
+    // the custom whole-operator plan (as-of merge scan) rides the same
+    // production wiring; AsOfJoin.enable's experimental-strategies path
+    // remains for sessions created without the conf
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

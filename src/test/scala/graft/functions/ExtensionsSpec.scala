@@ -30,6 +30,10 @@ class ExtensionsSpec extends AnyFunSuite {
         .collect().head
       assert(r.getLong(0) == 5L) // single hash: its own bits vote positive
       assert(r.getDouble(1) == 3.0)
+      // the whole-operator strategy rides the same wiring: present in the
+      // fresh session's planner without any AsOfJoin.enable call
+      assert(s.sessionState.planner.strategies
+        .contains(graft.plans.AsOfJoinStrategy))
     } finally {
       // restore the shared session for sibling suites (don't stop the
       // context — it's process-wide)
