@@ -262,7 +262,36 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Contrastive (CLIP-style) batch manifest — image-text pairs hash-
+    * assigned to training batches, with the numbers a contrastive loss
+    * needs per batch: positive pairs, caption token mass, payload bytes
+    * (loader budget), and in-batch negatives n·(n−1). Batch assignment
+    * is a salted content hash — deterministic on any cluster/retry (the
+    * X35 gate discipline), never a global row_number; batch skew is
+    * bounded and the manifest is one keyed aggregate over the pair
+    * frame. The image side rides the [[blobs]] round-robin kind
+    * assignment (kind='image' ⟺ doc_id ≡ 0 mod 3); payload bytes are
+    * OCTET length (DuckDB strlen) so multi-byte UTF-8 stays exact. */
+  def captionBatches(spark: SparkSession, dir: String,
+      nBatches: Int = 16): DataFrame = {
+    import graft.functions.TextHash
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 0)
+      .select(
+        (TextHash.strHash(concat(lit("clipbatch:"),
+          col("doc_id").cast("string"))) % nBatches).as("batch_id"),
+        size(TextHash.tokens(col("text"))).cast("long").as("cap"),
+        octet_length(col("text")).cast("long").as("pb"))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("cap")).as("caption_tokens"),
+        sum(col("pb")).as("payload_bytes"))
+      .withColumn("n_negatives", col("n_pairs") * (col("n_pairs") - 1))
+      .orderBy(col("batch_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_caption_batches" -> ((s: SparkSession, d: String) => captionBatches(s, d)),
     "mm_scene_cuts" -> sceneCuts,
     "mm_payload_dedup" -> payloadDedup,
     "mm_modality_mix" -> modalityMix,
@@ -394,7 +423,25 @@ object MultimodalOracles {
        |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Mirrors [[Multimodal.captionBatches]]: salted-hash batch id, octet
+    * payload lengths, n·(n−1) in-batch negatives. */
+  val captionBatches: String = {
+    val bid = s"(${TextHashSql.strHash("'clipbatch:' || CAST(doc_id AS VARCHAR)")} % 16)"
+    s"""WITH p AS (
+       |  SELECT $bid AS batch_id,
+       |         CAST(len(${TextHashSql.tokens("text")}) AS BIGINT) AS cap,
+       |         CAST(strlen(text) AS BIGINT) AS pb
+       |  FROM documents WHERE doc_id % 3 = 0)
+       |SELECT batch_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |       CAST(SUM(cap) AS BIGINT) AS caption_tokens,
+       |       CAST(SUM(pb) AS BIGINT) AS payload_bytes,
+       |       CAST(COUNT(*) * (COUNT(*) - 1) AS BIGINT) AS n_negatives
+       |FROM p GROUP BY batch_id
+       |ORDER BY batch_id""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
+    "mm_caption_batches" -> captionBatches,
     "mm_scene_cuts" -> sceneCuts,
     "mm_payload_dedup" -> payloadDedup,
     "mm_modality_mix" -> modalityMix,
