@@ -187,6 +187,9 @@ object SparkEntry {
     // feed-version diff: one full-outer join classifying every slot
     "transit_feed_diff" -> ((s, dir) =>
       Queries.feedDiff(TransitTables.fromTpch(s, dir))),
+    // market-basket association rules over trips-as-baskets
+    "transit_stop_rules" -> ((s, dir) =>
+      Queries.stopRules(TransitTables.fromTpch(s, dir))),
     // §4 R4: the serving layer's snapshot fast path, end to end — build
     // the partitioned Q1 result snapshot, then serve the weekday request
     // FROM the snapshot (partition-pruned read-back, not the live plan).
@@ -268,6 +271,7 @@ object SparkEntry {
     "transit_link_prediction" -> TransitOracles.linkPrediction,
     "transit_route_overlap" -> TransitOracles.routeOverlap,
     "transit_feed_diff" -> TransitOracles.feedDiff,
+    "transit_stop_rules" -> TransitOracles.stopRules(),
     // snapshot round trips are value-preserving (parquet doubles bit-exact)
     "transit_q1_snapshot" -> TransitOracles.q1Weekday,
     "transit_q2_snapshot" -> TransitOracles.q2Weekday,

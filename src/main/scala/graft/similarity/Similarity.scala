@@ -554,6 +554,45 @@ object Similarity {
       .orderBy(col("votes"))
   }
 
+  /** Matryoshka recall curve — recall@5 of PREFIX-dimension cosine
+    * rankings (dims 8/16/32/64) against the full-dim ground truth: the
+    * evaluation behind truncatable-embedding serving (store one vector,
+    * serve any prefix; MRL-style). Each truncation reranks with the same
+    * sequential-fold cosine on the sliced array — prefix slices keep the
+    * fold order, so both engines score identically — and the recall
+    * census is an integer hit count divided once. The 64-dim row is the
+    * built-in sanity anchor (recall 1 by construction). Cost: the query
+    * batch broadcasts once per dim against the corpus — the [[annRecall]]
+    * shape × |dims|, each pass cheaper than the last full-dim one. */
+  def matryoshkaRecall(spark: SparkSession, dir: String,
+      dims: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    import graft.functions.GraftFunctions
+    val truth = knnBrute(spark, dir).select(col("qid"), col("cid"))
+      .withColumn("hit", lit(1L))
+    val e = Tables.embeddings(spark, dir)
+    val frames = dims.map { d =>
+      val q = e.filter(col("vec_id") < QuerySet).select(
+        col("vec_id").as("qid"), slice(col("embedding"), 1, d).as("qv"))
+      val c = e.select(col("vec_id").as("cid"),
+        slice(col("embedding"), 1, d).as("cv"))
+      ranked(broadcast(q).join(c, col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          (GraftFunctions.dot(spark, col("qv"), col("cv")) /
+            (GraftFunctions.l2norm(spark, col("qv")) *
+              GraftFunctions.l2norm(spark, col("cv")))).as("raw")))
+        .select(lit(d).as("dims"), col("qid"), col("cid"))
+    }
+    frames.reduce(_ unionByName _)
+      .join(truth, Seq("qid", "cid"), "left")
+      .groupBy(col("dims"))
+      .agg(count(lit(1)).as("n_ranked"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("dims"), col("n_ranked"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_ranked"), 6)
+          .as("recall_at_5"))
+      .orderBy(col("dims"))
+  }
+
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
     val brute = knnBrute(spark, dir).select(col("qid"), col("cid"))
     val approx = annLsh(spark, dir).select(col("qid"), col("cid"))
@@ -806,6 +845,7 @@ object Similarity {
     "sim_ood_knn" -> oodKnn,
     "sim_knn_calibration" -> knnCalibration,
     "sim_pca_power" -> pcaPower,
+    "sim_matryoshka_recall" -> ((s: SparkSession, d: String) => matryoshkaRecall(s, d)),
     "sim_ann_ivf_persisted" -> annIvfPersisted,
     "dedup_semantic" -> semanticDedup,
     "sim_negative_sample" -> negativeSample,
@@ -1201,6 +1241,34 @@ object SimilarityOracles {
        |WHERE b.rn = 1
        |ORDER BY b.qid""".stripMargin
 
+  /** Mirrors [[Similarity.matryoshkaRecall]]: per-dim prefix-slice
+    * rankings (same sequential-fold cosine, same tiebreak) against the
+    * full-dim brute truth. */
+  val matryoshkaRecall: String = {
+    val blocks = Seq(8, 16, 32, 64).map { d =>
+      s"""r$d AS (SELECT $d AS dims, qid, cid FROM (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |           ${TextHashSql.cosine(s"q.embedding[1:$d]", s"c.embedding[1:$d]")} DESC,
+         |           c.vec_id) AS rn
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < ${Similarity.QuerySet})
+         |WHERE rn <= ${Similarity.TopK})""".stripMargin
+    }
+    s"""WITH truth AS (SELECT qid, cid FROM ($knnBrute)),
+       |${blocks.mkString(",\n")},
+       |allr AS (SELECT * FROM r8 UNION ALL SELECT * FROM r16
+       |         UNION ALL SELECT * FROM r32 UNION ALL SELECT * FROM r64)
+       |SELECT a.dims, CAST(COUNT(*) AS BIGINT) AS n_ranked,
+       |       CAST(SUM(CASE WHEN t.qid IS NOT NULL THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_hits,
+       |       round(CAST(SUM(CASE WHEN t.qid IS NOT NULL THEN 1 ELSE 0 END)
+       |                  AS DOUBLE) / COUNT(*), 6) AS recall_at_5
+       |FROM allr a LEFT JOIN truth t ON t.qid = a.qid AND t.cid = a.cid
+       |GROUP BY a.dims
+       |ORDER BY dims""".stripMargin
+  }
+
   /** Mirrors [[Similarity.pcaPower]]: milli-quantized components, two
     * BIGINT power iterations, sign-split positive integer division for
     * the renormalizer (`//` on positives ≡ Spark `div`). */
@@ -1360,6 +1428,7 @@ object SimilarityOracles {
     "sim_ood_knn" -> oodKnn,
     "sim_knn_calibration" -> knnCalibration,
     "sim_pca_power" -> pcaPower,
+    "sim_matryoshka_recall" -> matryoshkaRecall,
     // persisted-index round trip is lossless; probe semantics = annIvf
     "sim_ann_ivf_persisted" -> annIvf,
     "dedup_semantic" -> semanticDedup,

@@ -972,6 +972,41 @@ object Queries {
       .limit(20)
   }
 
+  /** Association rules over trips-as-baskets — support / confidence /
+    * lift for stop co-occurrence (the market-basket operator, here
+    * "riders who touch A also touch B"): the network-effects signal
+    * service planning and anomaly detection read. Baskets bound the
+    * quadratic NATURALLY: pairs explode per trip as (stops-per-trip
+    * choose 2), a per-basket constant — the co-occurrence aggregate is
+    * linear in trips at any feed size. All counts stay BIGINT; support,
+    * confidence (both directions), and lift divide once at the edge in
+    * a pinned expression order. Min support 5 trips; top-20 by lift. */
+  def stopRules(t: TransitTables, minSupport: Long = 5): DataFrame = {
+    val inc = t.stopTimes.select(col("trip_id"), col("stop_id")).distinct()
+      .localCheckpoint(true)
+    val nTrips = inc.select(col("trip_id")).distinct()
+      .agg(count(lit(1)).as("n_trips"))
+    val singles = inc.groupBy(col("stop_id")).agg(count(lit(1)).as("n"))
+    val pairs = inc.as("a").join(inc.as("b"),
+        col("a.trip_id") === col("b.trip_id") &&
+          col("a.stop_id") < col("b.stop_id"))
+      .groupBy(col("a.stop_id").as("sa"), col("b.stop_id").as("sb"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    pairs
+      .join(singles.select(col("stop_id").as("sa"), col("n").as("n_a")), Seq("sa"))
+      .join(singles.select(col("stop_id").as("sb"), col("n").as("n_b")), Seq("sb"))
+      .crossJoin(broadcast(nTrips))
+      .select(col("sa"), col("sb"), col("n_ab"), col("n_a"), col("n_b"),
+        round(col("n_ab").cast("double") / col("n_trips"), 6).as("support"),
+        round(col("n_ab").cast("double") / col("n_a"), 6).as("conf_ab"),
+        round(col("n_ab").cast("double") / col("n_b"), 6).as("conf_ba"),
+        round(col("n_ab").cast("double") * col("n_trips") /
+          (col("n_a") * col("n_b")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("sa"), col("sb"))
+      .limit(20)
+  }
+
   /** Feed-version diff — the schedule-CI operator: given two feed
     * versions, classify every (trip, stop, sequence) slot as unchanged /
     * retimed / removed / added and report row and distinct-trip counts

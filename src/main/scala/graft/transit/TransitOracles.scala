@@ -215,6 +215,31 @@ object TransitOracles {
 
   /** Mirrors [[Queries.stressCentrality]]: adjacency powers as chained
     * CTEs, argmin-(dist, σ) per pair, integer through-count join. */
+  /** Mirrors [[Queries.stopRules]]: same basket counts, same pinned
+    * division order for support/confidence/lift. */
+  def stopRules(minSupport: Long = 5): String =
+    s"""$P, inc AS (SELECT DISTINCT trip_id, stop_id FROM stop_times),
+       |nt AS (SELECT CAST(COUNT(DISTINCT trip_id) AS BIGINT) AS n_trips
+       |       FROM inc),
+       |singles AS (SELECT stop_id, CAST(COUNT(*) AS BIGINT) AS n
+       |            FROM inc GROUP BY 1),
+       |pairs AS (SELECT a.stop_id AS sa, b.stop_id AS sb,
+       |            CAST(COUNT(*) AS BIGINT) AS n_ab
+       |          FROM inc a JOIN inc b ON a.trip_id = b.trip_id
+       |            AND a.stop_id < b.stop_id
+       |          GROUP BY 1, 2
+       |          HAVING COUNT(*) >= $minSupport)
+       |SELECT p.sa, p.sb, p.n_ab, s1.n AS n_a, s2.n AS n_b,
+       |       round(CAST(p.n_ab AS DOUBLE) / nt.n_trips, 6) AS support,
+       |       round(CAST(p.n_ab AS DOUBLE) / s1.n, 6) AS conf_ab,
+       |       round(CAST(p.n_ab AS DOUBLE) / s2.n, 6) AS conf_ba,
+       |       round(CAST(p.n_ab AS DOUBLE) * nt.n_trips / (s1.n * s2.n), 6)
+       |         AS lift
+       |FROM pairs p JOIN singles s1 ON s1.stop_id = p.sa
+       |JOIN singles s2 ON s2.stop_id = p.sb, nt
+       |ORDER BY lift DESC, p.sa, p.sb
+       |LIMIT 20""".stripMargin
+
   /** Mirrors [[Queries.feedDiff]]: identical synthetic v2, one full
     * outer join, same four-way classification. */
   val feedDiff: String =
