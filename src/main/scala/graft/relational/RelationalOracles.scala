@@ -47,6 +47,30 @@ object RelationalOracles {
        |    (SELECT COUNT(*) AS c FROM $child GROUP BY $fk)) AS max_fanout""".stripMargin
 
   val all: Map[String, String] = Map(
+    // semi-additive: per-user daily close, LOCF over the snapshot grid,
+    // DECIMAL-exact cross-user sum per day
+    "rel_semi_additive" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d, ts, event_id,
+        |             CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |daily AS (SELECT user_id, d, v FROM (
+        |  SELECT user_id, d, v, row_number() OVER (
+        |    PARTITION BY user_id, d ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM e) WHERE rn = 1),
+        |spine AS (SELECT DISTINCT d FROM daily),
+        |grid AS (SELECT u.user_id, s.d
+        |         FROM (SELECT DISTINCT user_id FROM daily) u
+        |         CROSS JOIN spine s),
+        |filled AS (SELECT g.user_id, g.d,
+        |             last_value(dd.v IGNORE NULLS) OVER (
+        |               PARTITION BY g.user_id ORDER BY g.d
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bal
+        |           FROM grid g LEFT JOIN daily dd
+        |             ON dd.user_id = g.user_id AND dd.d = g.d)
+        |SELECT CAST(d AS VARCHAR) AS day,
+        |       CAST(COUNT(*) AS BIGINT) AS n_accounts,
+        |       CAST(CAST(SUM(bal) AS DECIMAL(18,2)) AS DOUBLE) AS total_balance
+        |FROM filled WHERE bal IS NOT NULL
+        |GROUP BY d ORDER BY day""".stripMargin,
     // retraction merge ≡ recompute over the FINAL state (base ∖ deletes ∪ inserts)
     "rel_incremental_agg_retract" ->
       """WITH fin AS (

@@ -657,6 +657,45 @@ object RelationalQueries {
       .orderBy(col("probe_id"), col("dist"), col("c_custkey"))
   }
 
+  /** Semi-additive measure rollup — the balance-style fact family where
+    * SUM is valid across accounts but NOT across time: per day, each
+    * user's CLOSING value (last observation that day) carried forward
+    * over observation gaps (LOCF), then summed across users — the daily
+    * balance-sheet census every finance/inventory mart computes and
+    * naive SUM-everywhere marts get wrong. Shape: one (user, day) argmax
+    * struct aggregate (partial-aggregable, no per-day window sort over
+    * raw events), a users×days snapshot grid (the standard periodic-
+    * snapshot fact size — days are a spine, not event volume), and one
+    * user-partitioned LOCF window over the GRID. Value mass rides
+    * DECIMAL(18,2) so the cross-user sums are exact and
+    * order-independent. */
+  def semiAdditive(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("user_id"),
+      to_date(col("ts")).as("d"), col("ts"), col("event_id"),
+      col("value").cast("decimal(18,2)").as("v"))
+    val daily = e.groupBy(col("user_id"), col("d"))
+      .agg(max(struct(col("ts"), col("event_id"), col("v"))).as("m"))
+      .select(col("user_id"), col("d"), col("m.v").as("close_v"))
+      .localCheckpoint(true)
+    // spine = observed activity days across ALL accounts ("census on
+    // trading days") — self-defining in both engines, no literal bounds
+    val spine = daily.select(col("d")).distinct()
+    val grid = daily.select(col("user_id")).distinct()
+      .crossJoin(broadcast(spine))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(daily, Seq("user_id", "d"), "left")
+      .withColumn("bal", last(col("close_v"), ignoreNulls = true).over(w))
+      .filter(col("bal").isNotNull)
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_accounts"),
+        sum(col("bal")).cast("decimal(18,2)").cast("double")
+          .as("total_balance"))
+      .select(col("d").cast("string").as("day"), col("n_accounts"),
+        col("total_balance"))
+      .orderBy(col("day"))
+  }
+
   /** Retraction-aware incremental aggregate maintenance — the general
     * changelog case [[incrementalAgg]]'s insert-only delta can't handle:
     * the delta batch carries +1 insert and −1 DELETE weights (upstream
@@ -2206,6 +2245,7 @@ object RelationalQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_delete_propagation" -> deletePropagation,
     "rel_incremental_agg_retract" -> incrementalAggRetract,
+    "rel_semi_additive" -> semiAdditive,
     "rel_global_ids" -> globalIds,
     "rel_orc_roundtrip" -> orcRoundtrip,
     "rel_bitmap_index" -> bitmapIndex,
