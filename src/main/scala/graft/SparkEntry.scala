@@ -99,6 +99,10 @@ object SparkEntry {
     // family as the DataFrame faces, so the same oracle binds
     "transit_q1_sqltext" -> ((s, dir) =>
       SqlFace.q1Weekday(s, TransitTables.fromTpch(s, dir))),
+    "transit_q2_sqltext" -> ((s, dir) =>
+      SqlFace.q2Weekday(s, TransitTables.fromTpch(s, dir))),
+    "transit_q3_sqltext" -> ((s, dir) =>
+      SqlFace.q3Weekday(s, TransitTables.fromTpch(s, dir))),
     "transit_q4_sqltext" -> ((s, dir) =>
       SqlFace.q4Weekday(s, TransitTables.fromTpch(s, dir))),
     "transit_headways" -> ((s, dir) =>
@@ -190,6 +194,9 @@ object SparkEntry {
     // market-basket association rules over trips-as-baskets
     "transit_stop_rules" -> ((s, dir) =>
       Queries.stopRules(TransitTables.fromTpch(s, dir))),
+    // per-stop 1/2/3-hop neighborhood sizes over the backbone
+    "transit_khop_census" -> ((s, dir) =>
+      Queries.kHopCensus(TransitTables.fromTpch(s, dir))),
     // §4 R4: the serving layer's snapshot fast path, end to end — build
     // the partitioned Q1 result snapshot, then serve the weekday request
     // FROM the snapshot (partition-pruned read-back, not the live plan).
@@ -244,6 +251,8 @@ object SparkEntry {
     // is exactly the direct-path Q4 weekday SQL
     "transit_gtfs_q4" -> TransitOracles.q4Weekday,
     "transit_q1_sqltext" -> TransitOracles.q1Weekday,
+    "transit_q2_sqltext" -> TransitOracles.q2Weekday,
+    "transit_q3_sqltext" -> TransitOracles.q3Weekday,
     "transit_q4_sqltext" -> TransitOracles.q4Weekday,
     "transit_headways" -> TransitOracles.headways,
     "transit_reachability" -> TransitOracles.reachability(42L),
@@ -272,6 +281,7 @@ object SparkEntry {
     "transit_route_overlap" -> TransitOracles.routeOverlap,
     "transit_feed_diff" -> TransitOracles.feedDiff,
     "transit_stop_rules" -> TransitOracles.stopRules(),
+    "transit_khop_census" -> TransitOracles.kHopCensus,
     // snapshot round trips are value-preserving (parquet doubles bit-exact)
     "transit_q1_snapshot" -> TransitOracles.q1Weekday,
     "transit_q2_snapshot" -> TransitOracles.q2Weekday,

@@ -1216,8 +1216,9 @@ object Queries {
       .localCheckpoint(true)
   }
 
-  def stressCentrality(t: TransitTables): DataFrame = {
-    val e = backboneEdges(t)
+  /** (dist, σ) per backbone pair within 3 hops, via adjacency powers —
+    * shared by [[stressCentrality]] and [[kHopCensus]]. */
+  private def shortestPaths3(e: DataFrame): DataFrame = {
     val a1 = e.select(col("src"), col("dst"), lit(1).as("k"), lit(1L).as("n"))
     val a2 = e.as("x").join(e.as("y"), col("x.dst") === col("y.src"))
       .filter(col("x.src") =!= col("y.dst"))
@@ -1229,12 +1230,31 @@ object Queries {
       .groupBy(col("x.src").as("src"), col("y.dst").as("dst"))
       .agg(sum(col("x.n")).as("n"))
       .select(col("src"), col("dst"), lit(3).as("k"), col("n"))
-    val d = a1.unionByName(a2).unionByName(a3)
+    a1.unionByName(a2).unionByName(a3)
       .groupBy(col("src"), col("dst"))
       .agg(min(struct(col("k"), col("n"))).as("m"))
       .select(col("src"), col("dst"),
         col("m.k").as("dist"), col("m.n").as("sigma"))
       .localCheckpoint(true)
+  }
+
+  /** K-hop neighborhood census — per stop, how many stops are reachable
+    * in exactly 1/2/3 backbone hops (the neighborhood-size features GNN
+    * and accessibility models consume; also the capacity argument for
+    * the 3-hop frames the fixpoint queries materialize). Pure reuse of
+    * [[shortestPaths3]]: one grouped count over the pair frame. */
+  def kHopCensus(t: TransitTables): DataFrame =
+    shortestPaths3(backboneEdges(t))
+      .groupBy(col("src").as("stop_id"))
+      .agg(count(lit(1)).as("n_reachable_3hop"),
+        sum(when(col("dist") === 1, 1L).otherwise(0L)).as("n_1hop"),
+        sum(when(col("dist") === 2, 1L).otherwise(0L)).as("n_2hop"),
+        sum(when(col("dist") === 3, 1L).otherwise(0L)).as("n_3hop"))
+      .orderBy(col("n_reachable_3hop").desc, col("stop_id"))
+      .limit(20)
+
+  def stressCentrality(t: TransitTables): DataFrame = {
+    val d = shortestPaths3(backboneEdges(t))
     val fromS = d.filter(col("src") % 12 === 0)
     val p1 = fromS.select(col("src").as("s"), col("dst").as("v"),
       col("dist").as("d1"), col("sigma").as("sig1"))

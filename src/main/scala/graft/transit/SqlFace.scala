@@ -72,8 +72,65 @@ object SqlFace {
       |ORDER BY total_daily_trips DESC, a.route_id
       |LIMIT 20""".stripMargin
 
+  /** Q2 route duration/speed stats (reference `SQL/Q2 average
+    * duration.sql`), weekday service — the trip_stats CTE with its
+    * HAVING data-quality gate, population stddev, exact-long-sum
+    * averages, and 4-dp rounded doubles, as Spark SQL text. */
+  val q2WeekdaySql: String =
+    """WITH trip_stats AS (
+      |  SELECT st.trip_id, t.route_id, t.service_id,
+      |         MAX(st.arr_secs) - MIN(st.dep_secs) AS trip_duration_seconds,
+      |         MAX(st.shape_dist) - MIN(st.shape_dist) AS trip_distance
+      |  FROM stop_times st JOIN trips t ON t.trip_id = st.trip_id
+      |  WHERE t.service_id = '1'
+      |  GROUP BY st.trip_id, t.route_id, t.service_id
+      |  HAVING MAX(st.arr_secs) - MIN(st.dep_secs) > 60),
+      |stats AS (
+      |  SELECT route_id,
+      |         COUNT(*) AS num_trips,
+      |         AVG(trip_distance) AS avg_trip_distance_km,
+      |         CAST(SUM(trip_duration_seconds) AS DOUBLE) / COUNT(*) / 60.0 AS avg_duration_min,
+      |         STDDEV_POP(CAST(trip_duration_seconds AS DOUBLE)) / 60.0 AS duration_stddev_min,
+      |         AVG(trip_distance / NULLIF(CAST(trip_duration_seconds AS DOUBLE), 0.0) * 3600.0) AS avg_speed_kmh
+      |  FROM trip_stats GROUP BY route_id)
+      |SELECT s.route_id, r.route_long_name, r.route_short_name, s.num_trips,
+      |       ROUND(s.avg_trip_distance_km, 4) AS avg_trip_distance_km,
+      |       ROUND(s.avg_duration_min, 4) AS avg_duration_min,
+      |       ROUND(s.duration_stddev_min, 4) AS duration_stddev_min,
+      |       ROUND(s.avg_speed_kmh, 4) AS avg_speed_kmh
+      |FROM stats s JOIN routes r ON r.route_id = s.route_id
+      |ORDER BY avg_duration_min DESC, s.route_id
+      |LIMIT 20""".stripMargin
+
+  /** Q3 transfer points (reference `SQL/Q3 transfer points.sql`),
+    * weekday service: distinct stop-route incidence, HAVING ≥ 2. */
+  val q3WeekdaySql: String =
+    """WITH usr AS (
+      |  SELECT DISTINCT st.stop_id, t.route_id
+      |  FROM stop_times st JOIN trips t ON t.trip_id = st.trip_id
+      |  WHERE t.service_id = '1'),
+      |counts AS (
+      |  SELECT stop_id, COUNT(route_id) AS num_unique_routes
+      |  FROM usr GROUP BY stop_id
+      |  HAVING COUNT(route_id) >= 2)
+      |SELECT c.stop_id, s.stop_name,
+      |       ROUND(s.stop_lat, 6) AS stop_lat,
+      |       ROUND(s.stop_lon, 6) AS stop_lon,
+      |       c.num_unique_routes
+      |FROM counts c JOIN stops s ON s.stop_id = c.stop_id
+      |ORDER BY num_unique_routes DESC, c.stop_id
+      |LIMIT 20""".stripMargin
+
   def q1Weekday(spark: SparkSession, t: TransitTables): DataFrame = {
     register(t); spark.sql(q1WeekdaySql)
+  }
+
+  def q2Weekday(spark: SparkSession, t: TransitTables): DataFrame = {
+    register(t); spark.sql(q2WeekdaySql)
+  }
+
+  def q3Weekday(spark: SparkSession, t: TransitTables): DataFrame = {
+    register(t); spark.sql(q3WeekdaySql)
   }
 
   def q4Weekday(spark: SparkSession, t: TransitTables): DataFrame = {

@@ -327,8 +327,10 @@ object TransitOracles {
        |ORDER BY jaccard DESC, ne.cn DESC, ne.u, ne.v
        |LIMIT 20""".stripMargin
 
-  val stressCentrality: String =
-    s"""$P, $backboneCtes,
+  /** (dist, σ) CTE chain over the backbone — mirrors
+    * [[Queries.shortestPaths3]]; shared by stress and the k-hop census. */
+  private val spath3Ctes: String =
+    s"""$backboneCtes,
        |a1 AS (SELECT src, dst, 1 AS k, CAST(1 AS BIGINT) AS n FROM e),
        |a2 AS (SELECT x.src, y.dst, 2 AS k, CAST(COUNT(*) AS BIGINT) AS n
        |       FROM e x JOIN e y ON x.dst = y.src
@@ -341,7 +343,22 @@ object TransitOracles {
        |                row_number() OVER (PARTITION BY src, dst ORDER BY k) AS rk
        |         FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2
        |               UNION ALL SELECT * FROM a3))
-       |       WHERE rk = 1),
+       |       WHERE rk = 1)""".stripMargin
+
+  /** Mirrors [[Queries.kHopCensus]]. */
+  val kHopCensus: String =
+    s"""$P, $spath3Ctes
+       |SELECT src AS stop_id,
+       |       CAST(COUNT(*) AS BIGINT) AS n_reachable_3hop,
+       |       CAST(SUM(CASE WHEN dist = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_1hop,
+       |       CAST(SUM(CASE WHEN dist = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_2hop,
+       |       CAST(SUM(CASE WHEN dist = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_3hop
+       |FROM dd GROUP BY src
+       |ORDER BY n_reachable_3hop DESC, stop_id
+       |LIMIT 20""".stripMargin
+
+  val stressCentrality: String =
+    s"""$P, $spath3Ctes,
        |p1 AS (SELECT src AS s, dst AS v, dist AS d1, sigma AS sig1
        |       FROM dd WHERE src % 12 = 0),
        |p2 AS (SELECT src AS v, dst AS t, dist AS d2, sigma AS sig2 FROM dd),
