@@ -554,6 +554,33 @@ object Similarity {
       .orderBy(col("votes"))
   }
 
+  /** Embedding norm audit — the QA table a vector pipeline runs before
+    * trusting cosine anywhere: per label, the L2-norm distribution
+    * (count, min/max/mean) and the degenerate-vector census (‖x‖ <
+    * 0.01 — near-zero vectors make cosine meaningless and blow up
+    * normalization). Norms come from the sequential-fold dot (bit-equal
+    * in both engines, sqrt is IEEE-correctly-rounded) and are quantized
+    * to micro-units ONCE so every aggregate — including the mean — is
+    * an exact BIGINT sum divided a single time. One keyed aggregate
+    * over a map-side projection; nothing shuffles but (label, long). */
+  def normAudit(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"),
+        floor(graft.functions.GraftFunctions.l2norm(spark, col("embedding"))
+          * 1e6 + 0.5).cast("long").as("q"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("q")).as("min_norm_u"),
+        max(col("q")).as("max_norm_u"),
+        sum(col("q")).as("sum_u"),
+        sum(when(col("q") < 10000L, 1L).otherwise(0L)).as("n_degenerate"))
+      .select(col("label"), col("n_vectors"), col("min_norm_u"),
+        col("max_norm_u"),
+        round(col("sum_u").cast("double") / col("n_vectors") / 1e6, 6)
+          .as("mean_norm"),
+        col("n_degenerate"))
+      .orderBy(col("label"))
+
   /** Matryoshka recall curve — recall@5 of PREFIX-dimension cosine
     * rankings (dims 8/16/32/64) against the full-dim ground truth: the
     * evaluation behind truncatable-embedding serving (store one vector,
@@ -846,6 +873,7 @@ object Similarity {
     "sim_knn_calibration" -> knnCalibration,
     "sim_pca_power" -> pcaPower,
     "sim_matryoshka_recall" -> ((s: SparkSession, d: String) => matryoshkaRecall(s, d)),
+    "sim_norm_audit" -> normAudit,
     "sim_ann_ivf_persisted" -> annIvfPersisted,
     "dedup_semantic" -> semanticDedup,
     "sim_negative_sample" -> negativeSample,
@@ -1241,6 +1269,22 @@ object SimilarityOracles {
        |WHERE b.rn = 1
        |ORDER BY b.qid""".stripMargin
 
+  /** Mirrors [[Similarity.normAudit]]: same fold, same micro-unit
+    * quantization, exact integer aggregates. */
+  val normAudit: String =
+    s"""WITH q AS (SELECT label,
+       |  CAST(floor(${TextHashSql.l2norm("embedding")} * 1000000 + 0.5)
+       |       AS BIGINT) AS q
+       |  FROM embeddings)
+       |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       |       MIN(q) AS min_norm_u, MAX(q) AS max_norm_u,
+       |       round(CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE) / COUNT(*)
+       |             / 1000000.0, 6) AS mean_norm,
+       |       CAST(SUM(CASE WHEN q < 10000 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_degenerate
+       |FROM q GROUP BY label
+       |ORDER BY label""".stripMargin
+
   /** Mirrors [[Similarity.matryoshkaRecall]]: per-dim prefix-slice
     * rankings (same sequential-fold cosine, same tiebreak) against the
     * full-dim brute truth. */
@@ -1429,6 +1473,7 @@ object SimilarityOracles {
     "sim_knn_calibration" -> knnCalibration,
     "sim_pca_power" -> pcaPower,
     "sim_matryoshka_recall" -> matryoshkaRecall,
+    "sim_norm_audit" -> normAudit,
     // persisted-index round trip is lossless; probe semantics = annIvf
     "sim_ann_ivf_persisted" -> annIvf,
     "dedup_semantic" -> semanticDedup,
