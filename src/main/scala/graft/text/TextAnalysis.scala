@@ -83,6 +83,36 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Temperature-scaled sampling shares — the multilingual/multi-source
+    * mixing table (mT5 / XLM-R style): per source, its sampled share
+    * under p_s ∝ m_s^α for α ∈ {0.25, 0.5, 1.0}, showing how lower
+    * temperature flattens the head sources and lifts the tail. The
+    * exponents are chosen as sqrt CHAINS (m^0.5 = sqrt, m^0.25 =
+    * sqrt∘sqrt): IEEE sqrt is correctly rounded, so both engines
+    * compute bit-identical powers with no pow()-libm risk; powers then
+    * quantize to micro-units so the per-α normalizer is an exact BIGINT
+    * sum (order-independent), divided once per row. The corpus reduces
+    * to a #sources frame in one keyed aggregate; everything after is
+    * metadata algebra. */
+  def temperatureShares(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.documents(spark, dir)
+      .select(col("source"), size(TextHash.tokens(col("text"))).cast("long").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("m_tokens"))
+      .localCheckpoint(true)
+    val md = col("m_tokens").cast("double")
+    val temps: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "0.25" -> sqrt(sqrt(md)), "0.5" -> sqrt(md), "1.0" -> md)
+    val u = temps.map { case (a, p) =>
+      m.select(lit(a).as("alpha"), col("source"), col("m_tokens"),
+        floor(p * 1e6 + 0.5).cast("long").as("q"))
+    }.reduce(_ unionByName _)
+    val tots = u.groupBy(col("alpha")).agg(sum(col("q")).as("tot"))
+    u.join(broadcast(tots), Seq("alpha"))
+      .select(col("alpha"), col("source"), col("m_tokens"),
+        round(col("q").cast("double") / col("tot"), 6).as("share"))
+      .orderBy(col("alpha"), col("source"))
+  }
+
   /** Duplicate n-gram coverage — the memorization-risk scalar from the
     * dedup literature (Lee et al. 2022's "fraction of corpus n-grams
     * occurring more than once"): all 8-gram occurrences WITH multiplicity
@@ -1484,6 +1514,7 @@ object TextAnalysis {
     "text_lang_confusion" -> langConfusion,
     "text_seqlen_quantiles" -> seqLenQuantiles,
     "text_dup_ngram_coverage" -> ((s: SparkSession, d: String) => dupNgramCoverage(s, d)),
+    "text_temperature_shares" -> temperatureShares,
     "text_fingerprint" -> fingerprint,
     "text_bpe_pretokens" -> bpeTokens)
 }

@@ -61,6 +61,27 @@ object TextOracles {
        |FROM cells c JOIN tots t ON t.declared_lang = c.declared_lang
        |ORDER BY c.declared_lang, c.detected_lang""".stripMargin
 
+  /** sqrt-chain powers, micro-unit quantization, exact normalizers. */
+  val temperatureShares: String = {
+    val cases = Seq(
+      "0.25" -> "sqrt(sqrt(CAST(m_tokens AS DOUBLE)))",
+      "0.5" -> "sqrt(CAST(m_tokens AS DOUBLE))",
+      "1.0" -> "CAST(m_tokens AS DOUBLE)")
+    val arms = cases.map { case (a, p) =>
+      s"""SELECT '$a' AS alpha, source, m_tokens,
+         |  CAST(floor($p * 1000000 + 0.5) AS BIGINT) AS q FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH m AS (SELECT source,
+       |  CAST(SUM(len($toks)) AS BIGINT) AS m_tokens
+       |  FROM documents GROUP BY 1),
+       |u AS ($arms),
+       |t AS (SELECT alpha, CAST(SUM(q) AS BIGINT) AS tot FROM u GROUP BY 1)
+       |SELECT u.alpha, u.source, u.m_tokens,
+       |       round(CAST(u.q AS DOUBLE) / t.tot, 6) AS share
+       |FROM u JOIN t ON t.alpha = u.alpha
+       |ORDER BY u.alpha, u.source""".stripMargin
+  }
+
   /** All-occurrence 8-gram census; same rolling shingle hash. */
   val dupNgramCoverage: String =
     s"""WITH th AS (SELECT ${tokenHashes("text")} AS th FROM documents),
@@ -918,6 +939,7 @@ object TextOracles {
     "text_lang_confusion" -> langConfusion,
     "text_seqlen_quantiles" -> seqLenQuantiles,
     "text_dup_ngram_coverage" -> dupNgramCoverage,
+    "text_temperature_shares" -> temperatureShares,
     "text_fingerprint" -> fingerprint,
     "text_bpe_pretokens" -> bpeTokens)
 }
