@@ -185,6 +185,42 @@ class ExtensionInvariantsSpec extends SparkSpec {
       === totalLi)
   }
 
+  test("matryoshka: full-dim row recalls exactly 1.0; all recalls in (0,1]") {
+    val rows = graft.similarity.Similarity.matryoshkaRecall(spark, sf).collect()
+    val byDim = rows.map(r => r.getAs[Int]("dims") -> r.getAs[Double]("recall_at_5")).toMap
+    assert(byDim(64) === 1.0, "full-dim ranking must reproduce the truth")
+    assert(byDim.values.forall(r => r > 0.0 && r <= 1.0))
+  }
+
+  test("association rules: confidences <= 1, lift positive, support >= min") {
+    val rows = Queries.stopRules(tables).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Double]("conf_ab") <= 1.0 && r.getAs[Double]("conf_ba") <= 1.0)
+      assert(r.getAs[Double]("lift") > 0.0)
+      assert(r.getAs[Long]("n_ab") >= 5L)
+    }
+  }
+
+  test("semi-additive: accounts never shrink day-over-day (LOCF only adds)") {
+    val rows = graft.relational.RelationalQueries.semiAdditive(spark, sf).collect()
+    val counts = rows.map(_.getAs[Long]("n_accounts"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => b >= a },
+      "carried-forward account census must be monotone")
+  }
+
+  test("temperature shares: each alpha sums to ~1 and lower alpha flattens the head") {
+    val rows = graft.text.TextAnalysis.temperatureShares(spark, sf).collect()
+    val byAlpha = rows.groupBy(_.getAs[String]("alpha"))
+    for ((_, rs) <- byAlpha) {
+      val s = rs.map(_.getAs[Double]("share")).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"shares sum to $s")
+    }
+    def maxShare(a: String) = byAlpha(a).map(_.getAs[Double]("share")).max
+    assert(maxShare("0.25") <= maxShare("0.5") && maxShare("0.5") <= maxShare("1.0"),
+      "lower temperature must flatten the largest source")
+  }
+
   test("retraction merge equals direct recompute over the final state") {
     import org.apache.spark.sql.functions.{sum => fsum}
     val merged = graft.relational.RelationalQueries
