@@ -96,6 +96,14 @@ object Dedup {
   private def bandsRaw(spark: SparkSession, dir: String): DataFrame =
     bandsFromSigs(sigs(spark, dir))
 
+  /** The standing corpus's band index (the static side of the admission
+    * probe), shared by the batch face ([[standingProbe]]) and the
+    * streaming face (`Streams.admissionStreaming`): docs NOT in the
+    * incoming batch (doc_id % 5 ≠ 0), projected to the probe key. */
+  private[graft] def standingBands(spark: SparkSession, dir: String): DataFrame =
+    bandsRaw(spark, dir).filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), col("band"), col("band_hash"))
+
   private def bandsFromSigs(s: DataFrame): DataFrame =
     s.select(
       col("doc_id"),

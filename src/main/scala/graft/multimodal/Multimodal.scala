@@ -135,6 +135,16 @@ object Multimodal {
     }
   }
 
+  /** [[batchedInfer]]'s oracle-bound face: per-doc stub scores only.
+    * Scores are pure byte folds of the payload — identical under any
+    * partitioning — while `batch_n` reflects the PHYSICAL batch a doc
+    * landed in (partition- and batch-size-dependent by design), so the
+    * registered face drops it and the spec keeps bounding it. */
+  def batchedInferScores(spark: SparkSession, dir: String): DataFrame =
+    batchedInfer(blobs(spark, dir), 64).toDF()
+      .select(col("doc_id"), col("score"))
+      .orderBy("doc_id")
+
   val ChunkLen = 400   // bytes per chunk
   val ChunkStride = 300 // bytes between chunk starts (overlap = 100)
 
@@ -299,6 +309,7 @@ object Multimodal {
     "mm_decode" -> decode,
     "mm_frame_sample" -> frameSample,
     "mm_audio_chunks" -> audioChunks,
+    "mm_batched_infer" -> batchedInferScores,
     "mm_resize" -> resize)
 }
 
@@ -440,7 +451,28 @@ object MultimodalOracles {
        |ORDER BY batch_id""".stripMargin
   }
 
+  /** Byte fold of the raw UTF-8 payload (the [[Multimodal.batchedInfer]]
+    * stub): DuckDB exposes blob bytes only through hex(), so each byte is
+    * decoded from its two UPPERCASE hex digits ('A' = 65 → −55) and folded
+    * left-to-right — exact for arbitrary multi-byte UTF-8, not just the
+    * ASCII case where a code-point fold would coincide. */
+  val batchedInfer: String =
+    s"""SELECT doc_id,
+       |  list_transform([hex(encode(text))], __h ->
+       |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+       |      list_transform(range(0, octet_length(encode(text))),
+       |        i -> (CAST(ascii(substr(__h, CAST(2*i+1 AS INT), 1)) AS BIGINT)
+       |               - CASE WHEN substr(__h, CAST(2*i+1 AS INT), 1)
+       |                      BETWEEN '0' AND '9' THEN 48 ELSE 55 END) * 16
+       |             + (CAST(ascii(substr(__h, CAST(2*i+2 AS INT), 1)) AS BIGINT)
+       |               - CASE WHEN substr(__h, CAST(2*i+2 AS INT), 1)
+       |                      BETWEEN '0' AND '9' THEN 48 ELSE 55 END))),
+       |      (a, b) -> (a*31 + b) % ${graft.functions.TextHashSql.P}))[1] AS score
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, String] = Map(
+    "mm_batched_infer" -> batchedInfer,
     "mm_caption_batches" -> captionBatches,
     "mm_scene_cuts" -> sceneCuts,
     "mm_payload_dedup" -> payloadDedup,

@@ -31,12 +31,13 @@ object GtfsWriter {
     def out(name: String) = s"$dir/$name.txt"
     def csv(df: org.apache.spark.sql.DataFrame, name: String): Unit =
       df.write.mode("overwrite").option("header", "true").csv(out(name))
-    // Dimension tables are single-file by nature (a real GTFS bundle ships
-    // one trips.txt/stops.txt/routes.txt, and they fit one executor at any
-    // feed size); only the stop_times fact stays partition-parallel.
-    // Without the coalesce each dim fans into one near-empty file per
-    // shuffle partition — 3×32 write tasks and 3×32 read-back tasks of
-    // fixed overhead apiece.
+    // Only the GENUINELY small dims (stops ≤ ~tens of k, routes ≤ ~hundreds
+    // at any feed size) are single-file: without the coalesce each fans into
+    // one near-empty file per shuffle partition — 2×32 write tasks and
+    // 2×32 read-back tasks of fixed overhead apiece. trips is NOT a small
+    // dim — it scales with the feed (~13 M rows at 100× metro scale) and a
+    // coalesce(1) there made it the ingest leg's single-task tail — so it
+    // stays partition-parallel like stop_times.
     def csvDim(df: org.apache.spark.sql.DataFrame, name: String): Unit =
       csv(df.coalesce(1), name)
 
@@ -51,7 +52,7 @@ object GtfsWriter {
       lit(null).cast("short").as("drop_off_type"),
       col("shape_dist").cast("float").as("shape_dist_traveled")), "stop_times")
 
-    csvDim(t.trips.select(
+    csv(t.trips.select(
       col("trip_id").cast("string").as("trip_id"),
       col("route_id").cast("string").as("route_id"),
       col("service_id").cast("string").as("service_id"),

@@ -40,8 +40,16 @@ object Tables {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ =>
+      case org.apache.spark.sql.types.TimestampNTZType |
+           org.apache.spark.sql.types.TimestampType =>
         raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case other =>
+        // fail LOUDLY on the next schema drift: a catch-all cast (e.g. from
+        // string) would yield silent NULLs — the exact hazard this loader
+        // exists to absorb
+        throw new IllegalStateException(
+          s"events.ts shipped as unexpected physical type $other; " +
+            "extend Tables.events with an explicit, value-preserving conversion")
     }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")

@@ -336,6 +336,106 @@ object Streams {
       .start()
   }
 
+  /** Recursive delete for the streaming scratch dirs: the parquet sink
+    * APPENDS and its checkpoint skips already-seen source files, so a
+    * re-run (Bench's warm pass, repeated Verify) must start from a clean
+    * sink+checkpoint or it would double rows / emit nothing. */
+  private def deleteRec(path: String): Unit = {
+    val root = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(root)) {
+      java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+  }
+
+  /** Batch face of the LEFT OUTER interval join (the oracle-bound shadow
+    * of [[clickAttributionOuterStreaming]]): every click emits a row —
+    * n_views = 0 and a NULL gap when no view preceded it in the window.
+    * Same plan family as [[clickAttribution]]; the outer-ness only changes
+    * which clicks survive, not the shuffle shape (both sides keyed on
+    * user_id, watermark-bounded state in the streaming face). */
+  def clickAttributionOuter(events: DataFrame): DataFrame = {
+    val base = events.select(col("user_id"), col("event_id"),
+      col("event_type"), unix_micros(col("ts")).as("us"))
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("us").as("click_us"))
+    val views = base.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("us").as("view_us"))
+    clicks.join(views,
+        col("user_id") === col("v_user") &&
+          col("view_us") <= col("click_us") &&
+          col("click_us") - col("view_us") <= AttribWindowUs,
+        "left_outer")
+      .groupBy(col("click_id"))
+      .agg(count(col("view_id")).as("n_views"),
+        min(col("click_us") - col("view_us")).as("min_gap_us"))
+      .orderBy(col("click_id"))
+  }
+
+  def clickAttributionOuterBatch(spark: SparkSession, dir: String): DataFrame =
+    clickAttributionOuter(Tables.events(spark, dir))
+
+  /** The foreachBatch parquet sink RUN end to end as a registered query:
+    * stage the events table, stream it back through [[parquetSink]]
+    * (a real StreamingQuery — micro-batches, checkpoint, batch ids),
+    * then census the sink's output. Lossless pass-through, so the oracle
+    * is the same census over the source table. The value sum folds
+    * floor(value·1000) into an exact BIGINT — a float SUM's result
+    * depends on reduction order, which neither engine pins. */
+  def sinkCensusBatch(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val staging = s"target/tmp/stream_src_$tag"
+    val sinkDir = s"target/tmp/stream_sink_$tag"
+    deleteRec(sinkDir)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    ev.write.mode("overwrite").parquet(staging)
+    val stream = spark.readStream.schema(ev.schema).parquet(staging)
+    val q = parquetSink(stream, sinkDir)
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(s"$sinkDir/data")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(floor(col("value") * 1000).cast("long")).as("milli_value_sum"))
+      .orderBy(col("event_type"))
+  }
+
+  /** The streaming admission probe RUN end to end as a registered query:
+    * the incoming batch (doc_id % 5 = 0) staged as files, streamed back,
+    * band signatures computed inside the micro-batches, stream-static
+    * joined to the standing band index, appended to a parquet sink.
+    * Stateless append → the emitted pair set equals the batch probe's
+    * exactly, so [[graft.dedup.DedupOracles.standingProbe]] binds. */
+  def admissionStreamingBatch(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val staging = s"target/tmp/admission_new_$tag"
+    val outRoot = s"target/tmp/admission_out_$tag"
+    deleteRec(outRoot)
+    val newDocs = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"))
+    newDocs.write.mode("overwrite").parquet(staging)
+    val stream = spark.readStream.schema(newDocs.schema).parquet(staging)
+    val q = admissionStreaming(stream, graft.dedup.Dedup.standingBands(spark, dir))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$outRoot/_checkpoint")
+      .format("parquet")
+      .option("path", s"$outRoot/data")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(s"$outRoot/data")
+      .distinct()
+      .orderBy(col("new_id"), col("old_id"))
+  }
+
   /** Distinct users per (hour, type) — written once, both modes. Exact
     * distinct is not incrementally mergeable in append mode, so the
     * streaming form composes watermarked dropDuplicates over (window,
@@ -583,7 +683,10 @@ object Streams {
     "stream_hourly_by_type" -> hourlyBatch,
     "stream_sessions" -> sessionsBatch,
     "stream_dedup_first" -> dedupFirstBatch,
-    "stream_click_attrib" -> clickAttributionBatch)
+    "stream_click_attrib" -> clickAttributionBatch,
+    "stream_click_attrib_outer" -> clickAttributionOuterBatch,
+    "stream_sink_census" -> sinkCensusBatch,
+    "stream_admission" -> admissionStreamingBatch)
 }
 
 object StreamOracles {
@@ -623,6 +726,30 @@ object StreamOracles {
       |       n_events
       |FROM keyed WHERE rn = 1
       |ORDER BY user_id, event_type""".stripMargin
+
+  /** LEFT JOIN shadow of the outer interval join: COUNT(v.event_id) is 0
+    * and MIN(gap) NULL for clicks with no view in the window. */
+  val clickAttribOuter: String =
+    s"""SELECT c.event_id AS click_id,
+       |       COUNT(v.event_id) AS n_views,
+       |       MIN(epoch_us(c.ts) - epoch_us(v.ts)) AS min_gap_us
+       |FROM (SELECT * FROM events WHERE event_type = 'click') c
+       |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+       |  ON c.user_id = v.user_id
+       | AND epoch_us(v.ts) <= epoch_us(c.ts)
+       | AND epoch_us(c.ts) - epoch_us(v.ts) <= ${Streams.AttribWindowUs}
+       |GROUP BY c.event_id
+       |ORDER BY click_id""".stripMargin
+
+  /** The sink round trip is lossless, so the census binds directly to the
+    * source table; floor(value·1000) keeps the sum an exact BIGINT. */
+  val sinkCensus: String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |       CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+      |         AS milli_value_sum
+      |FROM events GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 
   val clickAttrib: String =
     s"""SELECT c.event_id AS click_id,
@@ -734,5 +861,9 @@ object StreamOracles {
     "stream_hourly_by_type" -> hourlyBatch,
     "stream_sessions" -> sessionsBatch,
     "stream_dedup_first" -> dedupFirst,
-    "stream_click_attrib" -> clickAttrib)
+    "stream_click_attrib" -> clickAttrib,
+    "stream_click_attrib_outer" -> clickAttribOuter,
+    "stream_sink_census" -> sinkCensus,
+    // the streaming probe emits exactly the batch probe's candidate pairs
+    "stream_admission" -> graft.dedup.DedupOracles.standingProbe)
 }

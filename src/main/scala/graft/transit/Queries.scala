@@ -1026,7 +1026,10 @@ object Queries {
         when(col("trip_id") % 7 === 0, col("dep_secs") + 300L)
           .otherwise(col("dep_secs")))
       .unionByName(v1.filter(col("trip_id") % 11 === 0)
-        .withColumn("trip_id", col("trip_id") + 10000000L))
+        // clone ids are NEGATED: genuine trip_ids (l_orderkey) are ≥ 1 at
+        // every scale factor, so -id can never collide with a real trip —
+        // unlike any fixed additive offset, which a big-enough feed outgrows
+        .withColumn("trip_id", -col("trip_id")))
     val j = v1.select(col("trip_id"), col("stop_id"), col("seq"),
         col("dep_secs").as("dep1"))
       .join(v2.select(col("trip_id"), col("stop_id"), col("seq"),
@@ -1129,7 +1132,11 @@ object Queries {
       .select(col("stop_id"), col("n_arrivals"), col("n_connected"),
         (col("n_arrivals") - col("n_connected")).as("n_dead_ends"),
         col("min_wait"),
-        round(col("total_wait").cast("double") / col("n_connected"), 4)
+        // all-dead-end stops have n_connected = 0; emit NULL deterministically
+        // rather than leaning on engine-specific ÷0 behavior (Spark ANSI vs
+        // DuckDB NULL) — the oracle mirrors with NULLIF
+        when(col("n_connected") > 0,
+          round(col("total_wait").cast("double") / col("n_connected"), 4))
           .as("avg_wait"))
       .orderBy(col("n_arrivals").desc, col("stop_id"))
       .limit(20)

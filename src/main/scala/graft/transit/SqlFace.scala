@@ -22,7 +22,19 @@ object SqlFace {
 
   /** Session-scoped temp views over the GTFS bundle. Registration is
     * idempotent (`createOrReplaceTempView`), so repeated query runs in one
-    * session are safe. */
+    * session are safe.
+    *
+    * CONTRACT — one data dir per session: the view names are the generic
+    * GTFS table names the SQL texts reference, so re-registering with a
+    * bundle from a different scale dir REBINDS them session-globally.
+    * Sequential re-registration is safe (each sqlText query calls
+    * `register` with its own bundle immediately before `spark.sql`);
+    * what is NOT supported is two threads interleaving registrations of
+    * different dirs in one session. Every entry point in this repo
+    * (Verify, Bench, specs) runs one dir per session, and a multi-tenant
+    * server should use one `SparkSession.newSession()` per tenant —
+    * temp views are session-scoped, so isolated sessions cannot clobber
+    * each other. */
   def register(t: TransitTables): Unit = {
     t.stopTimes.createOrReplaceTempView("stop_times")
     t.trips.createOrReplaceTempView("trips")

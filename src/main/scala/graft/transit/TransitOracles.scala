@@ -187,7 +187,8 @@ object TransitOracles {
        |       MIN(nd - arr_secs) AS min_wait,
        |       round(CAST(SUM(CASE WHEN nd IS NOT NULL
        |                          THEN m * (nd - arr_secs) END) AS DOUBLE)
-       |             / SUM(CASE WHEN nd IS NOT NULL THEN m ELSE 0 END), 4)
+       |             / NULLIF(SUM(CASE WHEN nd IS NOT NULL THEN m ELSE 0 END),
+       |                      0), 4)
        |         AS avg_wait
        |FROM nxt GROUP BY stop_id
        |ORDER BY n_arrivals DESC, stop_id
@@ -250,7 +251,7 @@ object TransitOracles {
        |              ELSE dep_secs END AS dep_secs
        |       FROM v1 WHERE trip_id % 13 <> 0
        |       UNION ALL
-       |       SELECT trip_id + 10000000, stop_id, seq, dep_secs
+       |       SELECT -trip_id, stop_id, seq, dep_secs
        |       FROM v1 WHERE trip_id % 11 = 0),
        |j AS (SELECT COALESCE(a.trip_id, b.trip_id) AS trip_id,
        |        CASE WHEN a.dep_secs IS NULL THEN 'added'
