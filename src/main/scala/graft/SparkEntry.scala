@@ -163,6 +163,10 @@ object SparkEntry {
     // direct-path oracle binds.
     "transit_gtfs_validation_roundtrip" -> ((s, dir) =>
       Queries.gtfsValidation(graft.sources.GtfsWriter.roundtrip(s, dir))),
+    // S1 hardening: PERMISSIVE + _corrupt_record census over a
+    // deterministically-mangled feed — bad rows counted, good rows exact
+    "transit_gtfs_corrupt" -> ((s, dir) =>
+      graft.sources.GtfsWriter.corruptCensus(s, dir)),
     "transit_triangles" -> ((s, dir) =>
       Queries.triangleCount(TransitTables.fromTpch(s, dir))),
     // grid-cell-blocked spatial nearest-neighbor join; the oracle is the
@@ -191,6 +195,9 @@ object SparkEntry {
     // feed-version diff: one full-outer join classifying every slot
     "transit_feed_diff" -> ((s, dir) =>
       Queries.feedDiff(TransitTables.fromTpch(s, dir))),
+    // X191 ∘ X72: apply the v2 diff as a MERGE to the landed v1 snapshot;
+    // oracle = a fresh v2 load, so the hash-match proves merge ≡ reload
+    "transit_feed_upsert" -> ((s, dir) => Queries.feedUpsert(s, dir)),
     // market-basket association rules over trips-as-baskets
     "transit_stop_rules" -> ((s, dir) =>
       Queries.stopRules(TransitTables.fromTpch(s, dir))),
@@ -272,6 +279,7 @@ object SparkEntry {
     "transit_service_span" -> TransitOracles.serviceSpan,
     "transit_gtfs_validation" -> TransitOracles.gtfsValidation,
     "transit_gtfs_validation_roundtrip" -> TransitOracles.gtfsValidation,
+    "transit_gtfs_corrupt" -> TransitOracles.gtfsCorrupt,
     "transit_triangles" -> TransitOracles.triangleCount,
     "transit_stop_nn" -> TransitOracles.stopNearestNeighbor(),
     "transit_stress" -> TransitOracles.stressCentrality,
@@ -280,6 +288,7 @@ object SparkEntry {
     "transit_link_prediction" -> TransitOracles.linkPrediction,
     "transit_route_overlap" -> TransitOracles.routeOverlap,
     "transit_feed_diff" -> TransitOracles.feedDiff,
+    "transit_feed_upsert" -> TransitOracles.feedUpsert,
     "transit_stop_rules" -> TransitOracles.stopRules(),
     "transit_khop_census" -> TransitOracles.kHopCensus,
     // snapshot round trips are value-preserving (parquet doubles bit-exact)

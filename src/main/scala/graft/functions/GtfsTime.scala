@@ -21,6 +21,15 @@ object GtfsTime {
       p.getItem(2).cast("long"))
   }
 
+  /** Tolerant parse for UNTRUSTED feeds: shape-check first, NULL on
+    * anything malformed. [[gtfsSeconds]] stays the hot-path form (ANSI
+    * cast, fails loudly on engine bugs); this is the ingest-boundary form
+    * where a dirty feed must yield a countable NULL, not a crashed scan.
+    * CaseWhen evaluates only the matched branch, so the ANSI cast inside
+    * never sees a malformed string. */
+  def gtfsSecondsLenient(t: Column): Column =
+    when(t.rlike("^[0-9]{1,3}:[0-9]{2}:[0-9]{2}$"), gtfsSeconds(t))
+
   /** Hour bucket of a seconds column — legitimately 24..28+ (never `hour()`). */
   def hourOfDay(secs: Column): Column = floor(secs / 3600.0).cast("long")
 

@@ -105,6 +105,82 @@ object GtfsWriter {
       col("route_id").cast("long").as("route_id"),
       col("route_long_name"), col("route_short_name")))
 
+  /** Malformed-feed hardening census (S1 robustness — real GTFS is dirty;
+    * the reference leans on MySQL import-wizard tolerance, reference
+    * `README.md:104-105`). A deterministically-mangled stop_times feed is
+    * written as RAW TEXT (the CSV writer would quote/escape the damage
+    * away), with four planted corruption classes keyed on exclusive
+    * trip_id moduli:
+    *   - %101: unparseable departure_time ("26:99:XX") — schema-valid,
+    *     caught by the time parse (`GtfsTime.gtfsSeconds` → NULL);
+    *   - %103: non-numeric stop_sequence — PERMISSIVE null + corrupt row;
+    *   - %107: truncated row (4 of 9 fields) — token-count mismatch;
+    *   - %109: unclosed quote opening a field — parser-level damage.
+    * The read-back is the production PERMISSIVE + `_corrupt_record` scan;
+    * the census proves bad rows are COUNTED (never silently dropped or
+    * crashing the scan) and good rows survive bit-exact (row count,
+    * distinct trips, exact BIGINT dep_secs sum — the DuckDB oracle
+    * recomputes all three from the clean derivation).
+    *
+    * Scale: the mangle is a map-only projection, the text write/scan is
+    * partition-parallel, and the census is one tiny hash aggregate —
+    * nothing here holds state beyond the class counters. */
+  def corruptCensus(spark: org.apache.spark.sql.SparkSession, sfDir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructType}
+    import spark.implicits._
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val feed = s"target/tmp/gtfs_corrupt_$key/stop_times.txt"
+    val st = TransitTables.fromTpch(spark, sfDir).stopTimes
+    val tid = col("trip_id")
+    val c101 = tid % 101 === 0
+    val c103 = !c101 && tid % 103 === 0
+    val c107 = !c101 && !c103 && tid % 107 === 0
+    val c109 = !c101 && !c103 && !c107 && tid % 109 === 0
+    def s(c: org.apache.spark.sql.Column) = coalesce(c.cast("string"), lit(""))
+    val depStr = when(c101, lit("26:99:XX"))
+      .otherwise(GtfsTime.gtfsString(col("dep_secs")))
+    val seqStr = when(c103, lit("SEQ")).otherwise(s(col("stop_sequence")))
+    val headsign = when(c109, lit("\"unclosed")).otherwise(lit(""))
+    val fullLine = concat_ws(",", s(tid), GtfsTime.gtfsString(col("arr_secs")),
+      depStr, s(col("stop_id")), seqStr, headsign, lit(""), lit(""),
+      s(col("shape_dist").cast("float")))
+    val shortLine = concat_ws(",", s(tid),
+      GtfsTime.gtfsString(col("arr_secs")), depStr, s(col("stop_id")))
+    val header = GtfsReader.schemas("stop_times").fieldNames.mkString(",")
+    st.select(when(c107, shortLine).otherwise(fullLine).as("value")).as[String]
+      // raw text sink: every part file gets the header line the reader
+      // expects (csv header=true skips line 1 of EACH file)
+      .mapPartitions(it => Iterator(header) ++ it)
+      .write.mode("overwrite").text(feed)
+    val sch = StructType(GtfsReader.schemas("stop_times").fields)
+      .add("_corrupt_record", StringType)
+    // text + from_csv, NOT spark.read.csv: the DataFrameReader's CSV
+    // column pruning parses ONLY referenced columns, so damage in a
+    // field the census doesn't project (stop_sequence, headsign, token
+    // count) would go undetected — from_csv always parses the full row,
+    // which is exactly what an ingest-boundary QA scan wants
+    val raw = spark.read.text(feed)
+      .filter(col("value") =!= header)
+      .select(from_csv(col("value"), sch,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt_record")).as("r"))
+    raw.select(col("r.trip_id").cast("long").as("tid"),
+        GtfsTime.gtfsSecondsLenient(col("r.departure_time")).as("dep_secs"),
+        col("r._corrupt_record").isNotNull.as("is_corrupt"))
+      .select(col("tid"), col("dep_secs"),
+        when(col("is_corrupt"), "corrupt")
+          .when(col("dep_secs").isNull, "bad_time")
+          .otherwise("good").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"),
+        // good-only identity columns: corrupt rows' parsed-field salvage is
+        // parser-specific, so cross-engine claims bind to clean rows only
+        countDistinct(when(col("status") === "good", col("tid"))).as("n_trips"),
+        sum(when(col("status") === "good", col("dep_secs"))).as("dep_sum"))
+      .orderBy(col("status"))
+  }
+
   /** Full round trip: derive the bundle from the TPC-H parquet, land it as
     * a GTFS feed (under the build's scratch dir, keyed by SF so sf0.01
     * verify and sf0.1 bench don't clobber each other), read it back through

@@ -1,6 +1,6 @@
 package graft.transit
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The four reference analytics queries, Spark-first.
@@ -1044,6 +1044,57 @@ object Queries {
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("trip_id")).as("n_trips"))
       .orderBy(col("status"))
+  }
+
+  /** Incremental feed update end to end — [[feedDiff]] (X191) composed
+    * with the MERGE discipline (X72, [[graft.relational.RelationalQueries.
+    * upsert]]): land the v1 stop_times as a snapshot, derive the v2
+    * changeset FROM THE DIFF (removed slots → tombstones, retimed →
+    * updates, added → inserts), apply it to the LANDED snapshot with one
+    * full-outer join + column coalescing, and return the merged snapshot.
+    * The oracle is a DIRECT fresh v2 derivation — the hash-match IS the
+    * proof that applying the diff as an upsert reproduces a clean reload,
+    * which is the schedule-refresh a transit user actually runs nightly.
+    *
+    * Scale: the snapshot side is a landed table (bucket it on the key at
+    * 100 TB and the merge co-locates); the changeset is diff-sized (small
+    * against a stable schedule), and every join here shuffles composite
+    * keys + one BIGINT — never widths. */
+  def feedUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = TransitTables.fromTpch(spark, sfDir)
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val snapPath = s"target/tmp/feed_v1_$key"
+    // MERGE requires unique match keys (Delta/Iceberg reject ambiguous
+    // matches); the raw derivation has a handful of duplicate
+    // (trip, stop, seq) slots, so the snapshot canonicalizes to slot
+    // granularity first — min dep per slot, mirrored in the oracle
+    val v1 = t.stopTimes
+      .groupBy(col("trip_id"), col("stop_id"),
+        col("stop_sequence").as("seq"))
+      .agg(min(col("dep_secs")).as("dep_secs"))
+    v1.write.mode("overwrite").parquet(snapPath)
+    val landed = spark.read.parquet(snapPath)
+    // v2: the same deterministic derivation as [[feedDiff]]
+    val v2 = v1.filter(col("trip_id") % 13 =!= 0)
+      .withColumn("dep_secs",
+        when(col("trip_id") % 7 === 0, col("dep_secs") + 300L)
+          .otherwise(col("dep_secs")))
+      .unionByName(v1.filter(col("trip_id") % 11 === 0)
+        .withColumn("trip_id", -col("trip_id")))
+    // changeset off the diff: only slots that CHANGED ship in the upsert
+    val changes = v1.select(col("trip_id"), col("stop_id"), col("seq"),
+        col("dep_secs").as("dep1"))
+      .join(v2.select(col("trip_id"), col("stop_id"), col("seq"),
+        col("dep_secs").as("dep2")),
+        Seq("trip_id", "stop_id", "seq"), "full_outer")
+      .filter(col("dep1").isNull || col("dep2").isNull ||
+        col("dep1") =!= col("dep2"))
+      .select(col("trip_id"), col("stop_id"), col("seq"), col("dep2"),
+        col("dep2").isNull.as("deleted"))
+    landed.join(changes, Seq("trip_id", "stop_id", "seq"), "full_outer")
+      .filter(coalesce(col("deleted"), lit(false)) === false)
+      .select(col("trip_id"), col("stop_id"), col("seq"),
+        coalesce(col("dep2"), col("dep_secs")).as("dep_secs"))
   }
 
   /** Route-overlap redundancy census — pairs of routes serving largely

@@ -267,6 +267,41 @@ object TransitOracles {
        |FROM j GROUP BY status
        |ORDER BY status""".stripMargin
 
+  /** Oracle for [[Queries.feedUpsert]] — deliberately NOT a mirror of the
+    * merge: a DIRECT fresh v2 derivation. The hash-match proves
+    * diff-apply-to-landed-v1 ≡ clean v2 reload. */
+  val feedUpsert: String =
+    s"""$P, v1 AS (SELECT trip_id, stop_id, stop_sequence AS seq,
+       |                  MIN(dep_secs) AS dep_secs
+       |           FROM stop_times GROUP BY 1, 2, 3)
+       |SELECT trip_id, stop_id, seq,
+       |       CASE WHEN trip_id % 7 = 0 THEN dep_secs + 300
+       |            ELSE dep_secs END AS dep_secs
+       |FROM v1 WHERE trip_id % 13 <> 0
+       |UNION ALL
+       |SELECT -trip_id, stop_id, seq, dep_secs
+       |FROM v1 WHERE trip_id % 11 = 0""".stripMargin
+
+  /** Planted-corruption mirror of `GtfsWriter.corruptCensus`: the same
+    * exclusive trip_id-moduli classes computed on the CLEAN derivation —
+    * the engine's PERMISSIVE read must recover exactly these counts, and
+    * the good rows' identity aggregates, from the mangled feed. */
+  val gtfsCorrupt: String =
+    s"""$P, cls AS (
+       |  SELECT trip_id, dep_secs,
+       |    CASE WHEN trip_id % 101 = 0 THEN 'bad_time'
+       |         WHEN trip_id % 103 = 0 OR trip_id % 107 = 0
+       |              OR trip_id % 109 = 0 THEN 'corrupt'
+       |         ELSE 'good' END AS status
+       |  FROM stop_times)
+       |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(COUNT(DISTINCT CASE WHEN status = 'good' THEN trip_id END)
+       |    AS BIGINT) AS n_trips,
+       |  CAST(SUM(CASE WHEN status = 'good' THEN dep_secs END) AS BIGINT)
+       |    AS dep_sum
+       |FROM cls GROUP BY status
+       |ORDER BY status""".stripMargin
+
   /** Mirrors [[Queries.routeOverlap]]. */
   val routeOverlap: String =
     s"""$P, inc AS (SELECT DISTINCT t.route_id, st.stop_id

@@ -47,4 +47,36 @@ class GtfsWriterSpec extends AnyFunSuite with SparkSpec {
     val directQ4 = Queries.q4ServiceFrequency(direct, ServiceFilter.Weekday)
     assert(viaFeed.collect().toSeq == directQ4.collect().toSeq)
   }
+
+  test("corrupt census: planted damage counted, clean rows survive exact") {
+    import org.apache.spark.sql.functions._
+    val census = GtfsWriter.corruptCensus(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // expected classes from the clean derivation, same exclusive moduli
+    val st = direct.stopTimes.select(col("trip_id"))
+    val n101 = st.filter(col("trip_id") % 101 === 0).count()
+    val nCorrupt = st.filter(col("trip_id") % 101 =!= 0 &&
+      (col("trip_id") % 103 === 0 || col("trip_id") % 107 === 0 ||
+        col("trip_id") % 109 === 0)).count()
+    val total = st.count()
+    assert(n101 > 0 && nCorrupt > 0, "fixture must plant both damage kinds")
+    assert(census("bad_time")._1 == n101)
+    assert(census("corrupt")._1 == nCorrupt)
+    assert(census("good")._1 == total - n101 - nCorrupt)
+  }
+
+  test("feed upsert: diff applied to landed v1 equals a fresh v2 load") {
+    import org.apache.spark.sql.functions._
+    val merged = Queries.feedUpsert(spark, sfDir)
+    val v1 = direct.stopTimes
+      .groupBy(col("trip_id"), col("stop_id"), col("stop_sequence").as("seq"))
+      .agg(min(col("dep_secs")).as("dep_secs"))
+    val freshV2 = v1.filter(col("trip_id") % 13 =!= 0)
+      .withColumn("dep_secs", when(col("trip_id") % 7 === 0,
+        col("dep_secs") + 300L).otherwise(col("dep_secs")))
+      .unionByName(v1.filter(col("trip_id") % 11 === 0)
+        .withColumn("trip_id", -col("trip_id")))
+    assert(merged.exceptAll(freshV2).isEmpty && freshV2.exceptAll(merged).isEmpty)
+    assert(merged.count() == freshV2.count())
+  }
 }

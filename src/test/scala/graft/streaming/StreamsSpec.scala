@@ -13,6 +13,34 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
 
   private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
 
+  test("registered end-to-end faces: sink census, admission run, outer attribution") {
+    val sf = "/root/testdata/sf0.001"
+    // sink census: the foreachBatch round trip is lossless vs the source
+    val direct = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(floor(col("value") * 1000).cast("long")).as("milli_value_sum"))
+      .orderBy(col("event_type"))
+    assert(Streams.sinkCensusBatch(spark, sf).collect().toSeq ==
+      direct.collect().toSeq)
+    // admission run: the file-stream + append-sink execution emits exactly
+    // the bucketed batch probe's distinct pair set
+    val got = Streams.admissionStreamingBatch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = graft.dedup.Dedup.standingProbe(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    // outer face: restricted to matched clicks it IS the inner face, and
+    // its unmatched clicks carry (0, null)
+    val outer = Streams.clickAttributionOuterBatch(spark, sf)
+    val inner = Streams.clickAttributionBatch(spark, sf)
+    assert(outer.filter(col("n_views") > 0).collect().toSeq ==
+      inner.collect().toSeq)
+    assert(outer.filter(col("n_views") === 0)
+      .filter(col("min_gap_us").isNotNull).count() == 0)
+  }
+
   test("streaming windowed counts equal batch windowed counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
