@@ -28,10 +28,19 @@ import graft.sources.Writers
   * scan the fact table, the snapshots are a few thousand pre-aggregated
   * rows keyed by the request's service filter.
   */
-final class QueryService(val t: TransitTables, snapshotDir: Option[String] = None) {
+final class QueryService(val t: TransitTables, snapshotDir: Option[String] = None,
+    cacheSnapshots: Boolean = false) {
   import QueryService._
 
   private val spark = t.stopTimes.sparkSession
+
+  /** Resident-process mode ([[graft.tools.ServeDaemon]]): each snapshot
+    * table is read ONCE and pinned in executor memory, so a request is a
+    * filter+sort+limit over an `InMemoryTableScan` — no per-request
+    * parquet footer reads. Off by default: one-shot callers (Verify's
+    * snapshot round trips) measure the real read-back path. */
+  private val snapCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   /** R3: the cached `vw_hourly_frequency` analog. Spark caching is lazy —
     * the first Q4 call materializes it; every later call (and the second
@@ -44,7 +53,11 @@ final class QueryService(val t: TransitTables, snapshotDir: Option[String] = Non
       // local-FS existence probe mirrors the reference's `_has_csv`; on a
       // cluster this becomes a Hadoop FileSystem.exists against the store
       .filter(p => new java.io.File(p).exists)
-      .map(p => spark.read.parquet(p))
+      .map { p =>
+        if (cacheSnapshots)
+          snapCache.computeIfAbsent(name, _ => spark.read.parquet(p).cache())
+        else spark.read.parquet(p)
+      }
 
   /** Snapshot slice: prune to the requested service partition, restore the
     * query's canonical presentation (column order, sort, limit). */
