@@ -62,7 +62,13 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional subset (comma-separated name prefixes) — sf1 rehearsals and
+    // local iteration; the driver's full run leaves this unset
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(_.exists(n.startsWith))
+    }
+    val results = selected.map { case (name, fn) =>
       System.gc()
       val cold = runOnce(name, fn)
       val warm = runOnce(name, fn)

@@ -791,6 +791,27 @@ object Similarity {
     * cosine ≈ 0.51); a production corpus runs τ ≈ 0.95+. */
   val SemTau = 0.3
 
+  /** Target max coarse-cell population for [[semanticDedup]]. The r9 sf1
+    * rehearsal caught the fixed-[[IvfCells]] version super-linear (26× on
+    * 10× data): with k fixed, cell sizes grow ∝ n and the within-cell
+    * pair join Σ|cell|² grows ∝ n² — the exact failure SemDeDup's real
+    * k ∝ n k-means avoids. The engine's stand-in for "k scales with the
+    * corpus": refine each coarse cell with the first `used` bits of a
+    * 16-plane LSH sub-bucket, where `used` is the smallest u with
+    * n ≤ target·2^u — an integer threshold chain in BOTH engines (never
+    * float log2: ULP drift at exact powers of two would flip the ceil),
+    * computed from one 1-row COUNT broadcast, no driver-side job. */
+  val SemTargetCell = 256
+  private val SemSubPlanes = 16
+
+  /** Smallest u ∈ [0,16] with nVecs ≤ [[SemTargetCell]]·2^u. */
+  private def semUsedBits(nVecs: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    var c = when(nVecs <= SemTargetCell.toLong, 0)
+    for (u <- 1 until SemSubPlanes)
+      c = c.when(nVecs <= (SemTargetCell.toLong << u), u)
+    c.otherwise(SemSubPlanes)
+  }
+
   /** Semantic (embedding-space) dedup — the SemDeDup shape (Abbas et al.
     * 2023, arXiv:2303.09540) used on LAION/web-scale corpora: coarse-
     * cluster embeddings into the [[IvfCells]] k-means-style cells, then
@@ -805,10 +826,24 @@ object Similarity {
     * all-pairs is cross-cell pair loss; SimilaritySpec measures that
     * recall on the fixture. */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir).select(
+    val raw = Tables.embeddings(spark, dir).select(
       col("vec_id"), col("embedding"),
       graft.functions.GraftFunctions.l2norm(spark, col("embedding")).as("nrm"),
-      ivfCell(col("embedding")).as("cell"))
+      ivfCell(col("embedding")).as("coarse"),
+      graft.functions.TextHash.lshBucket(col("embedding"), 64, SemSubPlanes)
+        .as("fine"))
+    val nVecs = raw.agg(count(lit(1)).as("n_vecs"))
+    // composite cell = coarse · 2^used + top `used` bits of the sub-bucket;
+    // used = 0 at fixture scale (cell ids unchanged), grows with the corpus
+    // so max cell stays ~SemTargetCell and Σ|cell|² stays ~linear. The
+    // 2^x factors are powers of two — exact in double, exact after cast.
+    val e = raw.crossJoin(broadcast(nVecs))
+      .withColumn("used", semUsedBits(col("n_vecs")))
+      .withColumn("cell",
+        col("coarse") * pow(lit(2.0), col("used")).cast("long") +
+          floor(col("fine") / pow(lit(2.0), lit(SemSubPlanes) - col("used")))
+            .cast("long"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
     val dropped = e.as("a").join(e.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .filter(round(
@@ -1423,13 +1458,25 @@ object SimilarityOracles {
     * anti-join arithmetic). */
   val semanticDedup: String = {
     val dots = ivfDots
+    // smallest u with n <= target·2^u — the same integer threshold chain
+    // as Similarity.semUsedBits (float log2 would ULP-drift at powers of 2)
+    val usedCase = (1 until 16).map(u =>
+      s"WHEN COUNT(*) <= ${Similarity.SemTargetCell.toLong << u} THEN $u")
+      .mkString(" ")
     s"""WITH d AS (
        |  SELECT vec_id, embedding, [${dots.mkString(",\n    ")}] AS ds
        |  FROM embeddings),
+       |nn AS (
+       |  SELECT CASE WHEN COUNT(*) <= ${Similarity.SemTargetCell} THEN 0
+       |         $usedCase ELSE 16 END AS used
+       |  FROM embeddings),
        |e AS (
        |  SELECT vec_id, embedding,
-       |         list_position(ds, list_aggregate(ds, 'max')) - 1 AS cell
-       |  FROM d),
+       |         (list_position(ds, list_aggregate(ds, 'max')) - 1)
+       |           * CAST(pow(2, nn.used) AS BIGINT)
+       |         + CAST(FLOOR(${TextHashSql.lshBucket("embedding", 64, 16)}
+       |                      / pow(2, 16 - nn.used)) AS BIGINT) AS cell
+       |  FROM d, nn),
        |dropped AS (
        |  SELECT DISTINCT b.vec_id, b.cell
        |  FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id

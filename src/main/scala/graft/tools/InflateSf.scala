@@ -1,0 +1,96 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1 rehearsal data: deterministically inflate a driver scale dir by an
+  * integer clone factor (default 10× of sf0.1 → "sf1": 6 M lineitem /
+  * 50 k documents / 1 M events — TPC-H sf1's fact volume).
+  *
+  * The inflation is distribution-preserving, not row-duplicating, so
+  * scaling curves measured on it are honest:
+  *  - facts (orders/lineitem/events) clone under disjoint key offsets —
+  *    per-key group sizes grow like real data growth (same dims, more
+  *    activity), the exact hub-stop skew shape the transit queries feed on;
+  *  - documents get a per-clone token rewrite (every token suffixed with
+  *    the clone tag), so clones are UNRELATED under shingle/minhash — a
+  *    verbatim clone would plant 10-deep near-dup clusters and blow the
+  *    pair joins up quadratically, turning the rehearsal into a lie;
+  *  - embeddings rotate components per clone (norms preserved, geometry
+  *    decorrelated) under offset ids;
+  *  - dims (region/nation/customer/supplier/part) copy as-is: growing
+  *    facts against fixed dims is the conservative direction for skew.
+  *
+  * Deterministic (no RNG), pure column expressions, partition-parallel.
+  * Output goes under target/ (scratch): rehearsal data, never committed.
+  *
+  * Usage: `runMain graft.tools.InflateSf [srcDir] [dstDir] [factor]`
+  */
+object InflateSf {
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val dst = if (args.length > 1) args(1) else "target/testdata_sf1"
+    val k = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def out(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+
+    // key offsets: one decade above any real key at this factor
+    val OFF = 10000000L
+
+    for (t <- Seq("region", "nation", "customer", "supplier", "part"))
+      out(spark.read.parquet(s"$src/$t.parquet"), t)
+
+    val clone = explode(sequence(lit(0L), lit(k - 1L))).as("clone")
+
+    val orders = spark.read.parquet(s"$src/orders.parquet")
+    out(orders.select(col("*"), clone)
+      .withColumn("o_orderkey", col("o_orderkey") + col("clone") * OFF)
+      .drop("clone"), "orders")
+
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    out(li.select(col("*"), clone)
+      .withColumn("l_orderkey", col("l_orderkey") + col("clone") * OFF)
+      .drop("clone"), "lineitem")
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    out(docs.select(col("*"), clone)
+      .withColumn("text",
+        when(col("clone") === 0, col("text")).otherwise(
+          array_join(transform(split(col("text"), " "),
+            w => concat(w, lit("x"), col("clone"))), " ")))
+      .withColumn("doc_id", col("doc_id") + col("clone") * OFF)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .drop("clone"), "documents")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    out(emb.select(col("*"), clone)
+      .withColumn("embedding",
+        when(col("clone") === 0, col("embedding")).otherwise(concat(
+          slice(col("embedding"), col("clone").cast("int") + 1,
+            lit(dim) - col("clone").cast("int")),
+          slice(col("embedding"), lit(1), col("clone").cast("int")))))
+      .withColumn("vec_id", col("vec_id") + col("clone") * OFF)
+      .drop("clone"), "embeddings")
+
+    // events ride the nanos-aware loader; re-landing as micros is fine —
+    // Tables.events normalizes either physical type
+    val ev = graft.sources.Tables.events(spark, src)
+    out(ev.select(col("*"), clone)
+      .withColumn("event_id", col("event_id") + col("clone") * OFF)
+      .withColumn("user_id", col("user_id") + col("clone") * OFF)
+      .drop("clone"), "events")
+
+    println(s"[inflate] wrote ${k}x of $src to $dst")
+    spark.stop()
+  }
+}

@@ -14,20 +14,26 @@ import sys, json
 
 FLAG = 10.0
 
+def t_of(v):
+    """Bench entries are either flat seconds or {cold, warm}; compare warm
+    (the steady-state number — cold carries one-time JIT/codegen)."""
+    return v["warm"] if isinstance(v, dict) else v
+
 def main():
     small, large = (json.load(open(p)) for p in sys.argv[1:3])
     out = sys.argv[3] if len(sys.argv) > 3 else "target/scaling.json"
     qs = {}
     for k in sorted(small["queries"]):
-        a, b = small["queries"][k], large["queries"].get(k)
+        a, b = t_of(small["queries"][k]), large["queries"].get(k)
         if b is None:
             continue
+        b = t_of(b)
         qs[k] = {"t_small": a, "t_large": b,
                  "ratio": round(b / a, 2) if a > 0 else None}
     rep = {
         "sf_small": small["sf"], "sf_large": large["sf"],
-        "total_small": round(sum(small["queries"].values()), 1),
-        "total_large": round(sum(large["queries"].values()), 1),
+        "total_small": round(sum(t_of(v) for v in small["queries"].values()), 1),
+        "total_large": round(sum(t_of(v) for v in large["queries"].values()), 1),
         "flag_threshold": FLAG,
         "flagged": sorted([k for k, v in qs.items()
                            if v["ratio"] and v["ratio"] > FLAG],
