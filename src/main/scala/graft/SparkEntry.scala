@@ -167,6 +167,16 @@ object SparkEntry {
     // deterministically-mangled feed — bad rows counted, good rows exact
     "transit_gtfs_corrupt" -> ((s, dir) =>
       graft.sources.GtfsWriter.corruptCensus(s, dir)),
+    // S2's optional live-database path: land the bundle in embedded Derby
+    // over plain JDBC, read it back with a partitioned fact scan, run Q1 —
+    // the MySQL-migration story exercised end to end (X202)
+    "transit_jdbc_q1" -> ((s, dir) =>
+      Queries.q1BusiestStops(
+        graft.sources.JdbcStore.landAndRead(s, dir), ServiceFilter.Weekday)),
+    // S6's optional document-store wire format: the per-stop documents
+    // written as mongoimport-ready JSONL, read back, flattened (X203)
+    "transit_mongo_export" -> ((s, dir) =>
+      graft.sources.MongoExport.roundtripFlat(s, dir)),
     "transit_triangles" -> ((s, dir) =>
       Queries.triangleCount(TransitTables.fromTpch(s, dir))),
     // grid-cell-blocked spatial nearest-neighbor join; the oracle is the
@@ -280,6 +290,8 @@ object SparkEntry {
     "transit_gtfs_validation" -> TransitOracles.gtfsValidation,
     "transit_gtfs_validation_roundtrip" -> TransitOracles.gtfsValidation,
     "transit_gtfs_corrupt" -> TransitOracles.gtfsCorrupt,
+    "transit_jdbc_q1" -> TransitOracles.q1JdbcSlice,
+    "transit_mongo_export" -> TransitOracles.mongoExport,
     "transit_triangles" -> TransitOracles.triangleCount,
     "transit_stop_nn" -> TransitOracles.stopNearestNeighbor(),
     "transit_stress" -> TransitOracles.stressCentrality,

@@ -33,6 +33,14 @@ object TransitOracles {
   val q1Weekday: String = q1("WHERE t.service_id = '1'")
   val q1WholeWeek: String = q1("")
 
+  /** Q1 over the JDBC-landed bundle: the database holds the deterministic
+    * 1-in-20 trip slice ([[graft.sources.JdbcStore.SliceMod]]), so the
+    * oracle pins the same slice on the Parquet derivation — everything the
+    * JDBC write/read path touches (BIGINT/INTEGER/DOUBLE/VARCHAR round
+    * trips, predicate pushdown into the scan) must land bit-exact. */
+  val q1JdbcSlice: String =
+    q1("WHERE t.service_id = '1' AND st.trip_id % 20 = 0")
+
   private def q2TripStats(where: String): String =
     s"""trip_stats AS (
        |  SELECT st.trip_id, t.route_id, t.service_id,
@@ -458,6 +466,27 @@ object TransitOracles {
     s"""LPAD(CAST(CAST(FLOOR($secs / 3600.0) AS BIGINT) % 24 AS VARCHAR), 2, '0')
        | || ':' || LPAD(CAST(CAST(FLOOR($secs % 3600 / 60.0) AS BIGINT) AS VARCHAR), 2, '0')
        | || ':' || LPAD(CAST($secs % 60 AS VARCHAR), 2, '0')""".stripMargin.replace("\n", "")
+
+  /** Flat face of the Mongo-wire-format round trip
+    * ([[graft.sources.MongoExport.roundtripFlat]]): the JSONL export read
+    * back and exploded is lossless, so the oracle is the direct 4-table
+    * join — including the fields only the document carries relationally
+    * implicitly (nullable stop_code, GeoJSON [lon, lat] to 6 dp). */
+  val mongoExport: String =
+    s"""$P
+       |SELECT st.stop_id, s.stop_name, s.stop_code,
+       |       ROUND(s.stop_lon, 6) AS stop_lon,
+       |       ROUND(s.stop_lat, 6) AS stop_lat,
+       |       st.trip_id, st.stop_sequence,
+       |       t.route_id, r.route_long_name, r.route_short_name,
+       |       t.trip_headsign, t.service_id, t.direction_id,
+       |       st.dep_secs,
+       |       ${displayTime("st.arr_secs")} AS arrival_time,
+       |       ${displayTime("st.dep_secs")} AS departure_time
+       |FROM stop_times st
+       |JOIN trips t ON t.trip_id = st.trip_id
+       |JOIN stops s ON s.stop_id = st.stop_id
+       |JOIN routes r ON r.route_id = t.route_id""".stripMargin
 
   /** Flat face of the nested timetable build (collect_list ∘ explode ≡ the
     * plain 4-table join). */
