@@ -76,8 +76,12 @@ object JdbcStore {
   /** Land the (sliced) bundle into an embedded Derby database under
     * target/tmp, keyed by sf dir; idempotent via a marker file so the
     * bench's cold/warm pair and repeated verify runs pay the one-time
-    * INSERT leg once. Returns the JDBC url. */
-  def land(spark: SparkSession, sfDir: String): String = {
+    * INSERT leg once. The marker records the fact's trip_id range so the
+    * partitioned read-back gets REAL stride bounds at any scale (hardcoded
+    * bounds stay correct — edge partitions are unbounded — but collapse
+    * the fan-out onto one connection when the key space outgrows them).
+    * Returns (url, (min, max)). */
+  def land(spark: SparkSession, sfDir: String): (String, (Long, Long)) = {
     dialectRegistered
     val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val base = new File(s"target/tmp/derby_$key").getAbsoluteFile
@@ -101,9 +105,28 @@ object JdbcStore {
         Some("stop_name VARCHAR(64), stop_code VARCHAR(32)"), 1)
       write(t.routes, url, "routes",
         Some("route_long_name VARCHAR(64), route_short_name VARCHAR(32)"), 1)
-      marker.createNewFile()
+      // bounds come off the parquet side (min/max on the slice — a cheap
+      // stats-only scan), not a pre-read of the database
+      val b = stSlice.agg(min(col("trip_id")), max(col("trip_id"))).collect().head
+      java.nio.file.Files.write(marker.toPath,
+        s"${b.getLong(0)},${b.getLong(1)}".getBytes("UTF-8"))
     }
-    url
+    val txt = new String(
+      java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").trim
+    val bounds = txt.split(",") match {
+      case Array(a, b) if a.nonEmpty && a.forall(c => c.isDigit || c == '-') =>
+        (a.toLong, b.toLong)
+      case _ =>
+        // bounds-less marker (pre-range format): recompute from the parquet
+        // side and upgrade the marker in place — no re-landing needed
+        val b = TransitTables.fromTpch(spark, sfDir).stopTimes
+          .filter(col("trip_id") % SliceMod === 0L)
+          .agg(min(col("trip_id")), max(col("trip_id"))).collect().head
+        java.nio.file.Files.write(marker.toPath,
+          s"${b.getLong(0)},${b.getLong(1)}".getBytes("UTF-8"))
+        (b.getLong(0), b.getLong(1))
+    }
+    (url, bounds)
   }
 
   private def write(df: DataFrame, url: String, table: String,
@@ -119,13 +142,13 @@ object JdbcStore {
     * single-connection dims. Types round-trip exactly (BIGINT/INTEGER/
     * DOUBLE/VARCHAR), so downstream queries and their DuckDB oracles
     * compare bit-for-bit against the sliced Parquet derivation. */
-  def read(spark: SparkSession, url: String): TransitTables = {
+  def read(spark: SparkSession, url: String, bounds: (Long, Long)): TransitTables = {
     dialectRegistered
-    // stride bounds need only bracket the bulk of the key range; edge
-    // partitions are unbounded so out-of-range keys still arrive
+    // stride bounds only shape partition balance; edge partitions are
+    // unbounded so no key can be lost to a stale range
     val stopTimes = spark.read
       .option("driver", Driver)
-      .jdbc(url, "stop_times", "trip_id", 0L, 6L * 1000 * 1000,
+      .jdbc(url, "stop_times", "trip_id", bounds._1, bounds._2 + 1L,
         FactPartitions, props())
     def dim(table: String) =
       spark.read.option("driver", Driver).jdbc(url, table, props())
@@ -137,6 +160,8 @@ object JdbcStore {
   }
 
   /** Land + read in one step — the registered query faces' entry point. */
-  def landAndRead(spark: SparkSession, sfDir: String): TransitTables =
-    read(spark, land(spark, sfDir))
+  def landAndRead(spark: SparkSession, sfDir: String): TransitTables = {
+    val (url, bounds) = land(spark, sfDir)
+    read(spark, url, bounds)
+  }
 }
