@@ -903,8 +903,115 @@ object Similarity {
       .limit(10)
   }
 
+  /** Anchor set for [[tripletMining]] — vec_id < this are the anchors. */
+  val TripletAnchors = 40
+
+  /** Hard-triplet mining — metric-learning dataset construction (the
+    * FaceNet / sentence-embedding fine-tune shape): for each labeled
+    * anchor, the hardest positive (same label, LOWEST cosine — the pair
+    * the model most struggles to pull together) and the hardest negative
+    * (different label, HIGHEST cosine — the pair it most struggles to
+    * push apart), plus the margin and the count of margin-0 triplet-loss
+    * violations (negatives scoring above the hardest positive). One
+    * broadcast of the anchor batch against a single partitioned corpus
+    * pass ([[knnBrute]]'s scan shape — candidates never shuffle), then
+    * per-anchor struct-min/max aggregates: cost is linear in the corpus
+    * per anchor batch, the same economics a production miner runs per
+    * training epoch. Ties break on candidate id in both engines (struct
+    * ordering here ≡ row_number ORDER BY raw, cid in the oracle). */
+  def tripletMining(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(
+      col("vec_id"), col("label"), col("embedding"),
+      graft.functions.GraftFunctions.l2norm(spark, col("embedding")).as("nrm"))
+    val a = e.filter(col("vec_id") < TripletAnchors)
+      .select(col("vec_id").as("anchor"), col("label").as("a_label"),
+        col("embedding").as("av"), col("nrm").as("an"))
+    val pairs = broadcast(a).join(
+        e.select(col("vec_id").as("cid"), col("label").as("c_label"),
+          col("embedding").as("cv"), col("nrm").as("cn")),
+        col("anchor") =!= col("cid"))
+      .select(col("anchor"), col("a_label"), col("cid"), col("c_label"),
+        (graft.functions.GraftFunctions.dot(spark, col("av"), col("cv")) /
+          (col("an") * col("cn"))).as("raw"))
+      // both per-anchor extremes and the violation count consume this
+      // frame; checkpoint so the broadcast-nested-loop scan runs once
+      .localCheckpoint(true)
+    val pos = pairs.filter(col("c_label") === col("a_label"))
+      .groupBy(col("anchor"))
+      .agg(min(struct(col("raw"), col("cid"))).as("p"))
+      .select(col("anchor"), col("p.cid").as("pos_id"), col("p.raw").as("pos_raw"))
+    val neg = pairs.filter(col("c_label") =!= col("a_label"))
+      .groupBy(col("anchor"))
+      .agg(max(struct(col("raw"), (-col("cid")).as("ncid"))).as("n"))
+      .select(col("anchor"), (-col("n.ncid")).as("neg_id"),
+        col("n.raw").as("neg_raw"))
+    val viol = pairs.join(pos.select(col("anchor"), col("pos_raw")), Seq("anchor"))
+      .filter(col("c_label") =!= col("a_label") && col("raw") > col("pos_raw"))
+      .groupBy(col("anchor")).agg(count(lit(1)).as("n_violations"))
+    pairs.select(col("anchor"), col("a_label").as("label")).distinct()
+      .join(pos, Seq("anchor"), "left")
+      .join(neg, Seq("anchor"), "left")
+      .join(viol, Seq("anchor"), "left")
+      .select(col("anchor"), col("label"), col("pos_id"),
+        round(col("pos_raw"), 6).as("pos_sim"),
+        col("neg_id"), round(col("neg_raw"), 6).as("neg_sim"),
+        round(col("pos_raw") - col("neg_raw"), 6).as("margin"),
+        coalesce(col("n_violations"), lit(0L)).as("n_violations"))
+      .orderBy(col("anchor"))
+  }
+
+  /** Pinned evaluation universe for [[densityCores]] (vec_id < this). */
+  val DensityN = 400
+  /** ε-ball cosine threshold and core-point degree for [[densityCores]]
+    * — tuned so the word-salad fixture exhibits all three classes
+    * (observed at sf0.01: 237 core / 123 border / 40 noise). */
+  val DensityEps = 0.3
+  val DensityMinPts = 3
+
+  /** DBSCAN density primitives — ε-neighbor count and core/border/noise
+    * classification (Ester et al. 1996) over a pinned evaluation slice:
+    * core = ≥ [[DensityMinPts]] neighbors with cosine ≥ [[DensityEps]];
+    * border = non-core with a core ε-neighbor; noise = the rest — the
+    * curation signal separating "in a dense mode" from "isolated junk"
+    * more sharply than plain kNN density ([[oodKnn]]). The pinned slice
+    * is the correctness certificate (both engines enumerate its exact
+    * pairs); at corpus scale the ε-ball counting rides the LSH-bucket
+    * candidate join ([[annLsh]]/[[semanticDedup]]'s blocking) so pair
+    * cost grows per-bucket, never corpus². */
+  def densityCores(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).filter(col("vec_id") < DensityN)
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.GraftFunctions.l2norm(spark, col("embedding")).as("nrm"))
+      .localCheckpoint(true)
+    val b = e.select(col("vec_id").as("nbr"), col("embedding").as("bv"),
+      col("nrm").as("bn"))
+    val nbrs = e.as("a").join(broadcast(b), col("vec_id") =!= col("nbr"))
+      .filter(round(
+          graft.functions.GraftFunctions.dot(spark, col("embedding"), col("bv")) /
+            (col("nrm") * col("bn")), 6) >= DensityEps)
+      .select(col("vec_id"), col("nbr"))
+      .localCheckpoint(true)
+    val counts = e.select(col("vec_id"))
+      .join(nbrs.groupBy(col("vec_id")).agg(count(lit(1)).as("n_eps")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("n_eps"), lit(0L)).as("n_eps"))
+    val cores = counts.filter(col("n_eps") >= DensityMinPts)
+      .select(col("vec_id").as("core_id"))
+    val nearCore = nbrs.join(broadcast(cores),
+        col("nbr") === col("core_id"), "left_semi")
+      .select(col("vec_id")).distinct().withColumn("near_core", lit(true))
+    counts.join(nearCore, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("n_eps"),
+        when(col("n_eps") >= DensityMinPts, "core")
+          .when(col("near_core"), "border")
+          .otherwise("noise").as("cls"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ood_knn" -> oodKnn,
+    "sim_triplet_mining" -> tripletMining,
+    "sim_density_cores" -> densityCores,
     "sim_knn_calibration" -> knnCalibration,
     "sim_pca_power" -> pcaPower,
     "sim_matryoshka_recall" -> ((s: SparkSession, d: String) => matryoshkaRecall(s, d)),
@@ -1515,8 +1622,72 @@ object SimilarityOracles {
        |ORDER BY ood_score, vec_id
        |LIMIT 10""".stripMargin
 
+  /** Mirrors [[Similarity.tripletMining]]: the struct-min/max extremes are
+    * row_number() = 1 under (raw ASC, cid) / (raw DESC, cid); the
+    * violation census compares the identical fold-order doubles. */
+  val tripletMining: String =
+    s"""WITH p AS (
+       |  SELECT q.vec_id AS anchor, q.label AS label,
+       |         c.vec_id AS cid, c.label AS c_label,
+       |         ${TextHashSql.cosine("q.embedding", "c.embedding")} AS raw
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < ${Similarity.TripletAnchors}),
+       |pos AS (
+       |  SELECT anchor, cid AS pos_id, raw AS pos_raw FROM (
+       |    SELECT anchor, cid, raw,
+       |           row_number() OVER (PARTITION BY anchor ORDER BY raw, cid) AS rn
+       |    FROM p WHERE c_label = label) WHERE rn = 1),
+       |neg AS (
+       |  SELECT anchor, cid AS neg_id, raw AS neg_raw FROM (
+       |    SELECT anchor, cid, raw,
+       |           row_number() OVER (PARTITION BY anchor ORDER BY raw DESC, cid) AS rn
+       |    FROM p WHERE c_label <> label) WHERE rn = 1),
+       |v AS (
+       |  SELECT p.anchor, count(*) AS n_violations
+       |  FROM p JOIN pos ON p.anchor = pos.anchor
+       |  WHERE p.c_label <> p.label AND p.raw > pos.pos_raw
+       |  GROUP BY p.anchor)
+       |SELECT a.anchor, a.label, pos_id, round(pos_raw, 6) AS pos_sim,
+       |       neg_id, round(neg_raw, 6) AS neg_sim,
+       |       round(pos_raw - neg_raw, 6) AS margin,
+       |       coalesce(n_violations, 0) AS n_violations
+       |FROM (SELECT DISTINCT anchor, label FROM p) a
+       |LEFT JOIN pos USING (anchor) LEFT JOIN neg USING (anchor)
+       |LEFT JOIN v USING (anchor)
+       |ORDER BY anchor""".stripMargin
+
+  /** Mirrors [[Similarity.densityCores]]: exact pair enumeration over the
+    * pinned slice, ε-compare on the 6-dp-rounded cosine in both engines. */
+  val densityCores: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id < ${Similarity.DensityN}),
+       |nbrs AS (
+       |  SELECT a.vec_id, b.vec_id AS nbr
+       |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+       |  WHERE round(${TextHashSql.cosine("a.embedding", "b.embedding")}, 6)
+       |        >= ${Similarity.DensityEps}),
+       |counts AS (
+       |  SELECT e.vec_id, coalesce(n.n_eps, 0) AS n_eps
+       |  FROM e LEFT JOIN (
+       |    SELECT vec_id, count(*) AS n_eps FROM nbrs GROUP BY vec_id) n
+       |  USING (vec_id)),
+       |cores AS (
+       |  SELECT vec_id FROM counts WHERE n_eps >= ${Similarity.DensityMinPts}),
+       |near_core AS (
+       |  SELECT DISTINCT nbrs.vec_id FROM nbrs
+       |  JOIN cores ON nbrs.nbr = cores.vec_id)
+       |SELECT c.vec_id, c.n_eps,
+       |       CASE WHEN c.n_eps >= ${Similarity.DensityMinPts} THEN 'core'
+       |            WHEN nc.vec_id IS NOT NULL THEN 'border'
+       |            ELSE 'noise' END AS cls
+       |FROM counts c LEFT JOIN near_core nc ON c.vec_id = nc.vec_id
+       |ORDER BY c.vec_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "sim_ood_knn" -> oodKnn,
+    "sim_triplet_mining" -> tripletMining,
+    "sim_density_cores" -> densityCores,
     "sim_knn_calibration" -> knnCalibration,
     "sim_pca_power" -> pcaPower,
     "sim_matryoshka_recall" -> matryoshkaRecall,

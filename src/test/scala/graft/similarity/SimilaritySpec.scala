@@ -232,4 +232,63 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(full.toSeq == Similarity.knnBrute(spark, sf).collect().toSeq)
     info(byK.map { case (k, r) => f"candK$k=$r%.2f" }.mkString("recall@5: ", " ", ""))
   }
+
+  test("triplet mining: extremes respect labels, margin sign ⟺ zero violations") {
+    import org.apache.spark.sql.functions._
+    val rows = Similarity.tripletMining(spark, sf).collect()
+    assert(rows.length == Similarity.TripletAnchors)
+    val labels = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    rows.foreach { r =>
+      val (a, l) = (r.getAs[Long]("anchor"), r.getAs[Int]("label"))
+      assert(labels(a) == l)
+      assert(labels(r.getAs[Long]("pos_id")) == l, s"anchor $a: positive label")
+      assert(labels(r.getAs[Long]("neg_id")) != l, s"anchor $a: negative label")
+      val (margin, viol) = (r.getAs[Double]("margin"), r.getAs[Long]("n_violations"))
+      // hardest negative above hardest positive ⟺ at least that one violation
+      if (margin > 0) assert(viol == 0, s"anchor $a: margin $margin but $viol violations")
+      if (margin < 0) assert(viol >= 1, s"anchor $a: margin $margin but no violations")
+      // the hardest positive is the anchor's WORST same-label cosine, so the
+      // margin can go negative on a word-salad fixture; both regimes appear
+    }
+    assert(rows.exists(_.getAs[Long]("n_violations") > 0),
+      "fixture should exhibit triplet-loss violations")
+  }
+
+  test("density cores: classes partition the slice and match brute recomputation") {
+    import org.apache.spark.sql.functions._
+    val got = Similarity.densityCores(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("n_eps"), r.getAs[String]("cls")))
+    assert(got.length == Similarity.DensityN)
+    // brute recomputation of the ε-graph on the driver (400×400 pairs)
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < Similarity.DensityN)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val nbrs = e.map { case (id, v) =>
+      id -> e.filter { case (j, w) => j != id &&
+        BigDecimal(cos(v, w)).setScale(6, BigDecimal.RoundingMode.HALF_UP) >=
+          BigDecimal(Similarity.DensityEps) }.map(_._1).toSet
+    }.toMap
+    val cores = nbrs.filter(_._2.size >= Similarity.DensityMinPts).keySet
+    got.foreach { case (id, nEps, cls) =>
+      assert(nEps == nbrs(id).size, s"vec $id: n_eps")
+      val want = if (cores(id)) "core"
+        else if (nbrs(id).exists(cores)) "border" else "noise"
+      assert(cls == want, s"vec $id: $cls != $want")
+    }
+    val byCls = got.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(byCls.keySet == Set("core", "border", "noise"),
+      s"fixture should exhibit all three classes, got $byCls")
+    info(s"density classes: $byCls")
+  }
 }
