@@ -107,6 +107,9 @@ object SparkEntry {
       SqlFace.q4Weekday(s, TransitTables.fromTpch(s, dir))),
     "transit_headways" -> ((s, dir) =>
       Queries.headways(TransitTables.fromTpch(s, dir))),
+    // bus-bunching / service-regularity KPI over the headway gap frame
+    "transit_bunching" -> ((s, dir) =>
+      Queries.bunching(TransitTables.fromTpch(s, dir))),
     "transit_reachability" -> ((s, dir) =>
       Queries.reachability(TransitTables.fromTpch(s, dir), 42L)),
     // the same fixpoint at a deeper horizon — proves the loop generalizes
@@ -272,6 +275,7 @@ object SparkEntry {
     "transit_q3_sqltext" -> TransitOracles.q3Weekday,
     "transit_q4_sqltext" -> TransitOracles.q4Weekday,
     "transit_headways" -> TransitOracles.headways,
+    "transit_bunching" -> TransitOracles.bunching,
     "transit_reachability" -> TransitOracles.reachability(42L),
     "transit_reachability_k3" -> TransitOracles.reachability(42L, maxRides = 3),
     "transit_stop_pairs" -> TransitOracles.stopPairsDirect,

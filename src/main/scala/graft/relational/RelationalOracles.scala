@@ -889,6 +889,36 @@ object RelationalOracles {
         .map { case (c, n) => profileCol(c, n) }
         .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name"),
 
+    "rel_expectations" ->
+      """WITH b AS (
+        |  SELECT count(*) AS n_rows,
+        |         CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_nn,
+        |         count(DISTINCT (l_orderkey, l_linenumber)) AS n_pairs,
+        |         CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+        |         CAST(sum(CASE WHEN l_quantity > 30 THEN 1 ELSE 0 END) AS BIGINT) AS v_qty30,
+        |         CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+        |         CAST(sum(CASE WHEN l_tax < 0 OR l_tax > 0.08 THEN 1 ELSE 0 END) AS BIGINT) AS v_tax,
+        |         CAST(sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+        |         CAST(sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS v_flag
+        |  FROM lineitem),
+        |fk AS (
+        |  SELECT count(*) AS v_fk FROM lineitem l
+        |  LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderkey IS NULL),
+        |rows AS (
+        |  SELECT 'accepted_values(l_returnflag, [A,N,R])' AS check_name, v_flag AS n_violations FROM b
+        |  UNION ALL SELECT 'fk(l_orderkey -> orders.o_orderkey)', v_fk FROM fk
+        |  UNION ALL SELECT 'non_negative(l_extendedprice)', v_price FROM b
+        |  UNION ALL SELECT 'not_null(l_orderkey)', v_nn FROM b
+        |  UNION ALL SELECT 'range(l_discount, 0, 0.1)', v_disc FROM b
+        |  UNION ALL SELECT 'range(l_quantity, 1, 50)', v_qty FROM b
+        |  UNION ALL SELECT 'range(l_tax, 0, 0.08)', v_tax FROM b
+        |  UNION ALL SELECT 'strict_max(l_quantity, 30)', v_qty30 FROM b
+        |  UNION ALL SELECT 'unique(l_orderkey, l_linenumber)', n_rows - n_pairs FROM b)
+        |SELECT check_name, n_violations,
+        |       CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
+        |FROM rows ORDER BY check_name""".stripMargin,
+
     "rel_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       ROUND(SUM(l_quantity), 2) AS sum_qty,

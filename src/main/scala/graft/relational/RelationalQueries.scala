@@ -626,6 +626,59 @@ object RelationalQueries {
       .orderBy("col_name")
   }
 
+  /** Declarative data-quality expectations gate (the Deequ/Great-
+    * Expectations shape): a named constraint suite evaluated in ONE
+    * conditional-aggregate pass over the fact (plus one exact distinct
+    * for uniqueness and one key-only anti-join for the FK), emitting
+    * (check, violations, pass/fail) — the CI gate that admits a dataset
+    * into training or blocks the pipeline. Differs from [[profile]]
+    * (stats to look at) by being assertions to act on; the synthetic
+    * fact genuinely fails two checks (duplicate (orderkey, linenumber)
+    * pairs and the strict quantity cap), so both statuses are exercised.
+    * At 100 TB the whole suite is the same single scan — violations are
+    * conditional sums, never per-check jobs. */
+  def expectations(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    def v(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    val base = li.agg(
+      count(lit(1)).as("n_rows"),
+      v(col("l_orderkey").isNull).as("v_nn"),
+      countDistinct(struct(col("l_orderkey"), col("l_linenumber"))).as("n_pairs"),
+      v(col("l_quantity") < 1 || col("l_quantity") > 50).as("v_qty"),
+      v(col("l_quantity") > 30).as("v_qty30"),
+      v(col("l_discount") < 0 || col("l_discount") > 0.1).as("v_disc"),
+      v(col("l_tax") < 0 || col("l_tax") > 0.08).as("v_tax"),
+      v(col("l_extendedprice") < 0).as("v_price"),
+      v(!col("l_returnflag").isin("A", "N", "R")).as("v_flag"))
+    val orphans = li.select(col("l_orderkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("v_fk"))
+    base.crossJoin(orphans)
+      .select(explode(array(
+        struct(lit("accepted_values(l_returnflag, [A,N,R])").as("check_name"),
+          col("v_flag").as("n_violations")),
+        struct(lit("fk(l_orderkey -> orders.o_orderkey)").as("check_name"),
+          col("v_fk").as("n_violations")),
+        struct(lit("non_negative(l_extendedprice)").as("check_name"),
+          col("v_price").as("n_violations")),
+        struct(lit("not_null(l_orderkey)").as("check_name"),
+          col("v_nn").as("n_violations")),
+        struct(lit("range(l_discount, 0, 0.1)").as("check_name"),
+          col("v_disc").as("n_violations")),
+        struct(lit("range(l_quantity, 1, 50)").as("check_name"),
+          col("v_qty").as("n_violations")),
+        struct(lit("range(l_tax, 0, 0.08)").as("check_name"),
+          col("v_tax").as("n_violations")),
+        struct(lit("strict_max(l_quantity, 30)").as("check_name"),
+          col("v_qty30").as("n_violations")),
+        struct(lit("unique(l_orderkey, l_linenumber)").as("check_name"),
+          (col("n_rows") - col("n_pairs")).as("n_violations")))).as("c"))
+      .select(col("c.check_name"), col("c.n_violations"),
+        when(col("c.n_violations") === 0, "pass").otherwise("fail").as("status"))
+      .orderBy(col("check_name"))
+  }
+
   /** Fuzzy entity-resolution join — match corrupted names back to the
     * customer dim by edit distance, WITHOUT an all-pairs scan: candidates
     * block on the sorted character multiset, which transposition typos
@@ -2300,6 +2353,7 @@ object RelationalQueries {
     "rel_incremental_agg" -> incrementalAgg,
     "rel_fuzzy_join" -> fuzzyJoin,
     "rel_profile" -> profile,
+    "rel_expectations" -> expectations,
     "rel_approx_agg" -> approxAgg,
     "rel_array_ops" -> arrayOps,
     "rel_datetime_ops" -> datetimeOps,

@@ -414,6 +414,55 @@ object Queries {
       .orderBy(col("route_id"))
   }
 
+  /** Service-regularity (bus-bunching) report — the transit-ops KPI built
+    * on [[headways]]' gap frame: per route, the lower-median headway, the
+    * count/share of gaps under HALF the median (the standard bunching
+    * flag), and the headway coefficient of variation (Trapeze/TCRP's
+    * regularity metric). The median is a positional pick inside the
+    * route-keyed window (never a global sort); CV is assembled from the
+    * exact BIGINT moments (n, Σg, Σg²) as sqrt(n·Σg² − (Σg)²)/Σg — one
+    * correctly-rounded sqrt and one division, so both engines emit the
+    * identical double (Σg² stays under 2^53 through sf1; beyond that the
+    * moments would quantize to a coarser unit first). */
+  def bunching(t: TransitTables, service: ServiceFilter = ServiceFilter.Weekday): DataFrame = {
+    val st = t.stopTimes.select(col("trip_id"), col("stop_id"), col("dep_secs"))
+      .join(t.trips.filter(col("service_id") === service.sid.get)
+        .select("trip_id", "route_id"), "trip_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("route_id"), col("stop_id"))
+      .orderBy(col("dep_secs"), col("trip_id"))
+    // median pick, moment agg, and the bunched-count join all consume the
+    // gap frame; checkpoint so the windowed lag runs once
+    val gaps = st.withColumn("prev", lag(col("dep_secs"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("route_id"), (col("dep_secs") - col("prev")).as("gap"))
+      .localCheckpoint(true)
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("route_id")).orderBy(col("gap"))
+    val med = gaps
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("route_id"))))
+      .filter(col("rn") === expr("(n + 1) DIV 2"))
+      .select(col("route_id"), col("gap").as("med_gap"))
+    val moments = gaps.groupBy(col("route_id")).agg(
+      count(lit(1)).as("n_gaps"), sum(col("gap")).as("s"),
+      sum(col("gap") * col("gap")).as("s2"))
+    val bunched = gaps.join(med, "route_id")
+      .filter(col("gap") * 2 < col("med_gap"))
+      .groupBy(col("route_id")).agg(count(lit(1)).as("n_bunched"))
+    moments.join(med, "route_id").join(bunched, Seq("route_id"), "left")
+      .select(col("route_id"), col("n_gaps"), col("med_gap"),
+        coalesce(col("n_bunched"), lit(0L)).as("n_bunched"),
+        round(coalesce(col("n_bunched"), lit(0L)).cast("double") /
+          col("n_gaps"), 6).as("bunch_share"),
+        when(col("s") > 0, round(
+          sqrt(col("n_gaps").cast("double") * col("s2").cast("double") -
+            col("s").cast("double") * col("s").cast("double")) /
+            col("s").cast("double"), 6)).as("cv"))
+      .orderBy(col("route_id"))
+  }
+
   /** Origin–destination direct-connection matrix: for the top stop pairs,
     * how many distinct trips serve (a → b) in sequence order — the
     * network-planning aggregate behind "can I get there without a

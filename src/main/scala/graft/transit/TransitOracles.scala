@@ -757,6 +757,48 @@ object TransitOracles {
        |GROUP BY route_id
        |ORDER BY route_id""".stripMargin
 
+  /** Mirrors [[Queries.bunching]]: same gap frame as [[headways]], lower
+    * median via the positional pick rn = (n+1)//2, CV from the exact
+    * BIGINT moments through the identical sqrt/divide. */
+  val bunching: String =
+    s"""$P
+       |, joined AS (
+       |  SELECT t.route_id, st.stop_id, st.dep_secs, st.trip_id
+       |  FROM stop_times st JOIN trips t ON t.trip_id = st.trip_id
+       |  WHERE t.service_id = '1'),
+       |g AS (
+       |  SELECT route_id, gap FROM (
+       |    SELECT route_id,
+       |           dep_secs - lag(dep_secs) OVER (PARTITION BY route_id, stop_id
+       |             ORDER BY dep_secs, trip_id) AS gap
+       |    FROM joined) WHERE gap IS NOT NULL),
+       |med AS (
+       |  SELECT route_id, CAST(gap AS BIGINT) AS med_gap FROM (
+       |    SELECT route_id, gap,
+       |           row_number() OVER (PARTITION BY route_id ORDER BY gap) AS rn,
+       |           count(*) OVER (PARTITION BY route_id) AS n
+       |    FROM g) WHERE rn = (n + 1) // 2),
+       |a AS (
+       |  SELECT route_id, count(*) AS n_gaps,
+       |         CAST(sum(gap) AS BIGINT) AS s,
+       |         CAST(sum(gap * gap) AS BIGINT) AS s2
+       |  FROM g GROUP BY route_id),
+       |b AS (
+       |  SELECT g.route_id, count(*) AS n_bunched
+       |  FROM g JOIN med ON g.route_id = med.route_id
+       |  WHERE g.gap * 2 < med.med_gap GROUP BY g.route_id)
+       |SELECT a.route_id, a.n_gaps, med.med_gap,
+       |       coalesce(b.n_bunched, 0) AS n_bunched,
+       |       round(CAST(coalesce(b.n_bunched, 0) AS DOUBLE) / a.n_gaps, 6)
+       |         AS bunch_share,
+       |       CASE WHEN a.s > 0 THEN
+       |         round(sqrt(CAST(a.n_gaps AS DOUBLE) * CAST(a.s2 AS DOUBLE) -
+       |           CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE)) /
+       |           CAST(a.s AS DOUBLE), 6)
+       |       ELSE NULL END AS cv
+       |FROM a JOIN med USING (route_id) LEFT JOIN b USING (route_id)
+       |ORDER BY a.route_id""".stripMargin
+
   /** k PageRank power-iterations unrolled as chained CTEs p0 → p1 → … →
     * p_k, each round the same edge⋈deg⋈prev-rank sum the engine's
     * checkpointed loop runs — integer-quantized, so every round is

@@ -300,4 +300,25 @@ class RelationalOpsSpec extends AnyFunSuite with SparkSpec {
       assert(grp.filter(_._2 == maxCnt).keys.min == v, s"$flag: tie-break")
     }
   }
+
+  test("expectations gate: statuses match violations, counts match direct recounts") {
+    val rows = RelationalQueries.expectations(spark, sf).collect()
+      .map(r => r.getAs[String]("check_name") ->
+        (r.getAs[Long]("n_violations"), r.getAs[String]("status"))).toMap
+    assert(rows.size == 9)
+    rows.values.foreach { case (v, s) =>
+      assert(if (v == 0) s == "pass" else s == "fail")
+    }
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val direct = li.count() -
+      li.select(col("l_orderkey"), col("l_linenumber")).distinct().count()
+    assert(rows("unique(l_orderkey, l_linenumber)")._1 == direct)
+    assert(rows("strict_max(l_quantity, 30)")._1 ==
+      li.filter(col("l_quantity") > 30).count())
+    // clean-data checks must pass, and both statuses must appear
+    assert(rows("fk(l_orderkey -> orders.o_orderkey)")._2 == "pass")
+    assert(rows("range(l_quantity, 1, 50)")._2 == "pass")
+    assert(rows.values.exists(_._2 == "fail"),
+      "fixture should trip the gate")
+  }
 }

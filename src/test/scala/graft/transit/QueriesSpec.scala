@@ -177,6 +177,33 @@ class QueriesSpec extends SparkSpec {
     assert(Limit.fromParam(None) == Limit.TopN(20))
   }
 
+  test("bunching: counts tie to headways, share/median/cv within their bounds") {
+    import org.apache.spark.sql.functions._
+    val tt = TransitTables.fromTpch(spark, "/root/testdata/sf0.01")
+    val b = Queries.bunching(tt).collect()
+    // the gap universe is exactly headways': per-route counts must agree
+    val hw = Queries.headways(tt).collect()
+      .map(r => r.getAs[Long]("route_id") -> r.getAs[Long]("n_gaps")).toMap
+    b.foreach { r =>
+      val route = r.getAs[Long]("route_id")
+      assert(r.getAs[Long]("n_gaps") == hw(route), s"route $route: gap count")
+      val (n, med, bn) = (r.getAs[Long]("n_gaps"), r.getAs[Long]("med_gap"),
+        r.getAs[Long]("n_bunched"))
+      assert(med >= 0 && bn <= n)
+      // under half the MEDIAN, so bunched gaps are a strict minority side:
+      // at most floor((n-1)/2) values sit strictly below the lower median
+      assert(bn <= (n - 1) / 2 + 1, s"route $route: $bn bunched of $n")
+      val share = r.getAs[Double]("bunch_share")
+      assert(share >= 0.0 && share <= 1.0)
+      assert(math.abs(share - bn.toDouble / n) < 1e-6)
+      val cv = r.getAs[Double]("cv")
+      // CV of n non-negative values is bounded by sqrt(n-1)
+      assert(cv >= 0.0 && cv * cv <= n - 1 + 1e-9, s"route $route: cv=$cv")
+    }
+    assert(b.exists(_.getAs[Long]("n_bunched") > 0),
+      "fixture should exhibit bunched headways")
+  }
+
   test("core layers: peel reaches its fixpoint inside the horizon; census is total") {
     val tt = TransitTables.fromTpch(spark, "/root/testdata/sf0.01")
     val at6 = Queries.coreLayers(tt, 6).collect()
