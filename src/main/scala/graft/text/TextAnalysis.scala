@@ -1354,6 +1354,88 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Tokenizer-fertility audit per language — the cross-lingual fairness
+    * metric (how many tokenizer symbols a word costs per language; high
+    * fertility = that language pays more compute/context per word) plus
+    * the merged-symbol share (how often the learned merges actually fire
+    * — a merge table trained on one language distribution underserves the
+    * others, and this is the table that shows it). Same trained merge
+    * rules and encode chain as [[bpeApply]], re-aggregated by `lang`;
+    * merged symbols counted by stripping the reserved merge characters —
+    * all length arithmetic, no per-row UDF. Scale profile identical to
+    * bpeApply: corpus scan is map-only, everything downstream rides the
+    * vocabulary-sized (lang, word) frame. */
+  def bpeFertility(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    val ruleCols = (1 to rounds).map(k =>
+      max(when(col("round") === k, col("pair"))).as(s"pair$k"))
+    val ruleRow = bpeTrain(spark, dir, rounds)
+      .groupBy().agg(ruleCols.head, ruleCols.tail: _*)
+    val enc = (1 to rounds).foldLeft("word") { (acc, k) =>
+      s"replace($acc, pair$k, '${('A' + k - 1).toChar}')"
+    }
+    val strip = (1 to rounds).foldLeft("enc") { (acc, k) =>
+      s"replace($acc, '${('A' + k - 1).toChar}', '')"
+    }
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(TextHash.tokens(col("text"))).as("word"))
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("wc"))
+      .crossJoin(broadcast(ruleRow))
+      .withColumn("enc", expr(enc))
+      .withColumn("merged", length(col("enc")) - length(expr(strip)))
+      .groupBy(col("lang"))
+      .agg(sum(col("wc")).as("n_words"),
+        sum(length(col("enc")).cast("long") * col("wc")).as("n_symbols"),
+        sum(col("merged").cast("long") * col("wc")).as("n_merged"))
+      .select(col("lang"), col("n_words"), col("n_symbols"),
+        round(col("n_symbols").cast("double") / col("n_words"), 6)
+          .as("fertility"),
+        round(col("n_merged").cast("double") / col("n_symbols"), 6)
+          .as("merged_share"))
+      .orderBy(col("lang"))
+  }
+
+  /** Anneal-phase share of the global token budget, in permille. */
+  val AnnealPermille = 100
+
+  /** Two-phase training-mix plan (pretrain + quality anneal) — the
+    * midtraining schedule modern pipelines run: phase 1 (90% of the
+    * budget) allocates across sources ∝ total tokens; phase 2 (the 10%
+    * anneal) allocates ∝ HIGH-QUALITY tokens only (docs passing the
+    * [[quality]] 'good' gate: 20–200 tokens with a real stopword ratio),
+    * upweighting clean sources exactly when it matters most. Per-phase
+    * epoch counts (milli) expose the upsampling: an anneal epochs_milli
+    * over 1000 means that source's HQ pool repeats. All allocation
+    * arithmetic is integer (milli-share DIV chains, the [[mixtureWeights]]
+    * discipline) so both engines agree exactly; the corpus reduces to a
+    * #sources metadata frame in one conditional aggregate. */
+  def annealMix(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextHash.tokens(col("text"))
+    val nTok = size(toks)
+    val stopRatio = langScore(toks, langMarkers.toMap.apply("en")).cast("double") / nTok
+    val good = nTok >= 20 && nTok <= 200 && stopRatio > 0.01
+    val perSource = Tables.documents(spark, dir)
+      .select(col("source"), nTok.cast("long").as("n"), good.as("hq"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("tokens_total"),
+        sum(when(col("hq"), col("n")).otherwise(0L)).as("tokens_hq"))
+      .localCheckpoint(true)
+    val tot = perSource.agg(sum(col("tokens_total")).as("b"),
+      sum(col("tokens_hq")).as("b_hq"))
+    perSource.crossJoin(broadcast(tot))
+      .select(col("source"), col("tokens_total"), col("tokens_hq"),
+        expr(s"""CAST(((b * ${1000 - AnnealPermille} DIV 1000)
+                 * (tokens_total * 1000 DIV b)) DIV 1000 AS BIGINT)""")
+          .as("p1_target"),
+        expr(s"""CAST(CASE WHEN b_hq > 0 THEN ((b * $AnnealPermille DIV 1000)
+                 * (tokens_hq * 1000 DIV b_hq)) DIV 1000 ELSE 0 END AS BIGINT)""")
+          .as("p2_target"))
+      .withColumn("p1_epochs_milli",
+        expr("CAST(p1_target * 1000 DIV tokens_total AS BIGINT)"))
+      .withColumn("p2_epochs_milli",
+        expr("CAST(CASE WHEN tokens_hq > 0 THEN p2_target * 1000 DIV tokens_hq END AS BIGINT)"))
+      .orderBy(col("source"))
+  }
+
   /** One BPE-training merge step: frequency of every adjacent character
     * pair inside pretokens, weighted by pretoken frequency — the argmax is
     * the pair a BPE trainer would merge next. Two hash aggregations (word
@@ -1507,6 +1589,8 @@ object TextAnalysis {
     "text_dsir_importance" -> dsirImportance,
     "text_bpe_train" -> ((s: SparkSession, d: String) => bpeTrain(s, d)),
     "text_bpe_apply" -> ((s: SparkSession, d: String) => bpeApply(s, d)),
+    "text_bpe_fertility" -> ((s: SparkSession, d: String) => bpeFertility(s, d)),
+    "text_anneal_mix" -> annealMix,
     "text_length_histogram" -> lengthHistogram,
     "text_token_stats" -> tokenStats,
     "text_quality" -> quality,

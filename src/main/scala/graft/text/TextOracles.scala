@@ -319,6 +319,68 @@ object TextOracles {
        |ORDER BY source""".stripMargin
   }
 
+  /** Mirrors [[TextAnalysis.bpeFertility]]: same trained rules and encode
+    * chain as [[bpeApply]], re-keyed by lang, merged symbols counted by
+    * stripping the reserved merge characters. */
+  val bpeFertility: String = {
+    val enc = (1 to 3).foldLeft("word") { (acc, k) =>
+      s"replace($acc, (SELECT pair FROM r$k), '${('A' + k - 1).toChar}')"
+    }
+    val strip = (1 to 3).foldLeft("enc") { (acc, k) =>
+      s"replace($acc, '${('A' + k - 1).toChar}', '')"
+    }
+    s"""WITH $bpeTrainCtes,
+       |lw AS (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS wc
+       |  FROM (SELECT lang, unnest($toks) AS word FROM documents)
+       |  GROUP BY 1, 2),
+       |e AS (SELECT lang, wc,
+       |        CAST(length(enc) AS BIGINT) AS el,
+       |        CAST(length(enc) - length($strip) AS BIGINT) AS ml
+       |      FROM (SELECT lang, wc, $enc AS enc FROM lw))
+       |SELECT lang,
+       |       CAST(SUM(wc) AS BIGINT) AS n_words,
+       |       CAST(SUM(el * wc) AS BIGINT) AS n_symbols,
+       |       round(CAST(SUM(el * wc) AS DOUBLE) / SUM(wc), 6) AS fertility,
+       |       round(CAST(SUM(ml * wc) AS DOUBLE) / SUM(el * wc), 6)
+       |         AS merged_share
+       |FROM e GROUP BY lang
+       |ORDER BY lang""".stripMargin
+  }
+
+  /** Mirrors [[TextAnalysis.annealMix]]: the 'good' gate is [[quality]]'s
+    * predicate verbatim; all allocation arithmetic is integer DIV chains. */
+  val annealMix: String = {
+    val en = TextAnalysis.langMarkers.toMap.apply("en")
+    val ap = TextAnalysis.AnnealPermille
+    s"""WITH d AS (
+       |  SELECT source, CAST(len(t.toks) AS BIGINT) AS n,
+       |         (len(t.toks) BETWEEN 20 AND 200
+       |          AND CAST(${langScoreSql(en)} AS DOUBLE) / len(t.toks) > 0.01) AS hq
+       |  FROM (SELECT source, $toks AS toks FROM documents) t),
+       |s AS (
+       |  SELECT source, CAST(SUM(n) AS BIGINT) AS tokens_total,
+       |         CAST(SUM(CASE WHEN hq THEN n ELSE 0 END) AS BIGINT) AS tokens_hq
+       |  FROM d GROUP BY source),
+       |tot AS (
+       |  SELECT CAST(SUM(tokens_total) AS BIGINT) AS b,
+       |         CAST(SUM(tokens_hq) AS BIGINT) AS b_hq FROM s)
+       |SELECT source, tokens_total, tokens_hq,
+       |       CAST(((b * ${1000 - ap} // 1000) * (tokens_total * 1000 // b))
+       |            // 1000 AS BIGINT) AS p1_target,
+       |       CAST(CASE WHEN b_hq > 0 THEN
+       |              ((b * $ap // 1000) * (tokens_hq * 1000 // b_hq)) // 1000
+       |            ELSE 0 END AS BIGINT) AS p2_target,
+       |       CAST(((b * ${1000 - ap} // 1000) * (tokens_total * 1000 // b))
+       |            // 1000 * 1000 // tokens_total AS BIGINT) AS p1_epochs_milli,
+       |       CAST(CASE WHEN tokens_hq > 0 THEN
+       |              (CASE WHEN b_hq > 0 THEN
+       |                 ((b * $ap // 1000) * (tokens_hq * 1000 // b_hq)) // 1000
+       |               ELSE 0 END) * 1000 // tokens_hq
+       |            END AS BIGINT) AS p2_epochs_milli
+       |FROM s CROSS JOIN tot
+       |ORDER BY source""".stripMargin
+  }
+
   val stratifiedSample: String = {
     val h = s"(${strHash("'strat:' || CAST(doc_id AS VARCHAR)")} % 1000)"
     val rate = TextAnalysis.sampleRates.reverse.foldLeft("0") {
@@ -932,6 +994,8 @@ object TextOracles {
     "text_dsir_importance" -> dsirImportance,
     "text_bpe_train" -> bpeTrain,
     "text_bpe_apply" -> bpeApply,
+    "text_bpe_fertility" -> bpeFertility,
+    "text_anneal_mix" -> annealMix,
     "text_length_histogram" -> lengthHistogram,
     "text_token_stats" -> tokenStats,
     "text_quality" -> quality,

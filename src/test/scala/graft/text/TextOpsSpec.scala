@@ -224,4 +224,43 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
       assert(rs.forall { r => val h = r.getAs[Long]("n_terms_hit"); h == 1L || h == 2L })
     }
   }
+
+  test("bpe fertility: word counts tie to direct recounts, merges fire per lang") {
+    import org.apache.spark.sql.functions._
+    val rows = TextAnalysis.bpeFertility(spark, sf).collect()
+    val direct = graft.sources.Tables.documents(spark, sf)
+      .select(col("lang"),
+        size(graft.functions.TextHash.tokens(col("text"))).cast("long").as("n"))
+      .groupBy("lang").agg(sum("n").as("n_words")).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("n_words")).toMap
+    assert(rows.map(_.getAs[String]("lang")).toSet == direct.keySet)
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      assert(r.getAs[Long]("n_words") == direct(lang), s"$lang: word count")
+      val f = r.getAs[Double]("fertility")
+      assert(f >= 1.0, s"$lang: a word costs at least one symbol")
+      val ms = r.getAs[Double]("merged_share")
+      assert(ms > 0.0 && ms < 1.0, s"$lang: merges should fire ($ms)")
+      // merged symbols each absorbed one extra char: symbols < raw chars
+      assert(r.getAs[Long]("n_symbols") < direct(lang) * 20,
+        s"$lang: symbol total sane")
+    }
+  }
+
+  test("anneal mix: budgets respect the phase split and HQ pools") {
+    val rows = TextAnalysis.annealMix(spark, sf).collect()
+    val b = rows.map(_.getAs[Long]("tokens_total")).sum
+    val p1 = rows.map(_.getAs[Long]("p1_target")).sum
+    val p2 = rows.map(_.getAs[Long]("p2_target")).sum
+    // integer DIV chains only lose downward: sums stay under the phase caps
+    assert(p1 <= b * (1000 - TextAnalysis.AnnealPermille) / 1000 && p1 > 0)
+    assert(p2 <= b * TextAnalysis.AnnealPermille / 1000 && p2 > 0)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("tokens_hq") <= r.getAs[Long]("tokens_total"))
+      // phase-1 allocation is proportional to size: never an upsample
+      assert(r.getAs[Long]("p1_epochs_milli") <= 1000)
+      val e2 = r.getAs[Long]("p2_epochs_milli")
+      assert(r.isNullAt(r.fieldIndex("p2_epochs_milli")) || e2 >= 0)
+    }
+  }
 }
