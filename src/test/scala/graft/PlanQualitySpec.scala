@@ -490,6 +490,42 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
       p.take(1500))
   }
 
+  test("triplet mining: one checkpointed pair pass; no corpus re-scan downstream") {
+    // the anchor×corpus cosine pass materializes ONCE behind the local
+    // checkpoint (its own plan is the broadcast nested-loop knnBrute
+    // shape); everything after — pos/neg extremes, violation census,
+    // final assembly — must consume that RDD, never re-read parquet
+    val p = plan("sim_triplet_mining")
+    assert(p.contains("Scan ExistingRDD"), p.take(1500))
+    assert(!p.contains("FileScan parquet"),
+      s"corpus re-scanned after the pair pass:\n${p.take(1500)}")
+    // and the pair pass itself broadcasts the anchors against the scan
+    val pairs = graft.sources.Tables.embeddings(spark, sf)
+    import org.apache.spark.sql.functions._
+    val a = pairs.filter(col("vec_id") < similarity.Similarity.TripletAnchors)
+      .select(col("vec_id").as("anchor"), col("embedding").as("av"))
+    val pairPlan = broadcast(a).join(
+        pairs.select(col("vec_id").as("cid"), col("embedding").as("cv")),
+        col("anchor") =!= col("cid"))
+      .queryExecution.executedPlan.toString
+    assert(pairPlan.contains("BroadcastNestedLoopJoin"), pairPlan.take(1000))
+  }
+
+  test("expectations gate: one conditional-aggregate pass, FK side key-only") {
+    val p = plan("rel_expectations")
+    // the fact is scanned for the suite + the FK probe — never per-check
+    assert("FileScan parquet".r.findAllIn(p).size <= 3,
+      s"per-check scans detected:\n${p.take(1500)}")
+    // the anti-join carries keys only (broadcast, not a fact shuffle)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(1500))
+  }
+
+  test("bunching: windows stay route-keyed — no global-partition sort") {
+    val p = plan("transit_bunching")
+    assert(!p.contains("windowspecdefinition()"), p.take(1500))
+    assert(p.contains("windowspecdefinition(route_id#"), p.take(1500))
+  }
+
   test("sketch aggregates land within 5% of exact (HLL distinct, t-digest median)") {
     // the tolerance check is computed in-plan from the real sketch values
     // (exact vs approx in one aggregate); the oracle hashes it as TRUE, and
