@@ -960,6 +960,67 @@ object Similarity {
       .orderBy(col("anchor"))
   }
 
+  /** One NN-Descent refinement round (Dong et al. 2011) — the graph-ANN
+    * construction primitive behind HNSW/NSG index builds: start every
+    * node from its LSH-bucket top-[[TopK]] (the [[annLsh]] graph over ALL
+    * nodes), expand candidates through neighbors-of-neighbors (u→v→w),
+    * exact-rerank the union, keep top-[[TopK]]. "A neighbor of my
+    * neighbor is likely my neighbor" — each round the graph's recall
+    * rises while per-node cost stays K² candidate fetches, never a
+    * corpus scan; the spec measures the recall gain over the initial
+    * bucket graph against brute truth. Output is the refined adjacency
+    * for the pinned query slice (the full graph materializes the same
+    * way at scale: id-keyed joins, K²-bounded candidate frames). */
+  def nnDescentRound(spark: SparkSession, dir: String): DataFrame = {
+    // TWO independent hash tables (disjoint hyperplane sets: the low and
+    // high halves of a 2×planes bucket) stand in for NN-Descent's random
+    // init — with a single table the expansion never leaves the bucket
+    // (my neighbors share my bucket, and so do theirs) and the round is a
+    // no-op; table-2 edges are exactly the cross-bucket bridges the
+    // expansion needs
+    val planes = graft.dedup.Dedup.AnnPlanes
+    val b2 = lshBucket(col("embedding"), 64, 2 * planes)
+    val e = Tables.embeddings(spark, dir).select(
+      col("vec_id"), col("embedding"),
+      graft.functions.GraftFunctions.l2norm(spark, col("embedding")).as("nrm"),
+      (b2 % (1L << planes)).as("bucket1"),
+      floor(b2 / (1L << planes).toDouble).cast("long").as("bucket2"))
+      .localCheckpoint(true)
+    def table(bucket: String): DataFrame = {
+      val q = e.select(col("vec_id").as("uid"), col("embedding").as("qv"),
+        col("nrm").as("qn"), col(bucket).as("b"))
+      val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("nrm").as("cn"), col(bucket).as("b"))
+      q.join(c, Seq("b")).filter(col("uid") =!= col("cid"))
+        .select(col("uid"), col("cid"),
+          (graft.functions.GraftFunctions.dot(spark, col("qv"), col("cv")) /
+            (col("qn") * col("cn"))).as("raw"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("uid")).orderBy(col("raw").desc, col("cid"))))
+        .filter(col("rn") <= TopK)
+        .select(col("uid"), col("cid"))
+    }
+    // initial graph: per-node top-K in EACH table (K²-bounded per bucket),
+    // reused by both the direct candidates and the expansion join
+    val init = table("bucket1").unionByName(table("bucket2")).distinct()
+      .localCheckpoint(true)
+    val expanded = init.as("x").join(init.as("y"),
+        col("x.cid") === col("y.uid"))
+      .select(col("x.uid").as("uid"), col("y.cid").as("cand"))
+      .filter(col("uid") =!= col("cand"))
+    val cands = init.select(col("uid"), col("cid").as("cand"))
+      .unionByName(expanded).distinct()
+    val uf = e.select(col("vec_id").as("uid"), col("embedding").as("uv"),
+      col("nrm").as("un"))
+    val cf = e.select(col("vec_id").as("cand"), col("embedding").as("fv"),
+      col("nrm").as("fn"))
+    ranked(cands.join(uf, Seq("uid")).join(cf, Seq("cand"))
+      .filter(col("uid") < QuerySet)
+      .select(col("uid").as("qid"), col("cand").as("cid"),
+        (graft.functions.GraftFunctions.dot(spark, col("uv"), col("fv")) /
+          (col("un") * col("fn"))).as("raw")))
+  }
+
   /** Pinned evaluation universe for [[densityCores]] (vec_id < this). */
   val DensityN = 400
   /** ε-ball cosine threshold and core-point degree for [[densityCores]]
@@ -1012,6 +1073,7 @@ object Similarity {
     "sim_ood_knn" -> oodKnn,
     "sim_triplet_mining" -> tripletMining,
     "sim_density_cores" -> densityCores,
+    "sim_nndescent" -> nnDescentRound,
     "sim_knn_calibration" -> knnCalibration,
     "sim_pca_power" -> pcaPower,
     "sim_matryoshka_recall" -> ((s: SparkSession, d: String) => matryoshkaRecall(s, d)),
@@ -1656,6 +1718,48 @@ object SimilarityOracles {
        |LEFT JOIN v USING (anchor)
        |ORDER BY anchor""".stripMargin
 
+  /** Mirrors [[Similarity.nnDescentRound]]: two-table (low/high-half
+    * hyperplane) top-K initial graph over all nodes, neighbor-of-neighbor
+    * expansion, exact rerank. */
+  val nnDescent: String = rankedSql {
+    val planes = graft.dedup.Dedup.AnnPlanes
+    def tbl(bucket: String): String =
+      s"""SELECT uid, cid FROM (
+         |    SELECT q.vec_id AS uid, c.vec_id AS cid,
+         |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |             ${TextHashSql.cosine("q.embedding", "c.embedding")} DESC,
+         |             c.vec_id) AS rn
+         |    FROM e q JOIN e c ON q.$bucket = c.$bucket AND q.vec_id <> c.vec_id)
+         |  WHERE rn <= ${Similarity.TopK}""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         b2 % ${1L << planes} AS bucket1,
+       |         b2 // ${1L << planes} AS bucket2
+       |  FROM (SELECT vec_id, embedding,
+       |          ${TextHashSql.lshBucket("embedding", 64, 2 * planes)} AS b2
+       |        FROM embeddings)),
+       |t1 AS (
+       |  ${tbl("bucket1")}),
+       |t2 AS (
+       |  ${tbl("bucket2")}),
+       |init AS (
+       |  SELECT DISTINCT uid, cid FROM (
+       |    SELECT uid, cid FROM t1 UNION ALL SELECT uid, cid FROM t2)),
+       |cand AS (
+       |  SELECT DISTINCT uid, cand FROM (
+       |    SELECT uid, cid AS cand FROM init
+       |    UNION ALL
+       |    SELECT x.uid, y.cid AS cand FROM init x JOIN init y ON x.cid = y.uid
+       |    WHERE x.uid <> y.cid)),
+       |s AS (
+       |  SELECT cand.uid AS qid, cand.cand AS cid,
+       |         ${TextHashSql.cosine("u.embedding", "f.embedding")} AS raw
+       |  FROM cand
+       |  JOIN embeddings u ON u.vec_id = cand.uid
+       |  JOIN embeddings f ON f.vec_id = cand.cand
+       |  WHERE cand.uid < ${Similarity.QuerySet})""".stripMargin
+  }
+
   /** Mirrors [[Similarity.densityCores]]: exact pair enumeration over the
     * pinned slice, ε-compare on the 6-dp-rounded cosine in both engines. */
   val densityCores: String =
@@ -1688,6 +1792,7 @@ object SimilarityOracles {
     "sim_ood_knn" -> oodKnn,
     "sim_triplet_mining" -> tripletMining,
     "sim_density_cores" -> densityCores,
+    "sim_nndescent" -> nnDescent,
     "sim_knn_calibration" -> knnCalibration,
     "sim_pca_power" -> pcaPower,
     "sim_matryoshka_recall" -> matryoshkaRecall,

@@ -233,6 +233,25 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     info(byK.map { case (k, r) => f"candK$k=$r%.2f" }.mkString("recall@5: ", " ", ""))
   }
 
+  test("nn-descent round: recall improves on the initial bucket graph") {
+    val brute = neighborSets(Similarity.knnBrute(spark, sf))
+    def recall(ann: Map[Long, Set[Long]]): Double = {
+      val hits = brute.map { case (q, truth) =>
+        ann.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+      }
+      hits.sum / hits.size
+    }
+    val lsh = recall(neighborSets(Similarity.annLsh(spark, sf)))
+    val nnd = recall(neighborSets(Similarity.nnDescentRound(spark, sf)))
+    // the candidate set is a superset of the bucket graph, and the exact
+    // rerank keeps the best of it — recall can only rise (the two-stage
+    // monotonicity argument); on the fixture the expansion finds real
+    // cross-bucket neighbors, so the gain is strict
+    assert(nnd >= lsh, s"nn-descent $nnd < initial $lsh")
+    assert(nnd > lsh + 0.05, s"expansion should strictly improve ($lsh -> $nnd)")
+    info(f"recall@5: init=$lsh%.2f after-round=$nnd%.2f")
+  }
+
   test("triplet mining: extremes respect labels, margin sign ⟺ zero violations") {
     import org.apache.spark.sql.functions._
     val rows = Similarity.tripletMining(spark, sf).collect()
