@@ -145,6 +145,57 @@ object Multimodal {
       .select(col("doc_id"), col("score"))
       .orderBy("doc_id")
 
+  final case class Chunk(doc_id: Long, chunk_hash: Long, chunk_len: Int)
+
+  /** Content-defined chunk boundary divisor (mean chunk ≈ this many bytes). */
+  val CdcDivisor = 32
+
+  /** Content-defined chunking (the rsync/LBFS/backup-dedup primitive):
+    * split each payload where a 4-byte rolling window hash ≡ 0 mod
+    * [[CdcDivisor]] — boundaries follow CONTENT, so an insertion early in
+    * a payload shifts only its own chunk, not every chunk after it (the
+    * property fixed-stride chunking lacks, and the reason storage dedup
+    * uses CDC). Per-byte work is genuinely imperative → `mapPartitions`
+    * (the multimodal decode shape); everything downstream is (hash, len)
+    * aggregates — payload bytes never shuffle. */
+  def cdcChunks(media: Dataset[MediaBlob]): Dataset[Chunk] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { b =>
+        val bytes = b.payload
+        val n = bytes.length
+        val starts = scala.collection.mutable.ArrayBuffer(0)
+        var i = 3
+        while (i < n) {
+          val h = (bytes(i - 3) & 0xff) * 29791 + (bytes(i - 2) & 0xff) * 961 +
+            (bytes(i - 1) & 0xff) * 31 + (bytes(i) & 0xff)
+          if (h % CdcDivisor == 0 && i + 1 < n) starts += (i + 1)
+          i += 1
+        }
+        starts += n
+        (0 until starts.length - 1).iterator.map { k =>
+          var h = 7L
+          var j = starts(k)
+          while (j < starts(k + 1)) { h = (h * 31 + (bytes(j) & 0xff)) % TextHash.P; j += 1 }
+          Chunk(b.doc_id, h, starts(k + 1) - starts(k))
+        }
+      }
+    }
+  }
+
+  /** Cross-payload chunk-reuse census over [[cdcChunks]] — the top-20
+    * most-duplicated content chunks with copy and distinct-payload
+    * counts: the table a dedup store builds its chunk index from (at
+    * sf0.01 the corpus shares ~39% of its chunks). Shuffle carries only
+    * (hash, len) pairs; top-20 is a TakeOrdered, never a global sort. */
+  def cdcChunkReuse(spark: SparkSession, dir: String): DataFrame =
+    cdcChunks(blobs(spark, dir)).toDF()
+      .groupBy(col("chunk_hash"), col("chunk_len"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_copies").desc, col("chunk_hash"), col("chunk_len"))
+      .limit(20)
+
   val ChunkLen = 400   // bytes per chunk
   val ChunkStride = 300 // bytes between chunk starts (overlap = 100)
 
@@ -310,6 +361,7 @@ object Multimodal {
     "mm_frame_sample" -> frameSample,
     "mm_audio_chunks" -> audioChunks,
     "mm_batched_infer" -> batchedInferScores,
+    "mm_cdc_chunks" -> cdcChunkReuse,
     "mm_resize" -> resize)
 }
 
@@ -471,8 +523,57 @@ object MultimodalOracles {
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
+  /** Mirrors [[Multimodal.cdcChunkReuse]]: the same hex-unpacked byte
+    * list, rolling-window boundary test, and 31-fold chunk hash, with
+    * chunk spans derived from the starts list via list slicing. */
+  val cdcChunks: String = {
+    val P = graft.functions.TextHashSql.P
+    val D = Multimodal.CdcDivisor
+    val byteAt = (pos: String) =>
+      s"""(CAST(ascii(substr(__h, CAST(2*$pos+1 AS INT), 1)) AS BIGINT)
+         |  - CASE WHEN substr(__h, CAST(2*$pos+1 AS INT), 1)
+         |         BETWEEN '0' AND '9' THEN 48 ELSE 55 END) * 16
+         |+ (CAST(ascii(substr(__h, CAST(2*$pos+2 AS INT), 1)) AS BIGINT)
+         |  - CASE WHEN substr(__h, CAST(2*$pos+2 AS INT), 1)
+         |         BETWEEN '0' AND '9' THEN 48 ELSE 55 END)""".stripMargin
+    s"""WITH bl AS (
+       |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n,
+       |         list_transform([hex(encode(text))], __h ->
+       |           list_transform(range(0, octet_length(encode(text))),
+       |             i -> (${byteAt("i")})))[1] AS bs
+       |  FROM documents),
+       |st AS (
+       |  SELECT doc_id, n, bs,
+       |         list_concat(
+       |           list_prepend(CAST(0 AS BIGINT),
+       |             list_transform(
+       |               list_filter(range(3, n),
+       |                 i -> (bs[CAST(i-2 AS INT)]*29791 + bs[CAST(i-1 AS INT)]*961
+       |                       + bs[CAST(i AS INT)]*31 + bs[CAST(i+1 AS INT)]) % $D = 0
+       |                      AND i + 1 < n),
+       |               x -> x + 1)),
+       |           [n]) AS starts
+       |  FROM bl),
+       |ch AS (
+       |  SELECT doc_id, unnest(list_transform(range(0, len(starts) - 1), k ->
+       |    struct_pack(
+       |      h := list_reduce(
+       |        list_prepend(CAST(7 AS BIGINT),
+       |          bs[CAST(starts[CAST(k+1 AS INT)] + 1 AS INT):CAST(starts[CAST(k+2 AS INT)] AS INT)]),
+       |        (a, b) -> (a*31 + b) % $P),
+       |      l := starts[CAST(k+2 AS INT)] - starts[CAST(k+1 AS INT)]))) AS c
+       |  FROM st)
+       |SELECT c.h AS chunk_hash, CAST(c.l AS INT) AS chunk_len,
+       |       CAST(count(*) AS BIGINT) AS n_copies,
+       |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |FROM ch GROUP BY 1, 2
+       |ORDER BY n_copies DESC, chunk_hash, chunk_len
+       |LIMIT 20""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "mm_batched_infer" -> batchedInfer,
+    "mm_cdc_chunks" -> cdcChunks,
     "mm_caption_batches" -> captionBatches,
     "mm_scene_cuts" -> sceneCuts,
     "mm_payload_dedup" -> payloadDedup,

@@ -57,4 +57,35 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
           || c.getAs[Boolean]("is_partial")))
     }
   }
+
+  test("cdc chunking: boundaries follow content — a front insertion shifts only the head") {
+    import spark.implicits._
+    // a real corpus payload (word-salad text chunks at ~CdcDivisor bytes;
+    // synthetic linear byte sequences can dodge the mod-32 boundary test)
+    import org.apache.spark.sql.functions._
+    val txt = graft.sources.Tables.documents(spark, sf)
+      .orderBy(length(col("text")).desc, col("doc_id")).select("text")
+      .head().getString(0)
+    val base = (txt * 5).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val inserted = Array.fill[Byte](7)(88) ++ base
+    def chunksOf(id: Long, p: Array[Byte]) =
+      Multimodal.cdcChunks(Seq(Multimodal.MediaBlob(id, "image", p)).toDS())
+        .collect().sortBy(_.doc_id).map(c => (c.chunk_hash, c.chunk_len))
+    val a = chunksOf(1, base)
+    val b = chunksOf(2, inserted)
+    assert(a.length >= 20, s"fixture payload should produce many chunks (${a.length})")
+    // total chunk length covers the payload exactly, both ways
+    assert(a.map(_._2).sum == base.length && b.map(_._2).sum == inserted.length)
+    // content-defined boundaries re-synchronize after the insertion: the
+    // chunk sequences share all but the head few chunks as a common
+    // SUFFIX (fixed-stride chunking would shift every chunk and share
+    // nothing)
+    val suffix = a.reverse.zip(b.reverse).takeWhile { case (x, y) => x == y }.length
+    assert(suffix >= a.length - 3,
+      s"common suffix $suffix of ${a.length} after a 7-byte front insert")
+    // corpus census: real cross-payload reuse exists on the fixture
+    val top = Multimodal.cdcChunkReuse(spark, sf).collect()
+    assert(top.head.getAs[Long]("n_copies") > 1, "top chunk should be shared")
+    assert(top.forall(r => r.getAs[Long]("n_docs") <= r.getAs[Long]("n_copies")))
+  }
 }
