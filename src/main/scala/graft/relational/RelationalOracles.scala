@@ -1012,6 +1012,23 @@ object RelationalOracles {
         |FROM orders
         |ORDER BY custkey, orderkey""".stripMargin,
 
+    "rel_seasonal" ->
+      """WITH e AS (
+        |  SELECT event_id, value,
+        |         dayofweek(ts) AS dow, CAST(hour(ts) AS INT) AS hr
+        |  FROM events),
+        |prof AS (
+        |  SELECT dow, hr, CAST(COUNT(*) AS BIGINT) AS n_cell,
+        |         AVG(value) AS mu
+        |  FROM e GROUP BY dow, hr)
+        |SELECT event_id, e.dow, e.hr, n_cell, value,
+        |       ROUND(mu, 4) AS seasonal_mean,
+        |       ROUND(value - mu, 4) AS residual,
+        |       ROUND(ABS(value - mu), 4) AS abs_residual
+        |FROM e JOIN prof ON e.dow = prof.dow AND e.hr = prof.hr
+        |ORDER BY abs_residual DESC, event_id
+        |LIMIT 15""".stripMargin,
+
     "rel_events_hourly" ->
       """SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
         |       COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value

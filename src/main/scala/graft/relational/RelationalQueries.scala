@@ -147,6 +147,31 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** Seasonal baseline decomposition + residual outliers — the ops-
+    * monitoring classic: fit a (day-of-week × hour) seasonal mean over
+    * the event stream, then surface the top-15 events by |value −
+    * seasonal mean| — anomalies RELATIVE to the weekly rhythm, which a
+    * global outlier scan ([[madOutliers]]) misses when the rhythm itself
+    * swings wider than the anomaly. The profile is a ≤168-row frame that
+    * broadcasts back onto the scan (one shuffle for the profile agg, a
+    * map-side join after); ranking keys on the 4-dp-rounded residual so
+    * double summation-order noise in the unrounded mean can't reorder
+    * ties across engines. dow is 0=Sunday in both (Spark dayofweek−1 ≡
+    * DuckDB dayofweek). */
+  def seasonal(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("event_id"), col("value"),
+      (dayofweek(col("ts")) - 1).as("dow"), hour(col("ts")).as("hr"))
+    val prof = e.groupBy(col("dow"), col("hr"))
+      .agg(count(lit(1)).as("n_cell"), avg(col("value")).as("mu"))
+    e.join(broadcast(prof), Seq("dow", "hr"))
+      .select(col("event_id"), col("dow"), col("hr"), col("n_cell"),
+        col("value"), round(col("mu"), 4).as("seasonal_mean"),
+        round(col("value") - col("mu"), 4).as("residual"),
+        round(abs(col("value") - col("mu")), 4).as("abs_residual"))
+      .orderBy(col("abs_residual").desc, col("event_id"))
+      .limit(15)
+  }
+
   /** A6 population stddev (MySQL STDDEV ≡ stddev_pop, never sample). */
   def stddev(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
@@ -2354,6 +2379,7 @@ object RelationalQueries {
     "rel_fuzzy_join" -> fuzzyJoin,
     "rel_profile" -> profile,
     "rel_expectations" -> expectations,
+    "rel_seasonal" -> seasonal,
     "rel_approx_agg" -> approxAgg,
     "rel_array_ops" -> arrayOps,
     "rel_datetime_ops" -> datetimeOps,

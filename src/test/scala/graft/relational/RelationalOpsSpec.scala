@@ -301,6 +301,27 @@ class RelationalOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("seasonal outliers: residuals recompute from the cell means") {
+    val rows = RelationalQueries.seasonal(spark, sf).collect()
+    assert(rows.length == 15)
+    val cells = graft.sources.Tables.events(spark, sf)
+      .select((dayofweek(col("ts")) - 1).as("dow"), hour(col("ts")).as("hr"), col("value"))
+      .collect().groupBy(r => (r.getAs[Int]("dow"), r.getAs[Int]("hr")))
+      .view.mapValues(rs => (rs.length.toLong,
+        rs.map(_.getAs[Double]("value")).sum / rs.length)).toMap
+    rows.foreach { r =>
+      val key = (r.getAs[Int]("dow"), r.getAs[Int]("hr"))
+      val (n, mu) = cells(key)
+      assert(r.getAs[Long]("n_cell") == n)
+      assert(math.abs(r.getAs[Double]("seasonal_mean") - mu) < 1e-3)
+      assert(math.abs(r.getAs[Double]("residual") -
+        (r.getAs[Double]("value") - mu)) < 1e-3)
+    }
+    // ranked by |residual| descending
+    val absr = rows.map(_.getAs[Double]("abs_residual"))
+    assert(absr.zip(absr.tail).forall { case (a, b) => a >= b })
+  }
+
   test("expectations gate: statuses match violations, counts match direct recounts") {
     val rows = RelationalQueries.expectations(spark, sf).collect()
       .map(r => r.getAs[String]("check_name") ->
