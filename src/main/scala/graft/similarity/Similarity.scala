@@ -926,32 +926,33 @@ object Similarity {
     val a = e.filter(col("vec_id") < TripletAnchors)
       .select(col("vec_id").as("anchor"), col("label").as("a_label"),
         col("embedding").as("av"), col("nrm").as("an"))
-    val pairs = broadcast(a).join(
+    def pairs = broadcast(a).join(
         e.select(col("vec_id").as("cid"), col("label").as("c_label"),
           col("embedding").as("cv"), col("nrm").as("cn")),
         col("anchor") =!= col("cid"))
       .select(col("anchor"), col("a_label"), col("cid"), col("c_label"),
         (graft.functions.GraftFunctions.dot(spark, col("av"), col("cv")) /
           (col("an") * col("cn"))).as("raw"))
-      // both per-anchor extremes and the violation count consume this
-      // frame; checkpoint so the broadcast-nested-loop scan runs once
+    // scan 1: BOTH extremes in one conditional aggregate — the Q×N pair
+    // frame is never materialized (at corpus scale 40·N rows would be a
+    // checkpoint the pipeline can't afford; map-side partials reduce it
+    // to 40 rows before anything persists)
+    val ext = pairs.groupBy(col("anchor"), col("a_label").as("label"))
+      .agg(
+        min(when(col("c_label") === col("a_label"),
+          struct(col("raw"), col("cid")))).as("p"),
+        max(when(col("c_label") =!= col("a_label"),
+          struct(col("raw"), (-col("cid")).as("ncid")))).as("n"))
+      .select(col("anchor"), col("label"),
+        col("p.cid").as("pos_id"), col("p.raw").as("pos_raw"),
+        (-col("n.ncid")).as("neg_id"), col("n.raw").as("neg_raw"))
       .localCheckpoint(true)
-    val pos = pairs.filter(col("c_label") === col("a_label"))
-      .groupBy(col("anchor"))
-      .agg(min(struct(col("raw"), col("cid"))).as("p"))
-      .select(col("anchor"), col("p.cid").as("pos_id"), col("p.raw").as("pos_raw"))
-    val neg = pairs.filter(col("c_label") =!= col("a_label"))
-      .groupBy(col("anchor"))
-      .agg(max(struct(col("raw"), (-col("cid")).as("ncid"))).as("n"))
-      .select(col("anchor"), (-col("n.ncid")).as("neg_id"),
-        col("n.raw").as("neg_raw"))
-    val viol = pairs.join(pos.select(col("anchor"), col("pos_raw")), Seq("anchor"))
+    // scan 2: violation census against the broadcast 40-row extremes
+    val viol = pairs
+      .join(broadcast(ext.select(col("anchor"), col("pos_raw"))), Seq("anchor"))
       .filter(col("c_label") =!= col("a_label") && col("raw") > col("pos_raw"))
       .groupBy(col("anchor")).agg(count(lit(1)).as("n_violations"))
-    pairs.select(col("anchor"), col("a_label").as("label")).distinct()
-      .join(pos, Seq("anchor"), "left")
-      .join(neg, Seq("anchor"), "left")
-      .join(viol, Seq("anchor"), "left")
+    ext.join(viol, Seq("anchor"), "left")
       .select(col("anchor"), col("label"), col("pos_id"),
         round(col("pos_raw"), 6).as("pos_sim"),
         col("neg_id"), round(col("neg_raw"), 6).as("neg_sim"),

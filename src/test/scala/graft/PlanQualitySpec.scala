@@ -490,15 +490,16 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
       p.take(1500))
   }
 
-  test("triplet mining: one checkpointed pair pass; no corpus re-scan downstream") {
-    // the anchor×corpus cosine pass materializes ONCE behind the local
-    // checkpoint (its own plan is the broadcast nested-loop knnBrute
-    // shape); everything after — pos/neg extremes, violation census,
-    // final assembly — must consume that RDD, never re-read parquet
+  test("triplet mining: two corpus scans, pair frame never materialized") {
+    // scan 1 (both extremes in one conditional aggregate) persists only
+    // the 40-row result behind the checkpoint; scan 2 (violation census)
+    // re-reads the corpus against the broadcast extremes. The Q×N pair
+    // frame itself must never materialize — so the plan shows the tiny
+    // ExistingRDD plus at most the two corpus file scans
     val p = plan("sim_triplet_mining")
     assert(p.contains("Scan ExistingRDD"), p.take(1500))
-    assert(!p.contains("FileScan parquet"),
-      s"corpus re-scanned after the pair pass:\n${p.take(1500)}")
+    assert("FileScan parquet".r.findAllIn(p).size <= 2,
+      s"extra corpus scans:\n${p.take(1500)}")
     // and the pair pass itself broadcasts the anchors against the scan
     val pairs = graft.sources.Tables.embeddings(spark, sf)
     import org.apache.spark.sql.functions._
