@@ -444,14 +444,37 @@ object Dedup {
 
   val AnnPlanes = 6
 
+  /** Expected vectors per hyperplane bucket that the plane count targets.
+    * Within-bucket pair cost is Σ|bucket|² ≈ N·[[AnnBucketTarget]], so
+    * holding the target constant keeps the candidate join LINEAR in N. */
+  val AnnBucketTarget = 64L
+
+  /** Plane count for a corpus of n vectors: smallest p ≥ [[AnnPlanes]]
+    * with 64·2^p ≥ n, i.e. enough hyperplanes that the expected bucket
+    * holds ≤ [[AnnBucketTarget]] vectors (n ≤ 4096 resolves to exactly 6,
+    * so the small correctness scales are unchanged). Pure integer
+    * comparison — no float log2 whose rounding at exact powers could
+    * disagree with the DuckDB oracle, which computes the same search
+    * over `range(6, 32)` from count(*) in-query. */
+  def annPlanesFor(n: Long): Int = {
+    var p = AnnPlanes
+    while ((AnnBucketTarget << p) < n) p += 1
+    p
+  }
+
   /** Embedding-cosine near-dup: block on random-hyperplane LSH bucket
-    * (64 buckets here; at 100 TB, more planes + multi-probe), cosine within
-    * bucket, global top-20. */
+    * (plane count scaled so expected bucket size stays ~constant — the
+    * fixed-bucket-count variant is quadratic in N; at 100 TB add
+    * multi-probe to buy recall back), cosine within bucket, global
+    * top-20. The one-row count that sizes the planes is the same eager
+    * staging pattern as [[stageEdges]]. */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir).select(
+    val base = Tables.embeddings(spark, dir)
+    val planes = annPlanesFor(base.count())
+    val e = base.select(
       col("vec_id"), col("embedding"),
       graft.functions.GraftFunctions.l2norm(spark, col("embedding")).as("nrm"),
-      lshBucket(col("embedding"), 64, AnnPlanes).as("bucket"))
+      lshBucket(col("embedding"), 64, planes).as("bucket"))
     e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),

@@ -185,9 +185,13 @@ object DedupOracles {
        |LIMIT 20""".stripMargin
 
   val embeddingNearDup: String =
-    s"""WITH e AS (
+    s"""WITH np AS (
+       |  SELECT MIN(p) AS planes FROM range(${Dedup.AnnPlanes}, 32) t(p)
+       |  WHERE (CAST(${Dedup.AnnBucketTarget} AS BIGINT) << p) >=
+       |        (SELECT count(*) FROM embeddings)),
+       |e AS (
        |  SELECT vec_id, embedding,
-       |         ${lshBucket("embedding", 64, Dedup.AnnPlanes)} AS bucket
+       |         ${lshBucketDyn("embedding", 64, "(SELECT planes FROM np)")} AS bucket
        |  FROM embeddings)
        |SELECT a.vec_id AS id1, b.vec_id AS id2, a.bucket AS bucket,
        |       round(${cosine("a.embedding", "b.embedding")}, 6) AS cos_sim

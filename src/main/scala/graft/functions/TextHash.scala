@@ -216,4 +216,17 @@ object TextHashSql {
         s"CAST($v[i] AS DOUBLE))), (s, x) -> s + x)"
       s"(CASE WHEN $proj > 0.0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  /** [[lshBucket]] with a plane count that is itself a SQL expression
+    * (data-adaptive blocking — Dedup.annPlanesFor mirrored in-query):
+    * the per-plane terms can't be unrolled at text-build time, so the
+    * plane loop becomes a list_transform over range(0, planes) with the
+    * projection as a nested lambda. `planesExpr` must be scalar. */
+  def lshBucketDyn(v: String, dim: Int, planesExpr: String): String = {
+    val proj = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, ${dim + 1}), i -> CAST((i*37 + j*101) % 19 - 9 AS DOUBLE) * " +
+      s"CAST($v[i] AS DOUBLE))), (s, x) -> s + x)"
+    s"CAST(list_sum(list_transform(range(0, $planesExpr), " +
+      s"j -> CASE WHEN $proj > 0.0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+  }
 }
