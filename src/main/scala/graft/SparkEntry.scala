@@ -110,6 +110,9 @@ object SparkEntry {
     // bus-bunching / service-regularity KPI over the headway gap frame
     "transit_bunching" -> ((s, dir) =>
       Queries.bunching(TransitTables.fromTpch(s, dir))),
+    // journey-pattern mining: trips grouped by exact ordered stop sequence
+    "transit_trip_patterns" -> ((s, dir) =>
+      Queries.tripPatterns(TransitTables.fromTpch(s, dir))),
     "transit_reachability" -> ((s, dir) =>
       Queries.reachability(TransitTables.fromTpch(s, dir), 42L)),
     // the same fixpoint at a deeper horizon — proves the loop generalizes
@@ -276,6 +279,7 @@ object SparkEntry {
     "transit_q4_sqltext" -> TransitOracles.q4Weekday,
     "transit_headways" -> TransitOracles.headways,
     "transit_bunching" -> TransitOracles.bunching,
+    "transit_trip_patterns" -> TransitOracles.tripPatterns,
     "transit_reachability" -> TransitOracles.reachability(42L),
     "transit_reachability_k3" -> TransitOracles.reachability(42L, maxRides = 3),
     "transit_stop_pairs" -> TransitOracles.stopPairsDirect,

@@ -904,6 +904,68 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** Vocabulary-growth / Heaps-law audit — the corpus-statistics curve a
+    * tokenizer team reads before sizing a vocab: cumulative distinct
+    * token count as the corpus grows doc-by-doc, in ten equal-width
+    * doc_id slices, plus the fitted Heaps exponent β (V ≈ k·Nᵝ; natural
+    * text sits near 0.5 — a β drifting toward 1 means the "vocabulary"
+    * never saturates, i.e. junk/IDs; toward 0 means heavy duplication).
+    *
+    * Decile of a doc: pure integer arithmetic over [min, max] doc_id
+    * (`((id−lo)·10) DIV (hi−lo) + 1`, capped at 10) — the boundary
+    * semantics ARE the formula, mirrored verbatim in the oracle, so no
+    * exact order statistic (global sort) is ever needed. A token's first
+    * appearance is min(decile) over its 8-byte hash ([[TextHash]]
+    * discipline: the vocab shuffle carries hashes, not words). The
+    * ten-row histogram cumulates by window; β comes from a log-log OLS
+    * folded over the DECILE-SORTED point list with sequential
+    * `aggregate`, so both engines sum the ten doubles in the same order
+    * (the [[entropy]] discipline), rounded 4 dp. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val mm = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+    val bucketed = docs.crossJoin(broadcast(mm))
+      .select(col("doc_id"), TextHash.tokenHashes(col("text")).as("toks"),
+        expr("CASE WHEN hi = lo THEN 10L ELSE " +
+          "LEAST(10L, ((doc_id - lo) * 10) DIV (hi - lo) + 1) END").as("d"))
+    val dh = bucketed.groupBy(col("d")).agg(
+      count(lit(1)).as("nd"), sum(size(col("toks")).cast("long")).as("nt"))
+    val vh = bucketed.select(col("d"), explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(min(col("d")).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("nv"))
+    val hist = spark.range(1, 11).toDF("d")
+      .join(dh, Seq("d"), "left").join(vh, Seq("d"), "left")
+      .select(col("d"), coalesce(col("nd"), lit(0L)).as("nd"),
+        coalesce(col("nt"), lit(0L)).as("nt"),
+        coalesce(col("nv"), lit(0L)).as("nv"))
+    val wc = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.select(col("d").as("decile"),
+      sum(col("nd")).over(wc).as("n_docs_cum"),
+      sum(col("nt")).over(wc).as("n_tokens_cum"),
+      sum(col("nv")).over(wc).as("vocab_cum"))
+    val beta = cum
+      .agg(array_sort(collect_list(struct(col("decile"),
+        col("n_tokens_cum").as("t"), col("vocab_cum").as("v")))).as("a"))
+      .select(
+        aggregate(transform(col("a"), p =>
+          log(p.getField("t").cast("double"))), lit(0.0), _ + _).as("sx"),
+        aggregate(transform(col("a"), p =>
+          log(p.getField("v").cast("double"))), lit(0.0), _ + _).as("sy"),
+        aggregate(transform(col("a"), p =>
+          log(p.getField("t").cast("double")) *
+            log(p.getField("v").cast("double"))), lit(0.0), _ + _).as("sxy"),
+        aggregate(transform(col("a"), p =>
+          log(p.getField("t").cast("double")) *
+            log(p.getField("t").cast("double"))), lit(0.0), _ + _).as("sxx"))
+      .select(when(abs(lit(10.0) * col("sxx") - col("sx") * col("sx")) > 1e-12,
+        round((lit(10.0) * col("sxy") - col("sx") * col("sy")) /
+          (lit(10.0) * col("sxx") - col("sx") * col("sx")), 4))
+        .as("heaps_beta"))
+    cum.crossJoin(broadcast(beta)).orderBy("decile")
+  }
+
   /** Bigram LM quality proxy — the CCNet/KenLM-filter shape: an in-corpus
     * bigram model P(w₂|w₁) = c(w₁w₂) / c(w₁·) scores every document by
     * its mean bigram log-probability and perplexity. Garbled text scores
@@ -1561,6 +1623,7 @@ object TextAnalysis {
     "text_shard_manifest" -> shardManifest,
     "text_lm_score" -> lmScore,
     "text_vocab_coverage" -> vocabCoverage,
+    "text_vocab_growth" -> vocabGrowth,
     "text_filter_funnel" -> filterFunnel,
     "text_pii_redact" -> piiRedact,
     "text_domain_cap" -> domainCap,

@@ -742,6 +742,69 @@ object TextOracles {
        |             (SELECT SUM(c) FROM counts), 6) AS cum_coverage
        |FROM top ORDER BY rank""".stripMargin
 
+  /** Heaps-law OLS folded over the decile-sorted point list with
+    * sequential list_reduce — the same fixed summation order as the
+    * Spark face's `aggregate`, so the ten-point double sums agree. */
+  val vocabGrowth: String =
+    s"""WITH mm AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi
+       |            FROM documents),
+       |b AS (
+       |  SELECT doc_id,
+       |         CASE WHEN hi = lo THEN 10
+       |              ELSE LEAST(10, ((doc_id - lo) * 10) // (hi - lo) + 1)
+       |         END AS d,
+       |         ${tokenHashes("text")} AS toks
+       |  FROM documents, mm),
+       |dh AS (SELECT d, CAST(count(*) AS BIGINT) AS nd,
+       |              CAST(sum(len(toks)) AS BIGINT) AS nt
+       |       FROM b GROUP BY d),
+       |vh AS (SELECT d, CAST(count(*) AS BIGINT) AS nv FROM (
+       |         SELECT min(d) AS d
+       |         FROM (SELECT d, unnest(toks) AS w FROM b) GROUP BY w)
+       |       GROUP BY d),
+       |hist AS (
+       |  SELECT CAST(r.range AS BIGINT) AS d,
+       |         coalesce(nd, 0) AS nd, coalesce(nt, 0) AS nt,
+       |         coalesce(nv, 0) AS nv
+       |  FROM range(1, 11) r
+       |  LEFT JOIN dh ON dh.d = r.range LEFT JOIN vh ON vh.d = r.range),
+       |cum AS (
+       |  SELECT d AS decile,
+       |         CAST(sum(nd) OVER w AS BIGINT) AS n_docs_cum,
+       |         CAST(sum(nt) OVER w AS BIGINT) AS n_tokens_cum,
+       |         CAST(sum(nv) OVER w AS BIGINT) AS vocab_cum
+       |  FROM hist
+       |  WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+       |               AND CURRENT ROW)),
+       |pts AS (
+       |  SELECT list(ln(CAST(n_tokens_cum AS DOUBLE)) ORDER BY decile) AS xs,
+       |         list(ln(CAST(vocab_cum AS DOUBLE)) ORDER BY decile) AS ys,
+       |         list(ln(CAST(n_tokens_cum AS DOUBLE)) *
+       |              ln(CAST(vocab_cum AS DOUBLE)) ORDER BY decile) AS xys,
+       |         list(ln(CAST(n_tokens_cum AS DOUBLE)) *
+       |              ln(CAST(n_tokens_cum AS DOUBLE)) ORDER BY decile) AS xxs
+       |  FROM cum),
+       |sums AS (
+       |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs),
+       |           (s, x) -> s + x) AS sx,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ys),
+       |           (s, x) -> s + x) AS sy,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xys),
+       |           (s, x) -> s + x) AS sxy,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xxs),
+       |           (s, x) -> s + x) AS sxx
+       |  FROM pts),
+       |beta AS (
+       |  SELECT CASE WHEN abs(10.0 * sxx - sx * sx) > 1e-12 THEN
+       |           round((10.0 * sxy - sx * sy) /
+       |                 (10.0 * sxx - sx * sx), 4)
+       |         END AS heaps_beta
+       |  FROM sums)
+       |SELECT c.decile, c.n_docs_cum, c.n_tokens_cum, c.vocab_cum,
+       |       b2.heaps_beta
+       |FROM cum c, beta b2
+       |ORDER BY c.decile""".stripMargin
+
   val lmScore: String = {
     // n=2 shingle hash at position i, exactly TextHashSql.shingleHashes
     var acc = "CAST(17 AS BIGINT)"
@@ -965,6 +1028,7 @@ object TextOracles {
     "text_shard_manifest" -> shardManifest,
     "text_lm_score" -> lmScore,
     "text_vocab_coverage" -> vocabCoverage,
+    "text_vocab_growth" -> vocabGrowth,
     "text_filter_funnel" -> filterFunnel,
     "text_pii_redact" -> piiRedact,
     "text_domain_cap" -> domainCap,

@@ -1461,4 +1461,46 @@ object Queries {
       .reduce(_ unionByName _)
       .orderBy("check_name")
   }
+
+  /** Trip-pattern extraction — the GTFS service-pattern mining pass (what
+    * transit tooling calls "journey patterns" / per-route "variations",
+    * the list a scheduler sees under each route): trips grouped by their
+    * exact ordered stop sequence, patterns ranked per route by trip
+    * count. Reference scope: the per-route trip listings in the UI
+    * (`SQL/app.py` route detail) enumerate these implicitly; this makes
+    * the pattern the first-class row.
+    *
+    * Scale shape: two hash aggs. The trip-keyed one rebuilds each ordered
+    * sequence via array_sort(collect_list(struct(seq, stop))) — partial-
+    * aggregable, never a per-trip window sort — and immediately reduces
+    * it to a 32-hex md5 fingerprint, so the pattern-keyed shuffle carries
+    * fingerprints, not stop arrays, regardless of trip length. The rank
+    * window partitions by route (bounded groups). */
+  def tripPatterns(t: TransitTables): DataFrame = {
+    val seqs = t.stopTimes
+      .select(col("trip_id"), col("stop_sequence"), col("stop_id"))
+      .groupBy(col("trip_id"))
+      .agg(array_sort(collect_list(
+        struct(col("stop_sequence"), col("stop_id")))).as("sq"))
+      .select(col("trip_id"),
+        transform(col("sq"), x => x.getField("stop_id").cast("string"))
+          .as("stops"))
+      .select(col("trip_id"),
+        md5(array_join(col("stops"), ">").cast("binary")).as("pattern_fp"),
+        size(col("stops")).cast("long").as("n_stops"),
+        element_at(col("stops"), 1).as("first_stop"),
+        element_at(col("stops"), -1).as("last_stop"))
+    val pat = seqs
+      .join(t.trips.select(col("trip_id"), col("route_id")), "trip_id")
+      .groupBy(col("route_id"), col("pattern_fp"), col("n_stops"),
+        col("first_stop"), col("last_stop"))
+      .agg(count(lit(1)).as("n_trips"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("route_id"))
+      .orderBy(col("n_trips").desc, col("pattern_fp"))
+    pat.select(col("route_id"), row_number().over(w).as("pattern_rank"),
+        col("pattern_fp"), col("n_trips"), col("n_stops"),
+        col("first_stop"), col("last_stop"))
+      .orderBy(col("route_id"), col("pattern_rank"))
+  }
 }

@@ -1087,4 +1087,31 @@ object TransitOracles {
        |  AND t.trip_headsign IS NOT NULL AND t.trip_headsign <> 'NOT IN SERVICE'
        |GROUP BY r.route_short_name, t.trip_headsign
        |ORDER BY route_short_name NULLS FIRST, trip_headsign""".stripMargin
+
+  /** Independent reconstruction of the ordered stop sequence per trip
+    * (string_agg ORDER BY vs Spark's array_sort(collect_list)) — the
+    * fingerprint hash-match certifies the two orderings agree exactly. */
+  val tripPatterns: String =
+    s"""$P, seqs AS (
+       |  SELECT trip_id,
+       |         md5(string_agg(CAST(stop_id AS VARCHAR), '>'
+       |               ORDER BY stop_sequence, stop_id)) AS pattern_fp,
+       |         CAST(count(*) AS BIGINT) AS n_stops,
+       |         list(CAST(stop_id AS VARCHAR)
+       |              ORDER BY stop_sequence, stop_id)[1] AS first_stop,
+       |         list(CAST(stop_id AS VARCHAR)
+       |              ORDER BY stop_sequence, stop_id)[-1] AS last_stop
+       |  FROM stop_times GROUP BY trip_id),
+       |pat AS (
+       |  SELECT t.route_id, s.pattern_fp, s.n_stops, s.first_stop,
+       |         s.last_stop, CAST(count(*) AS BIGINT) AS n_trips
+       |  FROM seqs s JOIN trips t ON t.trip_id = s.trip_id
+       |  GROUP BY t.route_id, s.pattern_fp, s.n_stops, s.first_stop,
+       |           s.last_stop)
+       |SELECT route_id,
+       |       row_number() OVER (PARTITION BY route_id
+       |         ORDER BY n_trips DESC, pattern_fp) AS pattern_rank,
+       |       pattern_fp, n_trips, n_stops, first_stop, last_stop
+       |FROM pat
+       |ORDER BY route_id, pattern_rank""".stripMargin
 }

@@ -247,6 +247,28 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("vocab growth: cumulative curve ties to direct recounts, β defined") {
+    import org.apache.spark.sql.functions._
+    val rows = TextAnalysis.vocabGrowth(spark, sf).collect()
+      .sortBy(_.getAs[Long]("decile"))
+    assert(rows.map(_.getAs[Long]("decile")).toSeq == (1L to 10L))
+    // cumulative columns are monotone non-decreasing
+    for (c <- Seq("n_docs_cum", "n_tokens_cum", "vocab_cum");
+         w <- rows.map(_.getAs[Long](c)).sliding(2))
+      assert(w(0) <= w(1), s"$c not monotone")
+    // decile 10 is the whole corpus: doc count, token count, and the
+    // distinct-token-hash vocabulary all tie to direct recounts
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val hashed = docs.select(
+      explode(graft.functions.TextHash.tokenHashes(col("text"))).as("h"))
+    assert(rows.last.getAs[Long]("n_docs_cum") == docs.count())
+    assert(rows.last.getAs[Long]("n_tokens_cum") == hashed.count())
+    assert(rows.last.getAs[Long]("vocab_cum") == hashed.distinct().count())
+    // β is present and identical on every row (a single fitted scalar)
+    val betas = rows.map(_.getAs[Double]("heaps_beta")).distinct
+    assert(betas.length == 1 && !betas.head.isNaN)
+  }
+
   test("anneal mix: budgets respect the phase split and HQ pools") {
     val rows = TextAnalysis.annealMix(spark, sf).collect()
     val b = rows.map(_.getAs[Long]("tokens_total")).sum

@@ -215,4 +215,31 @@ class QueriesSpec extends SparkSpec {
     assert(at6.values.sum == 500L, "every stop lands in exactly one layer")
     assert(at6.keys.count(_ > 0) >= 2, "peeling must cascade over ≥2 rounds")
   }
+
+  test("trip patterns: exact ordered-sequence grouping, per-route rank, cross-route fp") {
+    val got = Queries.tripPatterns(t).collect()
+      .map(r => (r.getAs[String]("route_id"), r.getAs[Int]("pattern_rank"),
+        r.getAs[String]("pattern_fp"), r.getAs[Long]("n_trips"),
+        r.getAs[Long]("n_stops"), r.getAs[String]("first_stop"),
+        r.getAs[String]("last_stop")))
+    // R1: T1,T2 share A>HUB>B; T3,T4 share A>HUB; T8 alone on A>B —
+    // the two 2-trip patterns take ranks 1–2, the singleton rank 3
+    val r1 = got.filter(_._1 == "R1")
+    assert(r1.length == 3)
+    assert(r1.filter(_._4 == 2L).map(p => (p._5, p._6, p._7)).toSet ==
+      Set((3L, "A", "B"), (2L, "A", "HUB")))
+    assert(r1.filter(_._4 == 2L).map(_._2).toSet == Set(1, 2))
+    assert(r1.find(_._2 == 3).map(p => (p._4, p._5, p._6, p._7)) ==
+      Some((1L, 2L, "A", "B")))
+    // R2: HUB>C (T6) and HUB>D (T7), one trip each
+    val r2 = got.filter(_._1 == "R2")
+    assert(r2.map(p => (p._4, p._6, p._7)).toSet ==
+      Set((1L, "HUB", "C"), (1L, "HUB", "D")))
+    // R3's single pattern (T5: HUB>C) has the SAME fingerprint as R2's
+    // HUB>C — the fp is a pure function of the stop sequence, patterns
+    // are per-route rows
+    val r3 = got.filter(_._1 == "R3")
+    assert(r3.length == 1 && r3.head._4 == 1L)
+    assert(r2.exists(p => p._7 == "C" && p._3 == r3.head._3))
+  }
 }
