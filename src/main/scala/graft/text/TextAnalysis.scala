@@ -925,10 +925,14 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
     val mm = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+    // two consumers (doc histogram + vocab first-seen) would each re-run
+    // the tokenize+hash scan — column pruning defeats exchange reuse here
+    // exactly as in [[lmScore]]; materialize the hashed frame once
     val bucketed = docs.crossJoin(broadcast(mm))
       .select(col("doc_id"), TextHash.tokenHashes(col("text")).as("toks"),
         expr("CASE WHEN hi = lo THEN 10L ELSE " +
           "LEAST(10L, ((doc_id - lo) * 10) DIV (hi - lo) + 1) END").as("d"))
+      .localCheckpoint(true)
     val dh = bucketed.groupBy(col("d")).agg(
       count(lit(1)).as("nd"), sum(size(col("toks")).cast("long")).as("nt"))
     val vh = bucketed.select(col("d"), explode(col("toks")).as("w"))

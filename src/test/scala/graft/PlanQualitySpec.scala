@@ -527,6 +527,26 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("windowspecdefinition(route_id#"), p.take(1500))
   }
 
+  test("trip patterns: ordered rebuild is an aggregate; rank window stays route-keyed") {
+    val p = plan("transit_trip_patterns")
+    // array_sort(collect_list) plans as ObjectHashAggregate — partial-
+    // aggregable; a per-trip Window sort here would global-sort stop_times
+    assert(p.contains("ObjectHashAggregate"), p.take(1500))
+    assert(p.contains("windowspecdefinition(route_id#"), p.take(1500))
+    assert(!p.contains("windowspecdefinition()"), p.take(1500))
+  }
+
+  test("vocab growth: hashed token frame materializes once, no corpus re-tokenize") {
+    // the checkpoint barrier means the executed plan's scans are the tiny
+    // min/max pass plus the checkpoint build — consumers read the RDD, so
+    // the tokenize+hash projection cannot appear twice
+    val p = plan("text_vocab_growth")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      p.take(1500))
+    assert("FileScan parquet".r.findAllIn(p).size <= 1,
+      s"corpus re-scanned:\n${p.take(1500)}")
+  }
+
   test("sketch aggregates land within 5% of exact (HLL distinct, t-digest median)") {
     // the tolerance check is computed in-plan from the real sketch values
     // (exact vs approx in one aggregate); the oracle hashes it as TRUE, and
