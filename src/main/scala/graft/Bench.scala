@@ -16,9 +16,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // data-sized AQE starting grid (graft.Scale): identical to the fixed
+    // 32 grid at small SF (AQE coalesces down anyway), fans heavy
+    // shuffles out at sf10+ so per-task state fits its memory share
+    val initParts = Scale.initialShufflePartitions(sfDir, cpus.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        initParts.toString)
       // local[32]/128GB: let mid-size dims (trips at sf0.1) broadcast; on a
       // real cluster AQE re-decides per stage from runtime sizes
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
@@ -79,19 +85,25 @@ object Bench {
       val warm = math.min(runOnce(name, fn), runOnce(name, fn))
       (name, cold, warm)
     }
-    def fmtMap(f: ((String, Double, Double)) => Double): String =
-      results.map { r => "\"" + r._1 + f"""\":${f(r)}%.3f""" }
-        .mkString("{", ",", "}")
     val totalWarm = results.map(_._3).sum
     val totalCold = results.map(_._2).sum
-    // Contract line: "queries" stays a flat {name: sec} map (warm — the
-    // comparable number), with the cold map alongside. The driver captures
-    // only the TAIL of output and has truncated this line mid-map in past
-    // rounds, so the full artifact ALSO lands in two files: target/bench
-    // .json (scratch) and reports/bench_full.json ({query: {cold, warm}},
-    // committed per round — the durable judge-facing copy).
+    // Contract line: the driver keeps only the last ~2000 chars of stdout
+    // (BENCH_r9's `tail` cut the 13 KB full-map line mid-map → parsed:
+    // null), so the printed line must be COMPACT and complete inside that
+    // window: headline q1–q4 warm seconds (the baseline-comparable faces),
+    // per-family warm subtotals, and a pointer to the committed full
+    // {query: {cold, warm}} map in reports/bench_full.json.
+    val headline = Seq("q1" -> "transit_q1_weekday", "q2" -> "transit_q2_weekday",
+      "q3" -> "transit_q3_weekday", "q4" -> "transit_q4_weekday")
+    val byName = results.map(r => r._1 -> r._3).toMap
+    val headMap = headline.collect { case (alias, n) if byName.contains(n) =>
+      f""""$alias":${byName(n)}%.3f""" }.mkString("{", ",", "}")
+    val famMap = results.groupBy(_._1.takeWhile(_ != '_'))
+      .toSeq.sortBy(_._1)
+      .map { case (fam, rs) => f""""$fam":${rs.map(_._3).sum}%.3f""" }
+      .mkString("{", ",", "}")
     val line =
-      f"""{"metric":"total_query_time","value":$totalWarm%.3f,"unit":"sec","total_cold":$totalCold%.3f,"queries_cold":${fmtMap(_._2)},"queries":${fmtMap(_._3)},"sf":"$sfDir"}"""
+      f"""{"metric":"total_query_time","value":$totalWarm%.3f,"unit":"sec","total_cold":$totalCold%.3f,"n_queries":${results.size},"queries":$headMap,"families_warm":$famMap,"full_map":"reports/bench_full.json","sf":"$sfDir"}"""
     println(line)
     val full = results.map { case (n, c, w) =>
       "\"" + n + f"""\":{"cold":$c%.3f,"warm":$w%.3f}"""

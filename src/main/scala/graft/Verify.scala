@@ -9,9 +9,14 @@ object Verify {
     // optional 3rd arg: comma-separated name prefixes (local iteration only)
     val prefixes = if (args.length > 2) args(2).split(",").toSeq else Seq("")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // data-sized AQE starting grid (graft.Scale) — no-op at the small
+    // correctness SFs, keeps sf10 spot-checks from memory-starving
+    val initParts = Scale.initialShufflePartitions(sfDir, cpus.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        initParts.toString)
       // local[32]/128GB: let mid-size dims (trips at sf0.1) broadcast; on a
       // real cluster AQE re-decides per stage from runtime sizes
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")

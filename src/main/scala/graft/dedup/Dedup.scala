@@ -449,16 +449,23 @@ object Dedup {
     * holding the target constant keeps the candidate join LINEAR in N. */
   val AnnBucketTarget = 64L
 
+  /** Hard ceiling on adaptive plane counts, shared with the oracle's
+    * `range(AnnPlanes, AnnMaxPlanes + 1)` search: both engines saturate at
+    * the SAME bound, so past 64·2^40 ≈ 7·10¹³ vectors (far beyond a 100 TB
+    * embedding corpus) they stay in lockstep instead of the Scala loop
+    * scaling on while the SQL MIN(p) goes NULL. */
+  val AnnMaxPlanes = 40
+
   /** Plane count for a corpus of n vectors: smallest p ≥ [[AnnPlanes]]
-    * with 64·2^p ≥ n, i.e. enough hyperplanes that the expected bucket
-    * holds ≤ [[AnnBucketTarget]] vectors (n ≤ 4096 resolves to exactly 6,
-    * so the small correctness scales are unchanged). Pure integer
-    * comparison — no float log2 whose rounding at exact powers could
-    * disagree with the DuckDB oracle, which computes the same search
-    * over `range(6, 32)` from count(*) in-query. */
+    * with 64·2^p ≥ n (capped at [[AnnMaxPlanes]]), i.e. enough hyperplanes
+    * that the expected bucket holds ≤ [[AnnBucketTarget]] vectors
+    * (n ≤ 4096 resolves to exactly 6, so the small correctness scales are
+    * unchanged). Pure integer comparison — no float log2 whose rounding at
+    * exact powers could disagree with the DuckDB oracle, which computes
+    * the same search over `range(6, 41)` from count(*) in-query. */
   def annPlanesFor(n: Long): Int = {
     var p = AnnPlanes
-    while ((AnnBucketTarget << p) < n) p += 1
+    while (p < AnnMaxPlanes && (AnnBucketTarget << p) < n) p += 1
     p
   }
 

@@ -7,6 +7,20 @@ import graft.functions.TextHashSql._
   * the exact integer formulas of graft.functions.TextHash. */
 object DedupOracles {
 
+  /** In-query mirror of [[Dedup.annPlanesFor]] — the data-adaptive LSH
+    * plane count as a one-row CTE body: smallest p in
+    * [AnnPlanes, AnnMaxPlanes] with AnnBucketTarget·2^p ≥ count(*), the
+    * COALESCE saturating at [[Dedup.AnnMaxPlanes]] exactly as the Scala
+    * while-loop's cap does (shared bound — see AnnMaxPlanes scaladoc).
+    * Shared by every oracle whose Spark face blocks on adaptive planes
+    * (embedding near-dup, ood-knn, nn-descent). */
+  def annPlanesCte(table: String): String =
+    s"""
+       |  SELECT COALESCE(MIN(p), ${Dedup.AnnMaxPlanes}) AS planes
+       |  FROM range(${Dedup.AnnPlanes}, ${Dedup.AnnMaxPlanes + 1}) t(p)
+       |  WHERE (CAST(${Dedup.AnnBucketTarget} AS BIGINT) << p) >=
+       |        (SELECT count(*) FROM $table)""".stripMargin
+
   // AS MATERIALIZED: DuckDB inlines CTEs per reference, so the signature
   // pipeline would otherwise recompute multiplicatively through the band
   // self-joins (the same re-evaluation hazard TextHash.let solves on the
@@ -185,10 +199,7 @@ object DedupOracles {
        |LIMIT 20""".stripMargin
 
   val embeddingNearDup: String =
-    s"""WITH np AS (
-       |  SELECT MIN(p) AS planes FROM range(${Dedup.AnnPlanes}, 32) t(p)
-       |  WHERE (CAST(${Dedup.AnnBucketTarget} AS BIGINT) << p) >=
-       |        (SELECT count(*) FROM embeddings)),
+    s"""WITH np AS (${annPlanesCte("embeddings")}),
        |e AS (
        |  SELECT vec_id, embedding,
        |         ${lshBucketDyn("embedding", 64, "(SELECT planes FROM np)")} AS bucket

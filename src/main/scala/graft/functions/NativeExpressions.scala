@@ -327,6 +327,33 @@ object TokenHashOps {
     while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** array<string> tokens → ALL word n-gram shingle hashes, position
+    * order, WITH multiplicity — bit-identical to
+    * `shingleHashes(tokenHashes(text), n)` without the distinct (the
+    * [[shingleSet]] variant's dedup would collapse the occurrence counts
+    * corpus-coverage statistics need). */
+  def shingleAll(tokens: ArrayData, n: Int): ArrayData = {
+    val nt = tokens.numElements()
+    if (nt < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val th = new Array[Long](nt)
+    var i = 0
+    while (i < nt) {
+      th(i) = hashToken(tokens.getUTF8String(i).getBytes)
+      i += 1
+    }
+    val out = new Array[Any](nt - n + 1)
+    i = 0
+    while (i <= nt - n) {
+      var acc = 17L
+      var k = 0
+      while (k < n) { acc = (acc * 131L + th(i + k)) % P; k += 1 }
+      out(i) = acc
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** Native token hashing: array<string> → array<bigint> of
@@ -370,6 +397,171 @@ case class ShingleSetExpr(child: Expression, n: Int) extends UnaryExpression {
       s"${ev.value} = graft.functions.TokenHashOps.shingleSet($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleSetExpr =
+    copy(child = newChild)
+}
+
+/** Static helper for [[PreTokenStatsExpr]]: one scan over the document's
+  * chars replicating `regexp_extract_all(text, "[A-Za-z]+|[0-9]+|
+  * [^A-Za-z0-9\s]", 0)` + the three class-membership filters +
+  * `array_distinct` — the BPE pre-tokenization census as a single pass.
+  * Alternation semantics reproduced exactly: at each position the longest
+  * ASCII-letter run, else ASCII-digit run, else ONE code point (surrogate
+  * pair = one token, matching Java regex negated-class behavior); Java
+  * `\s` is the six ASCII whitespace chars only (U+00A0 etc. are "punct"
+  * single-char tokens, as the regex treats them). */
+object PreTokenOps {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  private def isLetter(c: Char) =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+  private def isDigit(c: Char) = c >= '0' && c <= '9'
+  private def isWs(c: Char) =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  def stats(text: org.apache.spark.unsafe.types.UTF8String): Any = {
+    val s = text.toString
+    val len = s.length
+    var i = 0
+    var np, nw, nn, npu = 0
+    val seen = new java.util.HashSet[String]()
+    while (i < len) {
+      val c = s.charAt(i)
+      if (isWs(c)) { i += 1 }
+      else {
+        val start = i
+        if (isLetter(c)) { while (i < len && isLetter(s.charAt(i))) i += 1; nw += 1 }
+        else if (isDigit(c)) { while (i < len && isDigit(s.charAt(i))) i += 1; nn += 1 }
+        else {
+          i += (if (Character.isHighSurrogate(c) && i + 1 < len &&
+            Character.isLowSurrogate(s.charAt(i + 1))) 2 else 1)
+          npu += 1
+        }
+        np += 1
+        seen.add(s.substring(start, i))
+      }
+    }
+    new GenericInternalRow(Array[Any](np, nw, nn, npu, seen.size))
+  }
+}
+
+/** Native BPE pre-tokenization census over a text column: struct of
+  * (n_pretokens, n_word, n_number, n_punct, n_vocab) in ONE char scan.
+  * The interpreted regexp_extract_all + three rlike filters +
+  * array_distinct formulation (kept as the executable spec in
+  * NativeExpressionsSpec and mirrored by the DuckDB oracle) materializes
+  * the full pre-token array and walks it four times per document — the
+  * per-char interpreted-eval class the sf10 rehearsal flagged. */
+case class PreTokenStatsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_pretokens",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_word",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_number",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_punct",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_vocab",
+      org.apache.spark.sql.types.IntegerType, nullable = false)))
+  override def prettyName: String = "graft_pretoken_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    PreTokenOps.stats(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) " +
+        s"graft.functions.PreTokenOps.stats($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): PreTokenStatsExpr =
+    copy(child = newChild)
+}
+
+/** Static helper for [[PiiScanExpr]] — java.util.regex (the SAME engine
+  * and semantics as Spark's regexp_* built-ins, so parity with the
+  * interpreted formulation and the RE2-compatible oracle is structural):
+  * email count+redact fused into one matcher pass, phone count over the
+  * ORIGINAL text, phone redact over the email-redacted text — exactly the
+  * sequential semantics of
+  * `regexp_replace(regexp_replace(text, email, …), phone, …)` with counts
+  * from `regexp_extract_all(text, …)`. */
+object PiiOps {
+  import java.util.regex.Pattern
+  // compiled once per JVM; patterns are RE2-compatible (no backrefs /
+  // lookaround), mirroring TextAnalysis.{EmailRe, PhoneRe}
+  val email: Pattern = Pattern.compile("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}")
+  val phone: Pattern = Pattern.compile("\\b\\d{3}-\\d{4}\\b")
+
+  def scan(text: org.apache.spark.unsafe.types.UTF8String): Any = {
+    val s = text.toString
+    var nEmails = 0L
+    val sb = new java.lang.StringBuilder(s.length)
+    val em = email.matcher(s)
+    while (em.find()) { nEmails += 1; em.appendReplacement(sb, "<EMAIL>") }
+    em.appendTail(sb)
+    var nPhones = 0L
+    val pc = phone.matcher(s)
+    while (pc.find()) nPhones += 1
+    val redacted = phone.matcher(sb).replaceAll("<PHONE>")
+    // right(redacted, 80) counts CODE POINTS in both Spark and DuckDB —
+    // UTF-16-char arithmetic would drift on astral chars in the tail
+    val tail =
+      if (redacted.codePointCount(0, redacted.length) <= 80) redacted
+      else redacted.substring(
+        redacted.offsetByCodePoints(redacted.length, -80))
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      nEmails, nPhones,
+      org.apache.spark.unsafe.types.UTF8String.fromString(tail)))
+  }
+}
+
+/** Native fused PII scrub census over a text column: struct of
+  * (n_emails, n_phones, redacted_tail) in one call — the interpreted
+  * 2×regexp_extract_all + 2×regexp_replace + right() chain (kept as the
+  * executable spec in NativeExpressionsSpec and mirrored by the oracle)
+  * walks the full text four times and materializes two full redacted
+  * copies per document. */
+case class PiiScanExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_emails",
+      LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_phones",
+      LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("redacted_tail",
+      org.apache.spark.sql.types.StringType, nullable = false)))
+  override def prettyName: String = "graft_pii_scan"
+
+  override def nullSafeEval(input: Any): Any =
+    PiiOps.scan(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) " +
+        s"graft.functions.PiiOps.scan($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): PiiScanExpr =
+    copy(child = newChild)
+}
+
+/** [[ShingleSetExpr]] without the dedup: every n-gram occurrence, position
+  * order — the multiplicity-preserving form corpus-coverage statistics
+  * aggregate over ([[graft.text.TextAnalysis.dupNgramCoverage]]). */
+case class ShingleAllExpr(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_all"
+
+  override def nullSafeEval(input: Any): Any =
+    TokenHashOps.shingleAll(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenHashOps.shingleAll($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleAllExpr =
     copy(child = newChild)
 }
 
@@ -464,6 +656,13 @@ object GraftFunctions {
     ("graft_shingle_set", classOf[ShingleSetExpr],
       (es: Seq[Expression]) => ShingleSetExpr(es.head,
         es(1).eval().asInstanceOf[Int])),
+    ("graft_shingle_all", classOf[ShingleAllExpr],
+      (es: Seq[Expression]) => ShingleAllExpr(es.head,
+        es(1).eval().asInstanceOf[Int])),
+    ("graft_pretoken_stats", classOf[PreTokenStatsExpr],
+      (es: Seq[Expression]) => PreTokenStatsExpr(es.head)),
+    ("graft_pii_scan", classOf[PiiScanExpr],
+      (es: Seq[Expression]) => PiiScanExpr(es.head)),
     ("graft_pq_encode", classOf[PqEncodeExpr],
       (es: Seq[Expression]) => PqEncodeExpr(es.head)),
     ("graft_pyround", classOf[PyRoundExpr],
@@ -594,6 +793,30 @@ object GraftFunctions {
     register(spark)
     call_function("graft_shingle_set", TextHash.tokens(text),
       org.apache.spark.sql.functions.lit(n))
+  }
+
+  /** Codegen'd ALL-occurrence word-n-gram shingle hashes (multiplicity
+    * kept, position order) over a text column —
+    * `TextHash.shingleHashes(tokenHashes(text), n)` as one native pass. */
+  def shingleAll(spark: SparkSession, text: Column, n: Int = 3): Column = {
+    register(spark)
+    call_function("graft_shingle_all", TextHash.tokens(text),
+      org.apache.spark.sql.functions.lit(n))
+  }
+
+  /** Codegen'd BPE pre-tokenization census (one char scan) — struct of
+    * (n_pretokens, n_word, n_number, n_punct, n_vocab); see
+    * [[PreTokenStatsExpr]]. */
+  def preTokenStats(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    call_function("graft_pretoken_stats", text)
+  }
+
+  /** Codegen'd fused PII scrub census — struct of (n_emails, n_phones,
+    * redacted_tail); see [[PiiScanExpr]]. */
+  def piiScan(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    call_function("graft_pii_scan", text)
   }
 
   /** Python-serializer-faithful display rounding (exact-binary half-even;

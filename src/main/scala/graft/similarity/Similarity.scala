@@ -870,13 +870,20 @@ object Similarity {
     * [[centroidOutliers]] (parametric, global): kNN-density catches points
     * far from everything even when the global moments look fine. Bucketing
     * makes it the scale path — pairs grow per-bucket, never corpus², the
-    * same reason [[annLsh]] beats brute at 100 TB. Points alone in their
-    * bucket score −2 (below any cosine), surfacing them first. */
+    * same reason [[annLsh]] beats brute at 100 TB. The plane count scales
+    * with the corpus ([[graft.dedup.Dedup.annPlanesFor]], one eager count
+    * — the [[graft.dedup.Dedup.embeddingNearDup]] staging pattern): at a
+    * FIXED plane count bucket population grows ∝ n and the candidate join
+    * cost Σ|bucket|² ∝ n² — the exact quadratic the near-dup face
+    * exhibited at sf1 before its planes went data-sized. Points alone in
+    * their bucket score −2 (below any cosine), surfacing them first. */
   def oodKnn(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir).select(
+    val base = Tables.embeddings(spark, dir)
+    val planes = graft.dedup.Dedup.annPlanesFor(base.count())
+    val e = base.select(
       col("vec_id"), col("embedding"),
       graft.functions.GraftFunctions.l2norm(spark, col("embedding")).as("nrm"),
-      lshBucket(col("embedding"), 64, graft.dedup.Dedup.AnnPlanes).as("bucket"))
+      lshBucket(col("embedding"), 64, planes).as("bucket"))
     val q = e.select(col("vec_id").as("qid"), col("embedding").as("qv"),
       col("nrm").as("qn"), col("bucket"))
     val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"),
@@ -978,14 +985,21 @@ object Similarity {
     // init — with a single table the expansion never leaves the bucket
     // (my neighbors share my bucket, and so do theirs) and the round is a
     // no-op; table-2 edges are exactly the cross-bucket bridges the
-    // expansion needs
-    val planes = graft.dedup.Dedup.AnnPlanes
+    // expansion needs. The per-table plane count scales with the corpus
+    // ([[graft.dedup.Dedup.annPlanesFor]], one eager count): fixed-count
+    // buckets make the per-table candidate join Σ|bucket|² ∝ n² — the
+    // quadratic embeddingNearDup exhibited at sf1 before its planes went
+    // data-sized. bucket2 is the HIGH half via shiftright — pure integer,
+    // structurally the oracle's `//` (a float divide would go lossy past
+    // ~52 bits of planes even though today's counts never reach it).
+    val base = Tables.embeddings(spark, dir)
+    val planes = graft.dedup.Dedup.annPlanesFor(base.count())
     val b2 = lshBucket(col("embedding"), 64, 2 * planes)
-    val e = Tables.embeddings(spark, dir).select(
+    val e = base.select(
       col("vec_id"), col("embedding"),
       graft.functions.GraftFunctions.l2norm(spark, col("embedding")).as("nrm"),
       (b2 % (1L << planes)).as("bucket1"),
-      floor(b2 / (1L << planes).toDouble).cast("long").as("bucket2"))
+      shiftright(b2, planes).as("bucket2"))
       .localCheckpoint(true)
     def table(bucket: String): DataFrame = {
       val q = e.select(col("vec_id").as("uid"), col("embedding").as("qv"),
@@ -1664,10 +1678,12 @@ object SimilarityOracles {
   }
 
   /** kNN-density OOD: same bucketed pairs, kth-rank window, −2 singleton
-    * floor; cosine is the bit-identical fold. */
+    * floor; cosine is the bit-identical fold; the plane count is the same
+    * in-query integer search as the Spark face's annPlanesFor. */
   val oodKnn: String =
-    s"""WITH e AS (SELECT vec_id, embedding,
-       |         ${TextHashSql.lshBucket("embedding", 64, graft.dedup.Dedup.AnnPlanes)} AS bucket
+    s"""WITH np AS (${graft.dedup.DedupOracles.annPlanesCte("embeddings")}),
+       |e AS (SELECT vec_id, embedding,
+       |         ${TextHashSql.lshBucketDyn("embedding", 64, "(SELECT planes FROM np)")} AS bucket
        |       FROM embeddings),
        |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
        |        ${TextHashSql.cosine("q.embedding", "c.embedding")} AS raw
@@ -1721,9 +1737,11 @@ object SimilarityOracles {
 
   /** Mirrors [[Similarity.nnDescentRound]]: two-table (low/high-half
     * hyperplane) top-K initial graph over all nodes, neighbor-of-neighbor
-    * expansion, exact rerank. */
+    * expansion, exact rerank; the per-table plane count is the same
+    * in-query integer search as the Spark face's annPlanesFor, and
+    * bucket2 is integer `//` ≡ the Spark face's shiftright. */
   val nnDescent: String = rankedSql {
-    val planes = graft.dedup.Dedup.AnnPlanes
+    val pShift = s"(CAST(1 AS BIGINT) << (SELECT planes FROM np))"
     def tbl(bucket: String): String =
       s"""SELECT uid, cid FROM (
          |    SELECT q.vec_id AS uid, c.vec_id AS cid,
@@ -1732,12 +1750,14 @@ object SimilarityOracles {
          |             c.vec_id) AS rn
          |    FROM e q JOIN e c ON q.$bucket = c.$bucket AND q.vec_id <> c.vec_id)
          |  WHERE rn <= ${Similarity.TopK}""".stripMargin
-    s"""WITH e AS (
+    s"""WITH np AS (${graft.dedup.DedupOracles.annPlanesCte("embeddings")}),
+       |e AS (
        |  SELECT vec_id, embedding,
-       |         b2 % ${1L << planes} AS bucket1,
-       |         b2 // ${1L << planes} AS bucket2
+       |         b2 % $pShift AS bucket1,
+       |         b2 // $pShift AS bucket2
        |  FROM (SELECT vec_id, embedding,
-       |          ${TextHashSql.lshBucket("embedding", 64, 2 * planes)} AS b2
+       |          ${TextHashSql.lshBucketDyn("embedding", 64,
+                    "(2 * (SELECT planes FROM np))")} AS b2
        |        FROM embeddings)),
        |t1 AS (
        |  ${tbl("bucket1")}),

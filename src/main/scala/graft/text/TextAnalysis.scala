@@ -124,12 +124,11 @@ object TextAnalysis {
     * corpus-statistic shape at any scale. */
   def dupNgramCoverage(spark: SparkSession, dir: String, n: Int = 8): DataFrame =
     Tables.documents(spark, dir)
-      // let-bind the token hashes: the interpreted shingle HOF references
-      // its input n times per position, which without the binder
-      // recomputes tokenHashes O(n·len) per doc (measured 129 s → ~2 s
-      // at sf0.1 — the exact hazard TextHash.let exists for)
-      .select(explode(TextHash.let(TextHash.tokenHashes(col("text")))(th =>
-        TextHash.shingleHashes(th, n))).as("g"))
+      // native fused pass (ShingleAllExpr, multiplicity kept); the
+      // interpreted let(tokenHashes)→shingleHashes chain remains as the
+      // executable spec (NativeExpressionsSpec equivalence)
+      .select(explode(
+        graft.functions.GraftFunctions.shingleAll(spark, col("text"), n)).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("c"))
       .agg(sum(col("c")).as("n_grams_total"),
         count(lit(1)).as("n_distinct"),
@@ -210,21 +209,29 @@ object TextAnalysis {
   val PreTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
   def bpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    // native one-scan census (PreTokenStatsExpr); the interpreted
+    // regexp_extract_all + rlike-filter formulation remains as the
+    // executable spec (NativeExpressionsSpec equivalence) and the oracle
     Tables.documents(spark, dir).select(
       col("doc_id"),
-      // group 0 = the whole match (Spark defaults to capture group 1)
-      TextHash.let(regexp_extract_all(col("text"), lit(PreTokenPattern), lit(0)))(ts =>
-        struct(
-          size(ts).as("n_pretokens"),
-          size(filter(ts, t => t.rlike("^[A-Za-z]+$"))).as("n_word"),
-          size(filter(ts, t => t.rlike("^[0-9]+$"))).as("n_number"),
-          size(filter(ts, t => !t.rlike("^[A-Za-z0-9]"))).as("n_punct"),
-          size(array_distinct(ts)).as("n_vocab"))).as("s"))
+      graft.functions.GraftFunctions.preTokenStats(spark, col("text")).as("s"))
       .select(col("doc_id"), col("s.n_pretokens").as("n_pretokens"),
         col("s.n_word").as("n_word"), col("s.n_number").as("n_number"),
         col("s.n_punct").as("n_punct"), col("s.n_vocab").as("n_vocab"))
       .orderBy("doc_id")
   }
+
+  /** Interpreted [[bpeTokens]] census — the executable spec
+    * [[graft.functions.PreTokenStatsExpr]] is equivalence-tested against
+    * (group 0 = the whole match; Spark defaults to capture group 1). */
+  private[graft] def preTokenStatsInterp: Column =
+    TextHash.let(regexp_extract_all(col("text"), lit(PreTokenPattern), lit(0)))(ts =>
+      struct(
+        size(ts).as("n_pretokens"),
+        size(filter(ts, t => t.rlike("^[A-Za-z]+$"))).as("n_word"),
+        size(filter(ts, t => t.rlike("^[0-9]+$"))).as("n_number"),
+        size(filter(ts, t => !t.rlike("^[A-Za-z0-9]"))).as("n_punct"),
+        size(array_distinct(ts)).as("n_vocab")))
 
   /** Deterministic train/valid/test split: assignment is a pure function
     * of doc_id (salted md5-derived hash mod 100 → 80/10/10), so the split
@@ -558,9 +565,14 @@ object TextAnalysis {
     * hashes only; the train side collapses to its distinct set map-side. */
   def contamination(spark: SparkSession, dir: String): DataFrame = {
     val h = TextHash.strHash(concat(lit("split:"), col("doc_id").cast("string"))) % 100
-    val grams = Tables.documents(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    // native fused shingling + data-sized gram barrier ahead of the
+    // train-distinct and probe-join consumers — see [[boilerplate]]
+    val grams = docs
       .select(col("doc_id"), h.as("sh"),
-        explode(TextHash.shingleSet(col("text"), 5)).as("gram"))
+        explode(graft.functions.GraftFunctions.shingleSet(spark, col("text"), 5))
+          .as("gram"))
+      .repartition(graft.Scale.shufflePartitionsFor(docs), col("gram"))
     val trainGrams = grams.filter(col("sh") < 80).select("gram").distinct()
     grams.filter(col("sh") >= 90)
       .join(trainGrams.withColumn("hit", lit(1L)), Seq("gram"), "left")
@@ -606,10 +618,23 @@ object TextAnalysis {
     * shingles (so the corpus-wide count IS a document frequency), one
     * gram-keyed hash agg for the df, one gram-keyed equi-join back. At
     * 100 TB both shuffles carry 8-byte gram hashes, never text, and the
-    * df side collapses map-side before the join. */
+    * df side collapses map-side before the join. Shingling is the native
+    * fused pass (ShingleSetExpr — the interpreted TextHash.shingleSet
+    * chain was the sf10 grinder), and the gram frame shuffles behind a
+    * data-sized gram barrier ([[graft.Scale.shufflePartitionsFor]]): at a
+    * fixed 32-reducer grid the sf10 gram agg's per-task state outgrows
+    * its execution-memory share and tasks serialize (the r9 thread-dump
+    * finding). Both consumers still scan the corpus (column pruning
+    * projects different columns below each explode, so ReuseExchange
+    * can't fire) — two cheap native-shingled scans beat checkpointing a
+    * corpus-sized gram frame. */
   def boilerplate(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(TextHash.shingleSet(col("text"), 3)).as("gram"))
+    val docs = Tables.documents(spark, dir)
+    val grams = docs
+      .select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.shingleSet(spark, col("text"), 3))
+          .as("gram"))
+      .repartition(graft.Scale.shufflePartitionsFor(docs), col("gram"))
     val boiler = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 5).select("gram")
     grams.join(boiler.withColumn("hit", lit(1L)), Seq("gram"), "left")
@@ -714,10 +739,16 @@ object TextAnalysis {
     * the curve is the signal behind "this snapshot adds nothing" dedup
     * triage. Each gram's first-seen doc is one gram-keyed MIN agg (the
     * same 8-byte-key shuffle as [[boilerplate]]); a doc's novel grams are
-    * those whose first-seen doc is itself. */
+    * those whose first-seen doc is itself. Native fused shingling + a
+    * data-sized gram barrier ahead of the first-seen agg and the
+    * join-back — see [[boilerplate]] for both rationales. */
   def novelty(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(TextHash.shingleSet(col("text"), 3)).as("gram"))
+    val docs = Tables.documents(spark, dir)
+    val grams = docs
+      .select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.shingleSet(spark, col("text"), 3))
+          .as("gram"))
+      .repartition(graft.Scale.shufflePartitionsFor(docs), col("gram"))
     val first = grams.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
     grams.join(first, "gram")
       .groupBy(col("doc_id"))
@@ -797,18 +828,31 @@ object TextAnalysis {
           concat(lit(" tel 555-"),
             lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
           .otherwise(lit(""))).as("text"))
+    // native fused scan (PiiScanExpr): one call per doc vs four full-text
+    // regex passes + two intermediate redacted copies; the interpreted
+    // formulation remains as the executable spec (NativeExpressionsSpec)
     tainted.select(
         col("doc_id"),
+        graft.functions.GraftFunctions.piiScan(spark, col("text")).as("s"))
+      .select(col("doc_id"), col("s.n_emails").as("n_emails"),
+        col("s.n_phones").as("n_phones"),
+        col("s.redacted_tail").as("redacted_tail"))
+      .orderBy("doc_id")
+  }
+
+  /** Interpreted [[piiRedact]] census over a text column — the executable
+    * spec [[graft.functions.PiiScanExpr]] is equivalence-tested against. */
+  private[graft] def piiScanInterp: Column =
+    TextHash.let(
+      regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"))(red =>
+      struct(
         size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
           .cast("long").as("n_emails"),
         size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0)))
           .cast("long").as("n_phones"),
-        regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
-          PhoneRe, "<PHONE>").as("redacted"))
-      .select(col("doc_id"), col("n_emails"), col("n_phones"),
-        expr("right(redacted, 80)").as("redacted_tail"))
-      .orderBy("doc_id")
-  }
+        when(length(red) <= 80, red)
+          .otherwise(substring(red, -80, 80)).as("redacted_tail")))
 
   /** Max documents kept per source by [[domainCap]]. */
   val SourceCapN = 15
@@ -949,10 +993,18 @@ object TextAnalysis {
       sum(col("nd")).over(wc).as("n_docs_cum"),
       sum(col("nt")).over(wc).as("n_tokens_cum"),
       sum(col("nv")).over(wc).as("vocab_cum"))
+    // the OLS fits only deciles with n_tokens_cum > 0 AND vocab_cum > 0:
+    // Spark log(0) yields NULL while DuckDB ln(0) yields -inf, so an
+    // unguarded fit over a degenerate corpus (all-empty first decile)
+    // would diverge between engines instead of both reporting NULL beta;
+    // n is the surviving point count (10 on any non-degenerate corpus)
     val beta = cum
       .agg(array_sort(collect_list(struct(col("decile"),
-        col("n_tokens_cum").as("t"), col("vocab_cum").as("v")))).as("a"))
+        col("n_tokens_cum").as("t"), col("vocab_cum").as("v")))).as("a0"))
+      .select(filter(col("a0"), p =>
+        p.getField("t") > 0L && p.getField("v") > 0L).as("a"))
       .select(
+        size(col("a")).cast("double").as("n"),
         aggregate(transform(col("a"), p =>
           log(p.getField("t").cast("double"))), lit(0.0), _ + _).as("sx"),
         aggregate(transform(col("a"), p =>
@@ -963,9 +1015,9 @@ object TextAnalysis {
         aggregate(transform(col("a"), p =>
           log(p.getField("t").cast("double")) *
             log(p.getField("t").cast("double"))), lit(0.0), _ + _).as("sxx"))
-      .select(when(abs(lit(10.0) * col("sxx") - col("sx") * col("sx")) > 1e-12,
-        round((lit(10.0) * col("sxy") - col("sx") * col("sy")) /
-          (lit(10.0) * col("sxx") - col("sx") * col("sx")), 4))
+      .select(when(abs(col("n") * col("sxx") - col("sx") * col("sx")) > 1e-12,
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 4))
         .as("heaps_beta"))
     cum.crossJoin(broadcast(beta)).orderBy("decile")
   }
@@ -1427,10 +1479,14 @@ object TextAnalysis {
     * — a merge table trained on one language distribution underserves the
     * others, and this is the table that shows it). Same trained merge
     * rules and encode chain as [[bpeApply]], re-aggregated by `lang`;
-    * merged symbols counted by stripping the reserved merge characters —
-    * all length arithmetic, no per-row UDF. Scale profile identical to
-    * bpeApply: corpus scan is map-only, everything downstream rides the
-    * vocabulary-sized (lang, word) frame. */
+    * merge applications counted as `length(word) − length(enc)` — every
+    * merge replaces two symbols with one, so the length delta IS the
+    * number of times a learned merge fired on the word (robust to corpus
+    * words that contain the reserved merge characters themselves, which a
+    * strip-the-symbol count would miscount) — all length arithmetic, no
+    * per-row UDF. Scale profile identical to bpeApply: corpus scan is
+    * map-only, everything downstream rides the vocabulary-sized
+    * (lang, word) frame. */
   def bpeFertility(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
     val ruleCols = (1 to rounds).map(k =>
       max(when(col("round") === k, col("pair"))).as(s"pair$k"))
@@ -1439,15 +1495,12 @@ object TextAnalysis {
     val enc = (1 to rounds).foldLeft("word") { (acc, k) =>
       s"replace($acc, pair$k, '${('A' + k - 1).toChar}')"
     }
-    val strip = (1 to rounds).foldLeft("enc") { (acc, k) =>
-      s"replace($acc, '${('A' + k - 1).toChar}', '')"
-    }
     Tables.documents(spark, dir)
       .select(col("lang"), explode(TextHash.tokens(col("text"))).as("word"))
       .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("wc"))
       .crossJoin(broadcast(ruleRow))
       .withColumn("enc", expr(enc))
-      .withColumn("merged", length(col("enc")) - length(expr(strip)))
+      .withColumn("merged", length(col("word")) - length(col("enc")))
       .groupBy(col("lang"))
       .agg(sum(col("wc")).as("n_words"),
         sum(length(col("enc")).cast("long") * col("wc")).as("n_symbols"),

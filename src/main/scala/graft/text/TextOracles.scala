@@ -320,14 +320,11 @@ object TextOracles {
   }
 
   /** Mirrors [[TextAnalysis.bpeFertility]]: same trained rules and encode
-    * chain as [[bpeApply]], re-keyed by lang, merged symbols counted by
-    * stripping the reserved merge characters. */
+    * chain as [[bpeApply]], re-keyed by lang, merge applications counted
+    * as the word→enc length delta (each merge is 2 symbols → 1). */
   val bpeFertility: String = {
     val enc = (1 to 3).foldLeft("word") { (acc, k) =>
       s"replace($acc, (SELECT pair FROM r$k), '${('A' + k - 1).toChar}')"
-    }
-    val strip = (1 to 3).foldLeft("enc") { (acc, k) =>
-      s"replace($acc, '${('A' + k - 1).toChar}', '')"
     }
     s"""WITH $bpeTrainCtes,
        |lw AS (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS wc
@@ -335,8 +332,8 @@ object TextOracles {
        |  GROUP BY 1, 2),
        |e AS (SELECT lang, wc,
        |        CAST(length(enc) AS BIGINT) AS el,
-       |        CAST(length(enc) - length($strip) AS BIGINT) AS ml
-       |      FROM (SELECT lang, wc, $enc AS enc FROM lw))
+       |        CAST(length(word) - length(enc) AS BIGINT) AS ml
+       |      FROM (SELECT lang, wc, word, $enc AS enc FROM lw))
        |SELECT lang,
        |       CAST(SUM(wc) AS BIGINT) AS n_words,
        |       CAST(SUM(el * wc) AS BIGINT) AS n_symbols,
@@ -777,15 +774,20 @@ object TextOracles {
        |  WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
        |               AND CURRENT ROW)),
        |pts AS (
-       |  SELECT list(ln(CAST(n_tokens_cum AS DOUBLE)) ORDER BY decile) AS xs,
-       |         list(ln(CAST(vocab_cum AS DOUBLE)) ORDER BY decile) AS ys,
+       |  SELECT list(ln(CAST(n_tokens_cum AS DOUBLE)) ORDER BY decile)
+       |           FILTER (WHERE n_tokens_cum > 0 AND vocab_cum > 0) AS xs,
+       |         list(ln(CAST(vocab_cum AS DOUBLE)) ORDER BY decile)
+       |           FILTER (WHERE n_tokens_cum > 0 AND vocab_cum > 0) AS ys,
        |         list(ln(CAST(n_tokens_cum AS DOUBLE)) *
-       |              ln(CAST(vocab_cum AS DOUBLE)) ORDER BY decile) AS xys,
+       |              ln(CAST(vocab_cum AS DOUBLE)) ORDER BY decile)
+       |           FILTER (WHERE n_tokens_cum > 0 AND vocab_cum > 0) AS xys,
        |         list(ln(CAST(n_tokens_cum AS DOUBLE)) *
-       |              ln(CAST(n_tokens_cum AS DOUBLE)) ORDER BY decile) AS xxs
+       |              ln(CAST(n_tokens_cum AS DOUBLE)) ORDER BY decile)
+       |           FILTER (WHERE n_tokens_cum > 0 AND vocab_cum > 0) AS xxs
        |  FROM cum),
        |sums AS (
-       |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs),
+       |  SELECT CAST(len(xs) AS DOUBLE) AS n,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs),
        |           (s, x) -> s + x) AS sx,
        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ys),
        |           (s, x) -> s + x) AS sy,
@@ -795,9 +797,9 @@ object TextOracles {
        |           (s, x) -> s + x) AS sxx
        |  FROM pts),
        |beta AS (
-       |  SELECT CASE WHEN abs(10.0 * sxx - sx * sx) > 1e-12 THEN
-       |           round((10.0 * sxy - sx * sy) /
-       |                 (10.0 * sxx - sx * sx), 4)
+       |  SELECT CASE WHEN abs(n * sxx - sx * sx) > 1e-12 THEN
+       |           round((n * sxy - sx * sy) /
+       |                 (n * sxx - sx * sx), 4)
        |         END AS heaps_beta
        |  FROM sums)
        |SELECT c.decile, c.n_docs_cum, c.n_tokens_cum, c.vocab_cum,

@@ -72,6 +72,71 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkSpec {
     assert(sizes.contains(3) && sizes.contains(0))
   }
 
+  test("ShingleAllExpr equals interpreted shingleHashes (multiplicity + position order)") {
+    import spark.implicits._
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog and then some more words",
+      "a b c a b c a b c a b c", // repeated shingles must be KEPT here
+      "one two three", "short one", "",
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa").toDF("text")
+    for (n <- Seq(3, 8)) {
+      val both = docs.select(
+        GraftFunctions.shingleAll(spark, col("text"), n).as("native"),
+        TextHash.let(TextHash.tokenHashes(col("text")))(th =>
+          TextHash.shingleHashes(th, n)).as("interp"))
+      assert(both.filter(col("native") =!= col("interp")).count() == 0,
+        s"n=$n mismatch")
+    }
+    // non-degenerate: the repeated-shingle doc keeps all 10 positions
+    val sizes = docs.select(size(GraftFunctions.shingleAll(spark, col("text"), 3)))
+      .collect().map(_.getInt(0))
+    assert(sizes.contains(10) && sizes.contains(0))
+  }
+
+  test("PreTokenStatsExpr equals the interpreted regex census") {
+    import spark.implicits._
+    val docs = Seq(
+      "the quick brown fox, 42 jumps; over 7 lazy-dogs!",
+      "", "   ", "abc123def", "42", "...", "a,a,a a;a",
+      "unicode tökens żółw 中文 «here»  nbsp",
+      "emoji 😀 pair and CamelCase X9Y8",
+      "tabs\tand\nnewlinesvtff\rcr end").toDF("text")
+    val both = docs.select(
+      GraftFunctions.preTokenStats(spark, col("text")).as("native"),
+      graft.text.TextAnalysis.preTokenStatsInterp.as("interp"))
+    assert(both.filter(col("native") =!= col("interp")).count() == 0)
+    // non-degenerate: every class count exercised somewhere
+    val agg = docs.select(GraftFunctions.preTokenStats(spark, col("text")).as("s"))
+      .agg(sum($"s.n_word"), sum($"s.n_number"), sum($"s.n_punct"),
+        sum($"s.n_pretokens"), sum($"s.n_vocab"))
+      .collect().head
+    (0 until 5).foreach(i => assert(agg.getLong(i) > 0))
+  }
+
+  test("PiiScanExpr equals the interpreted 4-pass regex census") {
+    import spark.implicits._
+    val long = ("word " * 40) + "contact user7@example.com tel 555-0042"
+    val docs = Seq(
+      "contact user1@example.com",
+      "a@b.co and c.d+e@f-g.hi plus 123-4567 twice 999-0000",
+      "no pii here at all", "",
+      "digits-in-local 555-1234@example.com boundary case",
+      "unicode tökens 中文 then x@y.zz tail 😀 555-9999",
+      long).toDF("text")
+    val both = docs.select(
+      GraftFunctions.piiScan(spark, col("text")).as("native"),
+      graft.text.TextAnalysis.piiScanInterp.as("interp"))
+    assert(both.filter(col("native") =!= col("interp")).count() == 0)
+    // non-degenerate: emails and phones both found, replacement visible
+    val r = docs.select(GraftFunctions.piiScan(spark, col("text")).as("s"))
+      .agg(sum($"s.n_emails"), sum($"s.n_phones")).collect().head
+    assert(r.getLong(0) >= 5 && r.getLong(1) >= 3)
+    val tails = docs.select($"text",
+      GraftFunctions.piiScan(spark, col("text")).getField("redacted_tail"))
+      .collect().map(_.getString(1))
+    assert(tails.exists(_.contains("<EMAIL>")) && tails.exists(_.contains("<PHONE>")))
+  }
+
   test("PqEncodeExpr equals the interpreted normalize+encode pipeline on real embeddings") {
     import org.apache.spark.sql.functions._
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
