@@ -77,6 +77,10 @@ object SparkEntry {
     "transit_timetable_grouped" -> ((s, dir) =>
       Timetable.getTimetable(
         Timetable.buildStopTimetables(TransitTables.fromTpch(s, dir)), 42L)),
+    // X29: the nested document through the JSON sink/source hop, grouped
+    // serving query over the readback (oracle has no JSON in its path)
+    "transit_timetable_json_roundtrip" -> ((s, dir) =>
+      Timetable.timetableJsonRoundtrip(s, dir, 42L)),
     "transit_q2_path" -> ((s, dir) =>
       Queries.q2TripPath(TransitTables.fromTpch(s, dir), "ROUTE_26")),
     "transit_q4_nested" -> ((s, dir) =>
@@ -266,6 +270,7 @@ object SparkEntry {
     "transit_q2_overall" -> TransitOracles.q2Overall(TransitOracles.q2Weekday),
     "transit_arrivals_flat" -> TransitOracles.arrivalsFlat(42L, "26", "3-MEDIUM"),
     "transit_timetable_grouped" -> TransitOracles.timetableGrouped(42L),
+    "transit_timetable_json_roundtrip" -> TransitOracles.timetableGrouped(42L),
     "transit_q2_path" -> TransitOracles.q2TripPath("ROUTE_26"),
     "transit_q4_nested" -> TransitOracles.q4Nested,
     "transit_q4_nested_map" -> TransitOracles.q4NestedMapJson,

@@ -488,6 +488,19 @@ object RelationalOracles {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 
+    // the range-partitioned landing's physical boundaries come from
+    // Spark's sampler, so the census emits only sampler-independent layout
+    // invariants; the oracle states them from the logical table (disjoint
+    // file ranges ⇒ 0 violations, lossless ⇒ count/min/max of the scan)
+    "rel_range_snapshot_census" ->
+      s"""SELECT CAST(${graft.relational.RelationalQueries.RangeSnapshotFiles}
+        |         AS BIGINT) AS n_files,
+        |       CAST(COUNT(*) AS BIGINT) AS total_rows,
+        |       CAST(0 AS BIGINT) AS overlap_violations,
+        |       CAST(MIN(o_orderkey) AS BIGINT) AS key_min,
+        |       CAST(MAX(o_orderkey) AS BIGINT) AS key_max
+        |FROM orders""".stripMargin,
+
     // the bucketed landing is a lossless re-layout, so the oracle is the
     // plain join over the raw tables
     "rel_bucketed_join" ->

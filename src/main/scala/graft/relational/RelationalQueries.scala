@@ -1337,6 +1337,45 @@ object RelationalQueries {
       .orderBy("event_type")
   }
 
+  /** File count for [[rangeSnapshotCensus]] — fixed so the census row is a
+    * cross-engine constant the oracle can state. */
+  val RangeSnapshotFiles = 8
+
+  /** Range-partitioned snapshot census — X79's file-skipping layout claim
+    * measured AS DATA: land orders through
+    * [[graft.sources.Writers.rangePartitionedSnapshot]] (range-partition
+    * on o_orderkey, sort within files), read the files back, and reduce
+    * each file's footer-equivalent (min, max, count) to the layout
+    * invariants the pruning story rests on — every file covers a DISJOINT
+    * key range (overlap_violations must be 0), no row lost or duplicated
+    * (total_rows), and the ranges jointly span the table (key_min/max).
+    * The physical boundaries come from Spark's range sampler and are NOT
+    * cross-engine values, so the census emits only sampler-independent
+    * invariants; the oracle states them from the LOGICAL table — a lossy
+    * write, an overlapping range, or an empty partition all break the
+    * hash. Per-file stats are a #files-row frame; the window lag over it
+    * is metadata-scale. */
+  def rangeSnapshotCensus(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_orders_ranged_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    graft.sources.Writers.rangePartitionedSnapshot(
+      Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice")),
+      path, "o_orderkey", RangeSnapshotFiles)
+    val perFile = spark.read.parquet(path)
+      .select(col("o_orderkey"), input_file_name().as("f"))
+      .groupBy(col("f"))
+      .agg(min(col("o_orderkey")).as("mn"), max(col("o_orderkey")).as("mx"),
+        count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("mn"), col("f"))
+    perFile
+      .withColumn("prev_mx", lag(col("mx"), 1).over(w))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("cnt")).as("total_rows"),
+        sum(when(col("prev_mx") >= col("mn"), 1L).otherwise(0L))
+          .as("overlap_violations"),
+        min(col("mn")).as("key_min"), max(col("mx")).as("key_max"))
+  }
+
   /** Buckets for [[bucketedJoin]] — fixed so repeated runs and the two
     * sides always align. */
   val BucketCount = 16
@@ -2351,6 +2390,7 @@ object RelationalQueries {
     "rel_benford_audit" -> benfordAudit,
     "rel_snapshot_diff" -> snapshotDiff,
     "rel_partitioned_sink_read" -> partitionedSinkRead,
+    "rel_range_snapshot_census" -> rangeSnapshotCensus,
     "rel_bucketed_join" -> bucketedJoin,
     "rel_bucketed_agg" -> bucketedAgg,
     "rel_cdc_compact" -> cdcCompact,

@@ -148,6 +148,27 @@ object Timetable {
     * path applies NO service allow-list and NO NOT-IN-SERVICE exclusion —
     * it renders the whole document; null group keys pass through as the
     * reference's None keys do. */
+  /** X29 promoted to an oracle row: the NESTED timetable document (GeoJSON
+    * location struct + upcoming_services array-of-structs) through the
+    * line-JSON result sink ([[graft.sources.Writers.resultJson]] — the
+    * API-layer serialization the reference serves,
+    * `Mongo/app.py:156-183`) and back through the schema-explicit JSON
+    * source, then the grouped serving query over the READBACK. The oracle
+    * is [[TransitOracles.timetableGrouped]] computed from the base tables
+    * with no JSON hop in its derivation — any nested field the hop drops,
+    * re-orders, or re-types (array element order, >24h display strings,
+    * int/long widths) breaks the downstream hash. One stop's document:
+    * the hop's semantics, not its volume, is what's under test. */
+  def timetableJsonRoundtrip(spark: org.apache.spark.sql.SparkSession,
+      dir: String, stopId: Long): DataFrame = {
+    val doc = buildStopTimetables(TransitTables.fromTpch(spark, dir))
+      .filter(col("stop_id") === lit(stopId))
+    val path = s"${sys.props("java.io.tmpdir")}/graft_timetable_json_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    graft.sources.Writers.resultJson(doc, path)
+    getTimetable(graft.sources.Writers.readJson(spark, path, doc.schema), stopId)
+  }
+
   def getTimetable(timetables: DataFrame, stopId: Any): DataFrame =
     exploded(timetables.filter(col("stop_id") === lit(stopId)))
       .groupBy(
