@@ -1,8 +1,8 @@
 #!/bin/bash
-# Round-9 artifact refresh: run after the final operator lands.
+# Round-10 artifact refresh: run after the final operator lands.
 #  1. full-board bench at sf0.01 and sf0.1 (writes reports/bench_full.json)
-#  2. scaling_r9.json  (sf0.01 -> sf0.1, full board)
-#  3. scaling_sf1_r9.json (sf0.1 -> sf1, full board; sf1 data inflated
+#  2. scaling_r10.json  (sf0.01 -> sf0.1, full board)
+#  3. scaling_sf1_r10.json (sf0.1 -> sf1, full board; sf1 data inflated
 #     on demand under /tmp/testdata_sf1)
 # Usage: bash tools/r9_artifacts.sh [classes_dir]
 set -e
@@ -24,5 +24,5 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 $RUN -Xmx32g graft.Bench > /tmp/bench_01
 SPARK_GRAFT_SF_DIR=/tmp/testdata_sf1 SPARK_GRAFT_ONLY="" $RUN -Xmx48g graft.Bench > /tmp/bench_sf1.out 2>/dev/null
 cp target/bench.json reports/bench_sf1.json
 
-python3 tools/scaling.py reports/bench_sf001.json reports/bench_full.json reports/scaling_r9.json
-python3 tools/scaling.py reports/bench_full.json reports/bench_sf1.json reports/scaling_sf1_r9.json
+python3 tools/scaling.py reports/bench_sf001.json reports/bench_full.json reports/scaling_r10.json
+python3 tools/scaling.py reports/bench_full.json reports/bench_sf1.json reports/scaling_sf1_r10.json

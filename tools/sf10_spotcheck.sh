@@ -11,7 +11,7 @@ CLS="${1:-target/scala-2.13/classes}"
 AO="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
 RUN="java $AO -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -cp $CLS:/opt/spark/jars/*"
 
-SUBSET="dedup_semantic,dedup_embedding_neardup,dedup_minhash_pairs,dedup_clusters,dedup_dup_spans,sim_ann_ivf_persisted,sim_ood_knn,text_pii_redact,text_novelty,text_vocab_growth,transit_timetable_flat,transit_trip_patterns,transit_q2_weekday,transit_q4_weekday,rel_salted_join,rel_topk_per_group"
+SUBSET="sim_nndescent,text_boilerplate,text_bpe_pretokens,text_contamination,dedup_semantic,dedup_embedding_neardup,dedup_minhash_pairs,dedup_clusters,dedup_dup_spans,sim_ann_ivf_persisted,sim_ood_knn,text_pii_redact,text_novelty,text_vocab_growth,transit_timetable_flat,transit_trip_patterns,transit_q2_weekday,transit_q4_weekday,rel_salted_join,rel_topk_per_group"
 
 if [ ! -d /tmp/testdata_sf10 ]; then
   $RUN -Xmx24g graft.tools.InflateSf /tmp/testdata_sf1 /tmp/testdata_sf10 10
@@ -26,4 +26,4 @@ SPARK_GRAFT_SF_DIR=/tmp/testdata_sf10 SPARK_GRAFT_ONLY="$SUBSET" \
 cp target/bench.json /tmp/bench_sf10_subset.json
 
 python3 tools/scaling.py /tmp/bench_sf1_subset.json /tmp/bench_sf10_subset.json \
-  reports/scaling_sf10_spot_r9.json
+  reports/scaling_sf10_r10.json
