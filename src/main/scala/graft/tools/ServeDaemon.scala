@@ -109,7 +109,14 @@ object ServeDaemon {
     val json =
       f"""{"metric":"serve_daemon","sf":"$sfDir","n":$nReqs,"clients":$clients,"build_sec":$buildSec%.2f,"req_per_sec":${nReqs / wallSec}%.1f,"p50_ms":${pct(xs, 0.50)}%.1f,"p95_ms":${pct(xs, 0.95)}%.1f,"p99_ms":${pct(xs, 0.99)}%.1f,$perQ}"""
     println(json)
-    val out = java.nio.file.Paths.get("reports/serve_daemon.json")
+    // one artifact per corpus scale (the X133 claim is that request
+    // latency is corpus-size-INDEPENDENT — the sf1 row must not clobber
+    // the sf0.1 row it is compared against)
+    val base = java.nio.file.Paths.get(sfDir).getFileName.toString
+      .replaceAll("[^A-Za-z0-9.]", "_")
+    val outName = if (base == "sf0.1") "reports/serve_daemon.json"
+                  else s"reports/serve_daemon_$base.json"
+    val out = java.nio.file.Paths.get(outName)
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out,
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
