@@ -32,6 +32,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // refine the grid from parquet ROW counts (byte walks are encoding-
+    // blind — see Scale.tuneSessionGrid); still the floor at small SF
+    Scale.tuneSessionGrid(spark, sfDir)
     // Unmeasured warmup: touch every table (parquet footers, FileIndex)
     // and run one small agg+join so JIT/codegen infra reaches steady state
     // before the first measured query — otherwise several seconds of
@@ -81,8 +84,13 @@ object Bench {
     // of two is the standard steady-state estimator under one-sided noise.
     val results = selected.map { case (name, fn) =>
       System.gc()
+      // progress to stderr as each query STARTS and FINISHES: a multi-hour
+      // rehearsal leg must be attributable mid-flight (the sf10 straggler
+      // hunt needed a thread dump plus guesswork without this)
+      System.err.println(s"[bench] start $name")
       val cold = runOnce(name, fn)
       val warm = math.min(runOnce(name, fn), runOnce(name, fn))
+      System.err.println(f"[bench] done  $name cold=$cold%.3f warm=$warm%.3f")
       (name, cold, warm)
     }
     val totalWarm = results.map(_._3).sum
@@ -110,9 +118,11 @@ object Bench {
     }.mkString("{", ",", "}")
     val fullLine =
       f"""{"metric":"total_query_time","value":$totalWarm%.3f,"unit":"sec","total_cold":$totalCold%.3f,"sf":"$sfDir","queries":$full}"""
-    // subset runs (SPARK_GRAFT_ONLY) must not clobber the committed
-    // full-suite artifact — they land in target/ only
-    val outs = if (only.isEmpty) Seq("target/bench.json", "reports/bench_full.json")
+    // subset runs (SPARK_GRAFT_ONLY) and off-scale smokes (sf0.001 warmups,
+    // sf1/sf10 rehearsals) must not clobber the committed sf0.1 full-suite
+    // artifact — they land in target/ only
+    val outs = if (only.isEmpty && sfDir.contains("sf0.1"))
+                 Seq("target/bench.json", "reports/bench_full.json")
                else Seq("target/bench.json")
     for (path <- outs) {
       val out = java.nio.file.Paths.get(path)

@@ -80,6 +80,105 @@ object Scale {
       floor, DefaultMaxPartitions)
   }
 
+  /** Row-based dial for OBJECT-HEAVY aggregation barriers (collect_list /
+    * collect_set ETL): partitions = ceil(rows / rowsPerTask). Byte
+    * statistics are the wrong basis twice over for these stages — parquet
+    * dictionary/RLE encoding makes file bytes under-state in-memory rows
+    * ~10× (the round-10 sf10 rehearsal: 60 M lineitem rows encode to
+    * 127 MB on disk, so every byte dial sat at the 32-partition floor and
+    * the collect_list stage collapsed to one 95 GB task), and a collected
+    * group lives as BOXED rows at ~15× its shuffled bytes. Row count is
+    * the one statistic that survives both distortions; callers fetch it
+    * with a footer-served `count()` on the base table (the eager staging
+    * pattern — milliseconds on parquet, and these are multi-minute ETL
+    * stages). `rowsPerTask` ≈ 64 MB / boxed-row-bytes. */
+  def partitionsForRows(spark: SparkSession, rows: Long, rowsPerTask: Long): Int =
+    clamp((rows + rowsPerTask - 1) / rowsPerTask,
+      spark.sessionState.conf.numShufflePartitions, cap(spark))
+
+  /** Chars a single gram-barrier task should own: per-char shingling emits
+    * ~1 gram row per char, and a gram row costs ~48 B of hash-agg state
+    * (8 B key + counter + map overhead) on each side of the barrier —
+    * 1 M chars ≈ 48 MB of per-task state. */
+  val CharsPerTask: Long = 1L << 20
+
+  /** Char-based dial for gram-explode barriers: `chars` is the corpus
+    * total (`sum(n_chars)` — a one-column footer-statistics scan), which
+    * tracks gram volume exactly where doc COUNT would miss long docs and
+    * file BYTES would miss parquet encoding. */
+  def partitionsForChars(spark: SparkSession, chars: Long): Int =
+    partitionsForRows(spark, chars, CharsPerTask)
+
+  /** Re-size the session's scan and shuffle geometry from parquet ROW
+    * counts once a session exists (all three knobs are runtime-settable
+    * SQL confs read at each query's planning). The pre-session byte walk
+    * ([[initialShufflePartitions]]) is encoding-blind — dictionary/RLE
+    * packs low-entropy columns 10–20× below their in-memory rows (the
+    * round-10 sf10 rehearsal: 86.6 M rows in 274 MB of files, 3.2 B/row),
+    * which silently breaks every byte-derived decision at exactly the
+    * scale where they matter. From the measured bytes/row ratio this sets:
+    *
+    *  1. `adaptive.coalescePartitions.initialPartitionNum` — the AQE grid,
+    *     from rows × 64 B × [[MaxExpansion]]. AQE coalesces every smaller
+    *     exchange back down from REAL runtime sizes, so small scales keep
+    *     today's plans.
+    *  2. `sql.files.maxPartitionBytes` — split size targeting ~2 M rows
+    *     per scan task. At 3 B/row the default 128 MB split hands 40 M
+    *     rows to ONE scan task (the sf10 rehearsal ran its fact scans
+    *     nearly serial); on a real cluster the same mis-split starves the
+    *     scan stage whenever data is column-compressible.
+    *  3. `sql.sources.fileCompressionFactor` — 64 B/row ÷ measured, so
+    *     planner sizeInBytes approximates in-memory rows. This is what
+    *     keeps a 15 M-row dimension from being BROADCAST because its
+    *     dictionary-packed file squeaks under the 64 MB threshold.
+    *
+    * Floors/caps keep sf ≤ 0.1 on today's plans (grid at the session
+    * floor, files below the split size, broadcast choices unchanged —
+    * results are partition-independent regardless). Returns the grid. */
+  def tuneSessionGrid(spark: SparkSession, sfDir: String): Int = {
+    val rows = graft.sources.Tables.names.map { n =>
+      try {
+        val df = if (n == "events") graft.sources.Tables.events(spark, sfDir)
+                 else spark.read.parquet(s"$sfDir/$n.parquet")
+        df.count()
+      } catch { case _: Throwable => 0L }
+    }.sum
+    val floor = spark.sessionState.conf.numShufflePartitions
+    val grid = clamp(rows * 64L * MaxExpansion / BytesPerPartition,
+      floor, cap(spark))
+    spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+      grid.toString)
+    val bytes =
+      try {
+        val root = java.nio.file.Paths.get(sfDir)
+        if (!java.nio.file.Files.isDirectory(root)) 0L
+        else {
+          val s = java.nio.file.Files.walk(root)
+          try s.filter(java.nio.file.Files.isRegularFile(_))
+            .mapToLong(java.nio.file.Files.size(_)).sum()
+          finally s.close()
+        }
+      } catch { case _: Throwable => 0L }
+    if (rows > 0 && bytes > 0) {
+      val bytesPerRow = math.max(1L, bytes / rows)
+      val split = math.max(4L << 20,
+        math.min(128L << 20, 2L * 1000 * 1000 * bytesPerRow))
+      spark.conf.set("spark.sql.files.maxPartitionBytes", split.toString)
+      val factor = math.max(1.0, math.min(32.0, 64.0 / bytesPerRow.toDouble))
+      spark.conf.set("spark.sql.sources.fileCompressionFactor", factor.toString)
+      // AQE's coalesce target reads COMPRESSED shuffle bytes; on the same
+      // low-entropy data a 64 MB advisory partition deserializes to a
+      // multi-GB task (the sf10 final sort ran ~10 tasks over 60 M wide
+      // rows). Scale the advisory down by the measured encoding factor so
+      // post-coalesce tasks own ~the same in-memory volume at any entropy.
+      val advisory = math.max(4L << 20, (BytesPerPartition / factor).toLong)
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        advisory.toString)
+    }
+    grid
+  }
+
   /** Explicit-repartition size for a heavy stage fed by `df`: scan bytes
     * (Catalyst plan statistics — parquet footer sizes, no job) times the
     * stage's expansion factor, in 64 MB units, floored at the session's

@@ -24,6 +24,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // refine the grid from parquet ROW counts (byte walks are encoding-
+    // blind — see Scale.tuneSessionGrid); still the floor at small SF
+    Scale.tuneSessionGrid(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => prefixes.exists(name.startsWith) }

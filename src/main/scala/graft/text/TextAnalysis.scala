@@ -17,6 +17,21 @@ import graft.sources.Tables
   */
 object TextAnalysis {
 
+  /** Gram-barrier width for a documents frame: the corpus' total chars
+    * (one footer-statistics column sum — the eager staging pattern) fed
+    * through [[graft.Scale.partitionsForChars]]. Char volume is the
+    * honest basis: per-char shingling emits ~1 gram row per char, while
+    * doc counts miss long docs and parquet file bytes miss encoding
+    * (round-10 finding: the sf10 rehearsal corpus encodes 10×+ smaller
+    * than its in-memory rows, which left every byte-based dial at the
+    * 32-partition floor). At sf ≤ 0.1 this resolves to the session floor
+    * — today's plans bit-for-bit. */
+  private def gramBarrierParts(docs: DataFrame): Int = {
+    val chars = Option(docs.agg(sum(col("n_chars"))).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    graft.Scale.partitionsForChars(docs.sparkSession, chars)
+  }
+
   /** Marker stopwords per language, scored by simple membership count —
     * an n-gram-free variant of the classic stopword-profile language ID.
     * Fixed iteration order (sorted keys) keeps the argmax deterministic. */
@@ -572,7 +587,7 @@ object TextAnalysis {
       .select(col("doc_id"), h.as("sh"),
         explode(graft.functions.GraftFunctions.shingleSet(spark, col("text"), 5))
           .as("gram"))
-      .repartition(graft.Scale.shufflePartitionsFor(docs), col("gram"))
+      .repartition(gramBarrierParts(docs), col("gram"))
     val trainGrams = grams.filter(col("sh") < 80).select("gram").distinct()
     grams.filter(col("sh") >= 90)
       .join(trainGrams.withColumn("hit", lit(1L)), Seq("gram"), "left")
@@ -621,7 +636,7 @@ object TextAnalysis {
     * df side collapses map-side before the join. Shingling is the native
     * fused pass (ShingleSetExpr — the interpreted TextHash.shingleSet
     * chain was the sf10 grinder), and the gram frame shuffles behind a
-    * data-sized gram barrier ([[graft.Scale.shufflePartitionsFor]]): at a
+    * data-sized gram barrier ([[gramBarrierParts]], char-based): at a
     * fixed 32-reducer grid the sf10 gram agg's per-task state outgrows
     * its execution-memory share and tasks serialize (the r9 thread-dump
     * finding). Both consumers still scan the corpus (column pruning
@@ -634,7 +649,7 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode(graft.functions.GraftFunctions.shingleSet(spark, col("text"), 3))
           .as("gram"))
-      .repartition(graft.Scale.shufflePartitionsFor(docs), col("gram"))
+      .repartition(gramBarrierParts(docs), col("gram"))
     val boiler = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 5).select("gram")
     grams.join(boiler.withColumn("hit", lit(1L)), Seq("gram"), "left")
@@ -748,7 +763,7 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode(graft.functions.GraftFunctions.shingleSet(spark, col("text"), 3))
           .as("gram"))
-      .repartition(graft.Scale.shufflePartitionsFor(docs), col("gram"))
+      .repartition(gramBarrierParts(docs), col("gram"))
     val first = grams.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
     grams.join(first, "gram")
       .groupBy(col("doc_id"))

@@ -1,0 +1,281 @@
+package graft.tools
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.transit._
+
+/** A REAL HTTP listener over the serving layer — the reference exposes its
+  * engines through two Flask apps (`SQL/app.py:76-126` — /api/q1..q4 with
+  * `service_id`/`limit` params; `Mongo/app.py:47-244` — /get_stops,
+  * /get_timetable, /get_routes_for_stop, /get_arrivals). [[ServeDaemon]]
+  * measures the engine-side request path; this closes the last gap between
+  * "engine analog" and "a user could point curl at it": the same
+  * [[QueryService]]/[[Timetable]] plans behind real sockets, query-string
+  * parsing, status codes and JSON bodies, on the JDK's built-in
+  * `com.sun.net.httpserver` (zero added dependencies — the HTTP layer is
+  * presentation, so it must not drag a framework into the engine jar).
+  *
+  * Route → engine-face mapping (response shapes mirror the reference):
+  *  - `GET /api/q{1..4}?service_id=&limit=` → `{"items":[...]}`; params
+  *    sanitized by the shared [[ServiceFilter.fromParam]]/[[Limit.fromParam]]
+  *    rules ('4'/garbage → whole week; "all"/garbage → 20), exactly the
+  *    sanitization `SQL/sql_utils.py:23-43` applies before dispatch.
+  *  - `GET /get_stops` → JSON array of {stop_id, stop_name, stop_code},
+  *    name-sorted (`Mongo/app.py:56-59`).
+  *  - `GET /get_timetable?stop_id=` → nested {route: {headsign: [times]}}
+  *    (400 missing param / 404 unknown stop, `Mongo/app.py:66-112`).
+  *  - `GET /get_routes_for_stop?stop_id=` → sorted pair list
+  *    (`Mongo/app.py:116-149`).
+  *  - `GET /get_arrivals?stop_id=&route_short_name=&trip_headsign=&service_id=`
+  *    → flat `{"times":[...],"count":n}` when route+headsign are both given,
+  *    else grouped `{"groups":[...],"total_count":n}` (`Mongo/app.py:153-244`).
+  *
+  * Scale note: every handler is a driver-side render of an ALREADY
+  * snapshot/cache-served plan ([[QueryService]] serves from pre-aggregated
+  * partition-pruned snapshots; timetable lookups are point filters on the
+  * pinned document store). The HTTP layer adds O(response) work only — at
+  * cluster scale this process is a thin stateless front end replicated
+  * behind a load balancer, each replica holding the same cached snapshots,
+  * so request fan-out scales with replica count, not data size.
+  */
+object HttpServe {
+
+  /** JSON string escape (RFC 8259 minimal set). */
+  private def jstr(s: String): String = {
+    val b = new StringBuilder("\"")
+    s.foreach {
+      case '"'           => b.append("\\\"")
+      case '\\'          => b.append("\\\\")
+      case '\n'          => b.append("\\n")
+      case '\r'          => b.append("\\r")
+      case '\t'          => b.append("\\t")
+      case c if c < ' '  => b.append(f"\\u${c.toInt}%04x")
+      case c             => b.append(c)
+    }
+    b.append('"').toString
+  }
+
+  /** One query-string parse shared by every route (the JDK gives raw
+    * query text only). Later duplicates win, matching Flask's
+    * `request.args.get` taking the first — order reversed so first wins. */
+  private def params(ex: HttpExchange): Map[String, String] = {
+    val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    q.split("&").iterator.filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      val (k, v) = if (i < 0) (kv, "") else (kv.take(i), kv.drop(i + 1))
+      java.net.URLDecoder.decode(k, "UTF-8") ->
+        java.net.URLDecoder.decode(v, "UTF-8")
+    }.toSeq.reverse.toMap
+  }
+
+  private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  private def handler(f: HttpExchange => (Int, String)): HttpHandler =
+    new HttpHandler {
+      def handle(ex: HttpExchange): Unit =
+        try {
+          val (status, body) = f(ex)
+          respond(ex, status, body)
+        } catch {
+          case e: Throwable =>
+            respond(ex, 500, s"""{"error":${jstr(String.valueOf(e.getMessage))}}""")
+        }
+    }
+
+  /** Rows → JSON array via Spark's own row serializer (the engine's types
+    * decide the JSON types — no reflection layer like the reference's
+    * `_to_json_safe` numpy walk, `SQL/app.py:35-57`). */
+  private def itemsJson(df: DataFrame): String =
+    df.toJSON.collect().mkString("[", ",", "]")
+
+  /** Start the listener; `port = 0` binds an ephemeral port (tests).
+    * Handlers run on a small pool — concurrent requests become concurrent
+    * Spark jobs on the shared session, same as [[ServeDaemon]]. */
+  def start(svc: QueryService, timetables: DataFrame, port: Int): HttpServer = {
+    val server = HttpServer.create(new java.net.InetSocketAddress(port), 64)
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(16))
+
+    val analytic: Map[String, (ServiceFilter, Limit) => DataFrame] = Map(
+      "q1" -> (svc.q1(_, _)), "q2" -> (svc.q2(_, _)),
+      "q3" -> (svc.q3(_, _)), "q4" -> (svc.q4(_, _)))
+    analytic.foreach { case (name, f) =>
+      server.createContext(s"/api/$name", handler { ex =>
+        val p = params(ex)
+        val df = f(ServiceFilter.fromParam(p.get("service_id")),
+          Limit.fromParam(p.get("limit")))
+        (200, s"""{"items":${itemsJson(df)}}""")
+      })
+    }
+
+    server.createContext("/get_stops", handler { _ =>
+      (200, itemsJson(Timetable.getStops(timetables)))
+    })
+
+    server.createContext("/get_timetable", handler { ex =>
+      params(ex).get("stop_id") match {
+        case None =>
+          (400, """{"error":"Missing 'stop_id' parameter"}""")
+        case Some(sid) =>
+          // engine face returns (route_long_name, trip_headsign, n_times,
+          // comma-joined sorted times); the nested {route:{headsign:[...]}}
+          // document is re-assembled here at the presentation edge, like the
+          // reference's defaultdict walk (Mongo/app.py:87-110). Rows arrive
+          // group-sorted, so adjacent grouping preserves key order.
+          val rows = Timetable.getTimetable(timetables, sid).collect()
+          if (rows.isEmpty)
+            (404, s"""{"error":${jstr(s"Stop ID not found: $sid")}}""")
+          else {
+            val nested = rows.toSeq
+              .map { r =>
+                val route = Option(r.getAs[String]("route_long_name"))
+                  .getOrElse("Unknown Route")
+                val head = Option(r.getAs[String]("trip_headsign"))
+                  .getOrElse("Unknown Direction")
+                (route, head, r.getAs[String]("departure_times"))
+              }
+              .groupBy(_._1).toSeq.sortBy(_._1)
+              .map { case (route, hs) =>
+                val dirs = hs.map { case (_, head, times) =>
+                  s"${jstr(head)}:${times.split(",").map(jstr)
+                    .mkString("[", ",", "]")}"
+                }.mkString(",")
+                s"${jstr(route)}:{$dirs}"
+              }.mkString(",")
+            (200, s"{$nested}")
+          }
+      }
+    })
+
+    server.createContext("/get_routes_for_stop", handler { ex =>
+      params(ex).get("stop_id") match {
+        case None => (400, """{"error":"Missing 'stop_id' parameter"}""")
+        case Some(sid) =>
+          (200, itemsJson(Timetable.getRoutesForStop(timetables, sid)))
+      }
+    })
+
+    server.createContext("/get_arrivals", handler { ex =>
+      val p = params(ex)
+      p.get("stop_id") match {
+        case None => (400, """{"error":"Missing 'stop_id' parameter"}""")
+        case Some(sid) =>
+          val service = ServiceFilter.fromParam(p.get("service_id"))
+          (p.get("route_short_name"), p.get("trip_headsign")) match {
+            case (Some(route), Some(head)) =>
+              val times = Timetable.getArrivalsFlat(timetables, sid, route,
+                head, service).collect().map(_.getAs[String]("departure_time"))
+              (200, s"""{"times":${times.map(jstr).mkString("[", ",", "]")},"count":${times.length}}""")
+            case _ =>
+              val rows = Timetable.getArrivalsGrouped(timetables, sid, service)
+                .collect()
+              val groups = rows.map { r =>
+                val times = r.getAs[String]("departure_times")
+                val arr = if (times.isEmpty) "[]"
+                          else times.split(",").map(jstr).mkString("[", ",", "]")
+                // null short names render as "" like the reference's
+                // str-or-empty walk (Mongo/app.py:219-224)
+                val short = Option(r.getAs[String]("route_short_name")).getOrElse("")
+                s"""{"route_short_name":${jstr(short)},"trip_headsign":${jstr(r.getAs[String]("trip_headsign"))},"times":$arr,"count":${r.getAs[Long]("n_arrivals")}}"""
+              }
+              val total = rows.map(_.getAs[Long]("n_arrivals")).sum
+              (200, s"""{"groups":${groups.mkString("[", ",", "]")},"total_count":$total}""")
+          }
+      }
+    })
+
+    server.createContext("/healthz", handler { _ => (200, """{"ok":true}""") })
+
+    server.start()
+    server
+  }
+
+  /** Standalone entry: build snapshots + document store, serve, then fire a
+    * real-socket load test at itself and report latency percentiles (the
+    * full-stack analog of [[ServeDaemon]]'s engine-side numbers — the delta
+    * between the two IS the HTTP layer's cost). `SPARK_GRAFT_SERVE_FOREVER=1`
+    * keeps the listener up for interactive use instead. */
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val port = if (args.length > 0) args(0).toInt else 8181
+    val nReqs = if (args.length > 1) args(1).toInt else 1000
+    val clients = if (args.length > 2) args(2).toInt else 8
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.scheduler.mode", "FAIR")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val t = TransitTables.fromTpch(spark, sfDir)
+    val snapDir = "target/tmp/http_serve_snapshots"
+    QueryService.buildAnalyticsSnapshots(t, snapDir)
+    val svc = new QueryService(t, Some(snapDir), cacheSnapshots = true)
+    val timetables = Timetable.buildStopTimetables(t).cache()
+    val stopIds = timetables.select("stop_id").limit(64).collect()
+      .map(_.get(0).toString)
+    val server = start(svc, timetables, port)
+    val bound = server.getAddress.getPort
+    println(s"[http-serve] listening on :$bound")
+
+    if (sys.env.get("SPARK_GRAFT_SERVE_FOREVER").contains("1")) {
+      Thread.currentThread.join() // serve until killed
+      return
+    }
+
+    // self-load-test over a deterministic mixed route set
+    val routes: IndexedSeq[String] =
+      (for (s <- IndexedSeq("1", "2", "3", "4"); q <- Seq("q1", "q2", "q3", "q4"))
+        yield s"/api/$q?service_id=$s&limit=20") ++
+      stopIds.take(8).flatMap(id => Seq(
+        s"/get_timetable?stop_id=$id",
+        s"/get_routes_for_stop?stop_id=$id",
+        s"/get_arrivals?stop_id=$id")) :+ "/get_stops"
+    def get(path: String): Int = {
+      val conn = new java.net.URI(s"http://127.0.0.1:$bound$path").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val in = conn.getInputStream
+      val buf = new Array[Byte](8192)
+      var n = 0
+      while ({ val r = in.read(buf); if (r > 0) n += r; r >= 0 }) ()
+      in.close()
+      n
+    }
+    routes.foreach(get) // warm every route once
+    val lat = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(clients)
+    val t0 = System.nanoTime()
+    (0 until nReqs).map { i =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          val s = System.nanoTime()
+          get(routes(i % routes.size))
+          lat.add((System.nanoTime() - s) / 1e6)
+        }
+      })
+    }.foreach(_.get())
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    pool.shutdown()
+    server.stop(0)
+
+    import scala.jdk.CollectionConverters._
+    val xs = lat.asScala.toVector.sorted
+    def pct(p: Double): Double = xs(math.min(xs.size - 1, (p * xs.size).toInt))
+    val json =
+      f"""{"metric":"http_serve","sf":"$sfDir","n":$nReqs,"clients":$clients,"req_per_sec":${nReqs / wallSec}%.1f,"p50_ms":${pct(0.50)}%.1f,"p95_ms":${pct(0.95)}%.1f,"p99_ms":${pct(0.99)}%.1f}"""
+    println(json)
+    val out = java.nio.file.Paths.get("reports/http_serve.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out,
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+  }
+}

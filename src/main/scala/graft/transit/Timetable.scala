@@ -59,10 +59,32 @@ object Timetable {
     * under whole-stage codegen ([[flattenedFromTables]]). At 100 TB the
     * groupBy(stop_id) exchange is the whole job, so shuffle bytes are the
     * build's cost model. */
-  private def buildRaw(t: TransitTables): DataFrame =
+  private def buildRaw(t: TransitTables): DataFrame = {
+    // Data-sized grouping barrier (graft.Scale): stop cardinality is FIXED
+    // (a transit network's stops don't grow with years of history) while
+    // per-stop groups grow linearly, and a collect_list buffer holds its
+    // group as boxed rows at ~15× the shuffled bytes — AQE's 64 MB
+    // shuffle-byte coalesce target under-sizes that by an order of
+    // magnitude. The round-10 sf10 rehearsal showed the failure: at the
+    // coalesced grid each reduce task held ~16 stops' full buffers, the
+    // task set outgrew the execution-memory pool, and the stage collapsed
+    // to one runnable task (95 GB resident, killed after 30 min). An
+    // EXPLICIT hash repartition on the group key puts ~one stop's group
+    // per task, bounding per-task state by group size instead of corpus
+    // share; AQE never coalesces a user repartition, so the barrier
+    // survives planning. Sized from ROW COUNT (footer-served count, the
+    // eager staging pattern) because parquet encoding makes byte stats
+    // under-state this data ~10× — see [[graft.Scale.partitionsForRows]].
+    // ~400 B of boxed collect_list state per row → 160 k rows/task.
+    // Hash partitioning by the group key cannot change results, and the
+    // collected array is array_sort-normalized (total struct order), so
+    // oracle hashes are untouched by construction.
+    val parts = graft.Scale.partitionsForRows(
+      t.stopTimes.sparkSession, t.stopTimes.count(), 160000L)
     t.stopTimes
       .join(t.trips, "trip_id")
       .join(broadcast(t.routes), Seq("route_id"))
+      .repartition(parts, col("stop_id"))
       .groupBy(col("stop_id"))
       .agg(
         array_sort(collect_list(struct(
@@ -73,6 +95,7 @@ object Timetable {
           col("trip_headsign"), col("service_id"), col("direction_id"),
           col("arr_secs")
         ))).as("raw"))
+  }
 
   /** `GET /get_stops`: projection + name sort (reference `Mongo/app.py:56-59`). */
   def getStops(timetables: DataFrame): DataFrame =
@@ -243,22 +266,32 @@ object Timetable {
     * columns stays inside whole-stage codegen. [[TimetableSpec]] asserts
     * this face ≡ `flattened(buildStopTimetables(t))` row for row. */
   def flattenedFromTables(t: TransitTables): DataFrame =
-    buildRaw(t)
+    // The flat face is row-identity on the document build (group by stop →
+    // explode ≡ no-op on rows), so it must NOT pay it: materializing 500
+    // corpus-sized arrays to immediately explode them is the round-10 sf10
+    // OOM (collect_list buffers for the whole fact table live boxed on the
+    // heap mid-stage even behind a data-sized barrier). The direct plan is
+    // the fact join + codegen render + range-partitioned sort — every stage
+    // streams and spills; nothing holds a group in memory. Document-store
+    // semantics stay covered by the faces whose OUTPUT is genuinely nested
+    // ([[buildStopTimetables]] → grouped/mongo export/json roundtrip).
+    t.stopTimes
+      .join(t.trips, "trip_id")
+      .join(broadcast(t.routes), Seq("route_id"))
       .join(broadcast(t.stops.select(col("stop_id"), col("stop_name"))), Seq("stop_id"))
-      .select(col("stop_id"), col("stop_name"), explode(col("raw")).as("svc"))
       .select(
         col("stop_id"), col("stop_name"),
-        col("svc.trip_id").as("trip_id"),
-        col("svc.stop_sequence").as("stop_sequence"),
-        col("svc.route_id").as("route_id"),
-        col("svc.route_long_name").as("route_long_name"),
-        col("svc.route_short_name").as("route_short_name"),
-        col("svc.trip_headsign").as("trip_headsign"),
-        col("svc.service_id").as("service_id"),
-        col("svc.direction_id").as("direction_id"),
-        col("svc.dep_secs").as("dep_secs"),
-        GtfsTime.displayString(col("svc.arr_secs")).as("arrival_time"),
-        GtfsTime.displayString(col("svc.dep_secs")).as("departure_time"))
+        col("trip_id"),
+        col("stop_sequence"),
+        col("route_id"),
+        col("route_long_name"),
+        col("route_short_name"),
+        col("trip_headsign"),
+        col("service_id"),
+        col("direction_id"),
+        col("dep_secs"),
+        GtfsTime.displayString(col("arr_secs")).as("arrival_time"),
+        GtfsTime.displayString(col("dep_secs")).as("departure_time"))
       .orderBy(col("stop_id"), col("trip_id"), col("stop_sequence"))
 
   /** Flatten an already-rendered nested store back to rows (the generic

@@ -186,15 +186,20 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
       "\\bSort \\[".r.findAllIn(p).size >= 2, p)
   }
 
-  test("timetable flat face renders under codegen (no interpreted lambda)") {
+  test("timetable flat face streams: no document build, render under codegen") {
     val p = plan("transit_timetable_flat")
     // the nested-store transform is a lambda (interpreted); the bulk flat
-    // face must not contain one — display strings render post-explode
+    // face must not contain one — display strings render inline
     assert(!p.contains("lambdafunction"), s"interpreted HOF in flat face:\n$p")
-    // one wide fact exchange (groupBy stop_id); the other hash exchanges
-    // are the bounded dim-derivation dedups (routes/stops built from the
-    // TPC-H tables via distinct — absent when reading a real GTFS feed)
-    assert(p.contains("partial_collect_list"), s"no map-side collect partial:\n$p")
+    // row-identity faces must not pay the document build: a collect_list
+    // here means the plan materializes corpus-sized arrays only to
+    // explode them (the round-10 sf10 OOM). The flat plan is join +
+    // render + sort — grouping belongs to the genuinely-nested faces.
+    assert(!p.contains("collect_list"), s"flat face built the store:\n$p")
+    assert(!p.contains("Generate explode"), s"flat face exploded a store:\n$p")
+    // fact exchanges: the trips join + the final range sort; remaining
+    // hash exchanges are the bounded dim-derivation dedups (routes/stops
+    // built from the TPC-H tables via distinct)
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p)
   }
 

@@ -17,12 +17,18 @@ if [ ! -d /tmp/testdata_sf10 ]; then
   $RUN -Xmx24g graft.tools.InflateSf /tmp/testdata_sf1 /tmp/testdata_sf10 10
 fi
 
-SPARK_GRAFT_SF_DIR=/tmp/testdata_sf1 SPARK_GRAFT_ONLY="$SUBSET" \
-  $RUN -Xmx48g graft.Bench > /tmp/bench_sf1_subset.out 2>/dev/null
-cp target/bench.json /tmp/bench_sf1_subset.json
+# skip a leg whose artifact already exists (resumability: a killed sf10 leg
+# must not force re-paying the sf1 leg)
+if [ ! -f /tmp/bench_sf1_subset.json ]; then
+  SPARK_GRAFT_SF_DIR=/tmp/testdata_sf1 SPARK_GRAFT_ONLY="$SUBSET" \
+    $RUN -Xmx48g graft.Bench > /tmp/bench_sf1_subset.out \
+    2> >(grep --line-buffered '^\[bench\]' > /tmp/bench_sf1_subset.progress)
+  cp target/bench.json /tmp/bench_sf1_subset.json
+fi
 
 SPARK_GRAFT_SF_DIR=/tmp/testdata_sf10 SPARK_GRAFT_ONLY="$SUBSET" \
-  $RUN -Xmx96g graft.Bench > /tmp/bench_sf10_subset.out 2>/dev/null
+  $RUN -Xmx96g graft.Bench > /tmp/bench_sf10_subset.out \
+  2> >(grep --line-buffered '^\[bench\]' > /tmp/bench_sf10_subset.progress)
 cp target/bench.json /tmp/bench_sf10_subset.json
 
 python3 tools/scaling.py /tmp/bench_sf1_subset.json /tmp/bench_sf10_subset.json \
