@@ -99,7 +99,17 @@ object HttpServe {
     * Spark jobs on the shared session, same as [[ServeDaemon]]. */
   def start(svc: QueryService, timetables: DataFrame, port: Int): HttpServer = {
     val server = HttpServer.create(new java.net.InetSocketAddress(port), 64)
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(16))
+    // daemon workers: the listener must never pin the JVM open after
+    // server.stop() (the session's lifecycle owns process exit)
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(16,
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger()
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"http-serve-${n.incrementAndGet()}")
+          t.setDaemon(true)
+          t
+        }
+      }))
 
     val analytic: Map[String, (ServiceFilter, Limit) => DataFrame] = Map(
       "q1" -> (svc.q1(_, _)), "q2" -> (svc.q2(_, _)),
@@ -207,7 +217,13 @@ object HttpServe {
     val clients = if (args.length > 2) args(2).toInt else 8
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      // serving sessions shuffle TINY cached frames (a request touches one
+      // stop's document or a pre-aggregated snapshot): 4 reducers keeps
+      // per-request task dispatch ~free where the batch engines' 32 would
+      // spend more time scheduling than computing. Builds that need width
+      // (the one-off snapshot/store ETL) size their own barriers via
+      // graft.Scale, so this dial only shapes request plans.
+      .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -219,7 +235,11 @@ object HttpServe {
     val snapDir = "target/tmp/http_serve_snapshots"
     QueryService.buildAnalyticsSnapshots(t, snapDir)
     val svc = new QueryService(t, Some(snapDir), cacheSnapshots = true)
-    val timetables = Timetable.buildStopTimetables(t).cache()
+    // serving copy of the document store: the build runs wide (its own
+    // data-sized barrier), but the RESIDENT cache is a few thousand
+    // nested rows — collapse to 4 partitions so a point-lookup request
+    // schedules 4 scan tasks, not the build's grid
+    val timetables = Timetable.buildStopTimetables(t).coalesce(4).cache()
     val stopIds = timetables.select("stop_id").limit(64).collect()
       .map(_.get(0).toString)
     val server = start(svc, timetables, port)
@@ -250,15 +270,17 @@ object HttpServe {
       n
     }
     routes.foreach(get) // warm every route once
-    val lat = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+    val lat = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(clients)
     val t0 = System.nanoTime()
     (0 until nReqs).map { i =>
       pool.submit(new Runnable {
         def run(): Unit = {
+          val path = routes(i % routes.size)
           val s = System.nanoTime()
-          get(routes(i % routes.size))
-          lat.add((System.nanoTime() - s) / 1e6)
+          get(path)
+          lat.add((path.drop(1).takeWhile(c => c != '?' && c != '/'),
+            (System.nanoTime() - s) / 1e6))
         }
       })
     }.foreach(_.get())
@@ -267,10 +289,18 @@ object HttpServe {
     server.stop(0)
 
     import scala.jdk.CollectionConverters._
-    val xs = lat.asScala.toVector.sorted
-    def pct(p: Double): Double = xs(math.min(xs.size - 1, (p * xs.size).toInt))
+    val all = lat.asScala.toVector
+    def pct(xs: Vector[Double], p: Double): Double = {
+      val s = xs.sorted
+      s(math.min(s.size - 1, (p * s.size).toInt))
+    }
+    val perRoute = all.groupBy(_._1).toSeq.sortBy(_._1).map { case (r, vs) =>
+      val xs = vs.map(_._2)
+      f""""$r":{"n":${xs.size},"p50_ms":${pct(xs, 0.50)}%.1f,"p95_ms":${pct(xs, 0.95)}%.1f}"""
+    }.mkString(",")
+    val xs = all.map(_._2)
     val json =
-      f"""{"metric":"http_serve","sf":"$sfDir","n":$nReqs,"clients":$clients,"req_per_sec":${nReqs / wallSec}%.1f,"p50_ms":${pct(0.50)}%.1f,"p95_ms":${pct(0.95)}%.1f,"p99_ms":${pct(0.99)}%.1f}"""
+      f"""{"metric":"http_serve","sf":"$sfDir","n":$nReqs,"clients":$clients,"req_per_sec":${nReqs / wallSec}%.1f,"p50_ms":${pct(xs, 0.50)}%.1f,"p95_ms":${pct(xs, 0.95)}%.1f,"p99_ms":${pct(xs, 0.99)}%.1f,$perRoute}"""
     println(json)
     val out = java.nio.file.Paths.get("reports/http_serve.json")
     java.nio.file.Files.createDirectories(out.getParent)
