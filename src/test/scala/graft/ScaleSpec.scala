@@ -1,0 +1,51 @@
+package graft
+
+/** The data-sized parallelism dials: floors keep small scales on today's
+  * plans, caps bound runaway inputs, and the session-geometry tuner derives
+  * its knobs from ROW counts (byte stats are encoding-blind — the round-10
+  * sf10 finding: 86.6 M rows pack into 274 MB of parquet, so every
+  * byte-derived decision sat at its floor while stages collapsed to one
+  * task). */
+class ScaleSpec extends SparkSpec {
+
+  test("partitionsForRows: floor at session grid, linear above, capped") {
+    val floor = spark.sessionState.conf.numShufflePartitions
+    // small inputs stay on the session grid — today's plans bit-for-bit
+    assert(Scale.partitionsForRows(spark, 0L, 160000L) == floor)
+    assert(Scale.partitionsForRows(spark, 160000L * floor, 160000L) == floor)
+    // 60 M rows at 160 k/task (the sf10 document build) → 375 tasks
+    assert(Scale.partitionsForRows(spark, 60000000L, 160000L) == 375)
+    // a mis-stated input cannot schedule a million tasks
+    assert(Scale.partitionsForRows(spark, Long.MaxValue / 4, 1L) ==
+      Scale.DefaultMaxPartitions)
+  }
+
+  test("partitionsForChars: gram volume in ~1M-char tasks") {
+    val floor = spark.sessionState.conf.numShufflePartitions
+    assert(Scale.partitionsForChars(spark, 1L << 20) == floor)
+    // the sf10 corpus (246 M chars) → ~235 gram-barrier tasks
+    val sf10 = Scale.partitionsForChars(spark, 246000000L)
+    assert(sf10 > 200 && sf10 < 300, sf10.toString)
+  }
+
+  test("tuneSessionGrid: small dirs keep the floor and near-default scan geometry") {
+    val floor = spark.sessionState.conf.numShufflePartitions
+    val grid = Scale.tuneSessionGrid(spark, "/root/testdata/sf0.001")
+    assert(grid == floor, s"sf0.001 must stay on the session grid, got $grid")
+    // split size never collapses below 4 MB even at extreme packing
+    val split = spark.conf.get("spark.sql.files.maxPartitionBytes").toLong
+    assert(split >= (4L << 20) && split <= (128L << 20), split.toString)
+    // compression factor is bounded — stats can be scaled, never zeroed
+    val f = spark.conf.get("spark.sql.sources.fileCompressionFactor").toDouble
+    assert(f >= 1.0 && f <= 32.0, f.toString)
+    val adv = spark.conf
+      .get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .stripSuffix("b").toLong
+    assert(adv >= (4L << 20) && adv <= Scale.BytesPerPartition, adv.toString)
+  }
+
+  test("tuneSessionGrid: a missing dir is a safe no-op at the floor") {
+    val floor = spark.sessionState.conf.numShufflePartitions
+    assert(Scale.tuneSessionGrid(spark, "/nonexistent/dir") == floor)
+  }
+}
