@@ -40,8 +40,21 @@ object InflateSf {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def out(df: DataFrame, name: String): Unit =
-      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+    // Round-10 finding: a rehearsal table landed as ONE file with ONE row
+    // group (the clone pipeline keeps the source's 1-file partitioning) is
+    // UNSPLITTABLE — a row group is parquet's minimum read unit, so every
+    // scan of it serializes onto one task no matter how
+    // `files.maxPartitionBytes` is tuned, and the rehearsal then measures
+    // one core against 32. Real large-scale writers land many ~128 MB row
+    // groups; the rehearsal data must be splittable the same way: facts
+    // repartition to `cpus` write tasks and every file bounds its row
+    // groups at 8 MB (the low-entropy data dictionary-packs 10-20x, so
+    // 8 MB on disk is ~1-2 M rows — a sane scan task).
+    def out(df: DataFrame, name: String, parts: Int = 0): Unit =
+      (if (parts > 0) df.repartition(parts) else df)
+        .write.mode("overwrite")
+        .option("parquet.block.size", (8L << 20).toString)
+        .parquet(s"$dst/$name.parquet")
 
     // key offsets: one decade above any real key at this factor
     val OFF = 10000000L
@@ -54,12 +67,12 @@ object InflateSf {
     val orders = spark.read.parquet(s"$src/orders.parquet")
     out(orders.select(col("*"), clone)
       .withColumn("o_orderkey", col("o_orderkey") + col("clone") * OFF)
-      .drop("clone"), "orders")
+      .drop("clone"), "orders", cpus.toInt)
 
     val li = spark.read.parquet(s"$src/lineitem.parquet")
     out(li.select(col("*"), clone)
       .withColumn("l_orderkey", col("l_orderkey") + col("clone") * OFF)
-      .drop("clone"), "lineitem")
+      .drop("clone"), "lineitem", cpus.toInt)
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
     out(docs.select(col("*"), clone)
@@ -69,7 +82,7 @@ object InflateSf {
             w => concat(w, lit("x"), col("clone"))), " ")))
       .withColumn("doc_id", col("doc_id") + col("clone") * OFF)
       .withColumn("n_chars", length(col("text")).cast("long"))
-      .drop("clone"), "documents")
+      .drop("clone"), "documents", cpus.toInt)
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
@@ -80,7 +93,7 @@ object InflateSf {
             lit(dim) - col("clone").cast("int")),
           slice(col("embedding"), lit(1), col("clone").cast("int")))))
       .withColumn("vec_id", col("vec_id") + col("clone") * OFF)
-      .drop("clone"), "embeddings")
+      .drop("clone"), "embeddings", cpus.toInt)
 
     // events ride the nanos-aware loader; re-landing as micros is fine —
     // Tables.events normalizes either physical type
@@ -88,7 +101,7 @@ object InflateSf {
     out(ev.select(col("*"), clone)
       .withColumn("event_id", col("event_id") + col("clone") * OFF)
       .withColumn("user_id", col("user_id") + col("clone") * OFF)
-      .drop("clone"), "events")
+      .drop("clone"), "events", cpus.toInt)
 
     println(s"[inflate] wrote ${k}x of $src to $dst")
     spark.stop()
