@@ -966,7 +966,46 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** Soft dedup — the keep-but-downweight alternative to dropping
+    * near-duplicates (duplicate-aware loss weighting: a doc in a near-dup
+    * cluster of m contributes 1/m of its tokens to the training budget,
+    * so repeated content is seen ~once in expectation without the recall
+    * risk of a hard drop). Weights are integer milli-units (1000 DIV m)
+    * end to end, so the per-source sums are exact in both engines and the
+    * one double division happens once per OUTPUT row. Cost profile is the
+    * [[clusters]] fixpoint (id-keyed joins over 16-byte pairs) plus one
+    * doc scan and one source-keyed aggregate; at 100 TB the cluster-size
+    * frame is |clustered docs| rows — orders of magnitude under the
+    * corpus — and text never shuffles. */
+  def softWeights(spark: SparkSession, dir: String): DataFrame = {
+    val labels = labelsFrom(
+      minhashPairs(spark, dir).filter(col("est_sim") >= MinClusterSim)
+        .select(col("id1"), col("id2")))
+    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("m"))
+    val mem = labels.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("m"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_toks"))
+      .join(mem, Seq("doc_id"), "left")
+      .withColumn("mm", coalesce(col("m"), lit(1L)))
+      .withColumn("w_milli", (lit(1000L) / col("mm")).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("mm") > 1L, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(col("n_toks")).as("tokens_raw"),
+        sum(col("n_toks") * col("w_milli")).as("tokens_eff_milli"))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+        col("tokens_raw"), col("tokens_eff_milli"),
+        round(when(col("tokens_raw") > 0L,
+            col("tokens_eff_milli").cast("double") /
+              (col("tokens_raw") * 1000L).cast("double"))
+          .otherwise(lit(null).cast("double")), 6).as("keep_ratio"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_soft_weights" -> softWeights,
     "dedup_lsh_recall" -> lshRecallAudit,
     "dedup_impact" -> dedupImpact,
     "dedup_dup_spans" -> dupSpans,

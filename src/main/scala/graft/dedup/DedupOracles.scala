@@ -484,7 +484,30 @@ object DedupOracles {
       |             / COUNT(*), 6) AS doc_removal_rate
       |FROM k GROUP BY source ORDER BY source""".stripMargin
 
+  /** Soft-dedup loss weights: cluster sizes from the same recursive
+    * component closure as [[clusters]]; per-doc weight 1000 // m in
+    * integer milli-units so the source sums are exact, mirroring
+    * Dedup.softWeights structurally. */
+  val softWeights: String =
+    compPrelude.stripSuffix("\n") +
+      s""", sizes AS (SELECT cluster_id, COUNT(*) AS m FROM comp GROUP BY cluster_id),
+         |mem AS (SELECT comp.doc_id, sizes.m FROM comp JOIN sizes USING (cluster_id)),
+         |d AS (SELECT doc_id, source,
+         |             CAST(len(${tokens("text")}) AS BIGINT) AS n_toks
+         |      FROM documents),
+         |w AS (SELECT d.source, d.n_toks, COALESCE(mem.m, 1) AS mm,
+         |             CAST(1000 // COALESCE(mem.m, 1) AS BIGINT) AS w_milli
+         |      FROM d LEFT JOIN mem USING (doc_id))
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(CASE WHEN mm > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+         |       CAST(SUM(n_toks) AS BIGINT) AS tokens_raw,
+         |       CAST(SUM(n_toks * w_milli) AS BIGINT) AS tokens_eff_milli,
+         |       round(CAST(SUM(n_toks * w_milli) AS DOUBLE)
+         |             / NULLIF(SUM(n_toks) * 1000, 0), 6) AS keep_ratio
+         |FROM w GROUP BY source ORDER BY source""".stripMargin
+
   val all: Map[String, String] = Map(
+    "dedup_soft_weights" -> softWeights,
     "dedup_lsh_recall" -> lshRecall,
     "dedup_impact" -> dedupImpact,
     "dedup_dup_spans" -> dupSpans,

@@ -196,6 +196,55 @@ object Multimodal {
       .orderBy(col("n_copies").desc, col("chunk_hash"), col("chunk_len"))
       .limit(20)
 
+  /** Chunks shared by more payloads than this are dropped from the
+    * near-dup index as non-discriminative (the inverted-index frequency
+    * cap that bounds the candidate join: a chunk in f payloads emits f²
+    * pairs, so Σf² ≤ cap·|index| — linear, never all-pairs). */
+  val NearDupHubCap = 64
+
+  /** Minimum chunk-set Jaccard (milli) for a reported near-dup pair. */
+  val NearDupMinJaccardMilli = 200L
+
+  /** Payload near-dup via CDC chunk-set containment — the backup-store /
+    * media-dedup primitive exact [[payloadDedup]] can't express: two blobs
+    * that share MOST of their content-defined chunks are near-identical
+    * bytes (one insertion away), even though their payload hashes differ.
+    * The pair search is an inverted-index equi-join blocked on
+    * (chunk_hash, chunk_len) — never an all-pairs compare — with the
+    * [[NearDupHubCap]] frequency cap bounding hub fan-out, and similarity
+    * is integer milli-Jaccard over the hub-filtered chunk SETS, so both
+    * engines agree exactly. Payload bytes never shuffle: the chunker
+    * emits (doc_id, hash, len) and everything downstream is 20-byte rows.
+    * At 100 TB this is the standard shared-chunk pair detection a
+    * deduplicating object store runs, and the cap is what keeps a
+    * common-header chunk from exploding the join. */
+  def payloadNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val cs = cdcChunks(blobs(spark, dir)).toDF()
+      .select(col("doc_id"), col("chunk_hash"), col("chunk_len")).distinct()
+    val hubOk = cs.groupBy(col("chunk_hash"), col("chunk_len"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") <= NearDupHubCap)
+      .select(col("chunk_hash"), col("chunk_len"))
+    val cf = cs.join(hubOk, Seq("chunk_hash", "chunk_len"))
+    val sizes = cf.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+    cf.as("a").join(cf.as("b"),
+        col("a.chunk_hash") === col("b.chunk_hash") &&
+          col("a.chunk_len") === col("b.chunk_len") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("doc_id").as("id1"), col("n_chunks").as("n1")), Seq("id1"))
+      .join(sizes.select(col("doc_id").as("id2"), col("n_chunks").as("n2")), Seq("id2"))
+      .withColumn("jaccard_milli",
+        ((lit(1000L) * col("n_shared")) /
+          (col("n1") + col("n2") - col("n_shared"))).cast("long"))
+      .filter(col("jaccard_milli") >= NearDupMinJaccardMilli)
+      .select(col("id1"), col("id2"), col("n_shared"), col("n1"), col("n2"),
+        col("jaccard_milli"))
+      .orderBy(col("jaccard_milli").desc, col("id1"), col("id2"))
+      .limit(20)
+  }
+
   val ChunkLen = 400   // bytes per chunk
   val ChunkStride = 300 // bytes between chunk starts (overlap = 100)
 
@@ -362,6 +411,7 @@ object Multimodal {
     "mm_audio_chunks" -> audioChunks,
     "mm_batched_infer" -> batchedInferScores,
     "mm_cdc_chunks" -> cdcChunkReuse,
+    "mm_payload_neardup" -> payloadNearDup,
     "mm_resize" -> resize)
 }
 
@@ -526,7 +576,11 @@ object MultimodalOracles {
   /** Mirrors [[Multimodal.cdcChunkReuse]]: the same hex-unpacked byte
     * list, rolling-window boundary test, and 31-fold chunk hash, with
     * chunk spans derived from the starts list via list slicing. */
-  val cdcChunks: String = {
+  /** Shared CDC prelude: bl (payload bytes as BIGINT list) → st (chunk
+    * start offsets from the 4-byte rolling-window boundary rule) → ch
+    * (one struct row per chunk with fold hash `h` and length `l`) —
+    * byte-for-byte the [[Multimodal.cdcChunks]] algorithm. */
+  private val cdcPrelude: String = {
     val P = graft.functions.TextHashSql.P
     val D = Multimodal.CdcDivisor
     val byteAt = (pos: String) =>
@@ -563,17 +617,49 @@ object MultimodalOracles {
        |        (a, b) -> (a*31 + b) % $P),
        |      l := starts[CAST(k+2 AS INT)] - starts[CAST(k+1 AS INT)]))) AS c
        |  FROM st)
-       |SELECT c.h AS chunk_hash, CAST(c.l AS INT) AS chunk_len,
-       |       CAST(count(*) AS BIGINT) AS n_copies,
-       |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
-       |FROM ch GROUP BY 1, 2
-       |ORDER BY n_copies DESC, chunk_hash, chunk_len
-       |LIMIT 20""".stripMargin
+       |""".stripMargin
   }
+
+  val cdcChunks: String =
+    cdcPrelude +
+      """SELECT c.h AS chunk_hash, CAST(c.l AS INT) AS chunk_len,
+        |       CAST(count(*) AS BIGINT) AS n_copies,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM ch GROUP BY 1, 2
+        |ORDER BY n_copies DESC, chunk_hash, chunk_len
+        |LIMIT 20""".stripMargin
+
+  /** Payload near-dup oracle: same chunk-set containment join as
+    * [[Multimodal.payloadNearDup]] — distinct chunk sets, hub-capped
+    * inverted index on (h, l), integer milli-Jaccard. */
+  val payloadNearDup: String =
+    cdcPrelude.stripSuffix("\n") +
+      s""", cs AS (SELECT DISTINCT doc_id, c.h AS h, c.l AS l FROM ch),
+         |hub AS (SELECT h, l FROM cs GROUP BY h, l
+         |        HAVING COUNT(DISTINCT doc_id) <= ${Multimodal.NearDupHubCap}),
+         |cf AS (SELECT cs.doc_id, cs.h, cs.l FROM cs JOIN hub USING (h, l)),
+         |sz AS (SELECT doc_id, COUNT(*) AS n_chunks FROM cf GROUP BY doc_id),
+         |pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_shared
+         |       FROM cf a JOIN cf b ON a.h = b.h AND a.l = b.l
+         |                          AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |j AS (SELECT pr.id1, pr.id2, CAST(pr.n_shared AS BIGINT) AS n_shared,
+         |             CAST(s1.n_chunks AS BIGINT) AS n1,
+         |             CAST(s2.n_chunks AS BIGINT) AS n2,
+         |             CAST(1000 * pr.n_shared
+         |                  // (s1.n_chunks + s2.n_chunks - pr.n_shared)
+         |                  AS BIGINT) AS jaccard_milli
+         |      FROM pr JOIN sz s1 ON pr.id1 = s1.doc_id
+         |              JOIN sz s2 ON pr.id2 = s2.doc_id)
+         |SELECT id1, id2, n_shared, n1, n2, jaccard_milli
+         |FROM j WHERE jaccard_milli >= ${Multimodal.NearDupMinJaccardMilli}
+         |ORDER BY jaccard_milli DESC, id1, id2
+         |LIMIT 20""".stripMargin
 
   val all: Map[String, String] = Map(
     "mm_batched_infer" -> batchedInfer,
     "mm_cdc_chunks" -> cdcChunks,
+    "mm_payload_neardup" -> payloadNearDup,
     "mm_caption_batches" -> captionBatches,
     "mm_scene_cuts" -> sceneCuts,
     "mm_payload_dedup" -> payloadDedup,

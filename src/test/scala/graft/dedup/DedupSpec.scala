@@ -235,4 +235,27 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     // doc 1 shares the single 8-gram with BOTH eval items
     assert(rows == Map(1L -> ((2L, 2L))))
   }
+
+  test("soft-dedup weights match a driver-side recompute from the cluster face") {
+    val sf = "/root/testdata/sf0.001"
+    val members = Dedup.clusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_members")).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = docs.groupBy(_._2).map { case (src, rows) =>
+      val eff = rows.map { case (id, _, n) => n * (1000L / members.getOrElse(id, 1L)) }.sum
+      val raw = rows.map(_._3).sum
+      val dup = rows.count { case (id, _, _) => members.getOrElse(id, 1L) > 1L }
+      (src, rows.size.toLong, dup.toLong, raw, eff)
+    }
+    val got = Dedup.softWeights(spark, sf).collect().map { r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    }
+    assert(got.toSet == expected.toSet)
+    assert(got.exists(_._3 > 0), "fixture corpus should contain clustered docs")
+    // downweighting never inflates the budget: eff_milli <= 1000 * raw
+    assert(got.forall(t => t._5 <= 1000L * t._4))
+  }
 }

@@ -88,4 +88,28 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(top.head.getAs[Long]("n_copies") > 1, "top chunk should be shared")
     assert(top.forall(r => r.getAs[Long]("n_docs") <= r.getAs[Long]("n_copies")))
   }
+
+  test("payload near-dup equals brute-force Jaccard over hub-capped chunk sets") {
+    val small = "/root/testdata/sf0.001"
+    val chunks = Multimodal.cdcChunks(Multimodal.blobs(spark, small)).collect()
+      .map(c => (c.doc_id, (c.chunk_hash, c.chunk_len))).distinct
+    val hubOk = chunks.groupBy(_._2)
+      .filter { case (_, rows) => rows.map(_._1).distinct.length <= Multimodal.NearDupHubCap }
+      .keySet
+    val docSets: Map[Long, Set[(Long, Int)]] = chunks.filter(c => hubOk(c._2))
+      .groupBy(_._1).map { case (id, rows) => id -> rows.map(_._2).toSet }
+    val ids = docSets.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids; j <- ids if i < j
+      sh = (docSets(i) & docSets(j)).size if sh > 0
+      jac = 1000L * sh / (docSets(i).size + docSets(j).size - sh)
+      if jac >= Multimodal.NearDupMinJaccardMilli
+    } yield (i, j, sh.toLong, docSets(i).size.toLong, docSets(j).size.toLong, jac))
+      .sortBy(t => (-t._6, t._1, t._2)).take(20)
+    val got = Multimodal.payloadNearDup(spark, small).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == brute)
+    assert(got.nonEmpty, "fixture corpus should contain near-dup payloads")
+  }
 }
