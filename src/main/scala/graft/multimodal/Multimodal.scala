@@ -219,8 +219,12 @@ object Multimodal {
     * deduplicating object store runs, and the cap is what keeps a
     * common-header chunk from exploding the join. */
   def payloadNearDup(spark: SparkSession, dir: String): DataFrame = {
+    // stage the chunk index once (the Dedup.stageEdges pattern): it feeds
+    // four consumers (hub census, filtered index both join sides, sizes) —
+    // without the checkpoint the per-byte CDC scan re-executes per consumer
     val cs = cdcChunks(blobs(spark, dir)).toDF()
       .select(col("doc_id"), col("chunk_hash"), col("chunk_len")).distinct()
+      .localCheckpoint(true)
     val hubOk = cs.groupBy(col("chunk_hash"), col("chunk_len"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") <= NearDupHubCap)
