@@ -552,6 +552,17 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
       s"corpus re-scanned:\n${p.take(1500)}")
   }
 
+  test("payload near-dup: CDC byte scan staged once, top-20 is TakeOrdered") {
+    // the chunk index feeds four consumers (hub census, both self-join
+    // sides, sizes); the checkpoint barrier means consumers read the RDD
+    // and the per-byte chunker cannot execute per consumer
+    val p = plan("mm_payload_neardup")
+    assert(p.contains("Scan ExistingRDD"), p.take(1500))
+    assert(!p.contains("FileScan parquet"),
+      s"corpus re-scanned past the staged chunk index:\n${p.take(1500)}")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
   test("sketch aggregates land within 5% of exact (HLL distinct, t-digest median)") {
     // the tolerance check is computed in-plan from the real sketch values
     // (exact vs approx in one aggregate); the oracle hashes it as TRUE, and
