@@ -218,6 +218,7 @@ object SparkEntry {
     // X191 ∘ X72: apply the v2 diff as a MERGE to the landed v1 snapshot;
     // oracle = a fresh v2 load, so the hash-match proves merge ≡ reload
     "transit_feed_upsert" -> ((s, dir) => Queries.feedUpsert(s, dir)),
+    "transit_snapshot_ivm" -> ((s, dir) => Queries.snapshotIvm(s, dir)),
     // market-basket association rules over trips-as-baskets
     "transit_stop_rules" -> ((s, dir) =>
       Queries.stopRules(TransitTables.fromTpch(s, dir))),
@@ -314,6 +315,7 @@ object SparkEntry {
     "transit_route_overlap" -> TransitOracles.routeOverlap,
     "transit_feed_diff" -> TransitOracles.feedDiff,
     "transit_feed_upsert" -> TransitOracles.feedUpsert,
+    "transit_snapshot_ivm" -> TransitOracles.snapshotIvm,
     "transit_stop_rules" -> TransitOracles.stopRules(),
     "transit_khop_census" -> TransitOracles.kHopCensus,
     // snapshot round trips are value-preserving (parquet doubles bit-exact)

@@ -1146,6 +1146,54 @@ object Queries {
         coalesce(col("dep2"), col("dep_secs")).as("dep_secs"))
   }
 
+  /** Incremental view maintenance of the per-stop serving aggregate under
+    * the [[feedUpsert]] changeset — the capability that turns the 33 s
+    * sf1 snapshot rebuild into a delta-sized job: the standing snapshot
+    * (n_events, dep_sum per stop) is merged with a retract/apply delta
+    * computed ONLY from changed slots (insert → +1/+dep, delete →
+    * −1/−dep, update → 0/±Δdep), never rescanning the new feed. The
+    * oracle is deliberately NOT a mirror: it aggregates a fresh flat v2
+    * derivation, so the hash-match proves the maintenance algebra equals
+    * full recompute. At 100 TB the join is standing-snapshot ⟗
+    * delta-keyed agg — cost ∝ |changeset|, and the v1 slot table is
+    * staged once for its four consumers (snapshot, both v2 branches,
+    * diff). All counters integer end to end. */
+  def snapshotIvm(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = TransitTables.fromTpch(spark, sfDir)
+    val v1 = t.stopTimes
+      .groupBy(col("trip_id"), col("stop_id"), col("stop_sequence").as("seq"))
+      .agg(min(col("dep_secs")).as("dep_secs"))
+      .localCheckpoint(true)
+    val snap1 = v1.groupBy(col("stop_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("dep_secs")).as("dep_sum"))
+    val v2 = v1.filter(col("trip_id") % 13 =!= 0)
+      .withColumn("dep_secs",
+        when(col("trip_id") % 7 === 0, col("dep_secs") + 300L)
+          .otherwise(col("dep_secs")))
+      .unionByName(v1.filter(col("trip_id") % 11 === 0)
+        .withColumn("trip_id", -col("trip_id")))
+    val changes = v1.select(col("trip_id"), col("stop_id"), col("seq"),
+        col("dep_secs").as("dep1"))
+      .join(v2.select(col("trip_id"), col("stop_id"), col("seq"),
+          col("dep_secs").as("dep2")),
+        Seq("trip_id", "stop_id", "seq"), "full_outer")
+      .filter(col("dep1").isNull || col("dep2").isNull ||
+        col("dep1") =!= col("dep2"))
+    val delta = changes.groupBy(col("stop_id"))
+      .agg(sum(when(col("dep1").isNull, lit(1L))
+            .when(col("dep2").isNull, lit(-1L)).otherwise(lit(0L))).as("dn"),
+        sum(coalesce(col("dep2"), lit(0L)) - coalesce(col("dep1"), lit(0L)))
+          .as("dsum"))
+    snap1.join(delta, Seq("stop_id"), "full_outer")
+      .select(col("stop_id"),
+        (coalesce(col("n_events"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_events"),
+        (coalesce(col("dep_sum"), lit(0L)) + coalesce(col("dsum"), lit(0L)))
+          .as("dep_sum"))
+      .filter(col("n_events") > 0L)
+      .orderBy(col("stop_id"))
+  }
+
   /** Route-overlap redundancy census — pairs of routes serving largely
     * the same stops (network-planning's duplicate-service signal; the
     * route-level dual of Q3's transfer points). Incidence dedupes to

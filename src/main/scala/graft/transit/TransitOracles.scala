@@ -290,6 +290,25 @@ object TransitOracles {
        |SELECT -trip_id, stop_id, seq, dep_secs
        |FROM v1 WHERE trip_id % 11 = 0""".stripMargin
 
+  /** Oracle for [[Queries.snapshotIvm]] — a flat per-stop aggregate over
+    * the fresh v2 derivation (NOT the retract/apply merge): the
+    * hash-match proves incremental maintenance ≡ full recompute. */
+  val snapshotIvm: String =
+    s"""$P, v1 AS (SELECT trip_id, stop_id, stop_sequence AS seq,
+       |                  MIN(dep_secs) AS dep_secs
+       |           FROM stop_times GROUP BY 1, 2, 3),
+       |v2 AS (
+       |  SELECT trip_id, stop_id, seq,
+       |         CASE WHEN trip_id % 7 = 0 THEN dep_secs + 300
+       |              ELSE dep_secs END AS dep_secs
+       |  FROM v1 WHERE trip_id % 13 <> 0
+       |  UNION ALL
+       |  SELECT -trip_id, stop_id, seq, dep_secs
+       |  FROM v1 WHERE trip_id % 11 = 0)
+       |SELECT stop_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |       CAST(SUM(dep_secs) AS BIGINT) AS dep_sum
+       |FROM v2 GROUP BY stop_id ORDER BY stop_id""".stripMargin
+
   /** Planted-corruption mirror of `GtfsWriter.corruptCensus`: the same
     * exclusive trip_id-moduli classes computed on the CLEAN derivation —
     * the engine's PERMISSIVE read must recover exactly these counts, and

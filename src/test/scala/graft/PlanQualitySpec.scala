@@ -563,6 +563,16 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
   }
 
+  test("snapshot IVM: maintenance never rescans the fact table past staged v1") {
+    // v1 is checkpointed once; the standing snapshot, both v2 branches,
+    // and the diff all read the RDD — the merge plan must contain no
+    // parquet scan (that's the delta-sized-cost claim)
+    val p = plan("transit_snapshot_ivm")
+    assert(p.contains("Scan ExistingRDD"), p.take(1500))
+    assert(!p.contains("FileScan parquet"),
+      s"fact table rescanned past the staged slot table:\n${p.take(1500)}")
+  }
+
   test("sketch aggregates land within 5% of exact (HLL distinct, t-digest median)") {
     // the tolerance check is computed in-plan from the real sketch values
     // (exact vs approx in one aggregate); the oracle hashes it as TRUE, and
