@@ -11,7 +11,7 @@ CLS="${1:-target/scala-2.13/classes}"
 AO="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
 RUN="java $AO -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -cp $CLS:/opt/spark/jars/*"
 
-SUBSET="sim_nndescent,text_boilerplate,text_bpe_pretokens,text_contamination,dedup_semantic,dedup_embedding_neardup,dedup_minhash_pairs,dedup_clusters,dedup_dup_spans,dedup_soft_weights,sim_ann_ivf_persisted,sim_ood_knn,text_pii_redact,text_novelty,text_vocab_growth,transit_timetable_flat,transit_trip_patterns,transit_q2_weekday,transit_q4_weekday,rel_salted_join,rel_topk_per_group,mm_payload_neardup"
+SUBSET="sim_nndescent,text_boilerplate,text_bpe_pretokens,text_contamination,dedup_semantic,dedup_embedding_neardup,dedup_minhash_pairs,dedup_clusters,dedup_dup_spans,dedup_soft_weights,sim_ann_ivf_persisted,sim_ood_knn,text_pii_redact,text_novelty,text_vocab_growth,transit_timetable_flat,transit_trip_patterns,transit_q2_weekday,transit_q4_weekday,rel_salted_join,rel_topk_per_group,mm_payload_neardup,transit_snapshot_ivm"
 
 if [ ! -d /tmp/testdata_sf10 ]; then
   $RUN -Xmx24g graft.tools.InflateSf /tmp/testdata_sf1 /tmp/testdata_sf10 10
