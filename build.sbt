@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver captures the run's combined output and json-parses the
+// LAST line; sbt's "[success] Total time ..." epilogue would land after
+// graft.Bench's contract JSON line and break that parse, and the default
+// logged output strategy would prefix the line itself with "[info] ".
+ThisBuild / showSuccess := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

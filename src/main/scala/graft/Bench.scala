@@ -110,9 +110,6 @@ object Bench {
       .toSeq.sortBy(_._1)
       .map { case (fam, rs) => f""""$fam":${rs.map(_._3).sum}%.3f""" }
       .mkString("{", ",", "}")
-    val line =
-      f"""{"metric":"total_query_time","value":$totalWarm%.3f,"unit":"sec","total_cold":$totalCold%.3f,"n_queries":${results.size},"queries":$headMap,"families_warm":$famMap,"full_map":"reports/bench_full.json","sf":"$sfDir"}"""
-    println(line)
     val full = results.map { case (n, c, w) =>
       "\"" + n + f"""\":{"cold":$c%.3f,"warm":$w%.3f}"""
     }.mkString("{", ",", "}")
@@ -130,6 +127,21 @@ object Bench {
       java.nio.file.Files.write(out,
         (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
+    // the contract line pins the committed full map by content hash, so
+    // the driver artifact verifies the sidecar instead of trusting it
+    val fullSha = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.digest((fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"$b%02x").mkString
+    }
+    val line =
+      f"""{"metric":"total_query_time","value":$totalWarm%.3f,"unit":"sec","total_cold":$totalCold%.3f,"n_queries":${results.size},"queries":$headMap,"families_warm":$famMap,"full_map":"reports/bench_full.json","full_map_sha256_8":"$fullSha","sf":"$sfDir"}"""
+    // the driver json-parses the LAST line of the run's combined output
+    // (BENCH_r9/r10 landed parsed:null because sbt's "[success]" epilogue —
+    // now suppressed via showSuccess — and a trailing 13 KB map line got in
+    // the way): stop Spark FIRST so no shutdown logging can interleave
+    // after, then emit the compact contract line as the final act
     spark.stop()
+    println(line)
   }
 }

@@ -1422,7 +1422,9 @@ object TextAnalysis {
     * runs the actual training loop for 3 merges: count adjacent symbol
     * pairs (weighted by word frequency), adopt the most frequent pair as a
     * new symbol, REWRITE the vocabulary, repeat. Merged symbols are
-    * single reserved uppercase chars (the corpus is lowercase-only), so a
+    * single OUT-OF-ALPHABET sentinel chars (`chr(1)`..`chr(rounds)` —
+    * control characters no tokenizer-split word can contain, so a literal
+    * corpus 'A'/'B'/'C' can never alias a merged symbol), so a
     * "pair" stays a 2-char substring every round and the rewrite is one
     * `replace` — whose leftmost-non-overlapping global semantics is
     * exactly BPE's merge rule, and identical in both engines. Pair counts
@@ -1435,7 +1437,7 @@ object TextAnalysis {
       .groupBy(col("word")).agg(count(lit(1)).as("wc"))
     var rules: DataFrame = null
     for (k <- 1 to rounds) {
-      val sym = ('A' + k - 1).toChar.toString
+      val sym = k.toChar.toString // chr(k): out-of-alphabet merge sentinel
       val rule = words.filter(length(col("word")) >= 2)
         .select(col("wc"), explode(
           transform(sequence(lit(1), length(col("word")) - 1),
@@ -1469,7 +1471,7 @@ object TextAnalysis {
     val ruleRow = bpeTrain(spark, dir, rounds)
       .groupBy().agg(ruleCols.head, ruleCols.tail: _*)
     val enc = (1 to rounds).foldLeft("word") { (acc, k) =>
-      s"replace($acc, pair$k, '${('A' + k - 1).toChar}')"
+      s"replace($acc, pair$k, chr($k))"
     }
     Tables.documents(spark, dir)
       .select(col("source"), explode(TextHash.tokens(col("text"))).as("word"))
@@ -1508,7 +1510,7 @@ object TextAnalysis {
     val ruleRow = bpeTrain(spark, dir, rounds)
       .groupBy().agg(ruleCols.head, ruleCols.tail: _*)
     val enc = (1 to rounds).foldLeft("word") { (acc, k) =>
-      s"replace($acc, pair$k, '${('A' + k - 1).toChar}')"
+      s"replace($acc, pair$k, chr($k))"
     }
     Tables.documents(spark, dir)
       .select(col("lang"), explode(TextHash.tokens(col("text"))).as("word"))

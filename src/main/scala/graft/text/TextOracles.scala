@@ -273,15 +273,16 @@ object TextOracles {
   /** The BPE training rounds as chained CTEs — shared by the train face
     * (emits the merge table) and the apply face (encodes with it). */
   private def bpeRoundCtes(k: Int): String = {
-    val sym = ('A' + k - 1).toChar
+    // chr(k): out-of-alphabet merge sentinel (mirrors TextAnalysis.bpeTrain
+    // — a literal corpus 'A'/'B'/'C' can never alias a merged symbol)
     s"""p$k AS (SELECT pair, CAST(SUM(wc) AS BIGINT) AS merged_count FROM (
        |  SELECT wc, unnest(list_transform(range(1, length(word)),
        |    i -> substr(word, CAST(i AS INT), 2))) AS pair
        |  FROM w${k - 1} WHERE length(word) >= 2) GROUP BY 1),
-       |r$k AS (SELECT $k AS round, pair, merged_count, '$sym' AS new_symbol
+       |r$k AS (SELECT $k AS round, pair, merged_count, chr($k) AS new_symbol
        |        FROM p$k ORDER BY merged_count DESC, pair LIMIT 1),
        |w$k AS (SELECT word, CAST(SUM(wc) AS BIGINT) AS wc FROM (
-       |          SELECT replace(word, (SELECT pair FROM r$k), '$sym') AS word, wc
+       |          SELECT replace(word, (SELECT pair FROM r$k), chr($k)) AS word, wc
        |          FROM w${k - 1}) GROUP BY 1)""".stripMargin
   }
 
@@ -299,7 +300,7 @@ object TextOracles {
 
   val bpeApply: String = {
     val enc = (1 to 3).foldLeft("word") { (acc, k) =>
-      s"replace($acc, (SELECT pair FROM r$k), '${('A' + k - 1).toChar}')"
+      s"replace($acc, (SELECT pair FROM r$k), chr($k))"
     }
     s"""WITH $bpeTrainCtes,
        |sw AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS wc
@@ -324,7 +325,7 @@ object TextOracles {
     * as the word→enc length delta (each merge is 2 symbols → 1). */
   val bpeFertility: String = {
     val enc = (1 to 3).foldLeft("word") { (acc, k) =>
-      s"replace($acc, (SELECT pair FROM r$k), '${('A' + k - 1).toChar}')"
+      s"replace($acc, (SELECT pair FROM r$k), chr($k))"
     }
     s"""WITH $bpeTrainCtes,
        |lw AS (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS wc
