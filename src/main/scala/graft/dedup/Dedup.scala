@@ -262,16 +262,26 @@ object Dedup {
     * then doc-keyed aggs/windows. The runs window is the gaps-and-islands
     * pos − row_number trick, partitioned per document. */
   def dupSpans(spark: SparkSession, dir: String): DataFrame = {
-    val pos = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        posexplode(let(tokenHashes(col("text")))(th => shingleHashes(th))))
+    val docs = Tables.documents(spark, dir)
+    // data-sized gram barrier (char-based, the TextAnalysis.gramBarrierParts
+    // discipline): the positional gram frame is ~1 row per corpus char, so
+    // a fixed session grid leaves sf10 reduce tasks holding corpus-share
+    // state; chars come from one footer-served column sum
+    val parts = graft.Scale.partitionsForChars(spark,
+      Option(docs.agg(sum(col("n_chars"))).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L))
+    val pos = docs
+      .select(col("doc_id"), posexplode(
+        graft.functions.GraftFunctions.shingleAll(spark, col("text"))))
       .toDF("doc_id", "pos", "s")
       // barrier: the occurrence agg and the flag join-back both consume
       // this frame; localCheckpoint materializes the (hash, pos) rows once
       // so the shingle pipeline never recomputes (without it, AQE's
       // broadcast choice defeats exchange reuse and the explode runs
-      // twice — observed in the physical plan)
-      .repartition(col("s"))
+      // twice — observed in the physical plan). Shingling itself is the
+      // native fused pass (ShingleAllExpr) — the interpreted chain was
+      // the residual sf10 grinder here.
+      .repartition(parts, col("s"))
       .localCheckpoint(true)
     val freq = pos.groupBy("s").agg(count(lit(1)).as("occ"))
     val flagged = pos.join(freq, "s")

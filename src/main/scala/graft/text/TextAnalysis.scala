@@ -583,11 +583,24 @@ object TextAnalysis {
     val docs = Tables.documents(spark, dir)
     // native fused shingling + data-sized gram barrier ahead of the
     // train-distinct and probe-join consumers — see [[boilerplate]]
-    val grams = docs
+    val parts = gramBarrierParts(docs)
+    val recompute = docs
       .select(col("doc_id"), h.as("sh"),
         explode(graft.functions.GraftFunctions.shingleSet(spark, col("text"), 5))
           .as("gram"))
-      .repartition(gramBarrierParts(docs), col("gram"))
+      .repartition(parts, col("gram"))
+    // The train-distinct and the probe join prune different projections
+    // below the barrier, so the two exchange subtrees never canonicalize
+    // equal and ReuseExchange can't fire — the corpus is scanned, shingled
+    // and gram-shuffled TWICE (plan-probed: 2 scans / 2 gram exchanges).
+    // Below the session grid that recompute is the cheaper tax (native
+    // shingling is one codegen pass; an eager checkpoint measured 1.4 s →
+    // 2.3 s at sf0.1); once the char dial outgrows the grid the duplicated
+    // corpus-sized gram SHUFFLE dominates, so materialize the frame once
+    // (the dupSpans barrier pattern) and let both consumers read it.
+    val grams =
+      if (parts > spark.sessionState.conf.numShufflePartitions) recompute.localCheckpoint(true)
+      else recompute
     val trainGrams = grams.filter(col("sh") < 80).select("gram").distinct()
     grams.filter(col("sh") >= 90)
       .join(trainGrams.withColumn("hit", lit(1L)), Seq("gram"), "left")
