@@ -267,8 +267,10 @@ object Dedup {
     // discipline): the positional gram frame is ~1 row per corpus char, so
     // a fixed session grid leaves sf10 reduce tasks holding corpus-share
     // state; chars come from one footer-served column sum
+    val charCol = if (docs.columns.contains("n_chars")) col("n_chars")
+                  else length(col("text")).cast("long") // fixture frames
     val parts = graft.Scale.partitionsForChars(spark,
-      Option(docs.agg(sum(col("n_chars"))).head.get(0))
+      Option(docs.agg(sum(charCol)).head.get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L))
     val pos = docs
       .select(col("doc_id"), posexplode(
