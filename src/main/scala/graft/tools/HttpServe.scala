@@ -302,10 +302,19 @@ object HttpServe {
     val json =
       f"""{"metric":"http_serve","sf":"$sfDir","n":$nReqs,"clients":$clients,"req_per_sec":${nReqs / wallSec}%.1f,"p50_ms":${pct(xs, 0.50)}%.1f,"p95_ms":${pct(xs, 0.95)}%.1f,"p99_ms":${pct(xs, 0.99)}%.1f,$perRoute}"""
     println(json)
+    // one JSONL row per measured scale (the sf1 cert must not clobber the
+    // sf0.1 row): replace any prior row for THIS sfDir, keep the rest
     val out = java.nio.file.Paths.get("reports/http_serve.json")
     java.nio.file.Files.createDirectories(out.getParent)
+    val prior =
+      if (java.nio.file.Files.exists(out))
+        scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(out)).asScala.toSeq
+          .filterNot(l => l.contains("\"sf\":\"" + sfDir + "\"") || l.isBlank)
+      else Seq.empty
     java.nio.file.Files.write(out,
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ((prior :+ json).mkString("\n") + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

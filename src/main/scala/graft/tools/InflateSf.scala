@@ -56,8 +56,30 @@ object InflateSf {
         .option("parquet.block.size", (8L << 20).toString)
         .parquet(s"$dst/$name.parquet")
 
-    // key offsets: one decade above any real key at this factor
-    val OFF = 10000000L
+    // Round-11 finding: a FIXED offset silently collides when inflating
+    // already-inflated data (sf1 keys reach ~9×OFF + max; re-cloning with
+    // the same OFF landed clone c of key x on clone c' of key x' — 2.55 M
+    // duplicate trip_ids at sf10, which blew every trips-join face's
+    // cardinality to 402 M rows and overstated the third-decade cost of
+    // those faces ~6.7×). The offset must clear the SOURCE's actual key
+    // range: next power of 10 above the max key across every cloned id
+    // domain, computed from the data.
+    val OFF = {
+      val maxKey = Seq(
+        spark.read.parquet(s"$src/orders.parquet")
+          .agg(max(col("o_orderkey"))).head.getLong(0),
+        spark.read.parquet(s"$src/documents.parquet")
+          .agg(max(col("doc_id"))).head.getLong(0),
+        spark.read.parquet(s"$src/embeddings.parquet")
+          .agg(max(col("vec_id"))).head.getLong(0),
+        graft.sources.Tables.events(spark, src)
+          .agg(max(greatest(col("event_id"), col("user_id")))).head.getLong(0)
+      ).max
+      var off = 10000000L
+      while (off <= maxKey) off *= 10L
+      off
+    }
+    println(s"[inflate] key offset $OFF")
 
     for (t <- Seq("region", "nation", "customer", "supplier", "part"))
       out(spark.read.parquet(s"$src/$t.parquet"), t)
@@ -102,6 +124,14 @@ object InflateSf {
       .withColumn("event_id", col("event_id") + col("clone") * OFF)
       .withColumn("user_id", col("user_id") + col("clone") * OFF)
       .drop("clone"), "events", cpus.toInt)
+
+    // fail LOUDLY on any future key collision: every clone's id domain
+    // must be disjoint, so distinct keys scale exactly by k
+    val srcDistinct = orders.select(countDistinct(col("o_orderkey"))).head.getLong(0)
+    val dstDistinct = spark.read.parquet(s"$dst/orders.parquet")
+      .select(countDistinct(col("o_orderkey"))).head.getLong(0)
+    require(dstDistinct == k * srcDistinct,
+      s"clone key collision: $dstDistinct distinct orderkeys, want ${k * srcDistinct}")
 
     println(s"[inflate] wrote ${k}x of $src to $dst")
     spark.stop()
