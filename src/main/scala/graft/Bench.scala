@@ -64,6 +64,16 @@ object Bench {
     // quiesce before each query stops the previous query's garbage from
     // billing its collection time to this one.
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // GC before EVERY timed run, not just the query's first: eager
+      // localCheckpoint blocks from the PREVIOUS repetition are released
+      // by the ContextCleaner only after their RDD is GC'd, so without
+      // this the warm runs of checkpoint-bearing faces execute with
+      // storage memory full of dead blocks (observed at sf10:
+      // dedup_dup_spans warm 51.6 s vs cold 19.7 s — eviction/spill, not
+      // the plan; a real cluster's periodic-GC cleaner does this
+      // automatically between submissions)
+      System.gc()
+      Thread.sleep(200) // let the async cleaner drain the reference queue
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
