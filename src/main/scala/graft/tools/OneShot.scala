@@ -23,6 +23,10 @@ object OneShot {
       q match {
         // the mongo-export legs, separately (the sink leg exceeds local
         // scratch when benched with repetitions at sf10 — decompose it)
+        case "mongo_docs_noop" =>
+          graft.sources.MongoExport
+            .docs(graft.transit.TransitTables.fromTpch(spark, sfDir))
+            .write.format("noop").mode("overwrite").save()
         case "mongo_write_docs" =>
           graft.sources.MongoExport.writeDocs(spark, sfDir)
         case "mongo_read_flatten" =>
