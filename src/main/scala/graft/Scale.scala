@@ -58,6 +58,25 @@ object Scale {
   private def clamp(scaled: Long, floor: Int, cap: Int): Int =
     math.max(floor.toLong, math.min(cap.toLong, scaled)).toInt
 
+  /** The session grid stays at the floor until the data-sized value
+    * exceeds this multiple of it. A raised starting grid is not free even
+    * when AQE coalesces the reads back down: every map task fans its
+    * output across `grid` buckets and every coalesced reduce task fetches
+    * multiple map segments — a per-shuffle tax paid by EVERY query in the
+    * session. The benefit (per-task state bounded by the 64 MB advisory
+    * instead of corpus-share) only materializes once floor-grid tasks
+    * would own several advisory units each. Measured at sf1
+    * (tools/TuneProbe, grid 65 vs floor 32, identical task counts and
+    * join strategies): +0.3–0.7 s on every sub-second join face from the
+    * grid alone, the other three tuned knobs at-or-below stock. At 4×,
+    * the grid activates exactly when a floor task would exceed ~256 MB of
+    * post-shuffle state — sf10 and beyond (grid ≥ 650), where the r10
+    * rehearsal showed it is mandatory. */
+  val GridDeadband = 4L
+
+  private[graft] def deadband(grid: Int, floor: Int): Int =
+    if (grid < GridDeadband * floor) floor else grid
+
   /** Session AQE starting grid from the input directory's on-disk bytes:
     * ceil(bytes · [[MaxExpansion]] / 64 MB), floored at `floor` (the
     * core count / configured shuffle.partitions — today's behavior at
@@ -76,8 +95,10 @@ object Scale {
           finally s.close()
         }
       } catch { case _: Throwable => 0L }
-    clamp((bytes * MaxExpansion + BytesPerPartition - 1) / BytesPerPartition,
-      floor, DefaultMaxPartitions)
+    deadband(
+      clamp((bytes * MaxExpansion + BytesPerPartition - 1) / BytesPerPartition,
+        floor, DefaultMaxPartitions),
+      floor)
   }
 
   /** Row-based dial for OBJECT-HEAVY aggregation barriers (collect_list /
@@ -144,8 +165,9 @@ object Scale {
       } catch { case _: Throwable => 0L }
     }.sum
     val floor = spark.sessionState.conf.numShufflePartitions
-    val grid = clamp(rows * 64L * MaxExpansion / BytesPerPartition,
-      floor, cap(spark))
+    val grid = deadband(
+      clamp(rows * 64L * MaxExpansion / BytesPerPartition, floor, cap(spark)),
+      floor)
     spark.conf.set(
       "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
       grid.toString)

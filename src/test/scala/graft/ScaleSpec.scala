@@ -44,6 +44,16 @@ class ScaleSpec extends SparkSpec {
     assert(adv >= (4L << 20) && adv <= Scale.BytesPerPartition, adv.toString)
   }
 
+  test("grid deadband: floor until 4x, data-sized above") {
+    // sub-4x grids pay the per-shuffle fan-out tax on every query for a
+    // benefit that only exists once floor tasks outgrow ~4 advisory units
+    assert(Scale.deadband(33, 32) == 32)
+    assert(Scale.deadband(65, 32) == 32)   // the measured sf1 case
+    assert(Scale.deadband(127, 32) == 32)
+    assert(Scale.deadband(128, 32) == 128) // exactly 4x activates
+    assert(Scale.deadband(650, 32) == 650) // the sf10 regime
+  }
+
   test("tuneSessionGrid: a missing dir is a safe no-op at the floor") {
     val floor = spark.sessionState.conf.numShufflePartitions
     assert(Scale.tuneSessionGrid(spark, "/nonexistent/dir") == floor)
