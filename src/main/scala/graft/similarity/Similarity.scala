@@ -634,18 +634,24 @@ object Similarity {
   }
 
   /** Embedding drift monitor — the ML-ops check between two corpus
-    * snapshots: per label, the distance between the old-half and
-    * new-half centroids (halves = deterministic vec_id parity). Same
-    * integer-exact trick as [[centroidOutliers]] scaled to two
-    * populations: with quantized per-half sums S₁/S₂ over n₁/n₂
-    * members, the cross-scaled distance is Σ(n₂·S₁ᵢ − n₁·S₂ᵢ)² — integer-
-    * exact, no mean division, no float order. The squares and their sum
-    * accumulate in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so the
-    * 64-term sum cannot wrap a 64-bit lane: exactness needs only the
-    * per-coordinate product n·|S| < ~9.2·10¹⁸ (Long, pre-widening) and
-    * the REPORTED total < 2⁶³ (it is cast back to BIGINT at the edge —
-    * an output-domain constraint, not a silent wrap). Two (label, half)
-    * hash aggs + a label-keyed join of two #labels-row frames. */
+    * snapshots: per label, the squared distance between the old-half and
+    * new-half centroids (halves = deterministic vec_id parity), reported
+    * in micro-units of the 3-dp-quantized embedding space.
+    *
+    * The per-half sums S over n members are exact integers (one (label,
+    * half) hash agg each); the centroid coordinate S_i/n is then ONE
+    * IEEE-754 double division of two exact integers — bit-identical in
+    * any engine — and the 64-term ordered fold of squared differences is
+    * deterministic because both Spark's `aggregate` and DuckDB's
+    * `list_reduce` fold sequentially in array order. The round-10 form of
+    * this face cross-multiplied instead (Σ(n₂·S₁ᵢ − n₁·S₂ᵢ)², avoiding
+    * the division) — integer-exact but with an output domain growing
+    * ~n⁴: the first full sf10 board run overflowed its BIGINT edge cast
+    * at 9.5·10¹⁸ (CAST_OVERFLOW, round-11 finding). Mean-based drift is
+    * corpus-size-INDEPENDENT (bounded by 4·10⁶ per dimension · 64 dims ·
+    * the 10⁶ output scale ≈ 2.6·10¹⁴ at any n) — the form that survives
+    * 100 TB. Two (label, half) hash aggs + a label-keyed join of two
+    * #labels-row frames. */
   def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
     def quant(v: org.apache.spark.sql.Column) =
       transform(v, x => floor(x.cast("double") * 1000.0 + 0.5).cast("long"))
@@ -668,13 +674,13 @@ object Similarity {
       .select(col("label"), col("sums").as("s2"), col("n").as("n2"))
     o.join(nw, "label")
       .select(col("label"), col("n1").as("n_old"), col("n2").as("n_new"),
-        aggregate(zip_with(col("s1"), col("s2"), (a, b) => {
-            val d = col("n2").cast("decimal(19,0)") * a.cast("decimal(19,0)") -
-              col("n1").cast("decimal(19,0)") * b.cast("decimal(19,0)")
+        floor(aggregate(zip_with(col("s1"), col("s2"), (a, b) => {
+            val d = a.cast("double") / col("n1").cast("double") -
+              b.cast("double") / col("n2").cast("double")
             d * d
           }),
-          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"),
-          (s, x) => s + x.cast("decimal(38,0)"))
+          lit(0.0),
+          (s, x) => s + x) * 1000000.0 + 0.5)
           .cast("long").as("drift_q"))
       .orderBy(col("label"))
   }
@@ -1459,11 +1465,11 @@ object SimilarityOracles {
        |           FROM q GROUP BY label, old_half),
        |side AS (SELECT * FROM sums JOIN counts USING (label, old_half))
        |SELECT o.label, o.n AS n_old, w.n AS n_new,
-       |       CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |       CAST(floor(list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |         list_transform(range(1, len(o.sums) + 1),
-       |           i -> (CAST(w.n AS HUGEINT) * o.sums[i] - CAST(o.n AS HUGEINT) * w.sums[i]) *
-       |                (CAST(w.n AS HUGEINT) * o.sums[i] - CAST(o.n AS HUGEINT) * w.sums[i]))),
-       |         (a, b) -> a + b) AS BIGINT) AS drift_q
+       |           i -> (CAST(o.sums[i] AS DOUBLE) / o.n - CAST(w.sums[i] AS DOUBLE) / w.n) *
+       |                (CAST(o.sums[i] AS DOUBLE) / o.n - CAST(w.sums[i] AS DOUBLE) / w.n))),
+       |         (a, b) -> a + b) * 1000000 + 0.5) AS BIGINT) AS drift_q
        |FROM (SELECT * FROM side WHERE old_half) o
        |JOIN (SELECT * FROM side WHERE NOT old_half) w ON o.label = w.label
        |ORDER BY o.label""".stripMargin

@@ -310,4 +310,34 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       s"fixture should exhibit all three classes, got $byCls")
     info(s"density classes: $byCls")
   }
+
+  test("embedding drift is corpus-size-invariant (r11 sf10 overflow regression)") {
+    // Cloning every vector k x scales n and S together, so the per-half
+    // centroids — and therefore mean-based drift — are unchanged. The
+    // round-10 cross-multiplied form grew ~n^4 and overflowed its BIGINT
+    // edge cast on the first full sf10 board (9.5e18 > 2^63-1); this test
+    // pins the invariant form. Clone offsets are even so vec_id parity
+    // (the half gate) is preserved per clone.
+    import org.apache.spark.sql.functions._
+    val base = Similarity.embeddingDrift(spark, sf).collect()
+      .map(r => r.get(0).toString -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val src = graft.sources.Tables.embeddings(spark, sf)
+    val maxId = src.agg(max("vec_id")).head().getLong(0)
+    val off = 2L * (maxId + 1) // even: preserves vec_id % 2
+    val tripled = (0L to 2L).map(k =>
+        src.withColumn("vec_id", col("vec_id") + lit(k * off)))
+      .reduce(_ unionByName _)
+    val dir = java.nio.file.Files.createTempDirectory("drift3x").toString
+    tripled.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.embeddingDrift(spark, dir).collect()
+      .map(r => r.get(0).toString -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == base.keySet)
+    for ((label, (n1, n2, drift)) <- base) {
+      val (g1, g2, gd) = got(label)
+      assert(g1 == 3 * n1 && g2 == 3 * n2, s"$label halves scale with clones")
+      assert(gd == drift, s"$label: drift_q $gd != $drift under 3x cloning")
+    }
+  }
 }
