@@ -126,10 +126,14 @@ object Bench {
     val fullLine =
       f"""{"metric":"total_query_time","value":$totalWarm%.3f,"unit":"sec","total_cold":$totalCold%.3f,"sf":"$sfDir","queries":$full}"""
     // subset runs (SPARK_GRAFT_ONLY) and off-scale smokes (sf0.001 warmups,
-    // sf1/sf10 rehearsals) must not clobber the committed sf0.1 full-suite
-    // artifact — they land in target/ only
-    val outs = if (only.isEmpty && sfDir.contains("sf0.1"))
+    // sf1 rehearsals) must not clobber the committed full-suite artifacts —
+    // they land in target/ only; full sf0.1 and sf10 boards each refresh
+    // their committed sidecar
+    val sfName = sfDir.reverse.takeWhile(_ != '/').reverse
+    val outs = if (only.isEmpty && sfName.endsWith("sf0.1"))
                  Seq("target/bench.json", "reports/bench_full.json")
+               else if (only.isEmpty && sfName.endsWith("sf10"))
+                 Seq("target/bench.json", "reports/bench_sf10.json")
                else Seq("target/bench.json")
     for (path <- outs) {
       val out = java.nio.file.Paths.get(path)
@@ -144,8 +148,13 @@ object Bench {
       md.digest((fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
         .take(8).map(b => f"$b%02x").mkString
     }
+    // name the file this run ACTUALLY wrote (subset and off-scale runs only
+    // refresh target/bench.json) so the sha always verifies against the
+    // named path — the r11 form hardcoded the reports path and made the
+    // sidecar check spuriously mismatch on exactly those runs
+    val fullMapPath = outs.last
     val line =
-      f"""{"metric":"total_query_time","value":$totalWarm%.3f,"unit":"sec","total_cold":$totalCold%.3f,"n_queries":${results.size},"queries":$headMap,"families_warm":$famMap,"full_map":"reports/bench_full.json","full_map_sha256_8":"$fullSha","sf":"$sfDir"}"""
+      f"""{"metric":"total_query_time","value":$totalWarm%.3f,"unit":"sec","total_cold":$totalCold%.3f,"n_queries":${results.size},"queries":$headMap,"families_warm":$famMap,"full_map":"$fullMapPath","full_map_sha256_8":"$fullSha","sf":"$sfDir"}"""
     // the driver json-parses the LAST line of the run's combined output
     // (BENCH_r9/r10 landed parsed:null because sbt's "[success]" epilogue —
     // now suppressed via showSuccess — and a trailing 13 KB map line got in

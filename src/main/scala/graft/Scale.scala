@@ -77,6 +77,17 @@ object Scale {
   private[graft] def deadband(grid: Int, floor: Int): Int =
     if (grid < GridDeadband * floor) floor else grid
 
+  /** Deadband on the PRE-clamp scaled value, then clamp. Applying the
+    * deadband after the clamp is subtly wrong on large-cluster configs:
+    * whenever the cap sits below 4×floor (a low `maxShufflePartitions`,
+    * or a session floor above cap/4) the clamped grid can never reach
+    * 4×floor, so the post-clamp deadband would pin it to the floor at
+    * EVERY data size — permanently disabling the data-sized grid exactly
+    * where it is mandatory. The activation decision belongs to the raw
+    * data-sized value; the clamp then bounds whatever survives. */
+  private[graft] def deadbandThenClamp(scaled: Long, floor: Int, cap: Int): Int =
+    clamp(if (scaled < GridDeadband * floor) floor.toLong else scaled, floor, cap)
+
   /** Session AQE starting grid from the input directory's on-disk bytes:
     * ceil(bytes · [[MaxExpansion]] / 64 MB), floored at `floor` (the
     * core count / configured shuffle.partitions — today's behavior at
@@ -95,10 +106,9 @@ object Scale {
           finally s.close()
         }
       } catch { case _: Throwable => 0L }
-    deadband(
-      clamp((bytes * MaxExpansion + BytesPerPartition - 1) / BytesPerPartition,
-        floor, DefaultMaxPartitions),
-      floor)
+    deadbandThenClamp(
+      (bytes * MaxExpansion + BytesPerPartition - 1) / BytesPerPartition,
+      floor, DefaultMaxPartitions)
   }
 
   /** Row-based dial for OBJECT-HEAVY aggregation barriers (collect_list /
@@ -165,9 +175,8 @@ object Scale {
       } catch { case _: Throwable => 0L }
     }.sum
     val floor = spark.sessionState.conf.numShufflePartitions
-    val grid = deadband(
-      clamp(rows * 64L * MaxExpansion / BytesPerPartition, floor, cap(spark)),
-      floor)
+    val grid = deadbandThenClamp(
+      rows * 64L * MaxExpansion / BytesPerPartition, floor, cap(spark))
     spark.conf.set(
       "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
       grid.toString)

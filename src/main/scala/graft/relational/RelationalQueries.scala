@@ -2174,16 +2174,20 @@ object RelationalQueries {
     * skipped / fully-covered / partial. On the uncorrelated key layout
     * zone maps skip ~nothing (every file's interval spans the predicate);
     * on the date-clustered layout skips + full-covers dominate — the
-    * measured case for the repo's compaction/Z-order planners. The rank
-    * window is the layout SIMULATION only; a real writer range-partitions
-    * by the sort key instead of globally ranking. */
+    * measured case for the repo's compaction/Z-order planners. The
+    * date-sort rank is derived with the X173 two-phase numbering
+    * (day-range buckets → bucket-local row_number → broadcast prefix-sum
+    * offsets) — identical ids to the global-sort definition the oracle
+    * states, but the only unpartitioned window runs over ~2.4k per-day
+    * metadata rows, never the fact table, so the layout simulation
+    * itself scales like the writer it models. */
   def minmaxPrune(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderdate"))
     val lo = lit("1996-01-01").cast("timestamp")
     val hi = lit("1996-12-31").cast("timestamp")
-    def audit(layout: String, fileId: Column): DataFrame =
-      o.withColumn("file_id", fileId)
+    def audit(layout: String, src: DataFrame): DataFrame =
+      src
         .withColumn("m", (col("o_orderdate") >= lo && col("o_orderdate") <= hi)
           .cast("long"))
         .groupBy(col("file_id"))
@@ -2200,10 +2204,27 @@ object RelationalQueries {
           sum(col("matched")).as("rows_matched"))
         .withColumn("layout", lit(layout))
     val byKey = audit("key_order",
-      expr("o_orderkey DIV 1024"))
-    val byDate = audit("date_sorted",
-      shiftright(row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("o_orderdate"), col("o_orderkey"))) - 1, 10).cast("long"))
+      o.withColumn("file_id", expr("o_orderkey DIV 1024")))
+    val byDate = {
+      // Day buckets are order-preserving on the first sort key (floor to
+      // day is monotone in o_orderdate); within a bucket the partitioned
+      // row_number supplies the (o_orderdate, o_orderkey) tie order.
+      val keyed = o.withColumn("bucket",
+        datediff(col("o_orderdate"), lit("1992-01-01").cast("date")))
+      // ~2.4k metadata rows (one per distinct day) — the cumulative window
+      // is single-partition over THIS frame only, never the orders table.
+      val offsets = keyed.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .withColumn("offset", coalesce(
+          sum(col("n")).over(Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("bucket"), col("offset"))
+      val perBucket = Window.partitionBy(col("bucket"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      audit("date_sorted", keyed
+        .withColumn("rn", row_number().over(perBucket).cast("long"))
+        .join(broadcast(offsets), Seq("bucket"))
+        .withColumn("file_id", shiftright(col("offset") + col("rn") - 1, 10)))
+    }
     byKey.unionByName(byDate).orderBy(col("layout"))
   }
 

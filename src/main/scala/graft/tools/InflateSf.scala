@@ -65,16 +65,19 @@ object InflateSf {
     // range: next power of 10 above the max key across every cloned id
     // domain, computed from the data.
     val OFF = {
+      // null-safe (an empty source table yields max() = NULL) and
+      // type-safe (an INT-typed key column would ClassCastException on
+      // getLong) — fail with a clear message only if EVERY domain is empty
+      def maxOf(df: DataFrame, c: org.apache.spark.sql.Column): Long =
+        Option(df.agg(max(c)).head.get(0)).map(_.toString.toLong).getOrElse(0L)
       val maxKey = Seq(
-        spark.read.parquet(s"$src/orders.parquet")
-          .agg(max(col("o_orderkey"))).head.getLong(0),
-        spark.read.parquet(s"$src/documents.parquet")
-          .agg(max(col("doc_id"))).head.getLong(0),
-        spark.read.parquet(s"$src/embeddings.parquet")
-          .agg(max(col("vec_id"))).head.getLong(0),
-        graft.sources.Tables.events(spark, src)
-          .agg(max(greatest(col("event_id"), col("user_id")))).head.getLong(0)
+        maxOf(spark.read.parquet(s"$src/orders.parquet"), col("o_orderkey")),
+        maxOf(spark.read.parquet(s"$src/documents.parquet"), col("doc_id")),
+        maxOf(spark.read.parquet(s"$src/embeddings.parquet"), col("vec_id")),
+        maxOf(graft.sources.Tables.events(spark, src),
+          greatest(col("event_id"), col("user_id")))
       ).max
+      require(maxKey > 0L, s"no keys found in any cloned id domain under $src")
       var off = 10000000L
       while (off <= maxKey) off *= 10L
       off
@@ -126,12 +129,20 @@ object InflateSf {
       .drop("clone"), "events", cpus.toInt)
 
     // fail LOUDLY on any future key collision: every clone's id domain
-    // must be disjoint, so distinct keys scale exactly by k
-    val srcDistinct = orders.select(countDistinct(col("o_orderkey"))).head.getLong(0)
-    val dstDistinct = spark.read.parquet(s"$dst/orders.parquet")
-      .select(countDistinct(col("o_orderkey"))).head.getLong(0)
-    require(dstDistinct == k * srcDistinct,
-      s"clone key collision: $dstDistinct distinct orderkeys, want ${k * srcDistinct}")
+    // must be disjoint, so distinct keys scale exactly by k — checked in
+    // EVERY cloned domain, not just o_orderkey (a collision confined to
+    // doc/vec/event ids would otherwise pass silently)
+    def assertConserved(name: String, srcDf: DataFrame, keyCol: String): Unit = {
+      val s = srcDf.select(countDistinct(col(keyCol))).head.getLong(0)
+      val d = spark.read.parquet(s"$dst/$name.parquet")
+        .select(countDistinct(col(keyCol))).head.getLong(0)
+      require(d == k * s,
+        s"clone key collision in $name.$keyCol: $d distinct, want ${k * s}")
+    }
+    assertConserved("orders", orders, "o_orderkey")
+    assertConserved("documents", docs, "doc_id")
+    assertConserved("embeddings", emb, "vec_id")
+    assertConserved("events", ev, "event_id")
 
     println(s"[inflate] wrote ${k}x of $src to $dst")
     spark.stop()

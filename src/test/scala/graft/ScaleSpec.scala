@@ -54,6 +54,20 @@ class ScaleSpec extends SparkSpec {
     assert(Scale.deadband(650, 32) == 650) // the sf10 regime
   }
 
+  test("deadband activates on the pre-clamp value, then clamps") {
+    // the r11 ADVICE case: cap below 4x floor. The post-clamp form could
+    // never see a value >= 4x floor and pinned the grid to the floor at
+    // every data size; activation must read the RAW data-sized value.
+    assert(Scale.deadbandThenClamp(650L, 32, 100) == 100)
+    assert(Scale.deadbandThenClamp(5000L, 1024, 2048) == 2048)
+    // below 4x floor the deadband still holds the floor
+    assert(Scale.deadbandThenClamp(65L, 32, 100) == 32)
+    assert(Scale.deadbandThenClamp(127L, 32, 4096) == 32)
+    // at/above 4x floor with room under the cap: data-sized wins
+    assert(Scale.deadbandThenClamp(128L, 32, 4096) == 128)
+    assert(Scale.deadbandThenClamp(650L, 32, 4096) == 650)
+  }
+
   test("tuneSessionGrid: a missing dir is a safe no-op at the floor") {
     val floor = spark.sessionState.conf.numShufflePartitions
     assert(Scale.tuneSessionGrid(spark, "/nonexistent/dir") == floor)

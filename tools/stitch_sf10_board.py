@@ -20,10 +20,17 @@ def main(log_path, tail_path, out_path):
                          open(log_path).read()):
         qs[m.group(1)] = {"cold": float(m.group(2)), "warm": float(m.group(3))}
     # the 8 GiB leg's failures carry bogus ~0s times — drop before overlay
-    for bad in re.findall(r"\[bench\] (\S+) failed:", open(log_path).read()):
+    failed = set(re.findall(r"\[bench\] (\S+) failed:", open(log_path).read()))
+    for bad in failed:
         qs.pop(bad, None)
     tail = json.load(open(tail_path))
     qs.update(tail["queries"])
+    # a failed-leg query absent from the tail would silently vanish while
+    # the output still reads as a complete board — abort instead
+    lost = sorted(failed - set(qs))
+    if lost:
+        sys.exit(f"ABORT: queries failed in the first leg and absent from "
+                 f"the tail run: {lost}")
     out = {"metric": "total_query_time",
            "value": round(sum(v["warm"] for v in qs.values()), 3),
            "unit": "sec",
