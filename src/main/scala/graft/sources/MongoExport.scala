@@ -43,7 +43,13 @@ object MongoExport {
     val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val dir = s"target/tmp/mongo_export_$key"
     val d = docs(TransitTables.fromTpch(spark, sfDir))
-    d.write.mode("overwrite").json(dir)
+    // gzip the JSONL: mongoimport reads --gzip directly and the per-line
+    // wire format is unchanged. JSON text of low-entropy schedule data
+    // compresses ~4-5x, and the sf10 leg decomposition showed the export's
+    // cost IS the disk leg (14 GB through one local disk, write-back
+    // interference doubling the steady state) — on a cluster the same
+    // saving applies per executor disk and on the wire to the object store
+    d.write.mode("overwrite").option("compression", "gzip").json(dir)
     (dir, d.schema)
   }
 

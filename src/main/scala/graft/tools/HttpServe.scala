@@ -94,10 +94,62 @@ object HttpServe {
   private def itemsJson(df: DataFrame): String =
     df.toJSON.collect().mkString("[", ",", "]")
 
+  /** The nested {route: {headsign: [times]}} document, re-assembled at the
+    * presentation edge like the reference's defaultdict walk
+    * (`Mongo/app.py:87-110`). Rows arrive group-sorted, so adjacent
+    * grouping preserves key order; null keys render as the reference's
+    * Unknown fallbacks. Shared by the live and cached paths. */
+  private[tools] def renderTimetable(
+      rows: Seq[(Option[String], Option[String], String)]): String = {
+    val nested = rows
+      .map { case (route, head, times) =>
+        (route.getOrElse("Unknown Route"),
+          head.getOrElse("Unknown Direction"), times)
+      }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (route, hs) =>
+        val dirs = hs.map { case (_, head, times) =>
+          s"${jstr(head)}:${times.split(",").map(jstr)
+            .mkString("[", ",", "]")}"
+        }.mkString(",")
+        s"${jstr(route)}:{$dirs}"
+      }.mkString(",")
+    s"{$nested}"
+  }
+
+  /** Grouped-arrivals body: null short names render as "" like the
+    * reference's str-or-empty walk (`Mongo/app.py:219-224`). Shared by the
+    * live and cached paths. */
+  private[tools] def renderGroups(
+      rows: Seq[(Option[String], String, Long, String)]): String = {
+    val groups = rows.map { case (short, head, n, times) =>
+      val arr = if (times.isEmpty) "[]"
+                else times.split(",").map(jstr).mkString("[", ",", "]")
+      s"""{"route_short_name":${jstr(short.getOrElse(""))},"trip_headsign":${jstr(head)},"times":$arr,"count":$n}"""
+    }
+    val total = rows.map(_._3).sum
+    s"""{"groups":${groups.mkString("[", ",", "]")},"total_count":$total}"""
+  }
+
+  private[tools] def renderFlat(times: Seq[String]): String =
+    s"""{"times":${times.map(jstr).mkString("[", ",", "]")},"count":${times.length}}"""
+
   /** Start the listener; `port = 0` binds an ephemeral port (tests).
-    * Handlers run on a small pool — concurrent requests become concurrent
-    * Spark jobs on the shared session, same as [[ServeDaemon]]. */
-  def start(svc: QueryService, timetables: DataFrame, port: Int): HttpServer = {
+    *
+    * `withCache = true` (the default, and the measured configuration)
+    * precomputes the [[ServingCache]] maps at startup and serves every
+    * request from driver memory — no Spark job on the request path, the
+    * same precompute-then-slice architecture the reference serves with.
+    * `withCache = false` keeps the live DataFrame path (each request a
+    * Spark job over the cached store) — retained as the fallback for
+    * stores too large to collect and as the parity baseline
+    * (`HttpServeParitySpec` byte-compares the two). Handlers run on a
+    * small pool — concurrent requests become concurrent lookups (cached)
+    * or Spark jobs on the shared session (live). */
+  def start(svc: QueryService, timetables: DataFrame, port: Int,
+      withCache: Boolean = true): HttpServer = {
+    val cache: Option[ServingCache] =
+      if (withCache) Some(ServingCache.build(svc, timetables)) else None
     val server = HttpServer.create(new java.net.InetSocketAddress(port), 64)
     // daemon workers: the listener must never pin the JVM open after
     // server.stop() (the session's lifecycle owns process exit)
@@ -117,14 +169,26 @@ object HttpServe {
     analytic.foreach { case (name, f) =>
       server.createContext(s"/api/$name", handler { ex =>
         val p = params(ex)
-        val df = f(ServiceFilter.fromParam(p.get("service_id")),
-          Limit.fromParam(p.get("limit")))
-        (200, s"""{"items":${itemsJson(df)}}""")
+        val service = ServiceFilter.fromParam(p.get("service_id"))
+        val limit = Limit.fromParam(p.get("limit"))
+        val items = cache match {
+          case Some(c) =>
+            // the unlimited slice is pre-rendered in canonical order;
+            // the limit is a prefix take (the sort is total, so the
+            // first n of the full ordering IS limit n)
+            val rows = c.api((name, ServingCache.tagOf(service)))
+            (limit match {
+              case Limit.TopN(n) => rows.take(n)
+              case Limit.All     => rows
+            }).mkString("[", ",", "]")
+          case None => itemsJson(f(service, limit))
+        }
+        (200, s"""{"items":$items}""")
       })
     }
 
     server.createContext("/get_stops", handler { _ =>
-      (200, itemsJson(Timetable.getStops(timetables)))
+      (200, cache.fold(itemsJson(Timetable.getStops(timetables)))(_.stopsBody))
     })
 
     server.createContext("/get_timetable", handler { ex =>
@@ -133,32 +197,20 @@ object HttpServe {
           (400, """{"error":"Missing 'stop_id' parameter"}""")
         case Some(sid) =>
           // engine face returns (route_long_name, trip_headsign, n_times,
-          // comma-joined sorted times); the nested {route:{headsign:[...]}}
-          // document is re-assembled here at the presentation edge, like the
-          // reference's defaultdict walk (Mongo/app.py:87-110). Rows arrive
-          // group-sorted, so adjacent grouping preserves key order.
-          val rows = Timetable.getTimetable(timetables, sid).collect()
+          // comma-joined sorted times); [[renderTimetable]] re-assembles
+          // the nested document at the presentation edge
+          val rows: Seq[(Option[String], Option[String], String)] =
+            cache match {
+              case Some(c) => c.timetableRows(sid).getOrElse(Seq.empty)
+              case None =>
+                Timetable.getTimetable(timetables, sid).collect().toSeq
+                  .map(r => (Option(r.getAs[String]("route_long_name")),
+                    Option(r.getAs[String]("trip_headsign")),
+                    r.getAs[String]("departure_times")))
+            }
           if (rows.isEmpty)
             (404, s"""{"error":${jstr(s"Stop ID not found: $sid")}}""")
-          else {
-            val nested = rows.toSeq
-              .map { r =>
-                val route = Option(r.getAs[String]("route_long_name"))
-                  .getOrElse("Unknown Route")
-                val head = Option(r.getAs[String]("trip_headsign"))
-                  .getOrElse("Unknown Direction")
-                (route, head, r.getAs[String]("departure_times"))
-              }
-              .groupBy(_._1).toSeq.sortBy(_._1)
-              .map { case (route, hs) =>
-                val dirs = hs.map { case (_, head, times) =>
-                  s"${jstr(head)}:${times.split(",").map(jstr)
-                    .mkString("[", ",", "]")}"
-                }.mkString(",")
-                s"${jstr(route)}:{$dirs}"
-              }.mkString(",")
-            (200, s"{$nested}")
-          }
+          else (200, renderTimetable(rows))
       }
     })
 
@@ -166,7 +218,14 @@ object HttpServe {
       params(ex).get("stop_id") match {
         case None => (400, """{"error":"Missing 'stop_id' parameter"}""")
         case Some(sid) =>
-          (200, itemsJson(Timetable.getRoutesForStop(timetables, sid)))
+          val body = cache match {
+            case Some(c) =>
+              c.routesForStop(sid).map { case (short, head) =>
+                s"""{"route_short_name":${jstr(short)},"trip_headsign":${jstr(head)}}"""
+              }.mkString("[", ",", "]")
+            case None => itemsJson(Timetable.getRoutesForStop(timetables, sid))
+          }
+          (200, body)
       }
     })
 
@@ -178,23 +237,26 @@ object HttpServe {
           val service = ServiceFilter.fromParam(p.get("service_id"))
           (p.get("route_short_name"), p.get("trip_headsign")) match {
             case (Some(route), Some(head)) =>
-              val times = Timetable.getArrivalsFlat(timetables, sid, route,
-                head, service).collect().map(_.getAs[String]("departure_time"))
-              (200, s"""{"times":${times.map(jstr).mkString("[", ",", "]")},"count":${times.length}}""")
-            case _ =>
-              val rows = Timetable.getArrivalsGrouped(timetables, sid, service)
-                .collect()
-              val groups = rows.map { r =>
-                val times = r.getAs[String]("departure_times")
-                val arr = if (times.isEmpty) "[]"
-                          else times.split(",").map(jstr).mkString("[", ",", "]")
-                // null short names render as "" like the reference's
-                // str-or-empty walk (Mongo/app.py:219-224)
-                val short = Option(r.getAs[String]("route_short_name")).getOrElse("")
-                s"""{"route_short_name":${jstr(short)},"trip_headsign":${jstr(r.getAs[String]("trip_headsign"))},"times":$arr,"count":${r.getAs[Long]("n_arrivals")}}"""
+              val times: Seq[String] = cache match {
+                case Some(c) => c.arrivalsFlat(sid, route, head, service)
+                case None => Timetable.getArrivalsFlat(timetables, sid, route,
+                  head, service).collect().toSeq
+                  .map(_.getAs[String]("departure_time"))
               }
-              val total = rows.map(_.getAs[Long]("n_arrivals")).sum
-              (200, s"""{"groups":${groups.mkString("[", ",", "]")},"total_count":$total}""")
+              (200, renderFlat(times))
+            case _ =>
+              val rows: Seq[(Option[String], String, Long, String)] =
+                cache match {
+                  case Some(c) => c.arrivalsGrouped(sid, service)
+                  case None =>
+                    Timetable.getArrivalsGrouped(timetables, sid, service)
+                      .collect().toSeq
+                      .map(r => (Option(r.getAs[String]("route_short_name")),
+                        r.getAs[String]("trip_headsign"),
+                        r.getAs[Long]("n_arrivals"),
+                        r.getAs[String]("departure_times")))
+                }
+              (200, renderGroups(rows))
           }
       }
     })
