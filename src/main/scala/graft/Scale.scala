@@ -191,7 +191,20 @@ object Scale {
           finally s.close()
         }
       } catch { case _: Throwable => 0L }
-    if (rows > 0 && bytes > 0) {
+    // The r11 grid deadband, generalized to the OTHER three knobs: when
+    // the data-sized grid does not activate (small-SF regime), leave scan
+    // split size, compression factor, and the coalesce advisory at stock
+    // too. They exist for encoding-inflated data at rehearsal scale
+    // (~3 B/row); at sf0.1 the real data is ~20 B/row and the knobs only
+    // perturb — a 20 MB advisory triples post-shuffle task counts on every
+    // sub-second face and a 3.3x compression factor can flip borderline
+    // broadcasts, the diffuse +5.7% the r11 board measured. Explicit
+    // barriers (partitionsForRows/Chars) still protect the heavy ETL faces
+    // at every scale. SPARK_GRAFT_FORCE_TUNE=1 restores the unconditional
+    // knobs (the A/B lever).
+    val knobsOn = grid > floor ||
+      sys.env.get("SPARK_GRAFT_FORCE_TUNE").contains("1")
+    if (knobsOn && rows > 0 && bytes > 0) {
       val bytesPerRow = math.max(1L, bytes / rows)
       val split = math.max(4L << 20,
         math.min(128L << 20, 2L * 1000 * 1000 * bytesPerRow))

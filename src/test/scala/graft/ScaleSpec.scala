@@ -28,20 +28,21 @@ class ScaleSpec extends SparkSpec {
     assert(sf10 > 200 && sf10 < 300, sf10.toString)
   }
 
-  test("tuneSessionGrid: small dirs keep the floor and near-default scan geometry") {
+  test("tuneSessionGrid: small dirs keep the floor AND stock scan geometry") {
     val floor = spark.sessionState.conf.numShufflePartitions
+    val stockSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val stockFactor = spark.conf.get("spark.sql.sources.fileCompressionFactor")
+    val stockAdvisory =
+      spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
     val grid = Scale.tuneSessionGrid(spark, "/root/testdata/sf0.001")
     assert(grid == floor, s"sf0.001 must stay on the session grid, got $grid")
-    // split size never collapses below 4 MB even at extreme packing
-    val split = spark.conf.get("spark.sql.files.maxPartitionBytes").toLong
-    assert(split >= (4L << 20) && split <= (128L << 20), split.toString)
-    // compression factor is bounded — stats can be scaled, never zeroed
-    val f = spark.conf.get("spark.sql.sources.fileCompressionFactor").toDouble
-    assert(f >= 1.0 && f <= 32.0, f.toString)
-    val adv = spark.conf
-      .get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
-      .stripSuffix("b").toLong
-    assert(adv >= (4L << 20) && adv <= Scale.BytesPerPartition, adv.toString)
+    // the r12 generalized deadband: below grid activation, EVERY session
+    // knob stays at stock — the small-SF board must not pay the
+    // heavy-pipeline insurance premium (the r11 sf0.1 +5.7% regression)
+    assert(spark.conf.get("spark.sql.files.maxPartitionBytes") == stockSplit)
+    assert(spark.conf.get("spark.sql.sources.fileCompressionFactor") == stockFactor)
+    assert(spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      == stockAdvisory)
   }
 
   test("grid deadband: floor until 4x, data-sized above") {

@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""The ONE standing scaling report (VERDICT r11 ask #7).
+
+Folds the three measured decades (sf0.01->sf0.1, sf0.1->sf1, sf1->sf10)
+into reports/scaling.json, with every >FLAG ratio either absent or
+carrying an embedded adjudication from tools/adjudications.json (solo
+re-profile verdicts, leg decompositions, plan-transition attributions —
+the r10/r11 lesson: full-board flags are usually interleave noise, so a
+flag without a solo verdict is just a to-do, not a finding).
+
+Usage:
+  python3 tools/standing_scaling.py \
+    reports/bench_sf001.json reports/bench_full.json \
+    reports/bench_sf1.json reports/bench_sf10.json
+
+Replaces the per-round scaling_r*.json / scaling_sf10_r*.json forks.
+Exits nonzero if a flagged query has no adjudication entry.
+"""
+import sys, json, os
+
+FLAG = 10.0
+
+def t_of(v):
+    return v["warm"] if isinstance(v, dict) else v
+
+def decade(small_path, large_path):
+    small, large = json.load(open(small_path)), json.load(open(large_path))
+    qs = {}
+    for k in sorted(small["queries"]):
+        b = large["queries"].get(k)
+        if b is None:
+            continue
+        a, b = t_of(small["queries"][k]), t_of(b)
+        qs[k] = {"t_small": a, "t_large": b,
+                 "ratio": round(b / a, 2) if a > 0 else None}
+    return {
+        "legs": {"small": small_path, "large": large_path},
+        "sf_small": small["sf"], "sf_large": large["sf"],
+        "n_queries": len(qs),
+        "total_small": round(sum(t_of(v) for v in small["queries"].values()), 1),
+        "total_large": round(sum(t_of(v) for v in large["queries"].values()), 1),
+        "flagged": sorted([k for k, v in qs.items()
+                           if v["ratio"] and v["ratio"] > FLAG],
+                          key=lambda k: -qs[k]["ratio"]),
+        "queries": qs,
+    }
+
+def main():
+    paths = sys.argv[1:5]
+    if len(paths) != 4:
+        sys.exit(__doc__)
+    adj_path = os.path.join(os.path.dirname(__file__), "adjudications.json")
+    adjudications = json.load(open(adj_path)) if os.path.exists(adj_path) else {}
+    decades = {
+        "sf0.01_to_sf0.1": decade(paths[0], paths[1]),
+        "sf0.1_to_sf1":    decade(paths[1], paths[2]),
+        "sf1_to_sf10":     decade(paths[2], paths[3]),
+    }
+    missing = []
+    for dk, d in decades.items():
+        d["adjudications"] = {}
+        for q in d["flagged"]:
+            if q in adjudications:
+                d["adjudications"][q] = adjudications[q]
+            else:
+                missing.append(f"{dk}: {q} ({d['queries'][q]['ratio']}x)")
+    out = {"flag_threshold": FLAG,
+           "method": "per-query warm ratios on ~10x data per decade; any "
+                     ">10x full-board flag must be solo re-profiled "
+                     "(SPARK_GRAFT_ONLY, own JVM, min-of-2 warm) before it "
+                     "counts — adjudications carry those verdicts",
+           "decades": decades}
+    with open("reports/scaling.json", "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    for dk, d in decades.items():
+        print(f"{dk}: {d['n_queries']} queries, total {d['total_small']}"
+              f" -> {d['total_large']} s, flagged {d['flagged']}")
+    if missing:
+        sys.exit("UNADJUDICATED FLAGS:\n" + "\n".join(missing))
+    print("wrote reports/scaling.json (all flags adjudicated)")
+
+if __name__ == "__main__":
+    main()
