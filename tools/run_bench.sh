@@ -38,7 +38,11 @@ echo "[run_bench] $SFDIR rows=$ROWS heap=${HEAP}g only='$ONLY'"
 AO="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
 
 set +e
-SPARK_GRAFT_SF_DIR="$SFDIR" SPARK_GRAFT_ONLY="$ONLY" \
+# SPARK_GRAFT_ONLY must be UNSET (not set-but-empty) on full runs: Bench
+# treats any set value — even "" — as a subset request and skips the
+# committed-sidecar write (reports/bench_full.json / bench_sf10.json)
+[ -n "$ONLY" ] && export SPARK_GRAFT_ONLY="$ONLY" || unset SPARK_GRAFT_ONLY
+SPARK_GRAFT_SF_DIR="$SFDIR" \
   java $AO -Xmx${HEAP}g -Dspark.ui.enabled=false \
     -Dspark.sql.session.timeZone=UTC -cp "$CLS:/opt/spark/jars/*" \
     graft.Bench > "/tmp/bench_${TAG}.out" \
