@@ -83,7 +83,12 @@ object Bench {
     }
     // optional subset (comma-separated name prefixes) — sf1 rehearsals and
     // local iteration; the driver's full run leaves this unset
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    // set-but-EMPTY must mean "no subset" (a shell passing ONLY="" through
+    // is a full run): "".split(",") is Seq(""), which every name
+    // startsWith-matches — selection was right but only.isEmpty below said
+    // subset, silently skipping the committed-sidecar write on full boards
+    val only = sys.env.get("SPARK_GRAFT_ONLY").filter(_.trim.nonEmpty)
+      .map(_.split(",").toSeq)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.exists(n.startsWith))
     }

@@ -74,6 +74,21 @@ object Scale {
     * rehearsal showed it is mandatory. */
   val GridDeadband = 4L
 
+  /** Row-count floor for [[tuneSessionGrid]]'s scan/shuffle knobs: below
+    * ~2 M total rows (≈ 2 advisory units of in-memory data at the 64 B/row
+    * planning unit) NO partition geometry changes the work — every shuffle
+    * coalesces to a handful of tasks either way, and re-sized knobs only
+    * add scheduling churn and flip borderline broadcasts (the r11 sf0.1
+    * +5.7% regression; r12 A/B −3.6 s gated). Above it, stock byte-derived
+    * defaults start serializing real work even while the GRID deadband
+    * still holds the floor: at sf1 (8.6 M rows, grid 66 < 4×floor) the
+    * stock 64 MB AQE advisory packs every mid-size iterative shuffle into
+    * 1–3 reduce tasks on 32 cores — gating these knobs on the grid alone
+    * cost the r12 sf1 chain leg +57 s (383→440 s, +3.2–3.6 s on every
+    * scan-heavy graph face). 2 M sits ≥2.3× from both measured points
+    * (sf0.1: 0.89 M off-and-right, sf1: 8.6 M on-and-right). */
+  val KnobRowsFloor = 2000000L
+
   private[graft] def deadband(grid: Int, floor: Int): Int =
     if (grid < GridDeadband * floor) floor else grid
 
@@ -191,19 +206,23 @@ object Scale {
           finally s.close()
         }
       } catch { case _: Throwable => 0L }
-    // The r11 grid deadband, generalized to the OTHER three knobs: when
-    // the data-sized grid does not activate (small-SF regime), leave scan
-    // split size, compression factor, and the coalesce advisory at stock
-    // too. They exist for encoding-inflated data at rehearsal scale
-    // (~3 B/row); at sf0.1 the real data is ~20 B/row and the knobs only
-    // perturb — a 20 MB advisory triples post-shuffle task counts on every
-    // sub-second face and a 3.3x compression factor can flip borderline
-    // broadcasts, the diffuse +5.7% the r11 board measured. Explicit
-    // barriers (partitionsForRows/Chars) still protect the heavy ETL faces
-    // at every scale. SPARK_GRAFT_FORCE_TUNE=1 restores the unconditional
-    // knobs (the A/B lever).
-    val knobsOn = grid > floor ||
-      sys.env.get("SPARK_GRAFT_FORCE_TUNE").contains("1")
+    // Knob activation reads the IN-MEMORY VOLUME (row count), not the
+    // grid: rows ≥ [[KnobRowsFloor]] turns the data-sized scan/shuffle
+    // knobs on, below it the session stays stock. The grid deadband is a
+    // per-shuffle fan-out trade and holds the floor until ~17 M rows;
+    // the knobs start mattering an order of magnitude earlier (see
+    // KnobRowsFloor's doc for both measured calibration points — the r11
+    // sf0.1 +5.7% regression from knobs-on-too-early, and the r12 sf1
+    // +57 s chain leg from knobs-off-too-late). rows ≥ KnobRowsFloor is
+    // implied by grid > floor (the grid is rows-derived), so one test
+    // covers both regimes. Explicit barriers (partitionsForRows/Chars)
+    // still protect heavy ETL faces at every scale.
+    // SPARK_GRAFT_FORCE_TUNE=1/0 forces both ways (the A/B lever).
+    val knobsOn = sys.env.get("SPARK_GRAFT_FORCE_TUNE") match {
+      case Some("1") => true
+      case Some("0") => false
+      case _         => rows >= KnobRowsFloor
+    }
     if (knobsOn && rows > 0 && bytes > 0) {
       val bytesPerRow = math.max(1L, bytes / rows)
       val split = math.max(4L << 20,

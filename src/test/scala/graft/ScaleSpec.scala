@@ -69,6 +69,41 @@ class ScaleSpec extends SparkSpec {
     assert(Scale.deadbandThenClamp(650L, 32, 4096) == 650)
   }
 
+  test("tuneSessionGrid: >=2M rows activates the knobs under a floor grid") {
+    // the r12 sf1 chain-leg lesson: gating the scan/shuffle knobs on the
+    // GRID deadband alone cost +57 s at sf1 — the grid holds the floor
+    // until ~17 M rows while the stock 64 MB AQE advisory already packs
+    // sf1's mid-size iterative shuffles into 1-3 reduce tasks on 32 cores.
+    // rows >= KnobRowsFloor must activate the knobs with the grid still
+    // at the floor.
+    val keys = Seq("spark.sql.files.maxPartitionBytes",
+      "spark.sql.sources.fileCompressionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val stock = keys.map(k => k -> spark.conf.get(k))
+    val dir = java.nio.file.Files.createTempDirectory("scale_knobs").toString
+    try {
+      // 2.05 M rows: above KnobRowsFloor (2 M) while the rows-sized grid
+      // (2.05M*64*8/64MB = 15) still sits under this session's deadband
+      // (4*floor=16 at the test floor of 4) — the exact regime the fix
+      // exists for: knobs on, grid at the floor
+      spark.range(2050000L).selectExpr("id as o_orderkey",
+        "cast(id % 997 as string) as o_comment")
+        .write.parquet(s"$dir/orders.parquet")
+      val floor = spark.sessionState.conf.numShufflePartitions
+      val grid = Scale.tuneSessionGrid(spark, dir)
+      assert(grid == floor, s"2.05 M rows must stay under the grid deadband, got $grid")
+      assert(spark.conf.get(keys.head) != stock.head._2,
+        ">=2M rows must re-size the scan split despite the floor grid")
+      val split = spark.conf.get(keys.head).toLong
+      assert(split >= (4L << 20) && split < (128L << 20), split.toString)
+      assert(spark.conf.get(keys(1)).toDouble >= 1.0)
+      assert(spark.conf.get(keys(2)).toLong <= (64L << 20))
+    } finally {
+      stock.foreach { case (k, v) => spark.conf.set(k, v) }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("tuneSessionGrid: a missing dir is a safe no-op at the floor") {
     val floor = spark.sessionState.conf.numShufflePartitions
     assert(Scale.tuneSessionGrid(spark, "/nonexistent/dir") == floor)

@@ -36,6 +36,9 @@ b=json.load(open('/tmp/bench_sf001b.json'))['queries']
 ta=sum(v['warm'] for v in a.values()); tb=sum(v['warm'] for v in b.values())
 print(f"[followups] sf0.01 chain-leg {ta:.1f}s vs quiet re-run {tb:.1f}s")
 EOF
+# the quiet re-run is the better artifact (the chain leg overlapped the
+# previous session's wind-down)
+cp /tmp/bench_sf001b.json reports/bench_sf001.json
 
 echo "[followups] mongo export legs at sf10 (gzip sink)"
 SPARK_GRAFT_SF_DIR=/tmp/testdata_sf10 \

@@ -32,7 +32,16 @@ for p in glob.glob(f"{sys.argv[1]}/*.parquet"):
 print(total)
 EOF
 )
-HEAP=$(python3 -c "import math,sys; r=int(sys.argv[1]); print(max(16, min(104, math.ceil(r/1e6*5))))" "$ROWS")
+# Cap at 48 GiB: bigger heaps are NOT safer-but-slower, they are actively
+# harmful — the r12 sf10 chain leg at 104 GiB inflated every object-heavy
+# face (HOF expressions, gram pipelines) 2-9x vs quiet fresh-JVM
+# re-profiles (sim_ann_ivf 22.6 s on-board vs ~2.6 s solo at ANY fresh
+# heap 8-104g): a long-lived huge heap accumulates GC debt across 296
+# queries that System.gc() quiesce does not claw back. The OOM constraint
+# runs the other way only for the collect_list ETL faces (8 GiB died
+# inside transit_mongo_export at sf10); 48 GiB clears them with margin.
+# SPARK_GRAFT_HEAP_G overrides for experiments.
+HEAP=${SPARK_GRAFT_HEAP_G:-$(python3 -c "import math,sys; r=int(sys.argv[1]); print(max(16, min(48, math.ceil(r/1e6*5))))" "$ROWS")}
 echo "[run_bench] $SFDIR rows=$ROWS heap=${HEAP}g only='$ONLY'"
 
 AO="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
