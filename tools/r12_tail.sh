@@ -11,9 +11,12 @@ cd "$(dirname "$0")/.."
 # wait for r12_sf1_fix.sh to print its done marker AND for any bench
 # java to exit (strict serialization: the r12 lesson — concurrent JVMs
 # corrupt warm numbers; a bare pgrep loop could fire in the gap BETWEEN
-# the sf1fix script's two bench runs)
+# the sf1fix script's two bench runs). The bench-java pattern must be
+# anchored on the -cp flag: a bare 'graft.Bench' substring also matches
+# harness processes whose command line EMBEDS that string as prose,
+# which deadlocks this loop.
 while ! grep -q '\[sf1fix\] done' /tmp/r12_sf1_fix.log 2>/dev/null; do sleep 30; done
-while pgrep -f 'graft\.(Bench|Verify)' > /dev/null; do sleep 30; done
+while pgrep -f 'classes:/opt/spark/jars/\* graft\.' > /dev/null; do sleep 30; done
 
 bash tools/run_bench.sh /tmp/testdata_sf10 "" sf10
 # Bench wrote reports/bench_sf10.json (48g one-pass)
