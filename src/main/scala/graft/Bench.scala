@@ -13,6 +13,78 @@ import org.apache.spark.sql.SparkSession
   *    left on (it's the production setting the 100 TB plans rely on).
   */
 object Bench {
+
+  /** Basename of the SF dir, trailing-slash safe: `/tmp/testdata_sf10/`
+    * must still name `testdata_sf10` — the raw-reverse form yielded "" on
+    * a trailing slash, so neither endsWith branch matched and a full board
+    * silently skipped its committed-sidecar write (the same silent-skip
+    * class as the r12 empty-SPARK_GRAFT_ONLY bug). */
+  private[graft] def sfName(sfDir: String): String =
+    sfDir.stripSuffix("/").reverse.takeWhile(_ != '/').reverse
+
+  /** Which files this run refreshes: subset runs (SPARK_GRAFT_ONLY) and
+    * off-scale smokes land in target/ only; full sf0.1 and sf10 boards
+    * each ALSO refresh their committed sidecar. Pure — the contract spec
+    * sweeps it, including the trailing-slash and set-but-empty-ONLY
+    * corners that each shipped a silent skip before being spec'd. */
+  private[graft] def sidecarPaths(sfDir: String, subset: Boolean): Seq[String] =
+    if (!subset && sfName(sfDir).endsWith("sf0.1"))
+      Seq("target/bench.json", "reports/bench_full.json")
+    else if (!subset && sfName(sfDir).endsWith("sf10"))
+      Seq("target/bench.json", "reports/bench_sf10.json")
+    else Seq("target/bench.json")
+
+  /** SPARK_GRAFT_ONLY parse: set-but-EMPTY (or whitespace) must mean "no
+    * subset" — a shell passing ONLY="" through is a full run. The r12 bug:
+    * "".split(",") is Seq(""), which every name startsWith-matches, so
+    * selection was right but the subset test said subset and the full
+    * board silently skipped its committed sidecar. */
+  private[graft] def parseOnly(value: Option[String]): Option[Seq[String]] =
+    value.filter(_.trim.nonEmpty).map(_.split(",").toSeq)
+
+  private[graft] def sha8(line: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest((line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
+  }
+
+  /** Write the full per-query map to every path this run owns and return
+    * (contractLine, fullLine). The contract line names the file actually
+    * written (`full_map`) and pins it by content hash (`full_map_sha256_8`)
+    * so the driver artifact VERIFIES the sidecar instead of trusting it —
+    * r11 hardcoded the reports path and spuriously mismatched on subset
+    * runs; r12's set-but-empty-ONLY skip was found only by inspection.
+    * `baseDir` exists for the spec (a temp dir), defaults to the repo cwd. */
+  private[graft] def writeArtifacts(results: Seq[(String, Double, Double)],
+      sfDir: String, subset: Boolean, baseDir: String = "."): (String, String) = {
+    val totalWarm = results.map(_._3).sum
+    val totalCold = results.map(_._2).sum
+    val headline = Seq("q1" -> "transit_q1_weekday", "q2" -> "transit_q2_weekday",
+      "q3" -> "transit_q3_weekday", "q4" -> "transit_q4_weekday")
+    val byName = results.map(r => r._1 -> r._3).toMap
+    val headMap = headline.collect { case (alias, n) if byName.contains(n) =>
+      f""""$alias":${byName(n)}%.3f""" }.mkString("{", ",", "}")
+    val famMap = results.groupBy(_._1.takeWhile(_ != '_'))
+      .toSeq.sortBy(_._1)
+      .map { case (fam, rs) => f""""$fam":${rs.map(_._3).sum}%.3f""" }
+      .mkString("{", ",", "}")
+    val full = results.map { case (n, c, w) =>
+      "\"" + n + f"""\":{"cold":$c%.3f,"warm":$w%.3f}"""
+    }.mkString("{", ",", "}")
+    val fullLine =
+      f"""{"metric":"total_query_time","value":$totalWarm%.3f,"unit":"sec","total_cold":$totalCold%.3f,"sf":"$sfDir","queries":$full}"""
+    val outs = sidecarPaths(sfDir, subset)
+    for (path <- outs) {
+      val out = java.nio.file.Paths.get(baseDir).resolve(path)
+      if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val line =
+      f"""{"metric":"total_query_time","value":$totalWarm%.3f,"unit":"sec","total_cold":$totalCold%.3f,"n_queries":${results.size},"queries":$headMap,"families_warm":$famMap,"full_map":"${outs.last}","full_map_sha256_8":"${sha8(fullLine)}","sf":"$sfDir"}"""
+    (line, fullLine)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -63,6 +135,10 @@ object Bench {
     // run is the steady-state number regressions should be judged on. A GC
     // quiesce before each query stops the previous query's garbage from
     // billing its collection time to this one.
+    // SPARK_GRAFT_NO_QUIESCE=1 skips the per-run GC quiesce — the A/B
+    // lever for attributing small-board drift to the quiesce trade (the
+    // r11-accepted measurement-hygiene cost, ~2-4% on sub-second faces)
+    val quiesce = !sys.env.get("SPARK_GRAFT_NO_QUIESCE").contains("1")
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       // GC before EVERY timed run, not just the query's first: eager
       // localCheckpoint blocks from the PREVIOUS repetition are released
@@ -72,8 +148,10 @@ object Bench {
       // dedup_dup_spans warm 51.6 s vs cold 19.7 s — eviction/spill, not
       // the plan; a real cluster's periodic-GC cleaner does this
       // automatically between submissions)
-      System.gc()
-      Thread.sleep(200) // let the async cleaner drain the reference queue
+      if (quiesce) {
+        System.gc()
+        Thread.sleep(200) // let the async cleaner drain the reference queue
+      }
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -87,8 +165,7 @@ object Bench {
     // is a full run): "".split(",") is Seq(""), which every name
     // startsWith-matches — selection was right but only.isEmpty below said
     // subset, silently skipping the committed-sidecar write on full boards
-    val only = sys.env.get("SPARK_GRAFT_ONLY").filter(_.trim.nonEmpty)
-      .map(_.split(",").toSeq)
+    val only = parseOnly(sys.env.get("SPARK_GRAFT_ONLY"))
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.exists(n.startsWith))
     }
@@ -98,7 +175,7 @@ object Bench {
     // timetable_flat at 11× whose true warm re-profile was 3.9×). The min
     // of two is the standard steady-state estimator under one-sided noise.
     val results = selected.map { case (name, fn) =>
-      System.gc()
+      if (quiesce) System.gc()
       // progress to stderr as each query STARTS and FINISHES: a multi-hour
       // rehearsal leg must be attributable mid-flight (the sf10 straggler
       // hunt needed a thread dump plus guesswork without this)
@@ -108,58 +185,14 @@ object Bench {
       System.err.println(f"[bench] done  $name cold=$cold%.3f warm=$warm%.3f")
       (name, cold, warm)
     }
-    val totalWarm = results.map(_._3).sum
-    val totalCold = results.map(_._2).sum
     // Contract line: the driver keeps only the last ~2000 chars of stdout
     // (BENCH_r9's `tail` cut the 13 KB full-map line mid-map → parsed:
     // null), so the printed line must be COMPACT and complete inside that
     // window: headline q1–q4 warm seconds (the baseline-comparable faces),
-    // per-family warm subtotals, and a pointer to the committed full
-    // {query: {cold, warm}} map in reports/bench_full.json.
-    val headline = Seq("q1" -> "transit_q1_weekday", "q2" -> "transit_q2_weekday",
-      "q3" -> "transit_q3_weekday", "q4" -> "transit_q4_weekday")
-    val byName = results.map(r => r._1 -> r._3).toMap
-    val headMap = headline.collect { case (alias, n) if byName.contains(n) =>
-      f""""$alias":${byName(n)}%.3f""" }.mkString("{", ",", "}")
-    val famMap = results.groupBy(_._1.takeWhile(_ != '_'))
-      .toSeq.sortBy(_._1)
-      .map { case (fam, rs) => f""""$fam":${rs.map(_._3).sum}%.3f""" }
-      .mkString("{", ",", "}")
-    val full = results.map { case (n, c, w) =>
-      "\"" + n + f"""\":{"cold":$c%.3f,"warm":$w%.3f}"""
-    }.mkString("{", ",", "}")
-    val fullLine =
-      f"""{"metric":"total_query_time","value":$totalWarm%.3f,"unit":"sec","total_cold":$totalCold%.3f,"sf":"$sfDir","queries":$full}"""
-    // subset runs (SPARK_GRAFT_ONLY) and off-scale smokes (sf0.001 warmups,
-    // sf1 rehearsals) must not clobber the committed full-suite artifacts —
-    // they land in target/ only; full sf0.1 and sf10 boards each refresh
-    // their committed sidecar
-    val sfName = sfDir.reverse.takeWhile(_ != '/').reverse
-    val outs = if (only.isEmpty && sfName.endsWith("sf0.1"))
-                 Seq("target/bench.json", "reports/bench_full.json")
-               else if (only.isEmpty && sfName.endsWith("sf10"))
-                 Seq("target/bench.json", "reports/bench_sf10.json")
-               else Seq("target/bench.json")
-    for (path <- outs) {
-      val out = java.nio.file.Paths.get(path)
-      if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out,
-        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    }
-    // the contract line pins the committed full map by content hash, so
-    // the driver artifact verifies the sidecar instead of trusting it
-    val fullSha = {
-      val md = java.security.MessageDigest.getInstance("SHA-256")
-      md.digest((fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        .take(8).map(b => f"$b%02x").mkString
-    }
-    // name the file this run ACTUALLY wrote (subset and off-scale runs only
-    // refresh target/bench.json) so the sha always verifies against the
-    // named path — the r11 form hardcoded the reports path and made the
-    // sidecar check spuriously mismatch on exactly those runs
-    val fullMapPath = outs.last
-    val line =
-      f"""{"metric":"total_query_time","value":$totalWarm%.3f,"unit":"sec","total_cold":$totalCold%.3f,"n_queries":${results.size},"queries":$headMap,"families_warm":$famMap,"full_map":"$fullMapPath","full_map_sha256_8":"$fullSha","sf":"$sfDir"}"""
+    // per-family warm subtotals, and a sha-pinned pointer to the full
+    // {query: {cold, warm}} map this run actually wrote — all assembled by
+    // [[writeArtifacts]] (pure file/line logic, swept by BenchContractSpec).
+    val (line, _) = writeArtifacts(results, sfDir, subset = only.nonEmpty)
     // the driver json-parses the LAST line of the run's combined output
     // (BENCH_r9/r10 landed parsed:null because sbt's "[success]" epilogue —
     // now suppressed via showSuccess — and a trailing 13 KB map line got in

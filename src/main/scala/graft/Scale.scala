@@ -155,6 +155,69 @@ object Scale {
   def partitionsForChars(spark: SparkSession, chars: Long): Int =
     partitionsForRows(spark, chars, CharsPerTask)
 
+  /** The fully-resolved session-tuning decision for one (data, session)
+    * point — every signal interaction in ONE pure value so the property
+    * sweep (`ScaleSpec`) can pin the calibrated regimes without a session
+    * or a temp dir. The tuning stack caused a measured full-board
+    * regression in each of r11 (knobs-on-too-early at sf0.1) and r12
+    * (knobs-off-too-late at sf1); any future signal change must flip a
+    * spec case, not a 6-hour board. */
+  final case class Regime(
+      grid: Int,
+      knobsOn: Boolean,
+      splitBytes: Option[Long],
+      compressionFactor: Option[Double],
+      advisoryBytes: Option[Long])
+
+  /** Pure regime resolver — ALL of [[tuneSessionGrid]]'s decisions from
+    * its five inputs, no side effects.
+    *
+    * Signals, in evaluation order:
+    *  1. Grid: rows × 64 B × [[MaxExpansion]] in 64 MB units, deadbanded
+    *     on the PRE-clamp value ([[deadbandThenClamp]]) then clamped to
+    *     [floor, cap]. Holds the floor until ~17 M rows (4× a 32 floor).
+    *  2. Knobs: `force` (the `SPARK_GRAFT_FORCE_TUNE` A/B lever) wins both
+    *     ways; otherwise rows ≥ [[KnobRowsFloor]] — the knobs matter an
+    *     order of magnitude before the grid does (r12's +57 s sf1 leg).
+    *  3. Knob VALUES need a measured bytes/row, so even a forced-on regime
+    *     stays value-less (and the session untouched) when rows or bytes
+    *     is 0 — a missing dir must be a no-op at every force setting. */
+  def resolveRegime(rows: Long, bytes: Long, floor: Int, cap: Int,
+      force: Option[Boolean]): Regime = {
+    val grid = deadbandThenClamp(
+      rows * 64L * MaxExpansion / BytesPerPartition, floor, cap)
+    val knobsOn = force.getOrElse(rows >= KnobRowsFloor)
+    if (knobsOn && rows > 0 && bytes > 0) {
+      val bytesPerRow = math.max(1L, bytes / rows)
+      // split size targeting ~2 M rows per scan task: at 3 B/row the stock
+      // 128 MB split hands 40 M rows to ONE scan task (the r10 sf10
+      // rehearsal ran its fact scans nearly serial)
+      val split = math.max(4L << 20,
+        math.min(128L << 20, 2L * 1000 * 1000 * bytesPerRow))
+      // planner sizeInBytes ≈ in-memory rows: keeps a 15 M-row dimension
+      // from broadcasting because its dictionary-packed file squeaks under
+      // the 64 MB threshold
+      val factor = math.max(1.0, math.min(32.0, 64.0 / bytesPerRow.toDouble))
+      // AQE's coalesce target reads COMPRESSED shuffle bytes; scale the
+      // advisory down by the measured encoding factor so post-coalesce
+      // tasks own ~the same in-memory volume at any entropy
+      val advisory = math.max(4L << 20, (BytesPerPartition / factor).toLong)
+      Regime(grid, knobsOn = true, Some(split), Some(factor), Some(advisory))
+    } else Regime(grid, knobsOn, None, None, None)
+  }
+
+  /** The three runtime-settable knobs [[tuneSessionGrid]] manages, and the
+    * session-conf keys their STOCK values are parked under on first call —
+    * so a later call that resolves knobs-off can RESTORE stock instead of
+    * leaving a previous large-dir tuning in place (the r12 ADVICE case:
+    * large dir then small dir in one session kept the large-dir knobs,
+    * silently violating "below the floor the session stays stock"). */
+  private val KnobKeys = Seq(
+    "spark.sql.files.maxPartitionBytes",
+    "spark.sql.sources.fileCompressionFactor",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+  private def stockKey(k: String) = s"graft.scale.stock.$k"
+
   /** Re-size the session's scan and shuffle geometry from parquet ROW
     * counts once a session exists (all three knobs are runtime-settable
     * SQL confs read at each query's planning). The pre-session byte walk
@@ -162,26 +225,21 @@ object Scale {
     * packs low-entropy columns 10–20× below their in-memory rows (the
     * round-10 sf10 rehearsal: 86.6 M rows in 274 MB of files, 3.2 B/row),
     * which silently breaks every byte-derived decision at exactly the
-    * scale where they matter. From the measured bytes/row ratio this sets:
-    *
-    *  1. `adaptive.coalescePartitions.initialPartitionNum` — the AQE grid,
-    *     from rows × 64 B × [[MaxExpansion]]. AQE coalesces every smaller
-    *     exchange back down from REAL runtime sizes, so small scales keep
-    *     today's plans.
-    *  2. `sql.files.maxPartitionBytes` — split size targeting ~2 M rows
-    *     per scan task. At 3 B/row the default 128 MB split hands 40 M
-    *     rows to ONE scan task (the sf10 rehearsal ran its fact scans
-    *     nearly serial); on a real cluster the same mis-split starves the
-    *     scan stage whenever data is column-compressible.
-    *  3. `sql.sources.fileCompressionFactor` — 64 B/row ÷ measured, so
-    *     planner sizeInBytes approximates in-memory rows. This is what
-    *     keeps a 15 M-row dimension from being BROADCAST because its
-    *     dictionary-packed file squeaks under the 64 MB threshold.
-    *
-    * Floors/caps keep sf ≤ 0.1 on today's plans (grid at the session
-    * floor, files below the split size, broadcast choices unchanged —
-    * results are partition-independent regardless). Returns the grid. */
+    * scale where they matter. All decisions live in [[resolveRegime]]
+    * (pure — see its doc for the signal interactions and both measured
+    * calibration points); this applies the regime: sets the AQE grid,
+    * sets the three scan/shuffle knobs when the regime carries values,
+    * restores their captured stock values when it doesn't.
+    * `SPARK_GRAFT_FORCE_TUNE=1/0` forces knobs both ways (the A/B lever).
+    * Floors/caps keep sf ≤ 0.1 on today's plans; results are
+    * partition-independent regardless. Returns the grid. */
   def tuneSessionGrid(spark: SparkSession, sfDir: String): Int = {
+    // park stock knob values on FIRST call (session-scoped, survives
+    // repeated tuning calls against different dirs)
+    KnobKeys.foreach { k =>
+      if (spark.conf.getOption(stockKey(k)).isEmpty)
+        spark.conf.set(stockKey(k), spark.conf.get(k))
+    }
     val rows = graft.sources.Tables.names.map { n =>
       try {
         val df = if (n == "events") graft.sources.Tables.events(spark, sfDir)
@@ -189,12 +247,6 @@ object Scale {
         df.count()
       } catch { case _: Throwable => 0L }
     }.sum
-    val floor = spark.sessionState.conf.numShufflePartitions
-    val grid = deadbandThenClamp(
-      rows * 64L * MaxExpansion / BytesPerPartition, floor, cap(spark))
-    spark.conf.set(
-      "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-      grid.toString)
     val bytes =
       try {
         val root = java.nio.file.Paths.get(sfDir)
@@ -206,40 +258,27 @@ object Scale {
           finally s.close()
         }
       } catch { case _: Throwable => 0L }
-    // Knob activation reads the IN-MEMORY VOLUME (row count), not the
-    // grid: rows ≥ [[KnobRowsFloor]] turns the data-sized scan/shuffle
-    // knobs on, below it the session stays stock. The grid deadband is a
-    // per-shuffle fan-out trade and holds the floor until ~17 M rows;
-    // the knobs start mattering an order of magnitude earlier (see
-    // KnobRowsFloor's doc for both measured calibration points — the r11
-    // sf0.1 +5.7% regression from knobs-on-too-early, and the r12 sf1
-    // +57 s chain leg from knobs-off-too-late). rows ≥ KnobRowsFloor is
-    // implied by grid > floor (the grid is rows-derived), so one test
-    // covers both regimes. Explicit barriers (partitionsForRows/Chars)
-    // still protect heavy ETL faces at every scale.
-    // SPARK_GRAFT_FORCE_TUNE=1/0 forces both ways (the A/B lever).
-    val knobsOn = sys.env.get("SPARK_GRAFT_FORCE_TUNE") match {
-      case Some("1") => true
-      case Some("0") => false
-      case _         => rows >= KnobRowsFloor
+    val force = sys.env.get("SPARK_GRAFT_FORCE_TUNE") match {
+      case Some("1") => Some(true)
+      case Some("0") => Some(false)
+      case _         => None
     }
-    if (knobsOn && rows > 0 && bytes > 0) {
-      val bytesPerRow = math.max(1L, bytes / rows)
-      val split = math.max(4L << 20,
-        math.min(128L << 20, 2L * 1000 * 1000 * bytesPerRow))
-      spark.conf.set("spark.sql.files.maxPartitionBytes", split.toString)
-      val factor = math.max(1.0, math.min(32.0, 64.0 / bytesPerRow.toDouble))
-      spark.conf.set("spark.sql.sources.fileCompressionFactor", factor.toString)
-      // AQE's coalesce target reads COMPRESSED shuffle bytes; on the same
-      // low-entropy data a 64 MB advisory partition deserializes to a
-      // multi-GB task (the sf10 final sort ran ~10 tasks over 60 M wide
-      // rows). Scale the advisory down by the measured encoding factor so
-      // post-coalesce tasks own ~the same in-memory volume at any entropy.
-      val advisory = math.max(4L << 20, (BytesPerPartition / factor).toLong)
-      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        advisory.toString)
+    val regime = resolveRegime(rows, bytes,
+      spark.sessionState.conf.numShufflePartitions, cap(spark), force)
+    spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+      regime.grid.toString)
+    (regime.splitBytes, regime.compressionFactor, regime.advisoryBytes) match {
+      case (Some(split), Some(factor), Some(advisory)) =>
+        spark.conf.set(KnobKeys(0), split.toString)
+        spark.conf.set(KnobKeys(1), factor.toString)
+        spark.conf.set(KnobKeys(2), advisory.toString)
+      case _ =>
+        // knobs-off: RESTORE stock, don't merely skip — a prior tuning
+        // against a larger dir must not leak into this regime
+        KnobKeys.foreach(k => spark.conf.set(k, spark.conf.get(stockKey(k))))
     }
-    grid
+    regime.grid
   }
 
   /** Explicit-repartition size for a heavy stage fed by `df`: scan bytes

@@ -2209,8 +2209,15 @@ object RelationalQueries {
       // Day buckets are order-preserving on the first sort key (floor to
       // day is monotone in o_orderdate); within a bucket the partitioned
       // row_number supplies the (o_orderdate, o_orderkey) tie order.
-      val keyed = o.withColumn("bucket",
-        datediff(col("o_orderdate"), lit("1992-01-01").cast("date")))
+      // NULL dates coalesce to a sentinel bucket BELOW every real day so
+      // they rank first — identical ids to the global asc_nulls_first
+      // row_number on ALL inputs, where a bare datediff would null the
+      // bucket and silently drop the rows at the inner offset join
+      // (benign on TPC-H's non-null o_orderdate, wrong the day a source
+      // admits null dates).
+      val keyed = o.withColumn("bucket", coalesce(
+        datediff(col("o_orderdate"), lit("1992-01-01").cast("date")),
+        lit(Int.MinValue)))
       // ~2.4k metadata rows (one per distinct day) — the cumulative window
       // is single-partition over THIS frame only, never the orders table.
       val offsets = keyed.groupBy(col("bucket")).agg(count(lit(1)).as("n"))

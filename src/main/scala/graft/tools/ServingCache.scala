@@ -92,6 +92,36 @@ final class ServingCache(
 
 object ServingCache {
 
+  /** Resident ceiling for the driver-side maps, in SCHEDULE ENTRIES (one
+    * element of one stop's `upcoming_services` array — the store row that
+    * dominates every collected frame; see the memory note above). Entries
+    * are the right unit for the same reason `graft.Scale` sizes by rows:
+    * byte stats of the resident store are encoding-blind, but every
+    * cached map is O(entries) strings of ~bounded length. Calibration:
+    * the certified sf1 store is ~6.0 M entries ≈ ~100 MB of driver maps
+    * (~17 B/entry rendered, measured r12) — the default ceiling of 64 M
+    * entries caps the cache at ~1 GiB resident, an order of magnitude of
+    * headroom over the certified point while still refusing the 100×
+    * store a default-config caller would otherwise collect. Override via
+    * `-Dgraft.serve.maxCacheEntries=` (a system property, not an env var,
+    * so tests can flip it in-process). */
+  val MaxCacheEntriesKey = "graft.serve.maxCacheEntries"
+  val DefaultMaxCacheEntries: Long = 64L * 1000 * 1000
+
+  def maxCacheEntries: Long =
+    sys.props.get(MaxCacheEntriesKey).map(_.toLong)
+      .getOrElse(DefaultMaxCacheEntries)
+
+  /** The gating probe: total schedule entries across the store — one
+    * sum-of-array-sizes aggregate over the (resident) document frame, no
+    * explode and no payload movement. */
+  def storeEntries(timetables: DataFrame): Long = {
+    val r = timetables
+      .select(coalesce(sum(size(col("upcoming_services"))), lit(0L)).as("n"))
+      .first()
+    r.getAs[Number]("n").longValue()
+  }
+
   private val allServices: Seq[ServiceFilter] = Seq(
     ServiceFilter.Weekday, ServiceFilter.Saturday, ServiceFilter.Sunday,
     ServiceFilter.WholeWeek)

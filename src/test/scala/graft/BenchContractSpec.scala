@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench artifact contract (VERDICT r12 ask #6): the compact stdout
+  * line the driver parses must (a) be valid JSON, (b) name the full-map
+  * file this run ACTUALLY wrote, and (c) pin that file by content hash.
+  * Two silent-skip bugs in this logic shipped before being spec'd — r12's
+  * set-but-empty SPARK_GRAFT_ONLY and the trailing-slash sfName (ADVICE
+  * r12) — both found by inspection after the fact. Every corner lives
+  * here now, against the extracted pure pieces ([[Bench.parseOnly]],
+  * [[Bench.sidecarPaths]], [[Bench.writeArtifacts]]). */
+class BenchContractSpec extends AnyFunSuite {
+
+  private val om = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  test("parseOnly: set-but-empty means full run; whitespace too; real subsets split") {
+    assert(Bench.parseOnly(None).isEmpty)
+    assert(Bench.parseOnly(Some("")).isEmpty)       // the r12 bug
+    assert(Bench.parseOnly(Some("  ")).isEmpty)
+    assert(Bench.parseOnly(Some("transit_q1")).contains(Seq("transit_q1")))
+    assert(Bench.parseOnly(Some("a,b")).contains(Seq("a", "b")))
+  }
+
+  test("sidecarPaths: full boards refresh committed sidecars, subsets and off-scales never") {
+    assert(Bench.sidecarPaths("/root/testdata/sf0.1", subset = false) ==
+      Seq("target/bench.json", "reports/bench_full.json"))
+    assert(Bench.sidecarPaths("/tmp/testdata_sf10", subset = false) ==
+      Seq("target/bench.json", "reports/bench_sf10.json"))
+    // trailing slash (ADVICE r12): same decision as the slash-less path
+    assert(Bench.sidecarPaths("/root/testdata/sf0.1/", subset = false) ==
+      Bench.sidecarPaths("/root/testdata/sf0.1", subset = false))
+    assert(Bench.sidecarPaths("/tmp/testdata_sf10/", subset = false) ==
+      Bench.sidecarPaths("/tmp/testdata_sf10", subset = false))
+    // subset runs land in target/ only, at EVERY scale
+    assert(Bench.sidecarPaths("/root/testdata/sf0.1", subset = true) ==
+      Seq("target/bench.json"))
+    assert(Bench.sidecarPaths("/tmp/testdata_sf10", subset = true) ==
+      Seq("target/bench.json"))
+    // off-scale smokes (sf0.001 warmups, sf1 rehearsals) are target-only
+    assert(Bench.sidecarPaths("/root/testdata/sf0.001", subset = false) ==
+      Seq("target/bench.json"))
+    assert(Bench.sidecarPaths("/tmp/testdata_sf1", subset = false) ==
+      Seq("target/bench.json"))
+  }
+
+  private val results = Seq(
+    ("transit_q1_weekday", 1.5, 1.2), ("transit_q2_weekday", 0.9, 0.7),
+    ("dedup_exact", 0.4, 0.3), ("text_tokens", 0.2, 0.2))
+
+  test("full-board artifacts: contract line parses, names the written file, sha verifies") {
+    val dir = java.nio.file.Files.createTempDirectory("bench_contract")
+    try {
+      val (line, fullLine) = Bench.writeArtifacts(
+        results, "/x/testdata/sf0.1", subset = false, baseDir = dir.toString)
+      val node = om.readTree(line) // throws if the driver couldn't parse it
+      assert(node.get("metric").asText == "total_query_time")
+      assert(node.get("n_queries").asInt == 4)
+      assert(math.abs(node.get("value").asDouble - 2.4) < 1e-9)
+      assert(node.get("queries").get("q1").asDouble == 1.2)
+      assert(node.get("families_warm").get("transit").asDouble == 1.9)
+      // the named file is the one actually written, and the sha pins it
+      val named = node.get("full_map").asText
+      assert(named == "reports/bench_full.json")
+      val written = new String(java.nio.file.Files.readAllBytes(
+        dir.resolve(named)), java.nio.charset.StandardCharsets.UTF_8)
+      assert(written == fullLine + "\n")
+      assert(node.get("full_map_sha256_8").asText == Bench.sha8(fullLine))
+      // the full map itself parses and carries every query twice-timed
+      val fullNode = om.readTree(fullLine)
+      assert(fullNode.get("queries").size == 4)
+      assert(fullNode.get("queries").get("dedup_exact").get("warm").asDouble == 0.3)
+      // target copy is byte-identical
+      val target = new String(java.nio.file.Files.readAllBytes(
+        dir.resolve("target/bench.json")), java.nio.charset.StandardCharsets.UTF_8)
+      assert(target == written)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  test("subset artifacts: full_map names target/bench.json and no sidecar appears") {
+    val dir = java.nio.file.Files.createTempDirectory("bench_contract_sub")
+    try {
+      val (line, fullLine) = Bench.writeArtifacts(
+        results.take(1), "/x/testdata/sf0.1", subset = true, baseDir = dir.toString)
+      val node = om.readTree(line)
+      // r11's bug class: the line must point at the file THIS run wrote
+      assert(node.get("full_map").asText == "target/bench.json")
+      assert(node.get("full_map_sha256_8").asText == Bench.sha8(fullLine))
+      assert(!java.nio.file.Files.exists(dir.resolve("reports/bench_full.json")),
+        "a subset run must never clobber the committed sidecar")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  test("trailing-slash full board still writes its committed sidecar") {
+    val dir = java.nio.file.Files.createTempDirectory("bench_contract_slash")
+    try {
+      val (line, _) = Bench.writeArtifacts(
+        results, "/x/testdata_sf10/", subset = false, baseDir = dir.toString)
+      assert(om.readTree(line).get("full_map").asText == "reports/bench_sf10.json")
+      assert(java.nio.file.Files.exists(dir.resolve("reports/bench_sf10.json")))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+}

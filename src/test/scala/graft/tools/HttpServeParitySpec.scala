@@ -16,17 +16,17 @@ class HttpServeParitySpec extends SparkSpec {
   private lazy val docs = Timetable.buildStopTimetables(t).cache()
   private lazy val cached = {
     val svc = new QueryService(t)
-    HttpServe.start(svc, docs, 0, withCache = true)
+    HttpServe.start(svc, docs, 0, withCache = Some(true))
   }
   private lazy val live = {
     val svc = new QueryService(t)
-    HttpServe.start(svc, docs, 0, withCache = false)
+    HttpServe.start(svc, docs, 0, withCache = Some(false))
   }
 
-  private def get(server: com.sun.net.httpserver.HttpServer,
+  private def get(server: HttpServe.ServingHandle,
       path: String): (Int, String) = {
     val conn = new java.net.URI(
-      s"http://127.0.0.1:${server.getAddress.getPort}$path").toURL
+      s"http://127.0.0.1:${server.port}$path").toURL
       .openConnection().asInstanceOf[java.net.HttpURLConnection]
     val code = conn.getResponseCode
     val in = if (code >= 400) conn.getErrorStream else conn.getInputStream
@@ -72,6 +72,76 @@ class HttpServeParitySpec extends SparkSpec {
       s <- stops
       svc <- Seq("", "1", "2", "3", "4")
     } yield s"/get_arrivals?stop_id=$s&service_id=$svc")
+  }
+
+  /** Routes exercising every endpoint family — the auto-gate and refresh
+    * faces byte-compare these across listener configurations. */
+  private def allRoutes: Seq[String] =
+    Seq("/get_stops", "/api/q1?service_id=1&limit=20", "/api/q3?limit=all") ++
+      stops.flatMap(s => Seq(s"/get_timetable?stop_id=$s",
+        s"/get_routes_for_stop?stop_id=$s",
+        s"/get_arrivals?stop_id=$s&service_id=2"))
+
+  test("auto gate: under the ceiling the listener caches; /servez reports the probe") {
+    // the fixture store is a few hundred entries — far under the 64 M
+    // default ceiling, so the measured decision must pick the cache path
+    val svc = new QueryService(t)
+    val auto = HttpServe.start(svc, docs, 0)
+    try {
+      assert(auto.cached, "fixture store must auto-gate to cached")
+      val (code, body) = get(auto, "/servez")
+      assert(code == 200 && body.startsWith("""{"cache":true,"store_entries":"""))
+      val entries = ServingCache.storeEntries(docs)
+      assert(body.contains(s""""store_entries":$entries"""))
+    } finally auto.stop()
+  }
+
+  test("auto gate: over the ceiling the fallback engages and stays byte-identical") {
+    // the r12 gap: withCache=true was a caller FLAG — a default-config
+    // caller at 100x the certified sf1 store would collect an oversized
+    // store onto the driver. The gate is now a measured decision; this
+    // face lowers the ceiling under the fixture's entry count and proves
+    // (a) the live path engages, (b) the wire bytes don't move.
+    System.setProperty(ServingCache.MaxCacheEntriesKey, "1")
+    try {
+      val svc = new QueryService(t)
+      val auto = HttpServe.start(svc, docs, 0)
+      try {
+        assert(!auto.cached, "an over-ceiling store must fall back to the live path")
+        val (code, body) = get(auto, "/servez")
+        assert(code == 200 && body.startsWith("""{"cache":false,"""))
+        assert(body.contains(""""max_cache_entries":1"""))
+        allRoutes.foreach { p =>
+          assert(get(auto, p) == get(cached, p), s"fallback divergence on $p")
+        }
+      } finally auto.stop()
+    } finally System.clearProperty(ServingCache.MaxCacheEntriesKey)
+  }
+
+  test("staleness: refresh() after a store mutation serves the new store byte-identically") {
+    // the serving maps are built AS OF startup; the engine's feed-upsert
+    // faces can change the store under a running listener. refresh() is
+    // the documented invalidation hook: after it returns, every route
+    // must byte-match a live listener over the POST-mutation store.
+    val svc = new QueryService(t)
+    val handle = HttpServe.start(svc, docs, 0, withCache = Some(true))
+    try {
+      // the mutation: one trip leaves the feed (the upsert-delete case) —
+      // rebuild the document store the way the upsert pipeline would
+      val t2 = t.copy(stopTimes =
+        t.stopTimes.filter(org.apache.spark.sql.functions.col("trip_id") =!= "T1"))
+      val docs2 = Timetable.buildStopTimetables(t2).cache()
+      assert(ServingCache.storeEntries(docs2) < ServingCache.storeEntries(docs),
+        "the mutation must actually shrink the store for this test to bite")
+      // pre-refresh: stale-but-consistent (still the startup snapshot)
+      assert(get(handle, "/get_stops") == get(cached, "/get_stops"))
+      handle.refresh(docs2)
+      assert(handle.cached, "refresh must re-decide under the started mode")
+      val liveNew = HttpServe.start(svc, docs2, 0, withCache = Some(false))
+      try allRoutes.foreach { p =>
+        assert(get(handle, p) == get(liveNew, p), s"post-refresh divergence on $p")
+      } finally liveNew.stop()
+    } finally handle.stop()
   }
 
   test("/get_arrivals flat: every (stop, route, headsign) pair incl. traps") {

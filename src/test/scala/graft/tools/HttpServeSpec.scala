@@ -13,11 +13,11 @@ class HttpServeSpec extends SparkSpec {
   private lazy val docs = Timetable.buildStopTimetables(t).cache()
   private lazy val server = {
     val svc = new QueryService(t)
-    HttpServe.start(svc, docs, 0) // port 0 → ephemeral
+    HttpServe.start(svc, docs, 0) // port 0 → ephemeral; cache auto-gated
   }
   private def get(path: String): (Int, String) = {
     val conn = new java.net.URI(
-      s"http://127.0.0.1:${server.getAddress.getPort}$path").toURL
+      s"http://127.0.0.1:${server.port}$path").toURL
       .openConnection().asInstanceOf[java.net.HttpURLConnection]
     val code = conn.getResponseCode
     val in = if (code >= 400) conn.getErrorStream else conn.getInputStream

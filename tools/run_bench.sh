@@ -5,11 +5,12 @@
 # encoding-blind — see graft.Scale; the r11 sf10 board died OOM at 248/296
 # on sbt's default 8 GiB and had to be stitched with a 96 GiB tail).
 #
-# Model, calibrated on the r11 evidence: ~5 GiB per million input rows —
-# the proven envelopes were 48 GiB at sf1 (8.9 M rows) and 96 GiB at sf10
-# (86.6 M rows, worst face = the collect_list document build + noop sink);
-# floored at 16 GiB (the sf0.1 board's envelope), capped at 104 GiB (the
-# box is 128 GiB and Spark local mode lives in one JVM).
+# Model, calibrated on the r11/r12 evidence: ~5 GiB per million input
+# rows, floored at 16 GiB (the sf0.1 board's envelope), CAPPED AT 48 GiB —
+# the r12 sf10 board proved bigger heaps actively harmful (see the cap
+# comment below: 104 GiB inflated object-heavy faces 2-9x via accumulated
+# GC debt) while 48 GiB clears the worst collect_list ETL face with
+# margin. SPARK_GRAFT_HEAP_G overrides the model for larger experiments.
 #
 # Usage: tools/run_bench.sh <sfDir> [onlyPrefixes] [logPrefix]
 #   e.g. nohup tools/run_bench.sh /tmp/testdata_sf10 > /tmp/bench_sf10.log 2>&1 &

@@ -23,6 +23,11 @@ FLAG = 10.0
 def t_of(v):
     return v["warm"] if isinstance(v, dict) else v
 
+# A t_small of 0 makes the ratio undefined, not innocent: if the large
+# leg is above this floor the query still needs a look (the old form gave
+# it ratio None and a permanent pass).
+ZERO_SMALL_FLOOR = 5.0
+
 def decade(small_path, large_path):
     small, large = json.load(open(small_path)), json.load(open(large_path))
     qs = {}
@@ -33,15 +38,24 @@ def decade(small_path, large_path):
         a, b = t_of(small["queries"][k]), t_of(b)
         qs[k] = {"t_small": a, "t_large": b,
                  "ratio": round(b / a, 2) if a > 0 else None}
+    flagged = sorted([k for k, v in qs.items()
+                      if v["ratio"] and v["ratio"] > FLAG],
+                     key=lambda k: -qs[k]["ratio"])
+    # ratio-less zero-small queries with real large-leg cost are flags too
+    flagged += sorted([k for k, v in qs.items()
+                       if v["ratio"] is None and v["t_large"] > ZERO_SMALL_FLOOR],
+                      key=lambda k: -qs[k]["t_large"])
     return {
         "legs": {"small": small_path, "large": large_path},
         "sf_small": small["sf"], "sf_large": large["sf"],
         "n_queries": len(qs),
+        # board totals: each leg's FULL query set (the headline number) AND
+        # the intersected set (the only pair comparable when boards diverge)
         "total_small": round(sum(t_of(v) for v in small["queries"].values()), 1),
         "total_large": round(sum(t_of(v) for v in large["queries"].values()), 1),
-        "flagged": sorted([k for k, v in qs.items()
-                           if v["ratio"] and v["ratio"] > FLAG],
-                          key=lambda k: -qs[k]["ratio"]),
+        "total_small_common": round(sum(v["t_small"] for v in qs.values()), 1),
+        "total_large_common": round(sum(v["t_large"] for v in qs.values()), 1),
+        "flagged": flagged,
         "queries": qs,
     }
 
