@@ -23,23 +23,16 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class WindowGuardSpec extends AnyFunSuite with SparkSpec {
 
-  private val sf = "/root/testdata/sf0.01"
-
   /** Bounded-metadata ceiling: generous vs every offsets/cuts frame
     * (≤ ~2.4 k per-day rows), well under every sf0.01 fact table. */
   private val MetadataRowBound = 4096L
 
   test("no registered query windows an unpartitioned data-sized frame") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
-    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-      val children: Seq[LogicalPlan] =
-        try
-          fn(spark, sf).queryExecution.optimizedPlan.collect {
-            case w: LWindow if w.partitionSpec.isEmpty => w.child
-          }
-        catch {
-          case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}")
-        }
+    for ((name, plan) <- RegistryPlans.plans) {
+      val children: Seq[LogicalPlan] = plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w.child
+      }
       children.foreach { child =>
         val rows = GraftPlanShim.ofRows(spark, child).count()
         if (rows > MetadataRowBound)
