@@ -40,7 +40,13 @@ object Bench {
     * selection was right but the subset test said subset and the full
     * board silently skipped its committed sidecar. */
   private[graft] def parseOnly(value: Option[String]): Option[Seq[String]] =
-    value.filter(_.trim.nonEmpty).map(_.split(",").toSeq)
+    // per-token trim + drop-empties: "a, b" must select the b family (an
+    // untrimmed " b" prefix-matches nothing) and "a,,b" must not carry an
+    // interior "" token that startsWith-matches EVERY query — both are the
+    // same silent-misselection class as the r12 set-but-empty bug. A value
+    // whose tokens all vanish ("," or whitespace) means full run (None).
+    value.map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .filter(_.nonEmpty)
 
   private[graft] def sha8(line: String): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")

@@ -229,17 +229,13 @@ object Scale {
     * (pure — see its doc for the signal interactions and both measured
     * calibration points); this applies the regime: sets the AQE grid,
     * sets the three scan/shuffle knobs when the regime carries values,
-    * restores their captured stock values when it doesn't.
+    * restores their captured stock values on a MEASURED knobs-off input,
+    * and leaves the session entirely untouched when the input is
+    * unmeasurable (missing dir / failed probes → rows = 0).
     * `SPARK_GRAFT_FORCE_TUNE=1/0` forces knobs both ways (the A/B lever).
     * Floors/caps keep sf ≤ 0.1 on today's plans; results are
     * partition-independent regardless. Returns the grid. */
   def tuneSessionGrid(spark: SparkSession, sfDir: String): Int = {
-    // park stock knob values on FIRST call (session-scoped, survives
-    // repeated tuning calls against different dirs)
-    KnobKeys.foreach { k =>
-      if (spark.conf.getOption(stockKey(k)).isEmpty)
-        spark.conf.set(stockKey(k), spark.conf.get(k))
-    }
     val rows = graft.sources.Tables.names.map { n =>
       try {
         val df = if (n == "events") graft.sources.Tables.events(spark, sfDir)
@@ -247,6 +243,19 @@ object Scale {
         df.count()
       } catch { case _: Throwable => 0L }
     }.sum
+    // UNMEASURABLE input (missing dir, or every per-table probe failed) is
+    // a full session no-op — grid conf and knobs exactly as they were.
+    // The knobs-off apply branch below restores stock, which is right for
+    // a MEASURED below-floor dir but wrong here: a transient probe failure
+    // must not silently de-tune a knobs-on session (resolveRegime's
+    // value-less contract covers the knob VALUES; this covers the rest).
+    if (rows == 0L) return spark.sessionState.conf.numShufflePartitions
+    // park stock knob values on FIRST measured call (session-scoped,
+    // survives repeated tuning calls against different dirs)
+    KnobKeys.foreach { k =>
+      if (spark.conf.getOption(stockKey(k)).isEmpty)
+        spark.conf.set(stockKey(k), spark.conf.get(k))
+    }
     val bytes =
       try {
         val root = java.nio.file.Paths.get(sfDir)

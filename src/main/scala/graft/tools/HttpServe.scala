@@ -40,6 +40,23 @@ import graft.transit._
   */
 object HttpServe {
 
+  // TCP_NODELAY on every accepted socket: the JDK server writes headers
+  // and body as separate segments, and with Nagle on, the body segment
+  // waits ~40 ms for the client's delayed ACK of the header segment —
+  // measured r12/r13 as a flat 44 ms p50 across EVERY route regardless of
+  // response size (a keep-alive generator alone did not move it; the few
+  // large responses that filled full segments answered in 3-5 ms).
+  // Set at HttpServe CLASS LOAD, not inside start(): the JDK reads the
+  // property ONCE, in sun.net.httpserver.ServerConfig's static
+  // initializer (first HttpServer use anywhere in the JVM), so a
+  // start()-time set is load-order dependent — any embedding JVM that
+  // created its own HttpServer first would silently get the Nagle stall
+  // back. Every listener in this repo reaches HttpServer.create via this
+  // object, so object-init always precedes ServerConfig load here; an
+  // embedder with its own earlier listener should pass
+  // -Dsun.net.httpserver.nodelay=true on the JVM line instead.
+  System.setProperty("sun.net.httpserver.nodelay", "true")
+
   /** JSON string escape (RFC 8259 minimal set). */
   private def jstr(s: String): String = {
     val b = new StringBuilder("\"")
@@ -197,14 +214,6 @@ object HttpServe {
     * (cached) or Spark jobs on the shared session (live). */
   def start(svc: QueryService, timetables: DataFrame, port: Int,
       withCache: Option[Boolean] = None): ServingHandle = {
-    // TCP_NODELAY on every accepted socket: the JDK server writes headers
-    // and body as separate segments, and with Nagle on, the body segment
-    // waits ~40 ms for the client's delayed ACK of the header segment —
-    // measured r12/r13 as a flat 44 ms p50 across EVERY route regardless
-    // of response size (a keep-alive generator alone did not move it; the
-    // few large responses that filled full segments answered in 3-5 ms).
-    // The JDK reads this property at server creation.
-    System.setProperty("sun.net.httpserver.nodelay", "true")
     val state = new java.util.concurrent.atomic.AtomicReference(
       resolveState(svc, timetables, withCache))
     val server = HttpServer.create(new java.net.InetSocketAddress(port), 64)

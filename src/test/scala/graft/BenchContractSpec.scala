@@ -20,6 +20,12 @@ class BenchContractSpec extends AnyFunSuite {
     assert(Bench.parseOnly(Some("  ")).isEmpty)
     assert(Bench.parseOnly(Some("transit_q1")).contains(Seq("transit_q1")))
     assert(Bench.parseOnly(Some("a,b")).contains(Seq("a", "b")))
+    // per-token hygiene: spaces around commas must not poison the prefix
+    // match, and interior empty tokens must not select the whole registry
+    assert(Bench.parseOnly(Some("a, b")).contains(Seq("a", "b")))
+    assert(Bench.parseOnly(Some("a,,b")).contains(Seq("a", "b")))
+    assert(Bench.parseOnly(Some(",")).isEmpty)
+    assert(Bench.parseOnly(Some(" , ")).isEmpty)
   }
 
   test("sidecarPaths: full boards refresh committed sidecars, subsets and off-scales never") {

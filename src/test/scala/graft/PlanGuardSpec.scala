@@ -89,9 +89,14 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       cartesians.foreach { j =>
         // limit(bound+1) short-circuits: a data-sized side stops after one
         // task instead of scanning the frame, so the probe stays cheap.
+        // Probe the right side first (broadcast(tiny) is conventionally the
+        // crossJoin argument) and skip the left probe when it already
+        // proves the join bounded — halves the jobs on the common case.
         def probe(side: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
           GraftPlanShim.ofRows(spark, side).limit((TinySideBound + 1).toInt).count()
-        val smaller = math.min(probe(j.left), probe(j.right))
+        val smaller =
+          if (probe(j.right) <= TinySideBound) 0L
+          else math.min(probe(j.left), TinySideBound + 1)
         if (smaller > TinySideBound)
           offenders += s"$name: ${j.joinType} join with no equi-key and no " +
             s"bounded side (smaller side > $TinySideBound rows)"

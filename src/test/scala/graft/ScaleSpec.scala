@@ -229,6 +229,16 @@ class ScaleSpec extends SparkSpec {
       Scale.tuneSessionGrid(spark, dir)
       assert(spark.conf.get(keys.head) != stock.head._2,
         "the knobs-on leg must actually move a knob for this test to bite")
+      // an UNMEASURABLE dir between the two measured legs must be a full
+      // no-op: a transient probe failure (or a typo'd path) must not
+      // silently de-tune the knobs-on session — only a MEASURED
+      // below-floor input may restore stock
+      val tuned = keys.map(k => k -> spark.conf.get(k))
+      Scale.tuneSessionGrid(spark, "/nonexistent/dir")
+      tuned.foreach { case (k, v) =>
+        assert(spark.conf.get(k) == v,
+          s"$k must survive an unmeasurable-dir tune untouched")
+      }
       Scale.tuneSessionGrid(spark, "/root/testdata/sf0.001")
       keys.zip(stock).foreach { case (k, (_, v)) =>
         assert(spark.conf.get(k) == v,

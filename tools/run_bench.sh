@@ -48,9 +48,10 @@ echo "[run_bench] $SFDIR rows=$ROWS heap=${HEAP}g only='$ONLY'"
 AO="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
 
 set +e
-# SPARK_GRAFT_ONLY must be UNSET (not set-but-empty) on full runs: Bench
-# treats any set value — even "" — as a subset request and skips the
-# committed-sidecar write (reports/bench_full.json / bench_sf10.json)
+# Keep SPARK_GRAFT_ONLY unset on full runs for hygiene. (Bench.parseOnly
+# now treats set-but-empty / whitespace / "," as a FULL run and writes the
+# committed sidecar — the r12 silent-skip is fixed and spec-pinned by
+# BenchContractSpec — so this unset is belt-and-braces, not load-bearing.)
 [ -n "$ONLY" ] && export SPARK_GRAFT_ONLY="$ONLY" || unset SPARK_GRAFT_ONLY
 SPARK_GRAFT_SF_DIR="$SFDIR" \
   java $AO -Xmx${HEAP}g -Dspark.ui.enabled=false \

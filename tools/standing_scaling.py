@@ -77,7 +77,12 @@ def main():
             if q in adjudications:
                 d["adjudications"][q] = adjudications[q]
             else:
-                missing.append(f"{dk}: {q} ({d['queries'][q]['ratio']}x)")
+                # zero-small flags have ratio None by construction; show the
+                # large-leg time that triggered them instead of "Nonex"
+                qd = d["queries"][q]
+                ev = (f"{qd['ratio']}x" if qd["ratio"] is not None
+                      else f"t_small=0, t_large={qd['t_large']}s")
+                missing.append(f"{dk}: {q} ({ev})")
     out = {"flag_threshold": FLAG,
            "method": "per-query warm ratios on ~10x data per decade; any "
                      ">10x full-board flag must be solo re-profiled "
