@@ -145,6 +145,21 @@ object Bench {
     // lever for attributing small-board drift to the quiesce trade (the
     // r11-accepted measurement-hygiene cost, ~2-4% on sub-second faces)
     val quiesce = !sys.env.get("SPARK_GRAFT_NO_QUIESCE").contains("1")
+    // Page-cache quiesce rides the same flag with its own opt-out
+    // (SPARK_GRAFT_NO_SYNC=1) so its cost can be A/B'd in isolation. The
+    // r13 sf10 board billed transit_mongo_export 132.3 s on-board vs
+    // 83.1 s solo (own JVM, same code): the delta is PRIOR faces' dirty
+    // page-cache write-back competing with the face's own writes on the
+    // single local disk. A sync(1) before each timed run drains that debt
+    // in the UNTIMED window — the page-cache analog of the GC quiesce
+    // above, and the same attribution principle: each face pays for its
+    // own I/O, not its predecessors'.
+    val syncQuiesce = quiesce && !sys.env.get("SPARK_GRAFT_NO_SYNC").contains("1")
+    def diskQuiesce(): Unit =
+      if (syncQuiesce) {
+        try new ProcessBuilder("sync").start().waitFor()
+        catch { case _: Throwable => () } // no sync binary: GC quiesce only
+      }
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       // GC before EVERY timed run, not just the query's first: eager
       // localCheckpoint blocks from the PREVIOUS repetition are released
@@ -158,6 +173,7 @@ object Bench {
         System.gc()
         Thread.sleep(200) // let the async cleaner drain the reference queue
       }
+      diskQuiesce()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
