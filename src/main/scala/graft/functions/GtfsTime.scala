@@ -28,17 +28,25 @@ object GtfsTime {
     * CaseWhen evaluates only the matched branch, so the ANSI cast inside
     * never sees a malformed string. */
   def gtfsSecondsLenient(t: Column): Column =
-    when(t.rlike("^[0-9]{1,3}:[0-9]{2}:[0-9]{2}$"), gtfsSeconds(t))
+    // [0-5][0-9] on minutes/seconds: "12:99:99" is malformed feed data and
+    // must yield NULL, not 49239 — a {2}-digit shape check would count it
+    when(t.rlike("^[0-9]{1,3}:[0-5][0-9]:[0-5][0-9]$"), gtfsSeconds(t))
 
   /** Hour bucket of a seconds column — legitimately 24..28+ (never `hour()`). */
   def hourOfDay(secs: Column): Column = floor(secs / 3600.0).cast("long")
 
   private def two(c: Column): Column = lpad(c.cast("string"), 2, "0")
 
-  /** Seconds → canonical GTFS string, hours NOT wrapped ("25:45:00"). */
+  /** Seconds → canonical GTFS string, hours NOT wrapped ("25:45:00").
+    * The hour uses `format_string("%02d", …)`, not `lpad(…, 2)`: lpad
+    * TRUNCATES strings longer than its length, so a 3-digit hour
+    * ("100:15:00" — gtfsSeconds documents 1–3 digit hours) would silently
+    * corrupt to "10:15:00" on write and re-parse 90 h early. %02d pads
+    * without truncating; the DuckDB oracle mirror uses printf the same
+    * way. Minutes/seconds are always < 60, so lpad stays safe there. */
   def gtfsString(secs: Column): Column =
     concat_ws(":",
-      two(floor(secs / 3600.0).cast("long")),
+      format_string("%02d", floor(secs / 3600.0).cast("long")),
       two(floor(secs % 3600L / 60.0).cast("long")),
       two(secs % 60L))
 

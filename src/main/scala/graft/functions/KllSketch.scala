@@ -85,6 +85,10 @@ case class KllMergeAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[KllDoublesSketch] with UnaryLike[Expression] {
 
+  // same driver-side guard as KllSketchAgg: an invalid k must fail at
+  // plan construction, not as a SketchesArgumentException inside a task
+  require(k >= 8 && k <= 65535)
+
   override def prettyName: String = "graft_kll_merge"
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType

@@ -158,17 +158,26 @@ case class DotProductExpr(left: Expression, right: Expression)
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
   override def prettyName: String = "graft_dot"
 
+  // NULL on length mismatch, matching the spec exactly: zip_with pads the
+  // shorter side with null, so the interpreted fold yields NULL for
+  // malformed embedding pairs — truncating to min(n, m) would return a
+  // wrong partial sum and silently mask bad input
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    var s = 0.0
-    var i = 0
-    val n = math.min(x.numElements(), y.numElements())
-    while (i < n) {
-      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
-      i += 1
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        i += 1
+      }
+      s
     }
-    s
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -176,10 +185,14 @@ case class DotProductExpr(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       s"""
-         |${ev.value} = 0.0;
-         |int $n = Math.min($x.numElements(), $y.numElements());
-         |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value} += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    ${ev.value} += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |  }
          |}
        """.stripMargin
     })
@@ -265,6 +278,11 @@ object PqOps {
   * conversion per token in the higher-order formulation. */
 object TokenHashOps {
   private val P = TextHash.P
+
+  /** Empty array<bigint> for the null-text fast path of the shingle
+    * expressions (the interpreted spec's `otherwise(array())` branch). */
+  def emptyLongArray(): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
 
   private val md = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
@@ -384,17 +402,36 @@ case class TokenHashesExpr(child: Expression) extends UnaryExpression {
   * sf0.1) of every shingle-based dedup query. `n` arrives as a foldable
   * int literal so the function registry builder stays `Seq[Expression]`. */
 case class ShingleSetExpr(child: Expression, n: Int) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+  import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
 
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_shingle_set"
 
-  override def nullSafeEval(input: Any): Any =
-    TokenHashOps.shingleSet(input.asInstanceOf[ArrayData], n)
+  // NULL tokens (null text) → EMPTY array, not NULL: the interpreted spec
+  // `when(size(th) >= n, …).otherwise(array())` takes the otherwise branch
+  // on a null frame (size(null) = -1), and the DuckDB mirror's CASE agrees
+  // — a null-propagating native form would diverge on null documents
+  override def nullable: Boolean = false
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.TokenHashOps.shingleSet($c, $n);")
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) TokenHashOps.emptyLongArray()
+    else TokenHashOps.shingleSet(v.asInstanceOf[ArrayData], n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = c.code +
+        code"""
+          |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = ${c.isNull}
+          |  ? graft.functions.TokenHashOps.emptyLongArray()
+          |  : graft.functions.TokenHashOps.shingleSet(${c.value}, $n);
+        """.stripMargin,
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleSetExpr =
     copy(child = newChild)
@@ -549,17 +586,34 @@ case class PiiScanExpr(child: Expression) extends UnaryExpression {
   * order — the multiplicity-preserving form corpus-coverage statistics
   * aggregate over ([[graft.text.TextAnalysis.dupNgramCoverage]]). */
 case class ShingleAllExpr(child: Expression, n: Int) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+  import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
 
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_shingle_all"
 
-  override def nullSafeEval(input: Any): Any =
-    TokenHashOps.shingleAll(input.asInstanceOf[ArrayData], n)
+  // NULL tokens → EMPTY array, matching the interpreted spec's
+  // `otherwise(array())` branch (see ShingleSetExpr)
+  override def nullable: Boolean = false
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.TokenHashOps.shingleAll($c, $n);")
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) TokenHashOps.emptyLongArray()
+    else TokenHashOps.shingleAll(v.asInstanceOf[ArrayData], n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = c.code +
+        code"""
+          |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = ${c.isNull}
+          |  ? graft.functions.TokenHashOps.emptyLongArray()
+          |  : graft.functions.TokenHashOps.shingleAll(${c.value}, $n);
+        """.stripMargin,
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleAllExpr =
     copy(child = newChild)
@@ -621,6 +675,19 @@ case class BloomMightContainExpr(child: Expression, bloomBytes: Array[Byte])
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
   override def prettyName: String = "graft_bloom_contains"
 
+  // Array[Byte] compares by REFERENCE under case-class equals, so two
+  // expressions built from equal-but-distinct filter bytes (the same
+  // filter deserialized twice for multi-query reuse) would never be
+  // semantically equal — defeating canonicalization, common-subexpression
+  // elimination, and exchange reuse. Compare the bytes by content.
+  override def equals(other: Any): Boolean = other match {
+    case o: BloomMightContainExpr =>
+      child == o.child && java.util.Arrays.equals(bloomBytes, o.bloomBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bloomBytes)
+
   @transient private lazy val bloom =
     org.apache.spark.util.sketch.BloomFilter.readFrom(
       new java.io.ByteArrayInputStream(bloomBytes))
@@ -644,7 +711,13 @@ case class BloomMightContainExpr(child: Expression, bloomBytes: Array[Byte])
   * `SparkSessionExtensions.injectFunction`.) */
 object GraftFunctions {
 
-  private val fns: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+  /** The single source of truth for the native-function surface: the lazy
+    * per-session [[register]] path and the build-time
+    * [[GraftSparkExtensions]] wiring both iterate THIS list, so a new
+    * expression added here reaches SQL-only sessions automatically (the
+    * extensions class used to hand-copy 7 of the entries and silently
+    * drop the other 10 from `--conf spark.sql.extensions` sessions). */
+  private[functions] val fns: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     ("graft_simhash32", classOf[SimHash32Expr],
       (es: Seq[Expression]) => SimHash32Expr(es.head)),
     ("graft_minhash32", classOf[MinHashSigExpr],
@@ -833,36 +906,13 @@ object GraftFunctions {
   * path remains for sessions created without the conf (tests, driver). */
 class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("graft_simhash32"),
-      new ExpressionInfo(classOf[SimHash32Expr].getName, "graft_simhash32"),
-      (es: Seq[Expression]) => SimHash32Expr(es.head)))
-    ext.injectFunction((
-      FunctionIdentifier("graft_minhash32"),
-      new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash32"),
-      (es: Seq[Expression]) => MinHashSigExpr(es.head)))
-    ext.injectFunction((
-      FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
-      (es: Seq[Expression]) => DotProductExpr(es(0), es(1))))
-    ext.injectFunction((
-      FunctionIdentifier("graft_token_hashes"),
-      new ExpressionInfo(classOf[TokenHashesExpr].getName, "graft_token_hashes"),
-      (es: Seq[Expression]) => TokenHashesExpr(es.head)))
-    ext.injectFunction((
-      FunctionIdentifier("graft_shingle_set"),
-      new ExpressionInfo(classOf[ShingleSetExpr].getName, "graft_shingle_set"),
-      (es: Seq[Expression]) => ShingleSetExpr(es.head,
-        es(1).eval().asInstanceOf[Int])))
-    ext.injectFunction((
-      FunctionIdentifier("graft_pq_encode"),
-      new ExpressionInfo(classOf[PqEncodeExpr].getName, "graft_pq_encode"),
-      (es: Seq[Expression]) => PqEncodeExpr(es.head)))
-    ext.injectFunction((
-      FunctionIdentifier("graft_pyround"),
-      new ExpressionInfo(classOf[PyRoundExpr].getName, "graft_pyround"),
-      (es: Seq[Expression]) => PyRoundExpr(es.head,
-        es(1).eval().asInstanceOf[Int])))
+    // inject the WHOLE registry (GraftFunctions.fns — the same list the
+    // lazy register() path uses), so a SQL-only session sees every
+    // graft_* function, not a hand-copied subset
+    for ((name, cls, builder) <- GraftFunctions.fns)
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name), builder))
     // the custom whole-operator plan (as-of merge scan) rides the same
     // production wiring; AsOfJoin.enable's experimental-strategies path
     // remains for sessions created without the conf

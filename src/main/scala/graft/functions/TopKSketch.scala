@@ -101,11 +101,21 @@ case class TopKSketchAgg(
     new GenericArrayData(b.toSeq.sortBy { case (w, c) => (-c, w) }.take(topN)
       .map { case (w, c) => InternalRow(UTF8String.fromString(w), c) }.toArray)
 
+  // length-prefixed UTF-8, NOT writeUTF: writeUTF throws
+  // UTFDataFormatException past 64 KB of modified-UTF-8, and one unbroken
+  // non-whitespace run in a corpus document (minified JSON, base64) is one
+  // token — the sketch must serialize it for shuffle, not kill the job.
+  // Internal buffer format only; nothing persists it across versions.
   override def serialize(b: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(b.size)
-    for ((w, c) <- b) { out.writeUTF(w); out.writeLong(c) }
+    for ((w, c) <- b) {
+      val wb = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(wb.length)
+      out.write(wb)
+      out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -115,7 +125,12 @@ case class TopKSketchAgg(
     val n = in.readInt()
     val b = mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < n) { b(in.readUTF()) = in.readLong(); i += 1 }
+    while (i < n) {
+      val wb = new Array[Byte](in.readInt())
+      in.readFully(wb)
+      b(new String(wb, java.nio.charset.StandardCharsets.UTF_8)) = in.readLong()
+      i += 1
+    }
     b
   }
 

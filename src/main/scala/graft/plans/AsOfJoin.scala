@@ -105,10 +105,16 @@ case class AsOfJoinExec(
       val toUnsafe = UnsafeProjection.create((lOut ++ rOut).map(_.dataType).toArray)
       val nullRight = new GenericInternalRow(rOut.size)
 
+      // rKey/rTimeRow hold the LATEST result of their projection and are
+      // reassigned at exactly the moment the projection buffer is
+      // overwritten (the next rKeyProj/rTimeProj call), so they alias the
+      // buffer safely without copying — only the saved candidate outlives
+      // a projection call and needs its own copy (cand/candKey below).
+      // Copying here would be two allocations per right row consumed.
       new Iterator[InternalRow] {
         private var rRow: InternalRow = advanceRight()
-        private var rKey: UnsafeRow = if (rRow == null) null else rKeyProj(rRow).copy()
-        private var rTimeRow: UnsafeRow = if (rRow == null) null else rTimeProj(rRow).copy()
+        private var rKey: UnsafeRow = if (rRow == null) null else rKeyProj(rRow)
+        private var rTimeRow: UnsafeRow = if (rRow == null) null else rTimeProj(rRow)
         private var cand: InternalRow = null
         private var candKey: UnsafeRow = null
 
@@ -138,16 +144,16 @@ case class AsOfJoinExec(
               rRow = advanceRight()
               if (rRow == null) continue = false
               else {
-                rKey = rKeyProj(rRow).copy()
-                rTimeRow = rTimeProj(rRow).copy()
+                rKey = rKeyProj(rRow)
+                rTimeRow = rTimeProj(rRow)
               }
             } else if (kc == 0 && rTimeRow.isNullAt(0)) {
               // null right time: never matches; skip it
               rRow = advanceRight()
               if (rRow == null) continue = false
               else {
-                rKey = rKeyProj(rRow).copy()
-                rTimeRow = rTimeProj(rRow).copy()
+                rKey = rKeyProj(rRow)
+                rTimeRow = rTimeProj(rRow)
               }
             } else continue = false
           }
@@ -188,9 +194,24 @@ object AsOfJoin {
     require(dup.isEmpty, s"overlapping column names: $dup — rename the right side")
     def ex(c: Column): Expression =
       org.apache.spark.sql.classic.GraftPlanShim.expression(c)
+    val (lks, rks) = (leftKeys.map(ex), rightKeys.map(ex))
+    val (ltE, rtE) = (ex(leftTime), ex(rightTime))
+    // type equality is load-bearing, not cosmetic: this custom plan gets
+    // no analyzer coercion (unlike a built-in Join), each side is
+    // hash-partitioned on its OWN types (murmur3 hashInt(5) != hashLong(5L)
+    // → equal keys land in different partitions and matches silently
+    // vanish), and keyOrd/timeOrd are generated from the LEFT types but
+    // applied to right-side rows. Mismatches must fail loudly here.
+    lks.zip(rks).zipWithIndex.foreach { case ((l, r), i) =>
+      require(l.dataType == r.dataType,
+        s"as-of key $i type mismatch: ${l.dataType} vs ${r.dataType} — " +
+          "cast the columns to one type before joining")
+    }
+    require(ltE.dataType == rtE.dataType,
+      s"as-of time type mismatch: ${ltE.dataType} vs ${rtE.dataType} — " +
+        "cast the columns to one type before joining")
     val plan = AsOfJoinPlan(
-      leftKeys.map(ex), rightKeys.map(ex),
-      ex(leftTime), ex(rightTime),
+      lks, rks, ltE, rtE,
       left.queryExecution.analyzed, right.queryExecution.analyzed)
     org.apache.spark.sql.classic.GraftPlanShim.ofRows(spark, plan)
   }

@@ -458,9 +458,12 @@ object TransitOracles {
        |FROM ranked WHERE rk = 1
        |ORDER BY stop_id""".stripMargin
 
-  /** Raw GTFS-time SQL mirroring GtfsTime.gtfsString (>24 h hours kept). */
+  /** Raw GTFS-time SQL mirroring GtfsTime.gtfsString (>24 h hours kept).
+    * Hour via printf('%02d', …), matching the Scala side's format_string:
+    * LPAD truncates 3-digit hours (">= 100 h" would corrupt to 2 digits
+    * in BOTH engines — agreeing on the wrong answer is still wrong). */
   private def gtfsTime(secs: String): String =
-    s"""LPAD(CAST(CAST(FLOOR($secs / 3600.0) AS BIGINT) AS VARCHAR), 2, '0')
+    s"""printf('%02d', CAST(FLOOR($secs / 3600.0) AS BIGINT))
        | || ':' || LPAD(CAST(CAST(FLOOR($secs % 3600 / 60.0) AS BIGINT) AS VARCHAR), 2, '0')
        | || ':' || LPAD(CAST($secs % 60 AS VARCHAR), 2, '0')""".stripMargin.replace("\n", "")
 

@@ -30,6 +30,14 @@ class ExtensionsSpec extends AnyFunSuite {
         .collect().head
       assert(r.getLong(0) == 5L) // single hash: its own bits vote positive
       assert(r.getDouble(1) == 3.0)
+      // the WHOLE registry must be injected — the extensions class used to
+      // hand-copy 7 entries and silently drop the other 10 from SQL-only
+      // sessions (graft_pii_scan, the sketch aggs, …); it now iterates
+      // GraftFunctions.fns, and this pins every name as resolvable
+      for (name <- GraftFunctions.fns.map(_._1))
+        assert(s.sessionState.functionRegistry.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)),
+          s"$name not injected by GraftSparkExtensions")
       // the whole-operator strategy rides the same wiring: present in the
       // fresh session's planner without any AsOfJoin.enable call
       assert(s.sessionState.planner.strategies

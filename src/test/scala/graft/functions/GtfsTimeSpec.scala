@@ -27,4 +27,21 @@ class GtfsTimeSpec extends SparkSpec {
       .select(GtfsTime.hourOfDay(col("s")).as("h"))
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(25L, 23L, 24L))
   }
+
+  test("gtfsString round-trips 3-digit hours (lpad would truncate)") {
+    // 360900 s = 100:15:00; lpad(_, 2) would corrupt it to "10:15:00"
+    // (re-parsing 90 h early) — format_string("%02d") must not
+    val df = Seq(360900L, 3600L * 999 + 59L).toDF("s").select(
+      GtfsTime.gtfsString(col("s")).as("g"),
+      GtfsTime.gtfsSeconds(GtfsTime.gtfsString(col("s"))).as("rt"))
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("100:15:00", 360900L), ("999:00:59", 3600L * 999 + 59L)))
+  }
+
+  test("gtfsSecondsLenient NULLs malformed minutes/seconds, keeps valid >24h") {
+    val df = Seq("12:99:99", "12:59:60", "25:45:00", "7:05:09", "xx:00:00")
+      .toDF("t").select(GtfsTime.gtfsSecondsLenient(col("t")).as("s"))
+    val got = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    assert(got == Seq(None, None, Some(92700L), Some(25509L), None))
+  }
 }

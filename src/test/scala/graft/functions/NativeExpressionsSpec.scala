@@ -163,4 +163,35 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkSpec {
       .collect().head.getLong(0)
     assert(r == 0L)
   }
+
+  test("shingle exprs on NULL text yield EMPTY arrays, matching the spec") {
+    import spark.implicits._
+    // the interpreted spec's when(size(th) >= n, …).otherwise(array())
+    // takes the otherwise branch on a null frame — the native exprs must
+    // agree (a null-propagating form would diverge on null documents)
+    val docs = Seq(Some("a b c d"), None).toDF("text")
+    val rows = docs.select(
+      GraftFunctions.shingleSet(spark, col("text")).as("ns"),
+      GraftFunctions.shingleAll(spark, col("text")).as("na"),
+      TextHash.shingleSet(col("text")).as("is")).collect()
+    val nullRow = rows(1)
+    assert(!nullRow.isNullAt(0) && nullRow.getSeq[Long](0).isEmpty)
+    assert(!nullRow.isNullAt(1) && nullRow.getSeq[Long](1).isEmpty)
+    assert(nullRow.getSeq[Long](2).isEmpty) // the spec it must match
+    // non-null row still agrees with the interpreted spec
+    assert(rows(0).getSeq[Long](0) == rows(0).getSeq[Long](2))
+  }
+
+  test("DotProductExpr yields NULL on length mismatch, like the spec") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)), // equal length → value
+      (Seq(1.0f, 2.0f), Seq(3.0f))        // mismatch → NULL (spec: zip_with pads null)
+    ).toDF("a", "b")
+    val rows = df.select(
+      GraftFunctions.dot(spark, col("a"), col("b")).as("native"),
+      TextHash.dot(col("a"), col("b")).as("interp")).collect()
+    assert(rows(0).getDouble(0) == 11.0 && rows(0).getDouble(1) == 11.0)
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
+  }
 }

@@ -49,4 +49,16 @@ class TopKSketchSpec extends AnyFunSuite with SparkSpec {
       .map { case (r, i) => (i + 1, r.getString(0), r.getLong(1)) }
     assert(got.toSeq == exact.toSeq)
   }
+
+  test("serialize survives a >64 KB token (writeUTF would throw)") {
+    // one unbroken non-whitespace run (minified JSON, base64 blob) is one
+    // token; the buffer must shuffle it, not kill the job with
+    // UTFDataFormatException at 65535 modified-UTF-8 bytes
+    val agg = TopKSketchAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"), 4, 4)
+    val big = "b" * 70000
+    val buf = scala.collection.mutable.HashMap(big -> 3L, "small" -> 1L)
+    val back = agg.deserialize(agg.serialize(buf))
+    assert(back == buf)
+  }
 }
