@@ -106,8 +106,4 @@ object GtfsReader {
       .orderBy("service_id")
   }
 
-  /** Result CSV sink (reference S4, `SQL/generate_csv.py:37,...`): single
-    * headered file per result — driver-side convenience, not a scale path. */
-  def writeResultCsv(df: DataFrame, path: String): Unit =
-    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
 }

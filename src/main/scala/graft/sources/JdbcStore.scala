@@ -108,13 +108,19 @@ object JdbcStore {
       // bounds come off the parquet side (min/max on the slice — a cheap
       // stats-only scan), not a pre-read of the database
       val b = stSlice.agg(min(col("trip_id")), max(col("trip_id"))).collect().head
-      java.nio.file.Files.write(marker.toPath,
-        s"${b.getLong(0)},${b.getLong(1)}".getBytes("UTF-8"))
+      // empty slice → null min/max; (0,0) bounds give a degenerate but
+      // valid one-partition stride instead of an NPE
+      val (lo, hi) = if (b.isNullAt(0)) (0L, 0L) else (b.getLong(0), b.getLong(1))
+      java.nio.file.Files.write(marker.toPath, s"$lo,$hi".getBytes("UTF-8"))
     }
     val txt = new String(
       java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").trim
     val bounds = txt.split(",") match {
-      case Array(a, b) if a.nonEmpty && a.forall(c => c.isDigit || c == '-') =>
+      // BOTH tokens must parse: a marker corrupted mid-write (the bounds
+      // upgrade below is not atomic) with a malformed second token must
+      // take the recompute arm, not crash every later run on b.toLong
+      case Array(a, b) if Seq(a, b).forall(t =>
+          t.nonEmpty && t.forall(c => c.isDigit || c == '-')) =>
         (a.toLong, b.toLong)
       case _ =>
         // bounds-less marker (pre-range format): recompute from the parquet
@@ -122,9 +128,9 @@ object JdbcStore {
         val b = TransitTables.fromTpch(spark, sfDir).stopTimes
           .filter(col("trip_id") % SliceMod === 0L)
           .agg(min(col("trip_id")), max(col("trip_id"))).collect().head
-        java.nio.file.Files.write(marker.toPath,
-          s"${b.getLong(0)},${b.getLong(1)}".getBytes("UTF-8"))
-        (b.getLong(0), b.getLong(1))
+        val (lo, hi) = if (b.isNullAt(0)) (0L, 0L) else (b.getLong(0), b.getLong(1))
+        java.nio.file.Files.write(marker.toPath, s"$lo,$hi".getBytes("UTF-8"))
+        (lo, hi)
     }
     (url, bounds)
   }

@@ -35,8 +35,21 @@ object Tables {
     * schema; all entry points pin `spark.sql.session.timeZone=UTC`, so the
     * NTZ cast is value-preserving and matches DuckDB's naive read. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(spark, sfDir, "events")
+    // SCOPED to this read, not leaked session-wide: the legacy flag is
+    // consulted at schema-inference time only (verified against a genuine
+    // TIMESTAMP(NANOS) file: inference under the flag reads LongType and
+    // execution after restore still succeeds), and leaving it set would
+    // silently read any OTHER nanos column in the session as raw longs —
+    // the exact misinterpretation hazard this loader exists to absorb.
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(nanosKey)
+    spark.conf.set(nanosKey, "true")
+    val raw =
+      try load(spark, sfDir, "events")
+      finally prev match {
+        case Some(v) => spark.conf.set(nanosKey, v)
+        case None    => spark.conf.unset(nanosKey)
+      }
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -88,6 +88,11 @@ object Streams {
   }
 
   val SessionGapUs: Long = 30L * 60 * 1000000 // 30 min in microseconds
+  /** The SAME gap as an interval string, derived (not re-stated) so the
+    * session_window gap and the session watermarks cannot drift from the
+    * arithmetic that uses [[SessionGapUs]] — the two encodings were
+    * previously independent literals. */
+  val SessionGapInterval: String = s"${SessionGapUs / 60000000L} minutes"
 
   /** Batch sessionization: lag → new-session flag → running session number
     * → per-session aggregate. This is the oracle semantics for the
@@ -126,7 +131,14 @@ object Streams {
 
   private def emit(user: Long, s: SessionState): Session =
     Session(user, s.start, s.last - s.start, s.n,
-      math.round(s.sum * 10000.0) / 10000.0)
+      // EXACTLY Spark's round(col, 4) on a double (BigDecimal.valueOf =
+      // shortest-decimal, HALF_UP): math.round(sum*1e4)/1e4 diverges on
+      // values like 1.00005 (binary ≈ …4999…, floor-ties to 1.0 where the
+      // batch face emits 1.0001) and on negatives (half-to-+inf vs
+      // half-away-from-zero) — the streaming ≡ batch contract demands the
+      // same rounding function, not a lookalike
+      java.math.BigDecimal.valueOf(s.sum)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue())
 
   /** Streaming face: one O(1) state per user; emits a session whenever a
     * gap > 30 min is observed (within a micro-batch or across them), and
@@ -144,7 +156,7 @@ object Streams {
     import events.sparkSession.implicits._
     events.toDF()
       .withColumn("event_ts", timestamp_micros(col("us")))
-      .withWatermark("event_ts", "30 minutes")
+      .withWatermark("event_ts", SessionGapInterval)
       .as[EvT]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
@@ -231,12 +243,23 @@ object Streams {
   def clickAttributionBatch(spark: SparkSession, dir: String): DataFrame =
     clickAttribution(Tables.events(spark, dir))
 
-  /** Streaming faces for the spec: dedup-keep-first via dropDuplicates
-    * (watermark bounds key state), and the watermarked stream-stream
-    * interval join. */
+  /** Streaming faces for the spec: dedup-keep-first via
+    * dropDuplicatesWithinWatermark, and the watermarked stream-stream
+    * interval join.
+    *
+    * WithinWatermark, not plain dropDuplicates: with dedup keys that do
+    * not include the event-time column, plain dropDuplicates NEVER evicts
+    * its state (the watermark only drops late input rows), so a
+    * long-running stream accumulates one state row per key forever —
+    * unbounded state-store growth despite the watermark. The
+    * WithinWatermark form evicts each fingerprint once the watermark
+    * passes it: state is bounded by key-arrival rate × the delay, at the
+    * standard trade that a duplicate arriving MORE than the delay after
+    * its first occurrence re-emits (pick the delay to cover the real
+    * duplication horizon). */
   def dedupStreaming(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour")
-      .dropDuplicates("user_id", "event_type")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
 
   def clickAttributionStreaming(events: DataFrame): DataFrame = {
     val base = events.select(col("user_id"), col("event_id"),
@@ -478,7 +501,7 @@ object Streams {
     val gapUs = SessionGapUs
     Tables.events(spark, dir)
       .groupBy(col("user_id"),
-        session_window(col("ts"), "30 minutes").as("w"))
+        session_window(col("ts"), SessionGapInterval).as("w"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 4).as("sum_value"))
       .select(col("user_id"),
@@ -541,7 +564,7 @@ object Streams {
     events
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
       .withColumn("event_ts", timestamp_micros(col("us")))
-      .withWatermark("event_ts", "30 minutes")
+      .withWatermark("event_ts", SessionGapInterval)
       .as[FunnelEv]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, StageAdvance](
@@ -603,8 +626,14 @@ object Streams {
   def retractAggStreaming(changes: DataFrame): DataFrame =
     changes
       .groupBy(col("event_type"))
+      // cast v BEFORE the aggregate: the exact-cancellation guarantee is
+      // THIS function's contract, so it must not depend on the caller
+      // pre-casting — summing doubles and casting the drifted result to
+      // decimal afterwards is exactly the float-subtracts-what-it-added
+      // failure the doc above promises away
       .agg(sum(col("w")).as("n_events"),
-        sum(col("w") * col("v")).cast("decimal(18,2)").as("sv"))
+        sum(col("w").cast("decimal(18,2)") * col("v").cast("decimal(18,2)"))
+          .cast("decimal(18,2)").as("sv"))
       .select(col("event_type"), col("n_events"),
         col("sv").cast("double").as("sum_value"),
         round(col("sv").cast("double") / col("n_events"), 6).as("avg_value"))

@@ -57,6 +57,21 @@ object HttpServe {
   // -Dsun.net.httpserver.nodelay=true on the JVM line instead.
   System.setProperty("sun.net.httpserver.nodelay", "true")
 
+  /** Boundary validation + canonicalization for stop_id request values,
+    * keyed to the STORE's id type. Numeric-keyed store (the production
+    * transit tables): the live path ANSI-casts the request string for its
+    * filter (THROWING on a non-integral value) while the cached maps key
+    * on the exact long rendering — so "042"/" 42" canonicalize to
+    * Some("42") and "42.0"/"x" become None (handled as "no such stop" per
+    * route, identically in both modes). String-keyed store (the GTFS
+    * fixture): ids pass through verbatim — string equality is exact in
+    * both modes already. */
+  private def parseStopId(st: ServingState, raw: String): Option[String] =
+    if (!st.numericKey) Some(raw)
+    else
+      try Some(java.lang.Long.parseLong(raw.trim).toString)
+      catch { case _: NumberFormatException => None }
+
   /** JSON string escape (RFC 8259 minimal set). */
   private def jstr(s: String): String = {
     val b = new StringBuilder("\"")
@@ -158,7 +173,10 @@ object HttpServe {
     * so a [[ServingHandle.refresh]] is atomic from the wire's view —
     * in-flight requests finish against the state they started with. */
   private final case class ServingState(
-      docs: DataFrame, cache: Option[ServingCache], entries: Long)
+      docs: DataFrame, cache: Option[ServingCache], entries: Long,
+      /** Whether the store's stop_id is a numeric column — decides the
+        * request-id canonicalization rule (see [[parseStopId]]). */
+      numericKey: Boolean)
 
   /** A running listener plus its staleness contract. The serving maps are
     * built from the store AS OF startup; the engine also ships the feed
@@ -192,7 +210,9 @@ object HttpServe {
     val entries = ServingCache.storeEntries(docs)
     val useCache = mode.getOrElse(entries <= ServingCache.maxCacheEntries)
     ServingState(docs,
-      if (useCache) Some(ServingCache.build(svc, docs)) else None, entries)
+      if (useCache) Some(ServingCache.build(svc, docs)) else None, entries,
+      numericKey = docs.schema("stop_id").dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType])
   }
 
   /** Start the listener; `port = 0` binds an ephemeral port (tests).
@@ -264,22 +284,30 @@ object HttpServe {
       params(ex).get("stop_id") match {
         case None =>
           (400, """{"error":"Missing 'stop_id' parameter"}""")
-        case Some(sid) =>
-          // engine face returns (route_long_name, trip_headsign, n_times,
-          // comma-joined sorted times); [[renderTimetable]] re-assembles
-          // the nested document at the presentation edge
-          val rows: Seq[(Option[String], Option[String], String)] =
-            st.cache match {
-              case Some(c) => c.timetableRows(sid).getOrElse(Seq.empty)
-              case None =>
-                Timetable.getTimetable(st.docs, sid).collect().toSeq
-                  .map(r => (Option(r.getAs[String]("route_long_name")),
-                    Option(r.getAs[String]("trip_headsign")),
-                    r.getAs[String]("departure_times")))
-            }
-          if (rows.isEmpty)
-            (404, s"""{"error":${jstr(s"Stop ID not found: $sid")}}""")
-          else (200, renderTimetable(rows))
+        case Some(raw) => parseStopId(st, raw) match {
+          case None =>
+            // boundary validation: the store key is BIGINT, so the live
+            // path's ANSI comparison would THROW on a non-integral string
+            // while the cached maps would 404 — reject it here so both
+            // modes answer identically (same wording as unknown id)
+            (404, s"""{"error":${jstr(s"Stop ID not found: $raw")}}""")
+          case Some(sid) =>
+            // engine face returns (route_long_name, trip_headsign, n_times,
+            // comma-joined sorted times); [[renderTimetable]] re-assembles
+            // the nested document at the presentation edge
+            val rows: Seq[(Option[String], Option[String], String)] =
+              st.cache match {
+                case Some(c) => c.timetableRows(sid).getOrElse(Seq.empty)
+                case None =>
+                  Timetable.getTimetable(st.docs, sid).collect().toSeq
+                    .map(r => (Option(r.getAs[String]("route_long_name")),
+                      Option(r.getAs[String]("trip_headsign")),
+                      r.getAs[String]("departure_times")))
+              }
+            if (rows.isEmpty)
+              (404, s"""{"error":${jstr(s"Stop ID not found: $raw")}}""")
+            else (200, renderTimetable(rows))
+        }
       }
     })
 
@@ -287,13 +315,18 @@ object HttpServe {
       val st = state.get
       params(ex).get("stop_id") match {
         case None => (400, """{"error":"Missing 'stop_id' parameter"}""")
-        case Some(sid) =>
-          val body = st.cache match {
-            case Some(c) =>
-              c.routesForStop(sid).map { case (short, head) =>
-                s"""{"route_short_name":${jstr(short)},"trip_headsign":${jstr(head)}}"""
-              }.mkString("[", ",", "]")
-            case None => itemsJson(Timetable.getRoutesForStop(st.docs, sid))
+        case Some(raw) =>
+          // unknown stop answers 200 [] on this route; a non-integral id
+          // is the same "no such stop" case (see /get_timetable)
+          val body = parseStopId(st, raw) match {
+            case None => "[]"
+            case Some(sid) => st.cache match {
+              case Some(c) =>
+                c.routesForStop(sid).map { case (short, head) =>
+                  s"""{"route_short_name":${jstr(short)},"trip_headsign":${jstr(head)}}"""
+                }.mkString("[", ",", "]")
+              case None => itemsJson(Timetable.getRoutesForStop(st.docs, sid))
+            }
           }
           (200, body)
       }
@@ -304,28 +337,35 @@ object HttpServe {
       val p = params(ex)
       p.get("stop_id") match {
         case None => (400, """{"error":"Missing 'stop_id' parameter"}""")
-        case Some(sid) =>
+        case Some(raw) =>
+          // a non-integral id behaves exactly like an unknown numeric one
+          // on this route: empty flat/grouped renders (see /get_timetable)
+          val sidOpt = parseStopId(st, raw)
           val service = ServiceFilter.fromParam(p.get("service_id"))
           (p.get("route_short_name"), p.get("trip_headsign")) match {
             case (Some(route), Some(head)) =>
-              val times: Seq[String] = st.cache match {
-                case Some(c) => c.arrivalsFlat(sid, route, head, service)
-                case None => Timetable.getArrivalsFlat(st.docs, sid, route,
-                  head, service).collect().toSeq
-                  .map(_.getAs[String]("departure_time"))
+              val times: Seq[String] = sidOpt.fold(Seq.empty[String]) { sid =>
+                st.cache match {
+                  case Some(c) => c.arrivalsFlat(sid, route, head, service)
+                  case None => Timetable.getArrivalsFlat(st.docs, sid, route,
+                    head, service).collect().toSeq
+                    .map(_.getAs[String]("departure_time"))
+                }
               }
               (200, renderFlat(times))
             case _ =>
               val rows: Seq[(Option[String], String, Long, String)] =
-                st.cache match {
-                  case Some(c) => c.arrivalsGrouped(sid, service)
-                  case None =>
-                    Timetable.getArrivalsGrouped(st.docs, sid, service)
-                      .collect().toSeq
-                      .map(r => (Option(r.getAs[String]("route_short_name")),
-                        r.getAs[String]("trip_headsign"),
-                        r.getAs[Long]("n_arrivals"),
-                        r.getAs[String]("departure_times")))
+                sidOpt.fold(Seq.empty[(Option[String], String, Long, String)]) { sid =>
+                  st.cache match {
+                    case Some(c) => c.arrivalsGrouped(sid, service)
+                    case None =>
+                      Timetable.getArrivalsGrouped(st.docs, sid, service)
+                        .collect().toSeq
+                        .map(r => (Option(r.getAs[String]("route_short_name")),
+                          r.getAs[String]("trip_headsign"),
+                          r.getAs[Long]("n_arrivals"),
+                          r.getAs[String]("departure_times")))
+                  }
                 }
               (200, renderGroups(rows))
           }

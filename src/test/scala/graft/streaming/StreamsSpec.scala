@@ -107,7 +107,11 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     val evs = Seq(
       Ev(1, base + 0 * min, 1.0), Ev(1, base + 10 * min, 2.0),
       Ev(1, base + 50 * min, 4.0), Ev(1, base + 90 * min, 8.0),
-      Ev(2, base + 5 * min, 16.0), Ev(2, base + 20 * min, 32.0))
+      // user 2's sum (1.00005) sits on a half-tie whose binary neighbor
+      // breaks rounding lookalikes: Spark's round() and any emit-side
+      // reimplementation must agree HERE, not just on exact sums (the
+      // math.round(x*1e4)/1e4 form diverged on exactly this value)
+      Ev(2, base + 5 * min, 0.50002), Ev(2, base + 20 * min, 0.50003))
 
     val stream = MemoryStream[Ev]
     val q = sessionizeStreaming(stream.toDS()).writeStream

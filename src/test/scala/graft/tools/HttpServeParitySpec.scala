@@ -159,4 +159,33 @@ class HttpServeParitySpec extends SparkSpec {
       s"/get_arrivals?stop_id=$sid&route_short_name=${enc(short)}&trip_headsign=${enc(head)}"
     })
   }
+
+  test("numeric-keyed store: non-canonical stop ids answer identically in both modes") {
+    // the production store keys stop_id as BIGINT: the live path's ANSI
+    // comparison matches "042"/" 42" numerically (and THROWS on "42.0"),
+    // while the driver maps key on the exact long rendering — the
+    // boundary parse must make every spelling answer identically, and the
+    // zero-padded spelling must actually FIND the document
+    val tt = TransitTables.fromTpch(spark, "/root/testdata/sf0.001")
+    val ndocs = Timetable.buildStopTimetables(tt).cache()
+    val svc = new QueryService(tt)
+    val nc = HttpServe.start(svc, ndocs, 0, withCache = Some(true))
+    val nl = HttpServe.start(svc, ndocs, 0, withCache = Some(false))
+    try {
+      val sid = ndocs.select("stop_id").orderBy("stop_id").first().getLong(0)
+      val paths = Seq(
+        s"/get_timetable?stop_id=0$sid", s"/get_timetable?stop_id=%20$sid",
+        s"/get_timetable?stop_id=$sid.0", "/get_timetable?stop_id=xyz",
+        s"/get_routes_for_stop?stop_id=0$sid", "/get_routes_for_stop?stop_id=q",
+        s"/get_arrivals?stop_id=0$sid", "/get_arrivals?stop_id=nope")
+      paths.foreach { p =>
+        val a = get(nc, p)
+        val b = get(nl, p)
+        assert(a == b, s"cache/live divergence on $p:\ncached: $a\nlive:   $b")
+      }
+      assert(get(nc, s"/get_timetable?stop_id=0$sid")._1 == 200,
+        "the zero-padded id must resolve to the real document")
+      assert(get(nc, s"/get_timetable?stop_id=$sid.0")._1 == 404)
+    } finally { nc.stop(); nl.stop() }
+  }
 }
