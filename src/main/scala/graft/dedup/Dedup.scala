@@ -46,26 +46,38 @@ object Dedup {
       graft.functions.GraftFunctions.shingleSet(docs.sparkSession, col("text"))
         .as("shs"))
 
-  /** N-gram Jaccard near-dup: block on shared shingle, count common
-    * shingles per pair, exact Jaccard, top-20. */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val ex = shingleSets(spark, dir)
+  /** Exploded (doc_id, n, shingle) frame with its self-join barrier, and
+    * the exact shared-shingle truth join over it — the blocking substrate
+    * [[ngramJaccard]] reports and [[lshRecallAudit]] grades. ONE
+    * definition: the recall audit must provably grade the same truth set
+    * the report face computes, which two drifting copies cannot
+    * guarantee. The repartition barrier makes both self-join sides read
+    * one computed exchange (ReuseExchange) — the shingle pipeline runs
+    * once per document, not once per side (same pattern as [[sigs]]). */
+  private def explodedShingles(spark: SparkSession, dir: String): DataFrame =
+    shingleSets(spark, dir)
       .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("s"))
-      // barrier: both self-join sides read one computed exchange
-      // (ReuseExchange), so the shingle pipeline runs once per document,
-      // not once per side — same pattern as [[sigs]]
       .repartition(col("s"))
+
+  private def sharedShingleTruth(spark: SparkSession, dir: String,
+      countAlias: String): DataFrame = {
+    val ex = explodedShingles(spark, dir)
     ex.as("a").join(ex.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
         col("a.n").as("n1"), col("b.n").as("n2"))
-      .agg(count(lit(1)).as("n_common"))
+      .agg(count(lit(1)).as(countAlias))
+  }
+
+  /** N-gram Jaccard near-dup: block on shared shingle, count common
+    * shingles per pair, exact Jaccard, top-20. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    sharedShingleTruth(spark, dir, "n_common")
       .select(col("id1"), col("id2"), col("n_common"),
         round(col("n_common").cast("double") /
           (col("n1") + col("n2") - col("n_common")), 6).as("jaccard"))
       .orderBy(col("jaccard").desc, col("id1"), col("id2"))
       .limit(20)
-  }
 
   val MinhashK = 32
   val Bands = 8
@@ -625,19 +637,31 @@ object Dedup {
     * bit-exact because MAX returns one of the per-row rounded values.
     * Cost rides [[clusters]] plus one narrow score scan and two
     * cluster-keyed aggs over cluster-membership-sized frames. */
-  def canonical(spark: SparkSession, dir: String): DataFrame = {
+  /** Quality score of a document's text — lexical diversity × ln(1+tokens),
+    * 6-dp (the qualityDeciles score) — and the member-scoring semi-join,
+    * SHARED by every face that picks a cluster canonical ([[canonical]],
+    * [[applyNear]]): the survival rule must be one expression, not two
+    * copies that can drift and silently disagree about which documents
+    * survive. Scoring joins the corpus to the (small) membership frame
+    * BEFORE tokenizing, so it runs only over cluster members — at 100 TB
+    * the membership broadcast turns this into a map-side semi-join on
+    * the scan. */
+  private def qualityScore: org.apache.spark.sql.Column = {
     val toks = TextHash.tokens(col("text"))
-    val score = round(
+    round(
       (size(array_distinct(toks)).cast("double") / size(toks)) *
         log(lit(1.0) + size(toks)), 6)
-    // Join the corpus to the (small) membership frame BEFORE scoring:
-    // tokenization+scoring runs only over cluster members — the near-dup
-    // subset — not the whole corpus. At 100 TB the membership broadcast
-    // turns this into a map-side semi-join on the scan.
-    val members = clusters(spark, dir).select("doc_id", "cluster_id")
-    val j = Tables.documents(spark, dir)
+  }
+
+  private def scoredMembers(spark: SparkSession, dir: String,
+      members: DataFrame): DataFrame =
+    Tables.documents(spark, dir)
       .join(broadcast(members), "doc_id")
-      .select(col("doc_id"), col("cluster_id"), score.as("score"))
+      .select(col("doc_id"), col("cluster_id"), qualityScore.as("score"))
+
+  def canonical(spark: SparkSession, dir: String): DataFrame = {
+    val members = clusters(spark, dir).select("doc_id", "cluster_id")
+    val j = scoredMembers(spark, dir, members)
     val best = j.groupBy("cluster_id")
       .agg(max(col("score")).as("best_score"), count(lit(1)).as("n_members"))
     j.join(best, "cluster_id")
@@ -664,13 +688,7 @@ object Dedup {
         .filter(col("est_sim") >= MinClusterSim)
         .select(col("id1"), col("id2")))
       .localCheckpoint(true)
-    val toks = TextHash.tokens(col("text"))
-    val score = round(
-      (size(array_distinct(toks)).cast("double") / size(toks)) *
-        log(lit(1.0) + size(toks)), 6)
-    val j = Tables.documents(spark, dir)
-      .join(broadcast(members), "doc_id")
-      .select(col("doc_id"), col("cluster_id"), score.as("score"))
+    val j = scoredMembers(spark, dir, members)
     val best = j.groupBy(col("cluster_id")).agg(max(col("score")).as("best_score"))
     val canon = j.join(best, "cluster_id")
       .filter(col("score") === col("best_score"))
@@ -891,8 +909,14 @@ object Dedup {
     * their exact regime (θ=1, every hash retained), so the 5% gate is met
     * with identity and the oracle pins exact counts + TRUE. */
   def thetaOverlap(spark: SparkSession, dir: String): DataFrame = {
+    // repartition barrier: the exploded shingle pipeline feeds THREE
+    // consumers in one plan (the sketch aggregation and both sides of the
+    // exact self-join) — without a shared exchange each consumer re-runs
+    // the tokenize+hash scan; with it, ReuseExchange computes the
+    // pipeline once (the same measured pattern as sigs/lshRecallAudit)
     val sh = Tables.documents(spark, dir).select(col("source"),
       explode(graft.functions.GraftFunctions.shingleSet(spark, col("text"))).as("h"))
+      .repartition(col("h"))
     val sk = sh.groupBy(col("source"))
       .agg(graft.functions.GraftFunctions.thetaSketch(spark, col("h")).as("sk"))
     val est = sk.select(col("source").as("source_a"), col("sk").as("sk_a"))
@@ -929,14 +953,7 @@ object Dedup {
     * exactly what this fixed-size corpus face is. */
   def lshRecallAudit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ex = shingleSets(spark, dir)
-      .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("s"))
-      .repartition(col("s"))
-    val truth = ex.as("a").join(ex.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        col("a.n").as("n1"), col("b.n").as("n2"))
-      .agg(count(lit(1)).as("c"))
+    val truth = sharedShingleTruth(spark, dir, "c")
     val cand = candidates(spark, dir).withColumn("hit", lit(1L))
     val taus = Seq(1, 2, 3).toDF("t10")
     truth.join(cand, Seq("id1", "id2"), "left")
@@ -1001,7 +1018,9 @@ object Dedup {
         size(tokens(col("text"))).cast("long").as("n_toks"))
       .join(mem, Seq("doc_id"), "left")
       .withColumn("mm", coalesce(col("m"), lit(1L)))
-      .withColumn("w_milli", (lit(1000L) / col("mm")).cast("long"))
+      // integer DIV (repo convention): exact at any magnitude, and
+      // structurally the oracle's `//`
+      .withColumn("w_milli", expr("1000 DIV mm"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("mm") > 1L, 1L).otherwise(0L)).as("n_dup_docs"),

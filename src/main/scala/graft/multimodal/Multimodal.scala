@@ -239,9 +239,11 @@ object Multimodal {
       .agg(count(lit(1)).as("n_shared"))
       .join(sizes.select(col("doc_id").as("id1"), col("n_chunks").as("n1")), Seq("id1"))
       .join(sizes.select(col("doc_id").as("id2"), col("n_chunks").as("n2")), Seq("id2"))
+      // integer DIV, not double `/`+cast (the repo convention — see
+      // resize): exact under all operand growth, and structurally the
+      // oracle's `//`
       .withColumn("jaccard_milli",
-        ((lit(1000L) * col("n_shared")) /
-          (col("n1") + col("n2") - col("n_shared"))).cast("long"))
+        expr("(1000 * n_shared) DIV (n1 + n2 - n_shared)"))
       .filter(col("jaccard_milli") >= NearDupMinJaccardMilli)
       .select(col("id1"), col("id2"), col("n_shared"), col("n1"), col("n2"),
         col("jaccard_milli"))
@@ -262,8 +264,14 @@ object Multimodal {
     decodeFeatures(blobs(spark, dir)).toDF()
       .filter(col("kind") === "audio")
       .select(col("doc_id"), col("n_bytes"),
-        explode(sequence(lit(0L),
-          floor((col("n_bytes") - 1) / ChunkStride).cast("long"))).as("chunk_idx"))
+        // empty-payload guard: n_bytes = 0 makes the upper bound -1 and
+        // Spark's sequence counts DOWN ([0, -1] — two garbage chunks)
+        // where the oracle's range(0, 0) emits none; same trap and same
+        // guard as TextHash.shingleHashes
+        explode(when(col("n_bytes") > 0,
+          sequence(lit(0L),
+            floor((col("n_bytes") - 1) / ChunkStride).cast("long")))
+          .otherwise(array().cast("array<bigint>"))).as("chunk_idx"))
       .select(col("doc_id"), col("chunk_idx"),
         (col("chunk_idx") * ChunkStride).as("chunk_start"),
         least(col("chunk_idx") * ChunkStride + ChunkLen, col("n_bytes"))

@@ -399,7 +399,8 @@ object Similarity {
           element_at(qv, 3).as("q3"), element_at(qv, 4).as("q4"))).as("r"))
       .select(col("vec_id"),
         (col("r.best") % 100L).as("cluster_id"),
-        ((col("r.best") - col("r.best") % 100L) / 100L).cast("long").as("sqdist"),
+        // integer DIV (repo convention): structurally the oracle's `//`
+        expr("(r.best - r.best % 100) DIV 100").as("sqdist"),
         col("r.q1"), col("r.q2"), col("r.q3"), col("r.q4"))
     assigned.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_vectors"),
@@ -999,7 +1000,14 @@ object Similarity {
     // structurally the oracle's `//` (a float divide would go lossy past
     // ~52 bits of planes even though today's counts never reach it).
     val base = Tables.embeddings(spark, dir)
-    val planes = graft.dedup.Dedup.annPlanesFor(base.count())
+    // per-half plane count capped at 31: the DOUBLED bucket key must stay
+    // inside a 64-bit shift in BOTH engines — Scala's << wraps mod 64
+    // (plane 64 would silently pollute bit 0 of bucket1) while DuckDB's
+    // does not, so past 63 total planes the two faces diverge. The cap
+    // binds only beyond ~1.4e11 vectors, where 2^31 buckets per half
+    // still satisfy the expected-bucket-size model; the oracle applies
+    // the identical LEAST(planes, 31).
+    val planes = math.min(graft.dedup.Dedup.annPlanesFor(base.count()), 31)
     val b2 = lshBucket(col("embedding"), 64, 2 * planes)
     val e = base.select(
       col("vec_id"), col("embedding"),
@@ -1747,7 +1755,9 @@ object SimilarityOracles {
     * in-query integer search as the Spark face's annPlanesFor, and
     * bucket2 is integer `//` ≡ the Spark face's shiftright. */
   val nnDescent: String = rankedSql {
-    val pShift = s"(CAST(1 AS BIGINT) << (SELECT planes FROM np))"
+    // LEAST(planes, 31): same doubled-shift cap as the Spark face (see
+    // nnDescentRound) — both engines must bound 2·planes under 64 bits
+    val pShift = s"(CAST(1 AS BIGINT) << (SELECT LEAST(planes, 31) FROM np))"
     def tbl(bucket: String): String =
       s"""SELECT uid, cid FROM (
          |    SELECT q.vec_id AS uid, c.vec_id AS cid,
@@ -1763,7 +1773,7 @@ object SimilarityOracles {
        |         b2 // $pShift AS bucket2
        |  FROM (SELECT vec_id, embedding,
        |          ${TextHashSql.lshBucketDyn("embedding", 64,
-                    "(2 * (SELECT planes FROM np))")} AS b2
+                    "(2 * (SELECT LEAST(planes, 31) FROM np))")} AS b2
        |        FROM embeddings)),
        |t1 AS (
        |  ${tbl("bucket1")}),
