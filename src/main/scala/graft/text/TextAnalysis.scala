@@ -585,7 +585,13 @@ object TextAnalysis {
     // train-distinct and probe-join consumers — see [[boilerplate]]
     val parts = gramBarrierParts(docs)
     val recompute = docs
-      .select(col("doc_id"), h.as("sh"),
+      .select(col("doc_id"), h.as("sh"), col("text"))
+      // drop the VALID band (80..89) BEFORE the explode: neither consumer
+      // reads it (train < 80, probe >= 90), so shingling and gram-shuffling
+      // it — twice, given the double-scan below — was pure waste (~10% of
+      // the corpus's gram rows)
+      .filter(col("sh") < 80 || col("sh") >= 90)
+      .select(col("doc_id"), col("sh"),
         explode(graft.functions.GraftFunctions.shingleSet(spark, col("text"), 5))
           .as("gram"))
       .repartition(parts, col("gram"))

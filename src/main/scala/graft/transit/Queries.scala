@@ -396,16 +396,26 @@ object Queries {
     * whole-feed sort — at 100 TB of stop_times this shuffles once on the
     * composite key and aggregates map-side after. Gap values are diffs of
     * the sorted multiset, so tie order cannot change the result. */
-  def headways(t: TransitTables, service: ServiceFilter = ServiceFilter.Weekday): DataFrame = {
+  /** The per-(route, stop) consecutive-departure gap frame SHARED by
+    * [[headways]] and [[bunching]] — one definition, so the two KPIs can
+    * never disagree about what a gap is (they were inline copies), and
+    * WholeWeek (sid = None) means unfiltered like every other query (the
+    * copies called service.sid.get, which THREW on the whole-week
+    * filter — latent, since registered callers pass Weekday, but
+    * API-reachable through ServiceFilter.fromParam). */
+  private def gapFrame(t: TransitTables, service: ServiceFilter): DataFrame = {
     val st = t.stopTimes.select(col("trip_id"), col("stop_id"), col("dep_secs"))
-      .join(t.trips.filter(col("service_id") === service.sid.get)
-        .select("trip_id", "route_id"), "trip_id")
+      .join(filteredTrips(t, service).select("trip_id", "route_id"), "trip_id")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("route_id"), col("stop_id"))
       .orderBy(col("dep_secs"), col("trip_id"))
     st.withColumn("prev", lag(col("dep_secs"), 1).over(w))
       .filter(col("prev").isNotNull)
       .select(col("route_id"), (col("dep_secs") - col("prev")).as("gap"))
+  }
+
+  def headways(t: TransitTables, service: ServiceFilter = ServiceFilter.Weekday): DataFrame = {
+    gapFrame(t, service)
       .groupBy(col("route_id"))
       .agg(count(lit(1)).as("n_gaps"),
         round(avg(col("gap")), 2).as("avg_headway_s"),
@@ -425,18 +435,9 @@ object Queries {
     * identical double (Σg² stays under 2^53 through sf1; beyond that the
     * moments would quantize to a coarser unit first). */
   def bunching(t: TransitTables, service: ServiceFilter = ServiceFilter.Weekday): DataFrame = {
-    val st = t.stopTimes.select(col("trip_id"), col("stop_id"), col("dep_secs"))
-      .join(t.trips.filter(col("service_id") === service.sid.get)
-        .select("trip_id", "route_id"), "trip_id")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("route_id"), col("stop_id"))
-      .orderBy(col("dep_secs"), col("trip_id"))
     // median pick, moment agg, and the bunched-count join all consume the
     // gap frame; checkpoint so the windowed lag runs once
-    val gaps = st.withColumn("prev", lag(col("dep_secs"), 1).over(w))
-      .filter(col("prev").isNotNull)
-      .select(col("route_id"), (col("dep_secs") - col("prev")).as("gap"))
-      .localCheckpoint(true)
+    val gaps = gapFrame(t, service).localCheckpoint(true)
     val wr = org.apache.spark.sql.expressions.Window
       .partitionBy(col("route_id")).orderBy(col("gap"))
     val med = gaps
@@ -512,8 +513,12 @@ object Queries {
       .join(perStop.select(col("stop_id").as("s2"), col("n").as("n2")), "s2")
       .crossJoin(broadcast(totals))
       .select(col("s1"), col("s2"), col("n_ab"), col("n1"), col("n2"),
+        // denominator product in DOUBLE, not BIGINT: per-stop counts of
+        // ~1e10 (the 100 TB regime) make n1*n2 wrap past 2^63 and feed
+        // log a negative — double is exact under 2^53 (today's scales)
+        // and merely approximate, never wrapped, beyond (oracle mirrors)
         round(log(col("n_ab").cast("double") * col("n_trips") /
-          (col("n1") * col("n2"))), 6).as("pmi"))
+          (col("n1").cast("double") * col("n2"))), 6).as("pmi"))
       .orderBy(col("pmi").desc, col("s1"), col("s2"))
       .limit(20)
   }
@@ -1050,8 +1055,9 @@ object Queries {
         round(col("n_ab").cast("double") / col("n_trips"), 6).as("support"),
         round(col("n_ab").cast("double") / col("n_a"), 6).as("conf_ab"),
         round(col("n_ab").cast("double") / col("n_b"), 6).as("conf_ba"),
+        // DOUBLE product for the same wrap hazard as stopPmi's denominator
         round(col("n_ab").cast("double") * col("n_trips") /
-          (col("n_a") * col("n_b")), 6).as("lift"))
+          (col("n_a").cast("double") * col("n_b")), 6).as("lift"))
       .orderBy(col("lift").desc, col("sa"), col("sb"))
       .limit(20)
   }
@@ -1303,6 +1309,14 @@ object Queries {
     * spine. */
   def serviceDates(t: TransitTables, startDate: String = "2024-01-01",
       days: Int = 14): DataFrame = {
+    // the day_index % 7 arithmetic below maps index 0..4 → weekday,
+    // 5 → Saturday, 6 → Sunday, which is only correct when the spine
+    // STARTS on a Monday — any other start silently mislabels every
+    // date's service_id, so fail loudly at plan build instead
+    require(java.time.LocalDate.parse(startDate).getDayOfWeek ==
+        java.time.DayOfWeek.MONDAY,
+      s"serviceDates startDate must be a Monday (got $startDate): " +
+        "the % 7 day-class mapping assumes a Monday-anchored spine")
     val start = to_date(lit(startDate))
     val spine = t.trips.sparkSession.range(1)
       .select(explode(sequence(start, date_add(start, days - 1),

@@ -186,8 +186,11 @@ object Timetable {
       dir: String, stopId: Long): DataFrame = {
     val doc = buildStopTimetables(TransitTables.fromTpch(spark, dir))
       .filter(col("stop_id") === lit(stopId))
+    // keyed by (dir, stopId): a dir-only path collides when two
+    // invocations for different stops run concurrently (parallel suites /
+    // registered runs) — one writer clobbers the other mid-read
     val path = s"${sys.props("java.io.tmpdir")}/graft_timetable_json_" +
-      dir.replaceAll("[^A-Za-z0-9]", "_")
+      dir.replaceAll("[^A-Za-z0-9]", "_") + s"_$stopId"
     graft.sources.Writers.resultJson(doc, path)
     getTimetable(graft.sources.Writers.readJson(spark, path, doc.schema), stopId)
   }

@@ -242,7 +242,7 @@ object TransitOracles {
        |       round(CAST(p.n_ab AS DOUBLE) / nt.n_trips, 6) AS support,
        |       round(CAST(p.n_ab AS DOUBLE) / s1.n, 6) AS conf_ab,
        |       round(CAST(p.n_ab AS DOUBLE) / s2.n, 6) AS conf_ba,
-       |       round(CAST(p.n_ab AS DOUBLE) * nt.n_trips / (s1.n * s2.n), 6)
+       |       round(CAST(p.n_ab AS DOUBLE) * nt.n_trips / (CAST(s1.n AS DOUBLE) * s2.n), 6)
        |         AS lift
        |FROM pairs p JOIN singles s1 ON s1.stop_id = p.sa
        |JOIN singles s2 ON s2.stop_id = p.sb, nt
@@ -1055,7 +1055,7 @@ object TransitOracles {
        |        ON a.trip_id = b.trip_id AND a.stop_id < b.stop_id
        |      GROUP BY 1, 2)
        |SELECT s1, s2, n_ab, p1.n AS n1, p2.n AS n2,
-       |       round(ln(CAST(n_ab AS DOUBLE) * n_trips / (p1.n * p2.n)), 6) AS pmi
+       |       round(ln(CAST(n_ab AS DOUBLE) * n_trips / (CAST(p1.n AS DOUBLE) * p2.n)), 6) AS pmi
        |FROM p JOIN per p1 ON p.s1 = p1.stop_id
        |       JOIN per p2 ON p.s2 = p2.stop_id
        |CROSS JOIN tot
