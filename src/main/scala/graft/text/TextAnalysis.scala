@@ -248,13 +248,23 @@ object TextAnalysis {
         size(filter(ts, t => !t.rlike("^[A-Za-z0-9]"))).as("n_punct"),
         size(array_distinct(ts)).as("n_vocab")))
 
+  /** The deterministic split-gate hash — salted md5-derived hash of
+    * doc_id mod 100, banded 80/10/10 (train/valid/test). ONE definition
+    * shared by every face that reads the split ([[splitAssign]],
+    * [[contamination]], [[corpusBuild]], [[shardManifest]],
+    * [[paddingWaste]]): the cross-run stability of this formula is a
+    * reproducibility contract, and five inline copies could drift and
+    * silently disagree about which documents are test. */
+  private def splitHash: org.apache.spark.sql.Column =
+    TextHash.strHash(concat(lit("split:"), col("doc_id").cast("string"))) % 100
+
   /** Deterministic train/valid/test split: assignment is a pure function
     * of doc_id (salted md5-derived hash mod 100 → 80/10/10), so the split
     * is reproducible across engines, runs, and cluster sizes — the
     * property a training-data pipeline needs so re-materializing a split
     * never leaks test docs into train. */
   def splitAssign(spark: SparkSession, dir: String): DataFrame = {
-    val h = TextHash.strHash(concat(lit("split:"), col("doc_id").cast("string"))) % 100
+    val h = splitHash
     Tables.documents(spark, dir).select(
       col("doc_id"),
       h.as("split_hash"),
@@ -579,7 +589,7 @@ object TextAnalysis {
     * one gram-keyed equi-join — at 100 TB both sides shuffle 8-byte gram
     * hashes only; the train side collapses to its distinct set map-side. */
   def contamination(spark: SparkSession, dir: String): DataFrame = {
-    val h = TextHash.strHash(concat(lit("split:"), col("doc_id").cast("string"))) % 100
+    val h = splitHash
     val docs = Tables.documents(spark, dir)
     // native fused shingling + data-sized gram barrier ahead of the
     // train-distinct and probe-join consumers — see [[boilerplate]]
@@ -634,7 +644,7 @@ object TextAnalysis {
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("doc_id"), min(col("n_tokens")).as("n_tokens"))
       .filter(col("n_tokens").between(10, 400)) // quality gate
-    val h = TextHash.strHash(concat(lit("split:"), col("doc_id").cast("string"))) % 100
+    val h = splitHash
     survivors
       .select(col("doc_id"), col("n_tokens"),
         when(h < 80, "train").when(h < 90, "valid").otherwise("test").as("split"))
@@ -1226,8 +1236,7 @@ object TextAnalysis {
   def shardManifest(spark: SparkSession, dir: String): DataFrame = {
     val path = s"${sys.props("java.io.tmpdir")}/graft_shards_" +
       dir.replaceAll("[^A-Za-z0-9]", "_")
-    val h = TextHash.strHash(
-      concat(lit("split:"), col("doc_id").cast("string"))) % 100
+    val h = splitHash
     val docs = Tables.documents(spark, dir).select(
       col("doc_id"), col("text"),
       when(h < 80, "train").when(h < 90, "valid").otherwise("test")
@@ -1393,8 +1402,7 @@ object TextAnalysis {
     * final share division of two exact BIGINTs. */
   def paddingWaste(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val h = TextHash.strHash(
-      concat(lit("split:"), col("doc_id").cast("string"))) % 100
+    val h = splitHash
     val base = Tables.documents(spark, dir).select(
       col("doc_id"),
       when(h < 80, "train").when(h < 90, "valid").otherwise("test").as("split"),
