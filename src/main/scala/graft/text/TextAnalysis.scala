@@ -60,6 +60,19 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The 'good' gate of [[quality]] — 20..200 tokens with an English
+    * stopword ratio above 1% — as a shared column predicate, so
+    * [[annealMix]] (which its doc promises allocates over "docs passing
+    * the quality 'good' gate") can never drift from the definition the
+    * quality report publishes. */
+  private def qualityGoodGate: org.apache.spark.sql.Column = {
+    val toks = TextHash.tokens(col("text"))
+    val nTok = size(toks)
+    val stopRatio =
+      langScore(toks, langMarkers.toMap.apply("en")).cast("double") / nTok
+    nTok >= 20 && nTok <= 200 && stopRatio > 0.01
+  }
+
   /** Quality scoring: length, stopword ratio, lexical diversity, bucketed
     * verdict — the heuristics a pretraining filter applies per document. */
   def quality(spark: SparkSession, dir: String): DataFrame = {
@@ -74,7 +87,7 @@ object TextAnalysis {
       round(diversity, 4).as("lexical_diversity"),
       round(length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
         length(col("text")), 4).as("alpha_ratio"),
-      when(nTok >= 20 && nTok <= 200 && stopRatio > 0.01, lit("good"))
+      when(qualityGoodGate, lit("good"))
         .when(nTok >= 10, lit("fair"))
         .otherwise(lit("poor")).as("quality_bucket"))
       .orderBy("doc_id")
@@ -1481,6 +1494,24 @@ object TextAnalysis {
     rules.orderBy(col("round"))
   }
 
+  /** The trained merge-rule row (1-row broadcastable pivot of
+    * [[bpeTrain]]'s per-round pairs) and the `replace`-chain encode
+    * expression over it — ONE definition shared by [[bpeApply]] and
+    * [[bpeFertility]]: the fertility audit must provably encode with the
+    * same rules as the compression report it sits beside, which two
+    * inline copies could not guarantee. */
+  private def bpeEncodeChain(spark: SparkSession, dir: String,
+      rounds: Int): (DataFrame, String) = {
+    val ruleCols = (1 to rounds).map(k =>
+      max(when(col("round") === k, col("pair"))).as(s"pair$k"))
+    val ruleRow = bpeTrain(spark, dir, rounds)
+      .groupBy().agg(ruleCols.head, ruleCols.tail: _*)
+    val enc = (1 to rounds).foldLeft("word") { (acc, k) =>
+      s"replace($acc, pair$k, chr($k))"
+    }
+    (ruleRow, enc)
+  }
+
   /** Apply the TRAINED merge table — the encode half of the tokenizer
     * loop ([[bpeTrain]] is the train half): run the learned merges over
     * the corpus in round order and report the per-source compression they
@@ -1493,13 +1524,7 @@ object TextAnalysis {
     * the totals. `replace`'s leftmost-non-overlapping global semantics is
     * the BPE merge rule, identical in both engines. */
   def bpeApply(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
-    val ruleCols = (1 to rounds).map(k =>
-      max(when(col("round") === k, col("pair"))).as(s"pair$k"))
-    val ruleRow = bpeTrain(spark, dir, rounds)
-      .groupBy().agg(ruleCols.head, ruleCols.tail: _*)
-    val enc = (1 to rounds).foldLeft("word") { (acc, k) =>
-      s"replace($acc, pair$k, chr($k))"
-    }
+    val (ruleRow, enc) = bpeEncodeChain(spark, dir, rounds)
     Tables.documents(spark, dir)
       .select(col("source"), explode(TextHash.tokens(col("text"))).as("word"))
       .groupBy(col("source"), col("word")).agg(count(lit(1)).as("wc"))
@@ -1532,13 +1557,7 @@ object TextAnalysis {
     * map-only, everything downstream rides the vocabulary-sized
     * (lang, word) frame. */
   def bpeFertility(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
-    val ruleCols = (1 to rounds).map(k =>
-      max(when(col("round") === k, col("pair"))).as(s"pair$k"))
-    val ruleRow = bpeTrain(spark, dir, rounds)
-      .groupBy().agg(ruleCols.head, ruleCols.tail: _*)
-    val enc = (1 to rounds).foldLeft("word") { (acc, k) =>
-      s"replace($acc, pair$k, chr($k))"
-    }
+    val (ruleRow, enc) = bpeEncodeChain(spark, dir, rounds)
     Tables.documents(spark, dir)
       .select(col("lang"), explode(TextHash.tokens(col("text"))).as("word"))
       .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("wc"))
@@ -1572,12 +1591,9 @@ object TextAnalysis {
     * discipline) so both engines agree exactly; the corpus reduces to a
     * #sources metadata frame in one conditional aggregate. */
   def annealMix(spark: SparkSession, dir: String): DataFrame = {
-    val toks = TextHash.tokens(col("text"))
-    val nTok = size(toks)
-    val stopRatio = langScore(toks, langMarkers.toMap.apply("en")).cast("double") / nTok
-    val good = nTok >= 20 && nTok <= 200 && stopRatio > 0.01
+    val nTok = size(TextHash.tokens(col("text")))
     val perSource = Tables.documents(spark, dir)
-      .select(col("source"), nTok.cast("long").as("n"), good.as("hq"))
+      .select(col("source"), nTok.cast("long").as("n"), qualityGoodGate.as("hq"))
       .groupBy(col("source"))
       .agg(sum(col("n")).as("tokens_total"),
         sum(when(col("hq"), col("n")).otherwise(0L)).as("tokens_hq"))
