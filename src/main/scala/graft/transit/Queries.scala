@@ -620,6 +620,24 @@ object Queries {
       .limit(20)
   }
 
+  /** The consecutive-stop UNDIRECTED edge set — canonical (least,
+    * greatest) endpoints, self-loops dropped, distinct — SHARED by the
+    * five undirected graph faces (core layers, assortativity, clustering
+    * coefficient, walk corpus, label propagation): one definition, so a
+    * change to the edge semantics (e.g. the self-loop guard) cannot be
+    * applied to some faces and not others. [[pagerank]] keeps its
+    * DIRECTED src→dst variant by design. */
+  private def undirectedEdges(t: TransitTables): DataFrame = {
+    val st = t.stopTimes.select(col("trip_id"), col("stop_id"), col("stop_sequence"))
+    st.as("a").join(st.as("b"),
+        col("a.trip_id") === col("b.trip_id") &&
+          col("b.stop_sequence") === col("a.stop_sequence") + 1 &&
+          col("a.stop_id") =!= col("b.stop_id"))
+      .select(least(col("a.stop_id"), col("b.stop_id")).as("u"),
+        greatest(col("a.stop_id"), col("b.stop_id")).as("v"))
+      .distinct()
+  }
+
   /** Onion-layer census (iterative k-core peeling, Batagelj–Zaveršnik
     * shape): repeatedly remove stops whose alive-degree in the undirected
     * adjacency graph falls below k, tagging each stop with the round it
@@ -637,14 +655,7 @@ object Queries {
     * is idempotent, so a production run can early-exit on a no-removal
     * round and still match. */
   def coreLayers(t: TransitTables, rounds: Int = 6): DataFrame = {
-    val st = t.stopTimes.select(col("trip_id"), col("stop_id"), col("stop_sequence"))
-    val und = st.as("a").join(st.as("b"),
-        col("a.trip_id") === col("b.trip_id") &&
-          col("b.stop_sequence") === col("a.stop_sequence") + 1 &&
-          col("a.stop_id") =!= col("b.stop_id"))
-      .select(least(col("a.stop_id"), col("b.stop_id")).as("u"),
-        greatest(col("a.stop_id"), col("b.stop_id")).as("v"))
-      .distinct()
+    val und = undirectedEdges(t)
     val sym = und.select(col("u").as("s"), col("v").as("t"))
       .union(und.select(col("v").as("s"), col("u").as("t")))
       .localCheckpoint(true)
@@ -685,14 +696,7 @@ object Queries {
     * Shape: one edge build + a broadcastable degree frame joined twice +
     * a single global aggregate — no windows, no iteration. */
   def assortativity(t: TransitTables): DataFrame = {
-    val st = t.stopTimes.select(col("trip_id"), col("stop_id"), col("stop_sequence"))
-    val und = st.as("a").join(st.as("b"),
-        col("a.trip_id") === col("b.trip_id") &&
-          col("b.stop_sequence") === col("a.stop_sequence") + 1 &&
-          col("a.stop_id") =!= col("b.stop_id"))
-      .select(least(col("a.stop_id"), col("b.stop_id")).as("u"),
-        greatest(col("a.stop_id"), col("b.stop_id")).as("v"))
-      .distinct()
+    val und = undirectedEdges(t)
     val sym = und.select(col("u").as("s"), col("v").as("t"))
       .union(und.select(col("v").as("s"), col("u").as("t")))
     val deg = sym.groupBy(col("s")).agg(count(lit(1)).as("d"))
@@ -732,14 +736,7 @@ object Queries {
     * V/63 words fit a row — i.e. any graph dense enough to make wedges
     * explode in the first place. */
   def clusteringCoef(t: TransitTables): DataFrame = {
-    val st = t.stopTimes.select(col("trip_id"), col("stop_id"), col("stop_sequence"))
-    val und = st.as("a").join(st.as("b"),
-        col("a.trip_id") === col("b.trip_id") &&
-          col("b.stop_sequence") === col("a.stop_sequence") + 1 &&
-          col("a.stop_id") =!= col("b.stop_id"))
-      .select(least(col("a.stop_id"), col("b.stop_id")).as("u"),
-        greatest(col("a.stop_id"), col("b.stop_id")).as("v"))
-      .distinct()
+    val und = undirectedEdges(t)
     val sym = und.select(col("u").as("s"), col("v").as("t"))
       .union(und.select(col("v").as("s"), col("u").as("t")))
     val deg = sym.groupBy(col("s")).agg(count(lit(1)).as("d"))
@@ -786,14 +783,7 @@ object Queries {
     * driver-side state. */
   def walkCorpus(t: TransitTables, steps: Int = 3): DataFrame = {
     import graft.functions.TextHash
-    val st = t.stopTimes.select(col("trip_id"), col("stop_id"), col("stop_sequence"))
-    val und = st.as("a").join(st.as("b"),
-        col("a.trip_id") === col("b.trip_id") &&
-          col("b.stop_sequence") === col("a.stop_sequence") + 1 &&
-          col("a.stop_id") =!= col("b.stop_id"))
-      .select(least(col("a.stop_id"), col("b.stop_id")).as("u"),
-        greatest(col("a.stop_id"), col("b.stop_id")).as("v"))
-      .distinct()
+    val und = undirectedEdges(t)
     // checkpoint the edge frame and each round's frontier: the corpus is
     // a 4-way union whose members otherwise chain lineage — the fact-
     // table self-join would replan/rescan once per union member and each
@@ -832,14 +822,7 @@ object Queries {
     * as one partial-aggregable min(struct(−cnt, lbl)) — no per-node window
     * sort; at 100 TB the label frame stays node-sized, never edge-sized. */
   def lpCommunities(t: TransitTables, rounds: Int = 3): DataFrame = {
-    val st = t.stopTimes.select(col("trip_id"), col("stop_id"), col("stop_sequence"))
-    val und = st.as("a").join(st.as("b"),
-        col("a.trip_id") === col("b.trip_id") &&
-          col("b.stop_sequence") === col("a.stop_sequence") + 1 &&
-          col("a.stop_id") =!= col("b.stop_id"))
-      .select(least(col("a.stop_id"), col("b.stop_id")).as("u"),
-        greatest(col("a.stop_id"), col("b.stop_id")).as("v"))
-      .distinct()
+    val und = undirectedEdges(t)
     val sym = und.select(col("u").as("s"), col("v").as("nbr"))
       .union(und.select(col("v").as("s"), col("u").as("nbr")))
     var labels = sym.select(col("s")).distinct().select(col("s"), col("s").as("lbl"))
