@@ -48,6 +48,69 @@ object Bench {
     value.map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .filter(_.nonEmpty)
 
+  /** Box-epoch calibration probe (VERDICT r13 ask #2): a pinned CPU+disk
+    * micro-benchmark run in the UNTIMED window before the board and
+    * recorded in the contract line, so two boards' totals become
+    * mechanically comparable — the r13 "249.7 vs 202.8 s on identical
+    * code" question cost a four-board A/B plus prose to attribute to a
+    * box-state epoch; a probe ratio outside ~10% now flags it as data
+    * (standing_scaling.py reads the recorded values from each board's
+    * sidecar). CPU leg: fixed-seed xorshift fill + single-threaded
+    * `Arrays.sort` — pure compute, allocation-shape identical every run.
+    * Disk leg: 1 MiB-chunked write + fsync to the default tmp filesystem
+    * (the same device the boards' disk-writing faces hit), then delete —
+    * sensitive to exactly the write-back-debt epoch the sync-quiesce
+    * work exposed. Sizes are PINNED (~20 s on the reference box):
+    * comparability requires the work never change; the spec passes tiny
+    * overrides. Each leg is the MIN OF TWO runs — the same one-sided-noise
+    * estimator the board's warm times use (single-run probes on an idle
+    * box still spread ±9%, false-flag territory against the ±10%
+    * cross-epoch threshold). Runs once per board, before Spark starts. */
+  private[graft] def epochProbe(cpuN: Int = 1 << 26,
+      diskBytes: Long = 1L << 30): (Double, Double) = {
+    var x = 0x9e3779b97f4a7c15L
+    val arr = new Array[Long](cpuN)
+    def cpuLeg(): Double = {
+      val c0 = System.nanoTime()
+      var i = 0
+      while (i < cpuN) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; arr(i) = x; i += 1 }
+      java.util.Arrays.sort(arr)
+      // data-dependent witness so the fill+sort cannot be dead-code'd
+      if (arr(0) > arr(cpuN - 1)) System.err.println("[bench] probe sort invariant broken")
+      (System.nanoTime() - c0) / 1e9
+    }
+    val chunk = new Array[Byte](1 << 20)
+    var i = 0
+    while (i < chunk.length) { chunk(i) = (i * 131 + 7).toByte; i += 1 }
+    def diskLeg(): Double = {
+      val tmp = java.nio.file.Files.createTempFile("graft_epoch_probe", ".bin")
+      // drain inherited write-back debt BEFORE timing: the leg must
+      // measure the device's sustained write+fsync throughput (the
+      // epoch), not whatever dirty pages the previous process left —
+      // unsynced, the same idle box measured 2.2–3.6 s run-to-run
+      try new ProcessBuilder("sync").start().waitFor()
+      catch { case _: Throwable => () }
+      val d0 = System.nanoTime()
+      val ch = java.nio.channels.FileChannel.open(tmp,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        var written = 0L
+        while (written < diskBytes) {
+          ch.write(java.nio.ByteBuffer.wrap(chunk))
+          written += chunk.length
+        }
+        ch.force(true)
+      } finally ch.close()
+      val sec = (System.nanoTime() - d0) / 1e9
+      java.nio.file.Files.deleteIfExists(tmp)
+      sec
+    }
+    // disk gets a third rep: even post-sync, one rep in four lands a ~25%
+    // outlier (device-internal housekeeping); min-of-3 measured ±3%
+    (math.min(cpuLeg(), cpuLeg()),
+      math.min(diskLeg(), math.min(diskLeg(), diskLeg())))
+  }
+
   private[graft] def sha8(line: String): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     md.digest((line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -62,7 +125,8 @@ object Bench {
     * runs; r12's set-but-empty-ONLY skip was found only by inspection.
     * `baseDir` exists for the spec (a temp dir), defaults to the repo cwd. */
   private[graft] def writeArtifacts(results: Seq[(String, Double, Double)],
-      sfDir: String, subset: Boolean, baseDir: String = "."): (String, String) = {
+      sfDir: String, subset: Boolean, baseDir: String = ".",
+      probe: (Double, Double) = (0.0, 0.0)): (String, String) = {
     val totalWarm = results.map(_._3).sum
     val totalCold = results.map(_._2).sum
     val headline = Seq("q1" -> "transit_q1_weekday", "q2" -> "transit_q2_weekday",
@@ -77,8 +141,12 @@ object Bench {
     val full = results.map { case (n, c, w) =>
       "\"" + n + f"""\":{"cold":$c%.3f,"warm":$w%.3f}"""
     }.mkString("{", ",", "}")
+    // the probe rides BOTH lines: the contract line is what the driver
+    // archives (BENCH_r{N}.json), the sidecar is what standing_scaling.py
+    // reads — cross-epoch flagging needs it in the committed artifact
+    val probeJson = f"""{"cpu_sec":${probe._1}%.3f,"disk_sec":${probe._2}%.3f}"""
     val fullLine =
-      f"""{"metric":"total_query_time","value":$totalWarm%.3f,"unit":"sec","total_cold":$totalCold%.3f,"sf":"$sfDir","queries":$full}"""
+      f"""{"metric":"total_query_time","value":$totalWarm%.3f,"unit":"sec","total_cold":$totalCold%.3f,"epoch_probe":$probeJson,"sf":"$sfDir","queries":$full}"""
     val outs = sidecarPaths(sfDir, subset)
     for (path <- outs) {
       val out = java.nio.file.Paths.get(baseDir).resolve(path)
@@ -87,13 +155,18 @@ object Bench {
         (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     val line =
-      f"""{"metric":"total_query_time","value":$totalWarm%.3f,"unit":"sec","total_cold":$totalCold%.3f,"n_queries":${results.size},"queries":$headMap,"families_warm":$famMap,"full_map":"${outs.last}","full_map_sha256_8":"${sha8(fullLine)}","sf":"$sfDir"}"""
+      f"""{"metric":"total_query_time","value":$totalWarm%.3f,"unit":"sec","total_cold":$totalCold%.3f,"n_queries":${results.size},"queries":$headMap,"families_warm":$famMap,"epoch_probe":$probeJson,"full_map":"${outs.last}","full_map_sha256_8":"${sha8(fullLine)}","sf":"$sfDir"}"""
     (line, fullLine)
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // box-epoch probe FIRST — before Spark's threads exist, so the probe
+    // sees the same idle-JVM box every board sees (untimed window)
+    val probe = epochProbe()
+    System.err.println(
+      f"[bench] epoch_probe cpu=${probe._1}%.3f disk=${probe._2}%.3f")
     // data-sized AQE starting grid (graft.Scale): identical to the fixed
     // 32 grid at small SF (AQE coalesces down anyway), fans heavy
     // shuffles out at sf10+ so per-task state fits its memory share
@@ -214,7 +287,8 @@ object Bench {
     // per-family warm subtotals, and a sha-pinned pointer to the full
     // {query: {cold, warm}} map this run actually wrote — all assembled by
     // [[writeArtifacts]] (pure file/line logic, swept by BenchContractSpec).
-    val (line, _) = writeArtifacts(results, sfDir, subset = only.nonEmpty)
+    val (line, _) = writeArtifacts(results, sfDir, subset = only.nonEmpty,
+      probe = probe)
     // the driver json-parses the LAST line of the run's combined output
     // (BENCH_r9/r10 landed parsed:null because sbt's "[success]" epilogue —
     // now suppressed via showSuccess — and a trailing 13 KB map line got in

@@ -100,15 +100,26 @@ object SparkEntry {
         graft.sources.GtfsWriter.roundtrip(s, dir), ServiceFilter.Weekday)),
     // the reference's other API half: the literal SQL text executed by
     // spark.sql over the registered GTFS temp views — same Catalyst plan
-    // family as the DataFrame faces, so the same oracle binds
-    "transit_q1_sqltext" -> ((s, dir) =>
-      SqlFace.q1Weekday(s, TransitTables.fromTpch(s, dir))),
-    "transit_q2_sqltext" -> ((s, dir) =>
-      SqlFace.q2Weekday(s, TransitTables.fromTpch(s, dir))),
-    "transit_q3_sqltext" -> ((s, dir) =>
-      SqlFace.q3Weekday(s, TransitTables.fromTpch(s, dir))),
-    "transit_q4_sqltext" -> ((s, dir) =>
-      SqlFace.q4Weekday(s, TransitTables.fromTpch(s, dir))),
+    // family as the DataFrame faces, so the same oracle binds. Each dir
+    // gets its own child session (SqlFace.sessionFor): temp views are
+    // session-global, so this is the one-dir-per-session contract
+    // enforced by construction rather than by caller discipline
+    "transit_q1_sqltext" -> ((s, dir) => {
+      val s2 = SqlFace.sessionFor(s, dir)
+      SqlFace.q1Weekday(s2, TransitTables.fromTpch(s2, dir))
+    }),
+    "transit_q2_sqltext" -> ((s, dir) => {
+      val s2 = SqlFace.sessionFor(s, dir)
+      SqlFace.q2Weekday(s2, TransitTables.fromTpch(s2, dir))
+    }),
+    "transit_q3_sqltext" -> ((s, dir) => {
+      val s2 = SqlFace.sessionFor(s, dir)
+      SqlFace.q3Weekday(s2, TransitTables.fromTpch(s2, dir))
+    }),
+    "transit_q4_sqltext" -> ((s, dir) => {
+      val s2 = SqlFace.sessionFor(s, dir)
+      SqlFace.q4Weekday(s2, TransitTables.fromTpch(s2, dir))
+    }),
     "transit_headways" -> ((s, dir) =>
       Queries.headways(TransitTables.fromTpch(s, dir))),
     // bus-bunching / service-regularity KPI over the headway gap frame

@@ -43,12 +43,20 @@ object GtfsTime {
     * ("100:15:00" — gtfsSeconds documents 1–3 digit hours) would silently
     * corrupt to "10:15:00" on write and re-parse 90 h early. %02d pads
     * without truncating; the DuckDB oracle mirror uses printf the same
-    * way. Minutes/seconds are always < 60, so lpad stays safe there. */
+    * way. Minutes/seconds are always < 60, so lpad stays safe there.
+    *
+    * NULL-guarded (ADVICE r13): java.util.Formatter renders a null arg as
+    * the literal "null" and concat_ws keeps non-null elements, so an
+    * unguarded format_string turns a NULL seconds input into "null:..:.."
+    * — while the lpad components and the DuckDB printf mirror both yield
+    * NULL. The when-without-otherwise propagates NULL whole-string,
+    * matching the oracle on nullable inputs. */
   def gtfsString(secs: Column): Column =
-    concat_ws(":",
-      format_string("%02d", floor(secs / 3600.0).cast("long")),
-      two(floor(secs % 3600L / 60.0).cast("long")),
-      two(secs % 60L))
+    when(secs.isNotNull,
+      concat_ws(":",
+        format_string("%02d", floor(secs / 3600.0).cast("long")),
+        two(floor(secs % 3600L / 60.0).cast("long")),
+        two(secs % 60L)))
 
   /** Seconds → reference *display* string with the hour wrapped into 0–23.
     *

@@ -105,10 +105,17 @@ case class TopKSketchAgg(
   // UTFDataFormatException past 64 KB of modified-UTF-8, and one unbroken
   // non-whitespace run in a corpus document (minified JSON, base64) is one
   // token — the sketch must serialize it for shuffle, not kill the job.
-  // Internal buffer format only; nothing persists it across versions.
+  // A leading format-version byte (ADVICE r13): TypedImperativeAggregate
+  // buffers are checkpointed by streaming state stores, so if a streaming
+  // face using this agg ever gains durable checkpoints, a later format
+  // change must be detectable instead of read as garbage lengths. Added
+  // NOW, while no checkpoint persists this format, so version 1 is the
+  // first format any durable state can contain.
+  private val FormatVersion: Byte = 1
   override def serialize(b: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
+    out.writeByte(FormatVersion)
     out.writeInt(b.size)
     for ((w, c) <- b) {
       val wb = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -122,6 +129,10 @@ case class TopKSketchAgg(
 
   override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val v = in.readByte()
+    require(v == FormatVersion,
+      s"TopKSketchAgg buffer format $v, expected $FormatVersion — a " +
+        "checkpoint from an incompatible build; rebuild state from source")
     val n = in.readInt()
     val b = mutable.HashMap.empty[String, Long]
     var i = 0

@@ -1,0 +1,13 @@
+package graft.tools
+
+/** Standalone runner for the box-epoch calibration probe
+  * ([[graft.Bench.epochProbe]]): prints the same `{cpu_sec, disk_sec}`
+  * shape the bench contract line embeds, so a quiet-box check or an
+  * adjudication note can measure "is the box in the same epoch as that
+  * board?" without running a board. */
+object EpochProbe {
+  def main(args: Array[String]): Unit = {
+    val (cpu, disk) = graft.Bench.epochProbe()
+    println(f"""{"metric":"epoch_probe","cpu_sec":$cpu%.3f,"disk_sec":$disk%.3f}""")
+  }
+}

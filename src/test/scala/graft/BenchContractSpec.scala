@@ -97,6 +97,31 @@ class BenchContractSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  test("epoch probe rides both the contract line and the sidecar") {
+    val dir = java.nio.file.Files.createTempDirectory("bench_contract_probe")
+    try {
+      val (line, fullLine) = Bench.writeArtifacts(
+        results, "/x/testdata/sf0.1", subset = false, baseDir = dir.toString,
+        probe = (4.321, 1.234))
+      // contract line (the driver's BENCH_r{N}.json archive)
+      val node = om.readTree(line).get("epoch_probe")
+      assert(node.get("cpu_sec").asDouble == 4.321)
+      assert(node.get("disk_sec").asDouble == 1.234)
+      // sidecar (what standing_scaling.py reads for cross-epoch flagging)
+      val side = om.readTree(fullLine).get("epoch_probe")
+      assert(side.get("cpu_sec").asDouble == 4.321)
+      assert(side.get("disk_sec").asDouble == 1.234)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  test("epochProbe measures pinned CPU and disk work (tiny spec sizes)") {
+    // tiny overrides: the spec proves the mechanism, not the board-scale
+    // timings (those are pinned constants in the default args)
+    val (cpu, disk) = Bench.epochProbe(cpuN = 1 << 16, diskBytes = 1L << 22)
+    assert(cpu > 0.0 && cpu < 30.0)
+    assert(disk > 0.0 && disk < 30.0)
+  }
+
   test("trailing-slash full board still writes its committed sidecar") {
     val dir = java.nio.file.Files.createTempDirectory("bench_contract_slash")
     try {

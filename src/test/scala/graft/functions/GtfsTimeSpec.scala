@@ -38,6 +38,18 @@ class GtfsTimeSpec extends SparkSpec {
     assert(got == Seq(("100:15:00", 360900L), ("999:00:59", 3600L * 999 + 59L)))
   }
 
+  test("gtfsString propagates NULL whole-string (never the literal \"null\")") {
+    // ADVICE r13: java.util.Formatter renders a null format arg as the
+    // text "null" and concat_ws keeps non-null elements, so an unguarded
+    // format_string hour would turn NULL seconds into "null:00:00" while
+    // the DuckDB printf mirror yields NULL — a cross-engine divergence on
+    // any nullable seconds column
+    val df = Seq[Option[Long]](Some(92700L), None).toDF("s")
+      .select(GtfsTime.gtfsString(col("s")).as("g"))
+    val got = df.collect().map(r => Option(r.getString(0))).toSeq
+    assert(got == Seq(Some("25:45:00"), None))
+  }
+
   test("gtfsSecondsLenient NULLs malformed minutes/seconds, keeps valid >24h") {
     val df = Seq("12:99:99", "12:59:60", "25:45:00", "7:05:09", "xx:00:00")
       .toDF("t").select(GtfsTime.gtfsSecondsLenient(col("t")).as("s"))

@@ -61,4 +61,17 @@ class TopKSketchSpec extends AnyFunSuite with SparkSpec {
     val back = agg.deserialize(agg.serialize(buf))
     assert(back == buf)
   }
+
+  test("buffer format carries a version byte; a foreign version is rejected loudly") {
+    // ADVICE r13: streaming state stores checkpoint TypedImperativeAggregate
+    // buffers, so a future format change must fail with a named error, not
+    // read garbage lengths — pinned now, while no durable state exists
+    val agg = TopKSketchAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"), 4, 4)
+    val bytes = agg.serialize(scala.collection.mutable.HashMap("w" -> 2L))
+    assert(bytes(0) == 1, "format version byte must lead the buffer")
+    val foreign = bytes.clone(); foreign(0) = 9
+    val ex = intercept[IllegalArgumentException](agg.deserialize(foreign))
+    assert(ex.getMessage.contains("format 9"))
+  }
 }

@@ -326,6 +326,38 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(first((1L, "click")) == 1L && first((2L, "view")) == 4L)
   }
 
+  test("dedup re-emits a duplicate arriving past the 1h dedup horizon (pinned trade)") {
+    // ADVICE r13: dropDuplicatesWithinWatermark bounds state by EVICTING a
+    // fingerprint once the watermark passes it — the documented trade is
+    // that a duplicate arriving MORE than the delay after its first
+    // occurrence is re-emitted (batch dedup would drop it). Pin the
+    // re-emit so the divergence is a spec'd contract, not an implication.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Long, Long, String)]
+    def sdf = stream.toDF.toDF("event_id", "min", "user_id", "event_type")
+      .select(col("event_id"), expr("timestamp_millis(min * 60000)").as("ts"),
+        col("user_id"), col("event_type"))
+    val q = Streams.dedupStreaming(sdf).writeStream
+      .format("memory").queryName("dedup_late_test").outputMode("append").start()
+    try {
+      // t=10, not t=0: a row AT the initial epoch watermark is filtered
+      // as late before dedup ever sees it
+      stream.addData((1L, 10L, 7L, "click"))           // first occurrence
+      q.processAllAvailable()
+      stream.addData((2L, 210L, 8L, "view"))           // watermark -> 150 min,
+      q.processAllAvailable()                           // evicts (7,click) @ 10+60
+      // (7,click) again at t=160: past the horizon -> RE-EMITTED;
+      // (8,view) again at t=155: still in state -> dropped
+      stream.addData((3L, 160L, 7L, "click"), (4L, 155L, 8L, "view"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_late_test").select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 3L),
+      "long-horizon duplicate must re-emit (3) and in-horizon duplicate must drop (4)")
+  }
+
   test("stream-static broadcast enrichment equals batch enrichment") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
