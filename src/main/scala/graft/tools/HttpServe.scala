@@ -469,6 +469,11 @@ object HttpServe {
       new java.util.function.Supplier[java.net.http.HttpClient] {
         def get(): java.net.http.HttpClient = newClient()
       })
+    // wall-clock window bounds to stderr: a GC-log-annotated run (p99
+    // tail attribution) needs to intersect pause timestamps with the
+    // measured window, not the whole process lifetime (startup ETL GCs
+    // would otherwise dominate the correlation)
+    System.err.println(s"[http-serve] load_window_start_ms=${System.currentTimeMillis}")
     val t0 = System.nanoTime()
     (0 until nReqs).map { i =>
       pool.submit(new Runnable {
@@ -482,6 +487,7 @@ object HttpServe {
       })
     }.foreach(_.get())
     val wallSec = (System.nanoTime() - t0) / 1e9
+    System.err.println(s"[http-serve] load_window_end_ms=${System.currentTimeMillis}")
     pool.shutdown()
     handle.stop()
 
