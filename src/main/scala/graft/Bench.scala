@@ -111,6 +111,23 @@ object Bench {
       math.min(diskLeg(), math.min(diskLeg(), diskLeg())))
   }
 
+  /** Append a probe reading to the standing epoch ledger — a time series
+    * of `{ts_ms, cpu_sec, disk_sec, context}` rows that records WHEN the
+    * box flips epochs (the r13/r14 slow epoch spanned whole sessions; a
+    * flip's timestamp tells future rounds which boards are comparable).
+    * Best-effort: a read-only checkout must not fail a board over it. */
+  private[graft] def appendEpochLedger(cpu: Double, disk: Double,
+      context: String, baseDir: String = "."): Unit =
+    try {
+      val out = java.nio.file.Paths.get(baseDir).resolve("reports/epoch_ledger.jsonl")
+      if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
+      val row = f"""{"ts_ms":${System.currentTimeMillis()},"cpu_sec":$cpu%.3f,"disk_sec":$disk%.3f,"context":"$context"}""" + "\n"
+      java.nio.file.Files.write(out,
+        row.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case _: Exception => () }
+
   private[graft] def sha8(line: String): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     md.digest((line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -167,6 +184,7 @@ object Bench {
     val probe = epochProbe()
     System.err.println(
       f"[bench] epoch_probe cpu=${probe._1}%.3f disk=${probe._2}%.3f")
+    appendEpochLedger(probe._1, probe._2, s"bench:${sfName(sfDir)}")
     // data-sized AQE starting grid (graft.Scale): identical to the fixed
     // 32 grid at small SF (AQE coalesces down anyway), fans heavy
     // shuffles out at sf10+ so per-task state fits its memory share

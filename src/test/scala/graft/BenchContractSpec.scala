@@ -114,6 +114,22 @@ class BenchContractSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  test("epoch ledger appends parseable timestamped rows") {
+    val dir = java.nio.file.Files.createTempDirectory("bench_ledger")
+    try {
+      Bench.appendEpochLedger(7.1, 2.2, "spec", baseDir = dir.toString)
+      Bench.appendEpochLedger(7.2, 2.3, "spec2", baseDir = dir.toString)
+      val lines = java.nio.file.Files.readAllLines(
+        dir.resolve("reports/epoch_ledger.jsonl"))
+      assert(lines.size == 2)
+      val row = om.readTree(lines.get(0))
+      assert(row.get("cpu_sec").asDouble == 7.1)
+      assert(row.get("context").asText == "spec")
+      assert(row.get("ts_ms").asLong > 0L)
+      assert(om.readTree(lines.get(1)).get("context").asText == "spec2")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   test("epochProbe measures pinned CPU and disk work (tiny spec sizes)") {
     // tiny overrides: the spec proves the mechanism, not the board-scale
     // timings (those are pinned constants in the default args)
