@@ -48,26 +48,54 @@ object Bench {
     value.map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .filter(_.nonEmpty)
 
-  /** Box-epoch calibration probe (VERDICT r13 ask #2): a pinned CPU+disk
-    * micro-benchmark run in the UNTIMED window before the board and
-    * recorded in the contract line, so two boards' totals become
-    * mechanically comparable — the r13 "249.7 vs 202.8 s on identical
-    * code" question cost a four-board A/B plus prose to attribute to a
-    * box-state epoch; a probe ratio outside ~10% now flags it as data
-    * (standing_scaling.py reads the recorded values from each board's
-    * sidecar). CPU leg: fixed-seed xorshift fill + single-threaded
-    * `Arrays.sort` — pure compute, allocation-shape identical every run.
-    * Disk leg: 1 MiB-chunked write + fsync to the default tmp filesystem
+  /** One box-epoch probe reading. The r14 legs (`cpuSec` single-threaded
+    * sort, `diskSec` sequential 1 GiB write+fsync) are kept verbatim for
+    * ledger continuity; r15 adds the two legs the r14 postmortem showed
+    * they miss: `parCpuSec` (32-way parallel sort — memory-bandwidth and
+    * scheduler contention, the state 32-thread boards actually run in)
+    * and `rfsyncSec` (small random-offset write+fsync train — per-fsync
+    * device latency, the state the disk-touching faces actually pay).
+    * The r14 driver/builder same-code sf0.1 pair diverged 23% in board
+    * total while the idle-box legs sat 6.5%/7.3% apart — inside
+    * tolerance; the divergence concentrated 2–3.2× in fsync-heavy faces. */
+  private[graft] final case class BoxProbe(cpuSec: Double, diskSec: Double,
+      parCpuSec: Double, rfsyncSec: Double) {
+    def json: String =
+      f"""{"cpu_sec":$cpuSec%.3f,"disk_sec":$diskSec%.3f,"par_cpu_sec":$parCpuSec%.3f,"rfsync_sec":$rfsyncSec%.3f}"""
+  }
+
+  /** Box-epoch calibration probe (VERDICT r13 ask #2; legs widened per
+    * r14 ask #1): pinned CPU+disk micro-benchmarks run in the UNTIMED
+    * window before the board and recorded in the contract line, so two
+    * boards' totals become mechanically comparable — the r13 "249.7 vs
+    * 202.8 s on identical code" question cost a four-board A/B plus prose
+    * to attribute to a box-state epoch (standing_scaling.py reads the
+    * recorded values from each board's sidecar).
+    *
+    * CPU leg: fixed-seed xorshift fill + single-threaded `Arrays.sort` —
+    * pure compute, allocation-shape identical every run. Disk leg: 1 MiB-
+    * chunked sequential write + one fsync to the default tmp filesystem
     * (the same device the boards' disk-writing faces hit), then delete —
-    * sensitive to exactly the write-back-debt epoch the sync-quiesce
-    * work exposed. Sizes are PINNED (~20 s on the reference box):
-    * comparability requires the work never change; the spec passes tiny
-    * overrides. Each leg is the MIN OF TWO runs — the same one-sided-noise
-    * estimator the board's warm times use (single-run probes on an idle
-    * box still spread ±9%, false-flag territory against the ±10%
-    * cross-epoch threshold). Runs once per board, before Spark starts. */
+    * sensitive to the sustained write-back-debt epoch. Parallel CPU leg
+    * (r15): `parThreads` threads each fill+sort their own pinned-size
+    * array; wall time to join — sensitive to memory-bandwidth / steal-time
+    * pressure that a single-threaded leg cannot see (the r14 gap). Random-
+    * fsync leg (r15): `rfsyncWrites` 4 KiB writes at fixed-seed pseudo-
+    * random offsets in a preallocated file, `force(false)` after EACH —
+    * per-operation device-internal latency, the dominant cost of the GTFS
+    * write/re-read, Derby-landing and localCheckpoint faces that carried
+    * the r14 divergence.
+    *
+    * Sizes are PINNED: comparability requires the work never change; the
+    * spec passes tiny overrides. Each leg is the MIN OF N runs — the same
+    * one-sided-noise estimator the board's warm times use (single-run
+    * probes on an idle box still spread ±9%, false-flag territory against
+    * the ±10% cross-epoch threshold). Runs once per board, before Spark's
+    * threads exist. */
   private[graft] def epochProbe(cpuN: Int = 1 << 26,
-      diskBytes: Long = 1L << 30): (Double, Double) = {
+      diskBytes: Long = 1L << 30,
+      parThreads: Int = 32, parN: Int = 1 << 24,
+      rfsyncFileBytes: Long = 512L << 20, rfsyncWrites: Int = 2048): BoxProbe = {
     var x = 0x9e3779b97f4a7c15L
     val arr = new Array[Long](cpuN)
     def cpuLeg(): Double = {
@@ -79,49 +107,143 @@ object Bench {
       if (arr(0) > arr(cpuN - 1)) System.err.println("[bench] probe sort invariant broken")
       (System.nanoTime() - c0) / 1e9
     }
+    // parallel leg: arrays allocated ONCE and refilled per rep, so reps
+    // time the work (fill+sort under contention), not the allocator
+    val parArrs = Array.fill(parThreads)(new Array[Long](parN))
+    def parCpuLeg(): Double = {
+      val p0 = System.nanoTime()
+      val threads = (0 until parThreads).map { t =>
+        val th = new Thread(() => {
+          val a = parArrs(t)
+          var s = 0x9e3779b97f4a7c15L * (t + 1)
+          var i = 0
+          while (i < parN) { s ^= s << 13; s ^= s >>> 7; s ^= s << 17; a(i) = s; i += 1 }
+          java.util.Arrays.sort(a)
+        })
+        th.start(); th
+      }
+      threads.foreach(_.join())
+      if (parArrs.exists(a => a(0) > a(parN - 1)))
+        System.err.println("[bench] probe parallel sort invariant broken")
+      (System.nanoTime() - p0) / 1e9
+    }
     val chunk = new Array[Byte](1 << 20)
     var i = 0
     while (i < chunk.length) { chunk(i) = (i * 131 + 7).toByte; i += 1 }
-    def diskLeg(): Double = {
-      val tmp = java.nio.file.Files.createTempFile("graft_epoch_probe", ".bin")
-      // drain inherited write-back debt BEFORE timing: the leg must
-      // measure the device's sustained write+fsync throughput (the
-      // epoch), not whatever dirty pages the previous process left —
-      // unsynced, the same idle box measured 2.2–3.6 s run-to-run
+    def drainWriteback(): Unit =
+      // drain inherited write-back debt BEFORE timing: the disk legs must
+      // measure the device (the epoch), not whatever dirty pages the
+      // previous process left — unsynced, the same idle box measured
+      // 2.2–3.6 s run-to-run
       try new ProcessBuilder("sync").start().waitFor()
       catch { case _: Throwable => () }
-      val d0 = System.nanoTime()
-      val ch = java.nio.channels.FileChannel.open(tmp,
-        java.nio.file.StandardOpenOption.WRITE)
-      try {
-        var written = 0L
-        while (written < diskBytes) {
-          ch.write(java.nio.ByteBuffer.wrap(chunk))
-          written += chunk.length
-        }
-        ch.force(true)
-      } finally ch.close()
-      val sec = (System.nanoTime() - d0) / 1e9
-      java.nio.file.Files.deleteIfExists(tmp)
-      sec
+    /** Write `buf` fully: FileChannel.write is allowed to be partial, and
+      * a short write would silently time less than the pinned byte count
+      * (ADVICE r14). */
+    def writeFully(ch: java.nio.channels.FileChannel,
+        buf: java.nio.ByteBuffer): Unit =
+      while (buf.hasRemaining) ch.write(buf)
+    def writeFullyAt(ch: java.nio.channels.FileChannel,
+        buf: java.nio.ByteBuffer, pos: Long): Unit = {
+      var p = pos
+      while (buf.hasRemaining) p += ch.write(buf, p)
     }
-    // disk gets a third rep: even post-sync, one rep in four lands a ~25%
-    // outlier (device-internal housekeeping); min-of-3 measured ±3%
-    (math.min(cpuLeg(), cpuLeg()),
-      math.min(diskLeg(), math.min(diskLeg(), diskLeg())))
+    def diskLeg(): Double = {
+      val tmp = java.nio.file.Files.createTempFile("graft_epoch_probe", ".bin")
+      try {
+        drainWriteback()
+        val d0 = System.nanoTime()
+        val ch = java.nio.channels.FileChannel.open(tmp,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          var written = 0L
+          while (written < diskBytes) {
+            writeFully(ch, java.nio.ByteBuffer.wrap(chunk))
+            written += chunk.length
+          }
+          ch.force(true)
+        } finally ch.close()
+        (System.nanoTime() - d0) / 1e9
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+      // finally-delete (ADVICE r14): an IOException mid-write must not
+      // leak up to 1 GiB in tmp
+    }
+    def rfsyncLeg(): Double = {
+      val tmp = java.nio.file.Files.createTempFile("graft_epoch_rfsync", ".bin")
+      try {
+        // preallocate UNTIMED so the timed train measures fsync latency,
+        // not extent allocation; then drain the prealloc's own dirty pages
+        val pre = java.nio.channels.FileChannel.open(tmp,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          var written = 0L
+          while (written < rfsyncFileBytes) {
+            val n = math.min(chunk.length.toLong, rfsyncFileBytes - written).toInt
+            writeFully(pre, java.nio.ByteBuffer.wrap(chunk, 0, n))
+            written += n
+          }
+          pre.force(true)
+        } finally pre.close()
+        drainWriteback()
+        val page = new Array[Byte](4096)
+        var j = 0
+        while (j < page.length) { page(j) = (j * 37 + 11).toByte; j += 1 }
+        val slots = math.max(1L, rfsyncFileBytes / page.length)
+        val ch = java.nio.channels.FileChannel.open(tmp,
+          java.nio.file.StandardOpenOption.WRITE)
+        val r0 = System.nanoTime()
+        try {
+          var s = 0x2545f4914f6cdd1dL // fixed seed: identical offset train every run
+          var w = 0
+          while (w < rfsyncWrites) {
+            s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+            val off = java.lang.Math.floorMod(s, slots) * page.length
+            writeFullyAt(ch, java.nio.ByteBuffer.wrap(page), off)
+            ch.force(false) // fsync EACH write: per-op latency is the signal
+            w += 1
+          }
+        } finally ch.close()
+        (System.nanoTime() - r0) / 1e9
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    }
+    // disk legs get a third rep: even post-sync, one rep in four lands a
+    // ~25% outlier (device-internal housekeeping); min-of-3 measured ±3%.
+    // The parallel leg also gets three: under 32-way contention a single
+    // descheduled thread stretches the join, and min-of-2 still spread
+    // ±7% idle at the r15 sizing pass — min-of-3 at the doubled size
+    // brings it inside the CPU tolerance.
+    BoxProbe(
+      cpuSec = math.min(cpuLeg(), cpuLeg()),
+      diskSec = math.min(diskLeg(), math.min(diskLeg(), diskLeg())),
+      parCpuSec = math.min(parCpuLeg(), math.min(parCpuLeg(), parCpuLeg())),
+      rfsyncSec = math.min(rfsyncLeg(), math.min(rfsyncLeg(), rfsyncLeg())))
   }
 
+  /** Minimal JSON string escape for hand-assembled rows: the ledger
+    * context embeds `sfName(SPARK_GRAFT_SF_DIR)` — env-provided text — and
+    * an unescaped quote/backslash would write a malformed JSONL row that
+    * corrupts the standing ledger for every later reader (ADVICE r14). */
+  private[graft] def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < 0x20 => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    }
+
   /** Append a probe reading to the standing epoch ledger — a time series
-    * of `{ts_ms, cpu_sec, disk_sec, context}` rows that records WHEN the
-    * box flips epochs (the r13/r14 slow epoch spanned whole sessions; a
-    * flip's timestamp tells future rounds which boards are comparable).
+    * of `{ts_ms, cpu_sec, disk_sec, par_cpu_sec, rfsync_sec, context}`
+    * rows that records WHEN the box flips epochs (the r13/r14 slow epoch
+    * spanned whole sessions; a flip's timestamp tells future rounds which
+    * boards are comparable). Pre-r15 rows lack the two new legs — readers
+    * treat them as absent, not zero.
     * Best-effort: a read-only checkout must not fail a board over it. */
-  private[graft] def appendEpochLedger(cpu: Double, disk: Double,
+  private[graft] def appendEpochLedger(probe: BoxProbe,
       context: String, baseDir: String = "."): Unit =
     try {
       val out = java.nio.file.Paths.get(baseDir).resolve("reports/epoch_ledger.jsonl")
       if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
-      val row = f"""{"ts_ms":${System.currentTimeMillis()},"cpu_sec":$cpu%.3f,"disk_sec":$disk%.3f,"context":"$context"}""" + "\n"
+      val row = f"""{"ts_ms":${System.currentTimeMillis()},"cpu_sec":${probe.cpuSec}%.3f,"disk_sec":${probe.diskSec}%.3f,"par_cpu_sec":${probe.parCpuSec}%.3f,"rfsync_sec":${probe.rfsyncSec}%.3f,"context":"${jsonEscape(context)}"}""" + "\n"
       java.nio.file.Files.write(out,
         row.getBytes(java.nio.charset.StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.CREATE,
@@ -143,7 +265,7 @@ object Bench {
     * `baseDir` exists for the spec (a temp dir), defaults to the repo cwd. */
   private[graft] def writeArtifacts(results: Seq[(String, Double, Double)],
       sfDir: String, subset: Boolean, baseDir: String = ".",
-      probe: (Double, Double) = (0.0, 0.0)): (String, String) = {
+      probe: BoxProbe = BoxProbe(0.0, 0.0, 0.0, 0.0)): (String, String) = {
     val totalWarm = results.map(_._3).sum
     val totalCold = results.map(_._2).sum
     val headline = Seq("q1" -> "transit_q1_weekday", "q2" -> "transit_q2_weekday",
@@ -161,7 +283,7 @@ object Bench {
     // the probe rides BOTH lines: the contract line is what the driver
     // archives (BENCH_r{N}.json), the sidecar is what standing_scaling.py
     // reads — cross-epoch flagging needs it in the committed artifact
-    val probeJson = f"""{"cpu_sec":${probe._1}%.3f,"disk_sec":${probe._2}%.3f}"""
+    val probeJson = probe.json
     val fullLine =
       f"""{"metric":"total_query_time","value":$totalWarm%.3f,"unit":"sec","total_cold":$totalCold%.3f,"epoch_probe":$probeJson,"sf":"$sfDir","queries":$full}"""
     val outs = sidecarPaths(sfDir, subset)
@@ -183,8 +305,9 @@ object Bench {
     // sees the same idle-JVM box every board sees (untimed window)
     val probe = epochProbe()
     System.err.println(
-      f"[bench] epoch_probe cpu=${probe._1}%.3f disk=${probe._2}%.3f")
-    appendEpochLedger(probe._1, probe._2, s"bench:${sfName(sfDir)}")
+      f"[bench] epoch_probe cpu=${probe.cpuSec}%.3f disk=${probe.diskSec}%.3f" +
+        f" par_cpu=${probe.parCpuSec}%.3f rfsync=${probe.rfsyncSec}%.3f")
+    appendEpochLedger(probe, s"bench:${sfName(sfDir)}")
     // data-sized AQE starting grid (graft.Scale): identical to the fixed
     // 32 grid at small SF (AQE coalesces down anyway), fans heavy
     // shuffles out at sf10+ so per-task state fits its memory share

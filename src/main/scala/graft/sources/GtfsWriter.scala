@@ -115,7 +115,15 @@ object GtfsWriter {
     *     caught by the time parse (`GtfsTime.gtfsSeconds` → NULL);
     *   - %103: non-numeric stop_sequence — PERMISSIVE null + corrupt row;
     *   - %107: truncated row (4 of 9 fields) — token-count mismatch;
-    *   - %109: unclosed quote opening a field — parser-level damage.
+    *   - %109: unclosed quote opening a field — parser-level damage;
+    *   - %113: NULL arr_secs fed through `GtfsTime.gtfsString` on WRITE —
+    *     the guard (ADVICE r13, `GtfsTime.scala`) propagates NULL
+    *     whole-string, `concat_ws` then drops the element and the row
+    *     lands one field short (token-count mismatch → corrupt). This is
+    *     the guard's HARD cross-engine signal (VERDICT r14 ask #3): an
+    *     unguarded `format_string` would render the literal "null:..:..",
+    *     the row would parse schema-valid as 'good', and the census class
+    *     counts would hash-diverge from the oracle.
     * The read-back is the production PERMISSIVE + `_corrupt_record` scan;
     * the census proves bad rows are COUNTED (never silently dropped or
     * crashing the scan) and good rows survive bit-exact (row count,
@@ -137,12 +145,18 @@ object GtfsWriter {
     val c103 = !c101 && tid % 103 === 0
     val c107 = !c101 && !c103 && tid % 107 === 0
     val c109 = !c101 && !c103 && !c107 && tid % 109 === 0
+    val c113 = !c101 && !c103 && !c107 && !c109 && tid % 113 === 0
     def s(c: org.apache.spark.sql.Column) = coalesce(c.cast("string"), lit(""))
     val depStr = when(c101, lit("26:99:XX"))
       .otherwise(GtfsTime.gtfsString(col("dep_secs")))
     val seqStr = when(c103, lit("SEQ")).otherwise(s(col("stop_sequence")))
     val headsign = when(c109, lit("\"unclosed")).otherwise(lit(""))
-    val fullLine = concat_ws(",", s(tid), GtfsTime.gtfsString(col("arr_secs")),
+    // %113: the NULL goes through gtfsString ITSELF (not a post-format
+    // null-out) — the class only lands 'corrupt' if the guard inside
+    // gtfsString propagates NULL whole-string
+    val arrStr = GtfsTime.gtfsString(
+      when(c113, lit(null).cast("int")).otherwise(col("arr_secs")))
+    val fullLine = concat_ws(",", s(tid), arrStr,
       depStr, s(col("stop_id")), seqStr, headsign, lit(""), lit(""),
       s(col("shape_dist").cast("float")))
     val shortLine = concat_ws(",", s(tid),

@@ -181,8 +181,13 @@ object SqlFace {
     * warm re-runs reuse the child (temp-view re-registration of the
     * same bundle is idempotent). Runtime conf set after builder time
     * (e.g. the AQE grid from `Scale.tuneSessionGrid`) does not survive
-    * `newSession()`, so the child copies the parent's settable conf at
-    * creation and plans exactly like the parent. */
+    * `newSession()`, so the child re-copies the parent's settable conf on
+    * EVERY hit, not just at creation (ADVICE r14): a parent re-tuned
+    * after the child was cached — a new AQE grid for a bigger dir — must
+    * not leave the child planning with the stale snapshot. Keys REMOVED
+    * from the parent are not unset in the child (Spark's RuntimeConfig
+    * has no diff API); in this codebase conf is only ever re-set, never
+    * unset. */
   def sessionFor(parent: SparkSession, dir: String): SparkSession =
     tenants.synchronized {
       val byDir = Option(tenants.get(parent)).getOrElse {
@@ -190,14 +195,12 @@ object SqlFace {
         tenants.put(parent, m)
         m
       }
-      byDir.getOrElseUpdate(dir, {
-        val s = parent.newSession()
-        parent.conf.getAll.foreach { case (k, v) =>
-          try s.conf.set(k, v)
-          catch { case _: Exception => () } // static conf: not settable, shared anyway
-        }
-        s
-      })
+      val s = byDir.getOrElseUpdate(dir, parent.newSession())
+      parent.conf.getAll.foreach { case (k, v) =>
+        try s.conf.set(k, v)
+        catch { case _: Exception => () } // static conf: not settable, shared anyway
+      }
+      s
     }
 
   private val tenants =

@@ -312,13 +312,19 @@ object TransitOracles {
   /** Planted-corruption mirror of `GtfsWriter.corruptCensus`: the same
     * exclusive trip_id-moduli classes computed on the CLEAN derivation —
     * the engine's PERMISSIVE read must recover exactly these counts, and
-    * the good rows' identity aggregates, from the mangled feed. */
+    * the good rows' identity aggregates, from the mangled feed. The %113
+    * class is the `gtfsString` NULL-guard's hard signal (r14 ask #3): the
+    * oracle predicts 'corrupt' from the clean derivation, which only
+    * holds if the engine's guard propagates a NULL seconds input to a
+    * NULL time string on write (an unguarded "null:..:.." render would
+    * land those rows 'good' and break the hash). */
   val gtfsCorrupt: String =
     s"""$P, cls AS (
        |  SELECT trip_id, dep_secs,
        |    CASE WHEN trip_id % 101 = 0 THEN 'bad_time'
        |         WHEN trip_id % 103 = 0 OR trip_id % 107 = 0
-       |              OR trip_id % 109 = 0 THEN 'corrupt'
+       |              OR trip_id % 109 = 0 OR trip_id % 113 = 0
+       |              THEN 'corrupt'
        |         ELSE 'good' END AS status
        |  FROM stop_times)
        |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_rows,

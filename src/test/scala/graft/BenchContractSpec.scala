@@ -102,40 +102,59 @@ class BenchContractSpec extends AnyFunSuite {
     try {
       val (line, fullLine) = Bench.writeArtifacts(
         results, "/x/testdata/sf0.1", subset = false, baseDir = dir.toString,
-        probe = (4.321, 1.234))
+        probe = Bench.BoxProbe(4.321, 1.234, 0.567, 0.089))
       // contract line (the driver's BENCH_r{N}.json archive)
       val node = om.readTree(line).get("epoch_probe")
       assert(node.get("cpu_sec").asDouble == 4.321)
       assert(node.get("disk_sec").asDouble == 1.234)
+      assert(node.get("par_cpu_sec").asDouble == 0.567)
+      assert(node.get("rfsync_sec").asDouble == 0.089)
       // sidecar (what standing_scaling.py reads for cross-epoch flagging)
       val side = om.readTree(fullLine).get("epoch_probe")
       assert(side.get("cpu_sec").asDouble == 4.321)
       assert(side.get("disk_sec").asDouble == 1.234)
+      assert(side.get("par_cpu_sec").asDouble == 0.567)
+      assert(side.get("rfsync_sec").asDouble == 0.089)
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
   test("epoch ledger appends parseable timestamped rows") {
     val dir = java.nio.file.Files.createTempDirectory("bench_ledger")
     try {
-      Bench.appendEpochLedger(7.1, 2.2, "spec", baseDir = dir.toString)
-      Bench.appendEpochLedger(7.2, 2.3, "spec2", baseDir = dir.toString)
+      Bench.appendEpochLedger(Bench.BoxProbe(7.1, 2.2, 1.5, 0.4), "spec",
+        baseDir = dir.toString)
+      Bench.appendEpochLedger(Bench.BoxProbe(7.2, 2.3, 1.6, 0.5), "spec2",
+        baseDir = dir.toString)
+      // context is env-derived (sfName of SPARK_GRAFT_SF_DIR): a quote or
+      // backslash in it must not corrupt the JSONL ledger (ADVICE r14)
+      Bench.appendEpochLedger(Bench.BoxProbe(7.3, 2.4, 1.7, 0.6),
+        """bench:sf"0.1\x""", baseDir = dir.toString)
       val lines = java.nio.file.Files.readAllLines(
         dir.resolve("reports/epoch_ledger.jsonl"))
-      assert(lines.size == 2)
+      assert(lines.size == 3)
       val row = om.readTree(lines.get(0))
       assert(row.get("cpu_sec").asDouble == 7.1)
+      assert(row.get("par_cpu_sec").asDouble == 1.5)
+      assert(row.get("rfsync_sec").asDouble == 0.4)
       assert(row.get("context").asText == "spec")
       assert(row.get("ts_ms").asLong > 0L)
       assert(om.readTree(lines.get(1)).get("context").asText == "spec2")
+      // the hostile row must parse back to the exact original context
+      assert(om.readTree(lines.get(2)).get("context").asText ==
+        """bench:sf"0.1\x""")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
   test("epochProbe measures pinned CPU and disk work (tiny spec sizes)") {
     // tiny overrides: the spec proves the mechanism, not the board-scale
     // timings (those are pinned constants in the default args)
-    val (cpu, disk) = Bench.epochProbe(cpuN = 1 << 16, diskBytes = 1L << 22)
-    assert(cpu > 0.0 && cpu < 30.0)
-    assert(disk > 0.0 && disk < 30.0)
+    val p = Bench.epochProbe(cpuN = 1 << 16, diskBytes = 1L << 22,
+      parThreads = 4, parN = 1 << 14, rfsyncFileBytes = 1L << 22,
+      rfsyncWrites = 8)
+    assert(p.cpuSec > 0.0 && p.cpuSec < 30.0)
+    assert(p.diskSec > 0.0 && p.diskSec < 30.0)
+    assert(p.parCpuSec > 0.0 && p.parCpuSec < 30.0)
+    assert(p.rfsyncSec > 0.0 && p.rfsyncSec < 30.0)
   }
 
   test("trailing-slash full board still writes its committed sidecar") {

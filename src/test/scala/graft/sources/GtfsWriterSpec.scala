@@ -57,9 +57,15 @@ class GtfsWriterSpec extends AnyFunSuite with SparkSpec {
     val n101 = st.filter(col("trip_id") % 101 === 0).count()
     val nCorrupt = st.filter(col("trip_id") % 101 =!= 0 &&
       (col("trip_id") % 103 === 0 || col("trip_id") % 107 === 0 ||
-        col("trip_id") % 109 === 0)).count()
+        col("trip_id") % 109 === 0 || col("trip_id") % 113 === 0)).count()
+    val n113 = st.filter(col("trip_id") % 101 =!= 0 &&
+      col("trip_id") % 103 =!= 0 && col("trip_id") % 107 =!= 0 &&
+      col("trip_id") % 109 =!= 0 && col("trip_id") % 113 === 0).count()
     val total = st.count()
     assert(n101 > 0 && nCorrupt > 0, "fixture must plant both damage kinds")
+    assert(n113 > 0, "fixture must plant the NULL-through-gtfsString class " +
+      "(r14 ask #3) — a fixture where no trip_id hits %113 would leave the " +
+      "guard unexercised again")
     assert(census("bad_time")._1 == n101)
     assert(census("corrupt")._1 == nCorrupt)
     assert(census("good")._1 == total - n101 - nCorrupt)

@@ -13,6 +13,12 @@ Usage:
     reports/bench_sf001.json reports/bench_full.json \
     reports/bench_sf1.json reports/bench_sf10.json
 
+  # same-SF board pair (cross-round / driver-vs-builder), VERDICT r14
+  # asks #1b+#5: probe-normalized ratios + the >1.15x same-code
+  # board-divergence transfer check (flags even when probes agree)
+  python3 tools/standing_scaling.py --cross-round \
+    <sidecarA.json> <sidecarB.json> [--out reports/cross_round.json]
+
 Replaces the per-round scaling_r*.json / scaling_sf10_r*.json forks.
 Exits nonzero if a flagged query has no adjudication entry.
 """
@@ -28,25 +34,39 @@ def t_of(v):
 # it ratio None and a permanent pass).
 ZERO_SMALL_FLOOR = 5.0
 
-# Box-epoch comparability (VERDICT r13 ask #2): each board records a pinned
-# CPU+disk calibration probe (Bench.epochProbe) in its sidecar. If two legs'
-# probes differ by more than the component's tolerance, the pair is a
-# CROSS-EPOCH comparison — the r13 "249.7 vs 202.8 s on identical code"
-# class — and the decade's totals carry that caveat as data, not prose.
-# Tolerances are set from measured idle-box repeatability (min-of-N probe
-# reps): CPU resolves to ±0.5%, so 10% is a decisive epoch signal; the
-# virtualized disk only resolves to ~±11% even at min-of-3, so its
-# threshold sits above that noise floor (the real write-back epochs the
-# sf10 boards hit were 60%+). Informational (printed + embedded), never an
-# exit failure: a slow box is a measurement condition, not an
-# unadjudicated finding.
-EPOCH_TOL = {"cpu_sec": 0.10, "disk_sec": 0.25}
+# Box-epoch comparability (VERDICT r13 ask #2; legs widened per r14 ask
+# #1): each board records a pinned calibration probe (Bench.epochProbe) in
+# its sidecar. If two legs' probes differ by more than the component's
+# tolerance, the pair is a CROSS-EPOCH comparison — the r13 "249.7 vs
+# 202.8 s on identical code" class — and the decade's totals carry that
+# caveat as data, not prose. Tolerances are set from measured idle-box
+# repeatability (min-of-N probe reps): CPU resolves to ±0.5%, so 10% is a
+# decisive epoch signal; the virtualized disk only resolves to ~±11% even
+# at min-of-3, so its threshold sits above that noise floor (the real
+# write-back epochs the sf10 boards hit were 60%+). The two r15 legs
+# target the state the r14 postmortem showed the idle legs miss:
+# par_cpu_sec (32-way parallel sort, min-of-3, idle spread ±6% -> tol 12%)
+# and rfsync_sec (2048 random 4KiB write+fsync ops, min-of-3, idle spread
+# ±5% -> tol 20%, headroom for device-internal variance). Pre-r15 sidecars
+# simply lack the new keys and are compared on the legs they have.
+# Informational (printed + embedded), never an exit failure: a slow box is
+# a measurement condition, not an unadjudicated finding.
+EPOCH_TOL = {"cpu_sec": 0.10, "disk_sec": 0.25,
+             "par_cpu_sec": 0.12, "rfsync_sec": 0.20}
 
 def epoch_cmp(small, large):
     es, el = small.get("epoch_probe"), large.get("epoch_probe")
     if not es or not el:
         return {"comparable": False,
                 "reason": "epoch probe missing on at least one board (pre-r14 sidecar)"}
+    # a probe whose components are all non-positive is the writeArtifacts
+    # default (0.0, 0.0, ...), i.e. a caller that omitted the probe — that
+    # must read as MISSING, not as a silently-passing epoch check (ADVICE r14)
+    if all((es.get(k) or 0) <= 0 for k in EPOCH_TOL) or \
+       all((el.get(k) or 0) <= 0 for k in EPOCH_TOL):
+        return {"comparable": False,
+                "reason": "probe recorded but all components non-positive "
+                          "(writeArtifacts default — probe omitted)"}
     out = {"comparable": True, "small": es, "large": el,
            "cross_epoch": False, "components": {}}
     for k, tol in EPOCH_TOL.items():
@@ -92,7 +112,115 @@ def decade(small_path, large_path):
         "queries": qs,
     }
 
+# Same-code board comparability (VERDICT r14 asks #1b/#5): comparing two
+# sidecars of the SAME scale factor (cross-round, or driver-vs-builder in
+# one round) is a different question from a decade — the data is identical,
+# so any total ratio far from 1.0 is either a code change or a box-state
+# epoch. The r14 lesson: the idle-box probe can AGREE (cpu 6.5% apart,
+# inside tolerance) while the boards diverge 23%, concentrated in
+# fsync-heavy faces. So the transfer check flags on the BOARD TOTAL
+# (common-query warm sum) ratio itself, regardless of probe agreement:
+# >1.15x in either direction => the pair is not same-epoch-comparable and
+# per-query ratios must be read as (code delta) x (epoch delta).
+BOARD_DIVERGENCE_TOL = 1.15
+# per-query divergent-face report: ratio beyond this in either direction
+# AND at least one leg above the floor (sub-second faces jitter)
+FACE_RATIO_TOL = 2.0
+FACE_TIME_FLOOR = 0.5
+
+def cross_round(path_a, path_b, out_path):
+    a, b = json.load(open(path_a)), json.load(open(path_b))
+    qs = {}
+    for k in sorted(a["queries"]):
+        vb = b["queries"].get(k)
+        if vb is None:
+            continue
+        ta, tb = t_of(a["queries"][k]), t_of(vb)
+        qs[k] = {"t_a": ta, "t_b": tb,
+                 "ratio": round(tb / ta, 3) if ta > 0 else None}
+    total_a = round(sum(v["t_a"] for v in qs.values()), 1)
+    total_b = round(sum(v["t_b"] for v in qs.values()), 1)
+    total_ratio = round(total_b / total_a, 3) if total_a > 0 else None
+    epoch = epoch_cmp(a, b)
+    diverged = (total_ratio is not None and
+                max(total_ratio, 1.0 / total_ratio) > BOARD_DIVERGENCE_TOL)
+    faces = sorted(
+        [k for k, v in qs.items()
+         if v["ratio"] and max(v["ratio"], 1.0 / v["ratio"]) > FACE_RATIO_TOL
+         and max(v["t_a"], v["t_b"]) > FACE_TIME_FLOOR],
+        key=lambda k: -max(qs[k]["ratio"], 1.0 / qs[k]["ratio"]))
+    fams = {}
+    for k, v in qs.items():
+        fam = k.split("_")[0]
+        fa, fb = fams.setdefault(fam, [0.0, 0.0])
+        fams[fam] = [fa + v["t_a"], fb + v["t_b"]]
+    fam_ratios = {f: {"t_a": round(x, 2), "t_b": round(y, 2),
+                      "ratio": round(y / x, 3) if x > 0 else None}
+                  for f, (x, y) in sorted(fams.items())}
+    # probe-normalized view: divide the board ratio by each probe
+    # component's ratio — if normalization brings it near 1.0, the probe
+    # leg explains the divergence; if none does (the r14 case, before the
+    # parallel/rfsync legs existed), the probe under-resolves and the
+    # divergence stands as unexplained-by-instrument
+    normalized = {}
+    if epoch.get("comparable") and total_ratio:
+        for k, comp in epoch.get("components", {}).items():
+            if comp["ratio"] > 0:
+                normalized[k] = round(total_ratio / comp["ratio"], 3)
+    out = {
+        "legs": {"a": path_a, "b": path_b},
+        "sf_a": a.get("sf"), "sf_b": b.get("sf"),
+        "same_sf": a.get("sf") == b.get("sf"),
+        "n_queries_common": len(qs),
+        "total_a_common": total_a, "total_b_common": total_b,
+        "total_ratio": total_ratio,
+        "board_divergence_tolerance": BOARD_DIVERGENCE_TOL,
+        "board_divergence": diverged,
+        "epoch": epoch,
+        "total_ratio_probe_normalized": normalized,
+        "divergent_faces": {k: qs[k] for k in faces},
+        "family_ratios": fam_ratios,
+        "queries": qs,
+    }
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(f"cross-round: {path_a} vs {path_b}")
+    print(f"  common {len(qs)} queries, total {total_a} -> {total_b} s "
+          f"(ratio {total_ratio})")
+    if not out["same_sf"]:
+        print(f"  WARNING: different sf ({a.get('sf')} vs {b.get('sf')}) — "
+              f"ratios mix scale with epoch/code")
+    if epoch.get("cross_epoch"):
+        comps = ", ".join(f"{k} {v['ratio']}x"
+                          for k, v in epoch["components"].items() if v["flag"])
+        print(f"  CROSS-EPOCH by probe: {comps}")
+    if diverged:
+        print(f"  BOARD DIVERGENCE: same-code total ratio {total_ratio} "
+              f"exceeds {BOARD_DIVERGENCE_TOL}x — not same-epoch-comparable "
+              f"regardless of probe agreement"
+              + ("" if epoch.get("cross_epoch") or not epoch.get("comparable")
+                 else " (probe components all inside tolerance — the r14 "
+                      "under-resolution class)"))
+    if faces:
+        worst = ", ".join(f"{k} {qs[k]['ratio']}x" for k in faces[:8])
+        print(f"  divergent faces (> {FACE_RATIO_TOL}x, > {FACE_TIME_FLOOR}s):"
+              f" {worst}" + (" ..." if len(faces) > 8 else ""))
+    print(f"wrote {out_path}")
+    return 0
+
 def main():
+    if len(sys.argv) >= 2 and sys.argv[1] == "--cross-round":
+        rest = sys.argv[2:]
+        out_path = "reports/cross_round.json"
+        if "--out" in rest:
+            i = rest.index("--out")
+            out_path = rest[i + 1]
+            rest = rest[:i] + rest[i + 2:]
+        if len(rest) != 2:
+            sys.exit("usage: standing_scaling.py --cross-round <sidecarA>"
+                     " <sidecarB> [--out path]")
+        sys.exit(cross_round(rest[0], rest[1], out_path))
     paths = sys.argv[1:5]
     if len(paths) != 4:
         sys.exit(__doc__)
