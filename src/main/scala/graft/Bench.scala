@@ -92,10 +92,24 @@ object Bench {
     * probes on an idle box still spread ±9%, false-flag territory against
     * the ±10% cross-epoch threshold). Runs once per board, before Spark's
     * threads exist. */
-  private[graft] def epochProbe(cpuN: Int = 1 << 26,
-      diskBytes: Long = 1L << 30,
-      parThreads: Int = 32, parN: Int = 1 << 24,
-      rfsyncFileBytes: Long = 512L << 20, rfsyncWrites: Int = 2048): BoxProbe = {
+  /** PINNED probe work sizes — cross-round comparability requires the
+    * probe's work NEVER change (every ledger row and sidecar probe since
+    * the leg landed was measured at exactly these sizes). Changing one
+    * silently re-bases the epoch time-series; if a leg must be resized,
+    * RENAME it (a new JSON key) so old readings can't be compared to new
+    * ones by accident. Values are spec-pinned in BenchContractSpec. */
+  private[graft] val ProbeCpuN: Int = 1 << 26
+  private[graft] val ProbeDiskBytes: Long = 1L << 30
+  private[graft] val ProbeParThreads: Int = 32
+  private[graft] val ProbeParN: Int = 1 << 24
+  private[graft] val ProbeRfsyncFileBytes: Long = 512L << 20
+  private[graft] val ProbeRfsyncWrites: Int = 2048
+
+  private[graft] def epochProbe(cpuN: Int = ProbeCpuN,
+      diskBytes: Long = ProbeDiskBytes,
+      parThreads: Int = ProbeParThreads, parN: Int = ProbeParN,
+      rfsyncFileBytes: Long = ProbeRfsyncFileBytes,
+      rfsyncWrites: Int = ProbeRfsyncWrites): BoxProbe = {
     var x = 0x9e3779b97f4a7c15L
     val arr = new Array[Long](cpuN)
     def cpuLeg(): Double = {

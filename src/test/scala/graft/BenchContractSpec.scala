@@ -145,6 +145,19 @@ class BenchContractSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  test("probe work sizes are PINNED — resizing re-bases the epoch time-series") {
+    // Comparability contract: every ledger row / sidecar probe was
+    // measured at exactly these sizes. A resize must come with a leg
+    // RENAME (new JSON key), never a silent constant change — this pin
+    // turns that rule into a failing test.
+    assert(Bench.ProbeCpuN == (1 << 26))
+    assert(Bench.ProbeDiskBytes == (1L << 30))
+    assert(Bench.ProbeParThreads == 32)
+    assert(Bench.ProbeParN == (1 << 24))
+    assert(Bench.ProbeRfsyncFileBytes == (512L << 20))
+    assert(Bench.ProbeRfsyncWrites == 2048)
+  }
+
   test("epochProbe measures pinned CPU and disk work (tiny spec sizes)") {
     // tiny overrides: the spec proves the mechanism, not the board-scale
     // timings (those are pinned constants in the default args)
