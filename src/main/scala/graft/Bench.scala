@@ -48,6 +48,15 @@ object Bench {
     value.map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .filter(_.nonEmpty)
 
+  /** Locale-independent 3-dp decimal for hand-assembled JSON: the f"%.3f"
+    * interpolator formats in the JVM's default locale, and a comma-decimal
+    * locale (fr_FR et al.) would write `4,321` — corrupting every sidecar,
+    * ledger row and contract line at once (ADVICE r15). All JSON-bound
+    * doubles in this file go through here; stderr progress lines may keep
+    * the interpolator (they are read by humans, not parsers). */
+  private[graft] def d3(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
+
   /** One box-epoch probe reading. The r14 legs (`cpuSec` single-threaded
     * sort, `diskSec` sequential 1 GiB write+fsync) are kept verbatim for
     * ledger continuity; r15 adds the two legs the r14 postmortem showed
@@ -61,7 +70,7 @@ object Bench {
   private[graft] final case class BoxProbe(cpuSec: Double, diskSec: Double,
       parCpuSec: Double, rfsyncSec: Double) {
     def json: String =
-      f"""{"cpu_sec":$cpuSec%.3f,"disk_sec":$diskSec%.3f,"par_cpu_sec":$parCpuSec%.3f,"rfsync_sec":$rfsyncSec%.3f}"""
+      s"""{"cpu_sec":${d3(cpuSec)},"disk_sec":${d3(diskSec)},"par_cpu_sec":${d3(parCpuSec)},"rfsync_sec":${d3(rfsyncSec)}}"""
   }
 
   /** Box-epoch calibration probe (VERDICT r13 ask #2; legs widened per
@@ -110,8 +119,20 @@ object Bench {
       parThreads: Int = ProbeParThreads, parN: Int = ProbeParN,
       rfsyncFileBytes: Long = ProbeRfsyncFileBytes,
       rfsyncWrites: Int = ProbeRfsyncWrites): BoxProbe = {
+    // Working sets are scoped per leg (ADVICE r15): the old shape held the
+    // 512 MiB cpu array AND the 32x128 MiB parallel arrays live across all
+    // four legs, so the standalone probe at -Xmx8g ran with thin headroom
+    // and any smaller-heap caller OOM'd in the untimed window. Each leg's
+    // arrays are now allocated just before its reps and released right
+    // after — peak live set is one leg's working set. Within a leg the
+    // arrays are still allocated ONCE and refilled per rep, so reps time
+    // the work (fill+sort under contention), not the allocator. Leg ORDER
+    // changed cpu→disk→par→rfsync to cpu→par→disk→rfsync; the timed work
+    // per leg is identical and the legs are isolated (the par leg does no
+    // I/O, the disk legs drain write-back before timing), so the ledger
+    // time-series is not re-based.
     var x = 0x9e3779b97f4a7c15L
-    val arr = new Array[Long](cpuN)
+    var arr = new Array[Long](cpuN)
     def cpuLeg(): Double = {
       val c0 = System.nanoTime()
       var i = 0
@@ -121,9 +142,9 @@ object Bench {
       if (arr(0) > arr(cpuN - 1)) System.err.println("[bench] probe sort invariant broken")
       (System.nanoTime() - c0) / 1e9
     }
-    // parallel leg: arrays allocated ONCE and refilled per rep, so reps
-    // time the work (fill+sort under contention), not the allocator
-    val parArrs = Array.fill(parThreads)(new Array[Long](parN))
+    val cpuSec = math.min(cpuLeg(), cpuLeg())
+    arr = null
+    var parArrs = Array.fill(parThreads)(new Array[Long](parN))
     def parCpuLeg(): Double = {
       val p0 = System.nanoTime()
       val threads = (0 until parThreads).map { t =>
@@ -141,6 +162,14 @@ object Bench {
         System.err.println("[bench] probe parallel sort invariant broken")
       (System.nanoTime() - p0) / 1e9
     }
+    // disk legs get a third rep: even post-sync, one rep in four lands a
+    // ~25% outlier (device-internal housekeeping); min-of-3 measured ±3%.
+    // The parallel leg also gets three: under 32-way contention a single
+    // descheduled thread stretches the join, and min-of-2 still spread
+    // ±7% idle at the r15 sizing pass — min-of-3 at the doubled size
+    // brings it inside the CPU tolerance.
+    val parCpuSec = math.min(parCpuLeg(), math.min(parCpuLeg(), parCpuLeg()))
+    parArrs = null
     val chunk = new Array[Byte](1 << 20)
     var i = 0
     while (i < chunk.length) { chunk(i) = (i * 131 + 7).toByte; i += 1 }
@@ -220,16 +249,10 @@ object Bench {
         (System.nanoTime() - r0) / 1e9
       } finally java.nio.file.Files.deleteIfExists(tmp)
     }
-    // disk legs get a third rep: even post-sync, one rep in four lands a
-    // ~25% outlier (device-internal housekeeping); min-of-3 measured ±3%.
-    // The parallel leg also gets three: under 32-way contention a single
-    // descheduled thread stretches the join, and min-of-2 still spread
-    // ±7% idle at the r15 sizing pass — min-of-3 at the doubled size
-    // brings it inside the CPU tolerance.
     BoxProbe(
-      cpuSec = math.min(cpuLeg(), cpuLeg()),
+      cpuSec = cpuSec,
       diskSec = math.min(diskLeg(), math.min(diskLeg(), diskLeg())),
-      parCpuSec = math.min(parCpuLeg(), math.min(parCpuLeg(), parCpuLeg())),
+      parCpuSec = parCpuSec,
       rfsyncSec = math.min(rfsyncLeg(), math.min(rfsyncLeg(), rfsyncLeg())))
   }
 
@@ -257,7 +280,7 @@ object Bench {
     try {
       val out = java.nio.file.Paths.get(baseDir).resolve("reports/epoch_ledger.jsonl")
       if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
-      val row = f"""{"ts_ms":${System.currentTimeMillis()},"cpu_sec":${probe.cpuSec}%.3f,"disk_sec":${probe.diskSec}%.3f,"par_cpu_sec":${probe.parCpuSec}%.3f,"rfsync_sec":${probe.rfsyncSec}%.3f,"context":"${jsonEscape(context)}"}""" + "\n"
+      val row = s"""{"ts_ms":${System.currentTimeMillis()},"cpu_sec":${d3(probe.cpuSec)},"disk_sec":${d3(probe.diskSec)},"par_cpu_sec":${d3(probe.parCpuSec)},"rfsync_sec":${d3(probe.rfsyncSec)},"context":"${jsonEscape(context)}"}""" + "\n"
       java.nio.file.Files.write(out,
         row.getBytes(java.nio.charset.StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.CREATE,
@@ -277,6 +300,25 @@ object Bench {
     * r11 hardcoded the reports path and spuriously mismatched on subset
     * runs; r12's set-but-empty-ONLY skip was found only by inspection.
     * `baseDir` exists for the spec (a temp dir), defaults to the repo cwd. */
+  /** The reference's published single-node bar: Q1–Q4 each < 6 s on the
+    * full GTA feed (~4.3 M stop_times; BASELINE.md). The engine's nearest
+    * scale is sf1 (6 M-row fact), so the sf1 board carries the contract
+    * ratio mechanically (VERDICT r15 ask #6) instead of leaving the
+    * arithmetic to judge prose. */
+  private[graft] val BaselineBarSec = 6.0
+
+  /** avg(q1..q4 weekday warm)/6 s on an sf1 board — the `bench_vs_baseline`
+    * number. None off-scale or when any headline face is missing (a subset
+    * run must not emit a ratio computed from a partial headline). */
+  private[graft] def baselineRatio(sfDir: String,
+      byName: Map[String, Double],
+      headline: Seq[(String, String)]): Option[Double] = {
+    val warms = headline.flatMap { case (_, n) => byName.get(n) }
+    if (sfName(sfDir).endsWith("sf1") && warms.size == headline.size)
+      Some(warms.sum / warms.size / BaselineBarSec)
+    else None
+  }
+
   private[graft] def writeArtifacts(results: Seq[(String, Double, Double)],
       sfDir: String, subset: Boolean, baseDir: String = ".",
       probe: BoxProbe = BoxProbe(0.0, 0.0, 0.0, 0.0)): (String, String) = {
@@ -286,20 +328,26 @@ object Bench {
       "q3" -> "transit_q3_weekday", "q4" -> "transit_q4_weekday")
     val byName = results.map(r => r._1 -> r._3).toMap
     val headMap = headline.collect { case (alias, n) if byName.contains(n) =>
-      f""""$alias":${byName(n)}%.3f""" }.mkString("{", ",", "}")
+      s""""$alias":${d3(byName(n))}""" }.mkString("{", ",", "}")
     val famMap = results.groupBy(_._1.takeWhile(_ != '_'))
       .toSeq.sortBy(_._1)
-      .map { case (fam, rs) => f""""$fam":${rs.map(_._3).sum}%.3f""" }
+      .map { case (fam, rs) => s""""$fam":${d3(rs.map(_._3).sum)}""" }
       .mkString("{", ",", "}")
     val full = results.map { case (n, c, w) =>
-      "\"" + n + f"""\":{"cold":$c%.3f,"warm":$w%.3f}"""
+      "\"" + n + s"""":{"cold":${d3(c)},"warm":${d3(w)}}"""
     }.mkString("{", ",", "}")
     // the probe rides BOTH lines: the contract line is what the driver
     // archives (BENCH_r{N}.json), the sidecar is what standing_scaling.py
     // reads — cross-epoch flagging needs it in the committed artifact
     val probeJson = probe.json
+    // baseline-contract ratio, sf1 boards only (rides both lines like the
+    // probe: the sidecar is the machine-read artifact, the contract line
+    // the judge-archived one)
+    val baseJson = baselineRatio(sfDir, byName, headline).map { r =>
+      s""","baseline_ratio":${d3(r)},"baseline_bar_sec":${d3(BaselineBarSec)}"""
+    }.getOrElse("")
     val fullLine =
-      f"""{"metric":"total_query_time","value":$totalWarm%.3f,"unit":"sec","total_cold":$totalCold%.3f,"epoch_probe":$probeJson,"sf":"$sfDir","queries":$full}"""
+      s"""{"metric":"total_query_time","value":${d3(totalWarm)},"unit":"sec","total_cold":${d3(totalCold)},"epoch_probe":$probeJson$baseJson,"sf":"$sfDir","queries":$full}"""
     val outs = sidecarPaths(sfDir, subset)
     for (path <- outs) {
       val out = java.nio.file.Paths.get(baseDir).resolve(path)
@@ -308,7 +356,7 @@ object Bench {
         (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     val line =
-      f"""{"metric":"total_query_time","value":$totalWarm%.3f,"unit":"sec","total_cold":$totalCold%.3f,"n_queries":${results.size},"queries":$headMap,"families_warm":$famMap,"epoch_probe":$probeJson,"full_map":"${outs.last}","full_map_sha256_8":"${sha8(fullLine)}","sf":"$sfDir"}"""
+      s"""{"metric":"total_query_time","value":${d3(totalWarm)},"unit":"sec","total_cold":${d3(totalCold)},"n_queries":${results.size},"queries":$headMap,"families_warm":$famMap,"epoch_probe":$probeJson$baseJson,"full_map":"${outs.last}","full_map_sha256_8":"${sha8(fullLine)}","sf":"$sfDir"}"""
     (line, fullLine)
   }
 

@@ -145,7 +145,19 @@ object GtfsWriter {
     val c103 = !c101 && tid % 103 === 0
     val c107 = !c101 && !c103 && tid % 107 === 0
     val c109 = !c101 && !c103 && !c107 && tid % 109 === 0
-    val c113 = !c101 && !c103 && !c107 && !c109 && tid % 113 === 0
+    // SPARK_GRAFT_CORRUPT_CLASSES=4 is an A/B-ONLY lever (unset in every
+    // registered run): it restores the r14 four-class fixture so the r15
+    // flag on this face — the one round-15 divergence where a code change
+    // (this fifth class) and a ~2x board move coincided — can be
+    // adjudicated by a solo old-vs-new A/B in one session (VERDICT r15
+    // ask #2). The oracle always expects five classes; a lever-set run
+    // would hash-mismatch, which is exactly why it stays an env lever and
+    // not a parameter.
+    val fourClassFixture =
+      sys.env.get("SPARK_GRAFT_CORRUPT_CLASSES").contains("4")
+    val c113 =
+      if (fourClassFixture) lit(false)
+      else !c101 && !c103 && !c107 && !c109 && tid % 113 === 0
     def s(c: org.apache.spark.sql.Column) = coalesce(c.cast("string"), lit(""))
     val depStr = when(c101, lit("26:99:XX"))
       .otherwise(GtfsTime.gtfsString(col("dep_secs")))

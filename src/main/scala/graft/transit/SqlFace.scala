@@ -187,7 +187,11 @@ object SqlFace {
     * not leave the child planning with the stale snapshot. Keys REMOVED
     * from the parent are not unset in the child (Spark's RuntimeConfig
     * has no diff API); in this codebase conf is only ever re-set, never
-    * unset. */
+    * unset. The clobber runs the OTHER way too (ADVICE r15): any conf set
+    * directly on a cached child is silently reverted to the parent's
+    * value at the next lookup — children must never be tuned directly;
+    * the parent's conf is authoritative on every hit. Tune the parent
+    * (e.g. via `Scale.tuneSessionGrid`) and let the copy propagate. */
   def sessionFor(parent: SparkSession, dir: String): SparkSession =
     tenants.synchronized {
       val byDir = Option(tenants.get(parent)).getOrElse {

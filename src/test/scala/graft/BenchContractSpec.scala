@@ -145,6 +145,66 @@ class BenchContractSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  test("baseline_ratio rides sf1 boards (both lines), absent elsewhere or on partial headlines") {
+    val dir = java.nio.file.Files.createTempDirectory("bench_contract_base")
+    try {
+      // full four-face headline at sf1: avg warm (1.2+1.8+1.2+1.8)/4 = 1.5,
+      // ratio = 1.5 / 6.0 = 0.25 — the mechanical bench_vs_baseline number
+      val sf1Results = Seq(
+        ("transit_q1_weekday", 2.0, 1.2), ("transit_q2_weekday", 2.5, 1.8),
+        ("transit_q3_weekday", 2.0, 1.2), ("transit_q4_weekday", 2.5, 1.8),
+        ("dedup_exact", 0.4, 0.3))
+      val (line, fullLine) = Bench.writeArtifacts(
+        sf1Results, "/tmp/testdata_sf1", subset = false, baseDir = dir.toString)
+      assert(om.readTree(line).get("baseline_ratio").asDouble == 0.25)
+      assert(om.readTree(line).get("baseline_bar_sec").asDouble == 6.0)
+      assert(om.readTree(fullLine).get("baseline_ratio").asDouble == 0.25)
+      // off-scale boards carry no ratio (the bar is published for the
+      // reference's ~4.3M-row feed; sf1 is the nearest engine scale) —
+      // and sf10/sf0.1 must not suffix-match the "sf1" check
+      for (sf <- Seq("/root/testdata/sf0.1", "/tmp/testdata_sf10",
+          "/root/testdata/sf0.01")) {
+        val (l, f) = Bench.writeArtifacts(sf1Results, sf, subset = true,
+          baseDir = dir.toString)
+        assert(!om.readTree(l).has("baseline_ratio"), sf)
+        assert(!om.readTree(f).has("baseline_ratio"), sf)
+      }
+      // a partial headline (subset run) must not emit a ratio computed
+      // from fewer than all four faces
+      val (pl, pf) = Bench.writeArtifacts(sf1Results.take(2),
+        "/tmp/testdata_sf1", subset = true, baseDir = dir.toString)
+      assert(!om.readTree(pl).has("baseline_ratio"))
+      assert(!om.readTree(pf).has("baseline_ratio"))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  test("artifacts are locale-independent (comma-decimal default locale, ADVICE r15)") {
+    val dir = java.nio.file.Files.createTempDirectory("bench_contract_locale")
+    val prev = java.util.Locale.getDefault
+    // fr_FR formats %.3f as "4,321" — before the Locale.ROOT fix that
+    // corrupted every sidecar, ledger row and contract line at once
+    java.util.Locale.setDefault(java.util.Locale.FRANCE)
+    try {
+      val p = Bench.BoxProbe(4.321, 1.234, 0.567, 0.089)
+      assert(p.json.contains("\"cpu_sec\":4.321"), p.json)
+      om.readTree(p.json) // throws on a comma decimal
+      val (line, fullLine) = Bench.writeArtifacts(
+        results, "/x/testdata/sf0.1", subset = false, baseDir = dir.toString,
+        probe = p)
+      assert(om.readTree(line).get("value").asDouble == 2.4)
+      assert(om.readTree(fullLine).get("queries").get("dedup_exact")
+        .get("warm").asDouble == 0.3)
+      assert(!line.contains(",\"warm\":0,3") && !line.contains("4,321"), line)
+      Bench.appendEpochLedger(p, "locale-spec", baseDir = dir.toString)
+      val row = om.readTree(java.nio.file.Files.readAllLines(
+        dir.resolve("reports/epoch_ledger.jsonl")).get(0))
+      assert(row.get("cpu_sec").asDouble == 4.321)
+    } finally {
+      java.util.Locale.setDefault(prev)
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("probe work sizes are PINNED — resizing re-bases the epoch time-series") {
     // Comparability contract: every ledger row / sidecar probe was
     // measured at exactly these sizes. A resize must come with a leg

@@ -17,7 +17,21 @@ Usage:
   # asks #1b+#5: probe-normalized ratios + the >1.15x same-code
   # board-divergence transfer check (flags even when probes agree)
   python3 tools/standing_scaling.py --cross-round \
-    <sidecarA.json> <sidecarB.json> [--out reports/cross_round.json]
+    <sidecarA.json> <sidecarB.json> [--out reports/cross_round.json] \
+    [--bands reports/face_bands_sf01.json] \
+    [--tolerances reports/epoch_tolerances.json]
+
+  # per-face empirical variance bands (VERDICT r15 ask #1): observed
+  # max/min warm swing per face across N same-code same-SF sidecars,
+  # consumed by --cross-round --bands in place of the flat 2x face cut
+  python3 tools/standing_scaling.py --face-bands \
+    <sidecar1.json> <sidecar2.json> [...] --out reports/face_bands_sf01.json
+
+  # ledger-derived probe tolerances (VERDICT r15 ask #4): per-leg idle
+  # bands from reports/epoch_ledger.jsonl, consumed by --cross-round
+  # --tolerances in place of the hand-pinned EPOCH_TOL constants
+  python3 tools/standing_scaling.py --ledger-bands \
+    reports/epoch_ledger.jsonl --out reports/epoch_tolerances.json
 
 Replaces the per-round scaling_r*.json / scaling_sf10_r*.json forks.
 Exits nonzero if a flagged query has no adjudication entry.
@@ -54,7 +68,8 @@ ZERO_SMALL_FLOOR = 5.0
 EPOCH_TOL = {"cpu_sec": 0.10, "disk_sec": 0.25,
              "par_cpu_sec": 0.12, "rfsync_sec": 0.20}
 
-def epoch_cmp(small, large):
+def epoch_cmp(small, large, tolerances=None):
+    tols = tolerances or EPOCH_TOL
     es, el = small.get("epoch_probe"), large.get("epoch_probe")
     if not es or not el:
         return {"comparable": False,
@@ -69,12 +84,17 @@ def epoch_cmp(small, large):
                           "(writeArtifacts default — probe omitted)"}
     out = {"comparable": True, "small": es, "large": el,
            "cross_epoch": False, "components": {}}
-    for k, tol in EPOCH_TOL.items():
+    for k in EPOCH_TOL:
+        tol = tols.get(k, EPOCH_TOL[k])
         a, b = es.get(k), el.get(k)
         if not a or not b or a <= 0:
             continue
         r = round(b / a, 3)
-        flag = abs(r - 1.0) > tol
+        # symmetric in ratio space (ADVICE r15): abs(r-1) flags a
+        # 1.21x-slower leg but not its 0.80x (=1.25x-faster) mirror; the
+        # epoch question is direction-independent, and the board-divergence
+        # check already uses max(r, 1/r) — keep the two consistent
+        flag = max(r, 1.0 / r) - 1.0 > tol
         out["components"][k] = {"ratio": r, "tolerance": tol, "flag": flag}
         if flag:
             out["cross_epoch"] = True
@@ -124,12 +144,30 @@ def decade(small_path, large_path):
 # per-query ratios must be read as (code delta) x (epoch delta).
 BOARD_DIVERGENCE_TOL = 1.15
 # per-query divergent-face report: ratio beyond this in either direction
-# AND at least one leg above the floor (sub-second faces jitter)
+# AND at least one leg above the floor (sub-second faces jitter). The flat
+# cut is the FALLBACK for faces with no empirical band (VERDICT r15 ask
+# #1: the flat 2x both over-flagged transit_gtfs_corrupt, a face whose
+# measured same-code band is 2-3x, and under-flagged tight cpu faces).
 FACE_RATIO_TOL = 2.0
 FACE_TIME_FLOOR = 0.5
+# band-based cut: a face with an empirical band flags only OUTSIDE
+# swing*MARGIN (five boards under-sample the true window — headroom), and
+# never below FLOOR (a face whose five readings happened to agree to 2%
+# must not flag at 1.1x — that is idle jitter, not a finding)
+BAND_MARGIN = 1.25
+BAND_FLOOR = 1.3
 
-def cross_round(path_a, path_b, out_path):
+def face_allowed(band):
+    """Max symmetric ratio a banded face may move before flagging."""
+    return max(BAND_FLOOR, band["swing"] * BAND_MARGIN)
+
+def cross_round(path_a, path_b, out_path, bands_path=None, tol_path=None):
     a, b = json.load(open(path_a)), json.load(open(path_b))
+    bands = json.load(open(bands_path))["faces"] if bands_path else {}
+    tolerances = None
+    if tol_path:
+        tolerances = {k: v["tolerance"]
+                      for k, v in json.load(open(tol_path))["legs"].items()}
     qs = {}
     for k in sorted(a["queries"]):
         vb = b["queries"].get(k)
@@ -141,14 +179,30 @@ def cross_round(path_a, path_b, out_path):
     total_a = round(sum(v["t_a"] for v in qs.values()), 1)
     total_b = round(sum(v["t_b"] for v in qs.values()), 1)
     total_ratio = round(total_b / total_a, 3) if total_a > 0 else None
-    epoch = epoch_cmp(a, b)
+    epoch = epoch_cmp(a, b, tolerances)
     diverged = (total_ratio is not None and
                 max(total_ratio, 1.0 / total_ratio) > BOARD_DIVERGENCE_TOL)
-    faces = sorted(
-        [k for k, v in qs.items()
-         if v["ratio"] and max(v["ratio"], 1.0 / v["ratio"]) > FACE_RATIO_TOL
-         and max(v["t_a"], v["t_b"]) > FACE_TIME_FLOOR],
-        key=lambda k: -max(qs[k]["ratio"], 1.0 / qs[k]["ratio"]))
+    def allowed_of(k):
+        return (round(face_allowed(bands[k]), 3) if k in bands
+                else FACE_RATIO_TOL)
+    def face_flags(k, v):
+        if max(v["t_a"], v["t_b"]) <= FACE_TIME_FLOOR:
+            return False
+        if not v["ratio"]:
+            # t_a == 0 with a real t_b is the MOST divergent shape, not an
+            # innocent one (ADVICE r15: the truthiness filter dropped it)
+            return True
+        return max(v["ratio"], 1.0 / v["ratio"]) > allowed_of(k)
+    def face_sev(k):
+        v = qs[k]
+        return (max(v["t_a"], v["t_b"]) * 1e9 if not v["ratio"]
+                else max(v["ratio"], 1.0 / v["ratio"]))
+    faces = sorted([k for k, v in qs.items() if face_flags(k, v)],
+                   key=lambda k: -face_sev(k))
+    for k in faces:
+        qs[k]["allowed"] = allowed_of(k)
+        if k in bands:
+            qs[k]["band_swing"] = bands[k]["swing"]
     fams = {}
     for k, v in qs.items():
         fam = k.split("_")[0]
@@ -177,6 +231,12 @@ def cross_round(path_a, path_b, out_path):
         "board_divergence_tolerance": BOARD_DIVERGENCE_TOL,
         "board_divergence": diverged,
         "epoch": epoch,
+        "face_cut": ({"mode": "empirical_bands", "source": bands_path,
+                      "n_banded": len(bands), "margin": BAND_MARGIN,
+                      "floor": BAND_FLOOR,
+                      "fallback_flat": FACE_RATIO_TOL} if bands_path
+                     else {"mode": "flat", "ratio_tol": FACE_RATIO_TOL}),
+        "epoch_tolerances_source": tol_path or "hand-pinned EPOCH_TOL",
         "total_ratio_probe_normalized": normalized,
         "divergent_faces": {k: qs[k] for k in faces},
         "family_ratios": fam_ratios,
@@ -203,24 +263,134 @@ def cross_round(path_a, path_b, out_path):
                  else " (probe components all inside tolerance — the r14 "
                       "under-resolution class)"))
     if faces:
-        worst = ", ".join(f"{k} {qs[k]['ratio']}x" for k in faces[:8])
-        print(f"  divergent faces (> {FACE_RATIO_TOL}x, > {FACE_TIME_FLOOR}s):"
-              f" {worst}" + (" ..." if len(faces) > 8 else ""))
+        def show(k):
+            v = qs[k]
+            r = f"{v['ratio']}x" if v["ratio"] else \
+                f"t_a={v['t_a']}s t_b={v['t_b']}s (no ratio)"
+            return f"{k} {r} (allowed {v['allowed']}x)"
+        worst = ", ".join(show(k) for k in faces[:8])
+        cut = "per-face bands" if bands_path else f"flat {FACE_RATIO_TOL}x"
+        print(f"  divergent faces ({cut}, > {FACE_TIME_FLOOR}s): {worst}"
+              + (" ..." if len(faces) > 8 else ""))
     print(f"wrote {out_path}")
     return 0
+
+def face_bands(paths, out_path):
+    """Per-face empirical variance bands (VERDICT r15 ask #1): the observed
+    max/min warm-time swing of every face across N same-code same-SF
+    sidecars. fsync-family faces measure 2-3x on this box while cpu-bound
+    faces sit under 1.2x — one flat cut cannot serve both, so the
+    cross-round transfer check consumes these bands instead."""
+    boards = [(p, json.load(open(p))) for p in paths]
+    sfs = {b.get("sf") for _, b in boards}
+    names = set(boards[0][1]["queries"])
+    for _, b in boards[1:]:
+        names &= set(b["queries"])
+    faces = {}
+    for k in sorted(names):
+        ts = [t_of(b["queries"][k]) for _, b in boards]
+        lo, hi = min(ts), max(ts)
+        faces[k] = {"n": len(ts), "t_min": round(lo, 3), "t_max": round(hi, 3),
+                    # floor the denominator: a 0.000 reading would make the
+                    # swing infinite; 1 ms is below every real face's cost
+                    "swing": round(hi / max(lo, 0.001), 3)}
+    out = {"method": "per-face max/min warm ratio across same-code same-SF "
+                     "boards; cross-round flags only outside "
+                     f"swing*{BAND_MARGIN} (floor {BAND_FLOOR}x)",
+           "boards": list(paths), "sfs": sorted(s for s in sfs if s),
+           "n_faces": len(faces), "faces": faces}
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    widest = sorted(faces, key=lambda k: -faces[k]["swing"])[:8]
+    print(f"face-bands: {len(paths)} boards, {len(faces)} common faces")
+    if len(sfs) > 1:
+        print(f"  WARNING: boards span multiple sf tags {sorted(map(str, sfs))}"
+              f" — bands only mean something within one SF")
+    print("  widest: " + ", ".join(f"{k} {faces[k]['swing']}x" for k in widest))
+    print(f"wrote {out_path}")
+    return 0
+
+# ledger-derived probe tolerances (VERDICT r15 ask #4). The hand-pinned
+# EPOCH_TOL constants were inferred from a handful of readings; the ledger
+# now holds dozens. Derivation per leg: robust-filter the rows (drop any
+# outside [median/OUTLIER_CUT, median*OUTLIER_CUT] — the ledger carries
+# four pre-pin r15 rows taken at SMALLER leg sizes before the size-pin
+# landed, ~2x/20x off, and those must not widen the idle band), then
+# tolerance = max deviation from the median in symmetric-ratio terms,
+# with LEDGER_HEADROOM for the under-sampled tail, floored at TOL_FLOOR.
+LEDGER_OUTLIER_CUT = 1.7
+LEDGER_HEADROOM = 1.25
+LEDGER_TOL_FLOOR = 0.05
+
+def ledger_bands(ledger_path, out_path):
+    rows = [json.loads(l) for l in open(ledger_path) if l.strip()]
+    legs = {}
+    for k in EPOCH_TOL:
+        vs = sorted(r[k] for r in rows if r.get(k, 0) > 0)
+        if not vs:
+            continue
+        med = vs[len(vs) // 2]
+        used = [v for v in vs
+                if med / LEDGER_OUTLIER_CUT <= v <= med * LEDGER_OUTLIER_CUT]
+        excluded = [v for v in vs if v not in used]
+        dev = max(max(used) / med, med / min(used)) - 1.0
+        tol = round(max(LEDGER_TOL_FLOOR, dev * LEDGER_HEADROOM), 3)
+        legs[k] = {"n_used": len(used), "n_excluded": len(excluded),
+                   "excluded": [round(v, 3) for v in excluded],
+                   "min": round(min(used), 3), "median": round(med, 3),
+                   "max": round(max(used), 3),
+                   "max_deviation": round(dev, 3),
+                   "tolerance": tol, "hand_pinned": EPOCH_TOL[k]}
+    out = {"method": "per-leg idle band from the standing epoch ledger: "
+                     f"median-filter at {LEDGER_OUTLIER_CUT}x (drops pre-pin "
+                     "rows measured at different leg sizes), tolerance = max "
+                     f"symmetric deviation * {LEDGER_HEADROOM} headroom, "
+                     f"floor {LEDGER_TOL_FLOOR}",
+           "ledger": ledger_path, "n_rows": len(rows), "legs": legs}
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    for k, v in legs.items():
+        print(f"ledger-bands {k}: n={v['n_used']} (excl {v['n_excluded']}) "
+              f"median={v['median']} band=[{v['min']}, {v['max']}] "
+              f"tol={v['tolerance']} (hand-pinned {v['hand_pinned']})")
+    print(f"wrote {out_path}")
+    return 0
+
+def pop_opt(rest, name, default=None):
+    if name in rest:
+        i = rest.index(name)
+        val = rest[i + 1]
+        del rest[i:i + 2]
+        return val
+    return default
 
 def main():
     if len(sys.argv) >= 2 and sys.argv[1] == "--cross-round":
         rest = sys.argv[2:]
-        out_path = "reports/cross_round.json"
-        if "--out" in rest:
-            i = rest.index("--out")
-            out_path = rest[i + 1]
-            rest = rest[:i] + rest[i + 2:]
+        out_path = pop_opt(rest, "--out", "reports/cross_round.json")
+        bands_path = pop_opt(rest, "--bands")
+        tol_path = pop_opt(rest, "--tolerances")
         if len(rest) != 2:
             sys.exit("usage: standing_scaling.py --cross-round <sidecarA>"
-                     " <sidecarB> [--out path]")
-        sys.exit(cross_round(rest[0], rest[1], out_path))
+                     " <sidecarB> [--out path] [--bands path]"
+                     " [--tolerances path]")
+        sys.exit(cross_round(rest[0], rest[1], out_path, bands_path, tol_path))
+    if len(sys.argv) >= 2 and sys.argv[1] == "--face-bands":
+        rest = sys.argv[2:]
+        out_path = pop_opt(rest, "--out", "reports/face_bands.json")
+        if len(rest) < 2:
+            sys.exit("usage: standing_scaling.py --face-bands <sidecar1>"
+                     " <sidecar2> [...] --out path")
+        sys.exit(face_bands(rest, out_path))
+    if len(sys.argv) >= 2 and sys.argv[1] == "--ledger-bands":
+        rest = sys.argv[2:]
+        out_path = pop_opt(rest, "--out", "reports/epoch_tolerances.json")
+        if len(rest) != 1:
+            sys.exit("usage: standing_scaling.py --ledger-bands <ledger.jsonl>"
+                     " [--out path]")
+        sys.exit(ledger_bands(rest[0], out_path))
     paths = sys.argv[1:5]
     if len(paths) != 4:
         sys.exit(__doc__)
