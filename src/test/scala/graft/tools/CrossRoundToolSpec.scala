@@ -198,21 +198,27 @@ class CrossRoundToolSpec extends AnyFunSuite {
     assume(havePython, "python3 not on PATH")
     val dir = Files.createTempDirectory("cross_round_ledger")
     try {
-      // fixture ledger: three pinned-size rows plus one pre-pin outlier
+      // fixture ledger: three idle pinned-size rows, one pre-pin outlier
       // (the real ledger carries four such rows measured at smaller leg
-      // sizes before the size-pin landed — they must not widen the band)
+      // sizes before the size-pin landed — they must not widen the band),
+      // and one probe bracketing a load experiment (idle-context filter:
+      // deliberately-loaded readings must not widen the band either)
       val ledger = dir.resolve("ledger.jsonl")
       val rows = Seq(
-        """{"ts_ms":1,"cpu_sec":7.2,"disk_sec":2.0,"par_cpu_sec":2.2,"rfsync_sec":0.45,"context":"a"}""",
-        """{"ts_ms":2,"cpu_sec":7.4,"disk_sec":2.1,"par_cpu_sec":2.25,"rfsync_sec":0.46,"context":"b"}""",
-        """{"ts_ms":3,"cpu_sec":7.5,"disk_sec":2.2,"par_cpu_sec":2.3,"rfsync_sec":0.47,"context":"c"}""",
-        """{"ts_ms":4,"cpu_sec":3.0,"disk_sec":0.9,"par_cpu_sec":1.05,"rfsync_sec":0.02,"context":"pre-pin"}""")
+        """{"ts_ms":1,"cpu_sec":7.2,"disk_sec":2.0,"par_cpu_sec":2.2,"rfsync_sec":0.45,"context":"bench:sf0.1"}""",
+        """{"ts_ms":2,"cpu_sec":7.4,"disk_sec":2.1,"par_cpu_sec":2.25,"rfsync_sec":0.46,"context":"standalone"}""",
+        """{"ts_ms":3,"cpu_sec":7.5,"disk_sec":2.2,"par_cpu_sec":2.3,"rfsync_sec":0.47,"context":"repeatability-1"}""",
+        """{"ts_ms":4,"cpu_sec":3.0,"disk_sec":0.9,"par_cpu_sec":1.05,"rfsync_sec":0.02,"context":"repeatability-0-pre-pin"}""",
+        """{"ts_ms":5,"cpu_sec":8.9,"disk_sec":3.4,"par_cpu_sec":3.3,"rfsync_sec":1.8,"context":"gtfs-ab-post"}""")
       Files.write(ledger, rows.mkString("", "\n", "\n").getBytes(UTF_8))
       val tolPath = dir.resolve("tol.json")
       val (lrc, ltext) = runTool(Seq("--ledger-bands", ledger.toString,
         "--out", tolPath.toString))
       assert(lrc == 0, ltext)
       val tnode = om.readTree(Files.readAllBytes(tolPath))
+      assert(tnode.get("n_rows_idle").asInt == 4,
+        "the loaded gtfs-ab bracket row must be dropped by context")
+      assert(tnode.get("contexts_dropped").get(0).asText == "gtfs-ab-post")
       val cpu = tnode.get("legs").get("cpu_sec")
       assert(cpu.get("n_used").asInt == 3)
       assert(cpu.get("n_excluded").asInt == 1,

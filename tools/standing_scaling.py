@@ -313,18 +313,28 @@ def face_bands(paths, out_path):
 
 # ledger-derived probe tolerances (VERDICT r15 ask #4). The hand-pinned
 # EPOCH_TOL constants were inferred from a handful of readings; the ledger
-# now holds dozens. Derivation per leg: robust-filter the rows (drop any
-# outside [median/OUTLIER_CUT, median*OUTLIER_CUT] — the ledger carries
-# four pre-pin r15 rows taken at SMALLER leg sizes before the size-pin
-# landed, ~2x/20x off, and those must not widen the idle band), then
-# tolerance = max deviation from the median in symmetric-ratio terms,
-# with LEDGER_HEADROOM for the under-sampled tail, floored at TOL_FLOOR.
+# now holds dozens. Derivation per leg: keep only IDLE-CLASS contexts
+# (boards probe in the untimed pre-Spark window of an otherwise idle box;
+# standalone/repeatability/pre-chain readings are idle by construction —
+# but probes BRACKETING load experiments, e.g. the r16 gtfs-ab pre/post
+# pair, deliberately measure a loaded window and must not widen the idle
+# band), then robust-filter the rows (drop any outside
+# [median/OUTLIER_CUT, median*OUTLIER_CUT] — the ledger carries four
+# pre-pin r15 rows taken at SMALLER leg sizes before the size-pin landed,
+# ~2x/20x off), then tolerance = max deviation from the median in
+# symmetric-ratio terms, with LEDGER_HEADROOM for the under-sampled tail,
+# floored at TOL_FLOOR.
 LEDGER_OUTLIER_CUT = 1.7
 LEDGER_HEADROOM = 1.25
 LEDGER_TOL_FLOOR = 0.05
+LEDGER_IDLE_CONTEXTS = "bench:|pre-chain|standalone|repeatability"
 
-def ledger_bands(ledger_path, out_path):
-    rows = [json.loads(l) for l in open(ledger_path) if l.strip()]
+def ledger_bands(ledger_path, out_path, contexts=LEDGER_IDLE_CONTEXTS):
+    import re
+    all_rows = [json.loads(l) for l in open(ledger_path) if l.strip()]
+    rows = [r for r in all_rows if re.search(contexts, r.get("context", ""))]
+    dropped = sorted({r.get("context", "") for r in all_rows
+                      if r not in rows})
     legs = {}
     for k in EPOCH_TOL:
         vs = sorted(r[k] for r in rows if r.get(k, 0) > 0)
@@ -343,14 +353,20 @@ def ledger_bands(ledger_path, out_path):
                    "max_deviation": round(dev, 3),
                    "tolerance": tol, "hand_pinned": EPOCH_TOL[k]}
     out = {"method": "per-leg idle band from the standing epoch ledger: "
+                     f"idle-context filter /{contexts}/ (probes bracketing "
+                     "load experiments are deliberately non-idle), then "
                      f"median-filter at {LEDGER_OUTLIER_CUT}x (drops pre-pin "
                      "rows measured at different leg sizes), tolerance = max "
                      f"symmetric deviation * {LEDGER_HEADROOM} headroom, "
                      f"floor {LEDGER_TOL_FLOOR}",
-           "ledger": ledger_path, "n_rows": len(rows), "legs": legs}
+           "ledger": ledger_path, "contexts": contexts,
+           "n_rows_total": len(all_rows), "n_rows_idle": len(rows),
+           "contexts_dropped": dropped, "legs": legs}
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
+    if dropped:
+        print(f"ledger-bands: dropped non-idle contexts: {dropped}")
     for k, v in legs.items():
         print(f"ledger-bands {k}: n={v['n_used']} (excl {v['n_excluded']}) "
               f"median={v['median']} band=[{v['min']}, {v['max']}] "
@@ -387,10 +403,11 @@ def main():
     if len(sys.argv) >= 2 and sys.argv[1] == "--ledger-bands":
         rest = sys.argv[2:]
         out_path = pop_opt(rest, "--out", "reports/epoch_tolerances.json")
+        contexts = pop_opt(rest, "--contexts", LEDGER_IDLE_CONTEXTS)
         if len(rest) != 1:
             sys.exit("usage: standing_scaling.py --ledger-bands <ledger.jsonl>"
-                     " [--out path]")
-        sys.exit(ledger_bands(rest[0], out_path))
+                     " [--out path] [--contexts regex]")
+        sys.exit(ledger_bands(rest[0], out_path, contexts))
     paths = sys.argv[1:5]
     if len(paths) != 4:
         sys.exit(__doc__)
