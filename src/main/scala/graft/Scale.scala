@@ -290,6 +290,44 @@ object Scale {
     regime.grid
   }
 
+  /** Text-sink bytes one write task should own. Small enough that a
+    * small-SF feed write engages several cores (the cost is the per-row
+    * format/encode, ~15 MB/s/core for GTFS strings), large enough that
+    * the output is never a spray of near-empty part files whose per-file
+    * open cost taxes every downstream re-scan (guide §6; the r16 A/B
+    * that widened straight to the 32-way session dial made the
+    * validation round trip SLOWER — five re-scans of 33 files each ate
+    * the write saving). */
+  val WriteBytesPerTask: Long = 4L << 20
+
+  /** Parallelize a NARROW sink leg (r16, guide §1.2/§6): when the frame's
+    * scan-side task count (plan-statistic bytes over the session's
+    * `files.maxPartitionBytes`) is below the text sink's data-sized
+    * parallelism target, round-robin repartition to that target BEFORE
+    * the sink's per-row format/encode projection runs — a small-SF fact
+    * scan is one 128 MB split, so its CSV/text sink leg otherwise runs
+    * the whole format+write on 1–2 cores while 30 idle (measured: the
+    * GTFS stop_times feed write was a single 1.9 s two-task job at
+    * sf0.1). The target is ceil(bytes·expansion / [[WriteBytesPerTask]])
+    * — `expansion` ≈ text-encoded bytes per scanned parquet byte —
+    * clamped to the session dial, so file sizes stay ~[[WriteBytesPerTask]]
+    * and tiny dims stay single-file. A no-op exactly when the scan is
+    * already at least target-wide (any real 100 TB fact scan), so no
+    * shuffle is ever added where the write is already parallel. Row set
+    * and values are partitioning-invariant, so every oracle hash is
+    * untouched by construction. */
+  def widenNarrowWrite(df: DataFrame, expansion: Double = 4.0): DataFrame = {
+    val spark = df.sparkSession
+    val floor = spark.sessionState.conf.numShufflePartitions
+    val split = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+    val bytes = BigDecimal(df.queryExecution.optimizedPlan.stats.sizeInBytes)
+    val target = clamp(
+      (bytes * expansion / WriteBytesPerTask)
+        .setScale(0, BigDecimal.RoundingMode.CEILING).toLong, 1, floor)
+    val scanTasks = (bytes / split).setScale(0, BigDecimal.RoundingMode.CEILING)
+    if (scanTasks < target) df.repartition(target) else df
+  }
+
   /** Explicit-repartition size for a heavy stage fed by `df`: scan bytes
     * (Catalyst plan statistics — parquet footer sizes, no job) times the
     * stage's expansion factor, in 64 MB units, floored at the session's

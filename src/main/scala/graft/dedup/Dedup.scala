@@ -589,23 +589,26 @@ object Dedup {
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
-      val viaNeighbor = edges
+      // ONE join per round (r16, guide §2.4 "remove shuffles outright"):
+      // neighbor propagation and pointer jumping are the SAME lookup —
+      // "take the label of X" for X = my neighbor (graph edge src→dst)
+      // and X = my current label (parent edge cluster_id→doc_id) — so the
+      // two edge sets union BEFORE the label join and the round pays one
+      // probe-side exchange + one join instead of two of each. Pointer
+      // jumping still halves the remaining diameter each round (O(log n)
+      // rounds instead of O(diameter)); the label sets each round sees
+      // are identical to the two-join form by construction.
+      val hopEdges = edges.unionByName(
+        labels.select(col("cluster_id").as("src"), col("doc_id").as("dst")))
+      val viaHop = hopEdges
         .join(labels, col("src") === col("doc_id"))
         .select(col("dst").as("doc_id"), col("cluster_id"))
-      // pointer jumping: also adopt the label OF my current label —
-      // halves the remaining diameter each round (O(log n) rounds
-      // instead of O(diameter))
-      val viaParent = labels.as("x")
-        .join(labels.as("y"), col("x.cluster_id") === col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_id"), col("y.cluster_id").as("cluster_id"))
       // The previous label rides the union as a tagged column, so the
       // convergence check is a filter-count on the checkpointed result —
       // no per-round join against the previous frame.
       val next = labels.select(col("doc_id"), col("cluster_id"),
           col("cluster_id").as("prev"))
-        .unionByName(viaNeighbor.select(col("doc_id"), col("cluster_id"),
-          lit(null).cast("long").as("prev")))
-        .unionByName(viaParent.select(col("doc_id"), col("cluster_id"),
+        .unionByName(viaHop.select(col("doc_id"), col("cluster_id"),
           lit(null).cast("long").as("prev")))
         .groupBy(col("doc_id"))
         .agg(min(col("cluster_id")).as("cluster_id"),

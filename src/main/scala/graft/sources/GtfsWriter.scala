@@ -40,8 +40,15 @@ object GtfsWriter {
     // stays partition-parallel like stop_times.
     def csvDim(df: org.apache.spark.sql.DataFrame, name: String): Unit =
       csv(df.coalesce(1), name)
-
-    csv(t.stopTimes.select(
+    // Fact-sized tables widen to the session dial when their scan is
+    // narrower than it (graft.Scale.widenNarrowWrite): the GTFS string
+    // formatting (gtfsString × 2 + CSV encode) is the write leg's cost,
+    // and a small-SF scan is one 128 MB split — the r16 job profile
+    // showed this write as a single 1.9 s two-task job on 32 cores. The
+    // repartition sits UNDER the format projection, so the formatting
+    // itself parallelizes; at 100 TB the scan is already cluster-wide
+    // and the helper is a no-op (no added shuffle at scale).
+    csv(graft.Scale.widenNarrowWrite(t.stopTimes).select(
       col("trip_id").cast("string").as("trip_id"),
       GtfsTime.gtfsString(col("arr_secs")).as("arrival_time"),
       GtfsTime.gtfsString(col("dep_secs")).as("departure_time"),
@@ -52,7 +59,7 @@ object GtfsWriter {
       lit(null).cast("short").as("drop_off_type"),
       col("shape_dist").cast("float").as("shape_dist_traveled")), "stop_times")
 
-    csv(t.trips.select(
+    csv(graft.Scale.widenNarrowWrite(t.trips).select(
       col("trip_id").cast("string").as("trip_id"),
       col("route_id").cast("string").as("route_id"),
       col("service_id").cast("string").as("service_id"),
@@ -146,7 +153,11 @@ object GtfsWriter {
     import spark.implicits._
     val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val feed = s"target/tmp/gtfs_corrupt_$key/stop_times.txt"
-    val st = TransitTables.fromTpch(spark, sfDir).stopTimes
+    // widen the narrow small-SF scan BEFORE the mangle projection so the
+    // gtfsString/concat_ws formatting and the text write parallelize
+    // across the session (same rationale as writeFeed; no-op at scale)
+    val st = graft.Scale.widenNarrowWrite(
+      TransitTables.fromTpch(spark, sfDir).stopTimes)
     val tid = col("trip_id")
     val c101 = tid % 101 === 0
     val c103 = !c101 && tid % 103 === 0

@@ -15,8 +15,28 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Inferred schema per (sfDir, table), cached for the life of the JVM
+    * (r16, guide §1.2 — per-task work includes the DRIVER's): a bare
+    * `spark.read.parquet(path)` runs footer schema inference on EVERY
+    * construction — measured ~0.25 s per call on this box — and a 296-
+    * query board constructs each base table thousands of times (a single
+    * dedup face constructs `documents` 3–5×). The schema of a driver-
+    * provided table never changes within a run, so one inference per
+    * (dir, table) is the honest cost; this caches METADATA only — no
+    * result rows, no statistics — and the construction becomes
+    * `spark.read.schema(cached).parquet(path)`, byte-identical plans.
+    * Keyed by sfDir so multi-SF sessions (Verify at one SF + a bench at
+    * another) can never cross-wire schemas. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      org.apache.spark.sql.types.StructType]()
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val sch = schemaCache.computeIfAbsent((sfDir, name),
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(sch).parquet(path)
+  }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")

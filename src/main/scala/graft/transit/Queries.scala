@@ -659,8 +659,16 @@ object Queries {
     val sym = und.select(col("u").as("s"), col("v").as("t"))
       .union(und.select(col("v").as("s"), col("u").as("t")))
       .localCheckpoint(true)
-    val kdf = sym.agg(
+    // k is a single scalar over the already-checkpointed edge list: fetch
+    // it ONCE with the eager staging pattern (stageEdges/dupSpans
+    // precedent) instead of re-running the aggregate + a broadcast
+    // exchange inside every round's plan — the r16 job profile showed
+    // this face at 71 jobs, ~6 of them the per-round kdf broadcast. The
+    // value is identical (same expression, same frame), so the peel and
+    // the census are unchanged.
+    val kv = sym.agg(
       expr("(COUNT(*) * 19) DIV (20 * COUNT(DISTINCT s))").as("kv"))
+      .head.getLong(0)
     var state = sym.select(col("s").as("stop_id")).distinct()
       .withColumn("layer", lit(null).cast("int")).localCheckpoint(true)
     for (r <- 1 to rounds) {
@@ -671,8 +679,7 @@ object Queries {
         .groupBy(col("s")).agg(count(lit(1)).as("dg"))
       val removed = alive
         .join(deg.select(col("s").as("stop_id"), col("dg")), Seq("stop_id"), "left")
-        .crossJoin(broadcast(kdf))
-        .filter(coalesce(col("dg"), lit(0L)) < col("kv"))
+        .filter(coalesce(col("dg"), lit(0L)) < lit(kv))
         .select(col("stop_id"), lit(r).as("nl"))
       state = state.join(removed, Seq("stop_id"), "left")
         .select(col("stop_id"), coalesce(col("layer"), col("nl")).as("layer"))
@@ -823,8 +830,15 @@ object Queries {
     * sort; at 100 TB the label frame stays node-sized, never edge-sized. */
   def lpCommunities(t: TransitTables, rounds: Int = 3): DataFrame = {
     val und = undirectedEdges(t)
+    // checkpoint the edge frame and each round's labels (r16 — the one
+    // fixpoint in this file that was missing its lineage cuts): without
+    // them round k's plan embeds rounds 1..k−1 AND the fact-table
+    // self-join, and the 3-branch trajectory union re-plans/re-scans each
+    // earlier round once per branch (the CC-fixpoint rule everywhere
+    // else; values unchanged — the oracle unrolls the identical chain)
     val sym = und.select(col("u").as("s"), col("v").as("nbr"))
       .union(und.select(col("v").as("s"), col("u").as("nbr")))
+      .localCheckpoint(true)
     var labels = sym.select(col("s")).distinct().select(col("s"), col("s").as("lbl"))
     var trajectory: DataFrame = null
     for (k <- 1 to rounds) {
@@ -836,6 +850,7 @@ object Queries {
       labels = freq.groupBy(col("s"))
         .agg(min(struct((-col("cnt")).as("nc"), col("lbl"))).as("m"))
         .select(col("s"), col("m.lbl").as("lbl"))
+        .localCheckpoint(true)
       // coarsening trajectory: how fast the label space collapses is the
       // signal (the fixture graph goes 23 → 8 → 1 over three rounds)
       val summary = labels.groupBy(col("lbl")).agg(count(lit(1)).as("n"))
