@@ -47,16 +47,44 @@ object Queries {
       .agg(
         count(lit(1)).as("total_trip_events"),
         countDistinct(col("route_id")).as("num_unique_routes"))
+    q1FromCounts(counts, t.stops)
+      .orderBy(col("total_trip_events").desc, col("stop_id"))
+      .transform(limit.apply)
+  }
+
+  /** Q1's presentation step over an already-aggregated per-stop counts
+    * frame — UNORDERED/UNLIMITED: the live path appends its top-k above,
+    * the snapshot build ([[QueryService.buildSnapshot]]) writes it as-is
+    * (serving re-sorts every slice, so a sort before a partitioned write
+    * is a pure throwaway — guide §2.4). One definition of the dim join +
+    * 6-dp rounding, so live and snapshot cannot drift. `extra` columns
+    * (the snapshot's tag) ride through the select unchanged. */
+  private[transit] def q1FromCounts(counts: DataFrame, stops: DataFrame,
+      extra: Seq[String] = Nil): DataFrame =
     counts
-      .join(broadcast(t.stops), Seq("stop_id"))
-      .select(
+      .join(broadcast(stops), Seq("stop_id"))
+      .select(Seq(
         col("stop_id"), col("stop_code"), col("stop_name"),
         round(col("stop_lat"), 6).as("stop_lat"),
         round(col("stop_lon"), 6).as("stop_lon"),
         col("total_trip_events"), col("num_unique_routes"))
-      .orderBy(col("total_trip_events").desc, col("stop_id"))
-      .transform(limit.apply)
-  }
+        ++ extra.map(col): _*)
+
+  /** ONE fact pass for all four Q1/Q3 snapshot tags (r16, guide §1.2 "how
+    * many full passes are unavoidable"): per (service_id, stop_id,
+    * route_id), the trip-event count. Every per-service AND whole-week
+    * Q1/Q3 aggregate is an exact integer re-aggregation of this frame —
+    * Σc over routes = Q1's event count, group count = Q1's exact
+    * countDistinct(route) (the keys are already distinct), the key set is
+    * Q3's UniqueStopRoutes — so the snapshot build scans the fact table
+    * once instead of once per tag. Integer-exact: no double ever enters,
+    * the derived values are IDENTICAL to the per-tag plans', not merely
+    * close. */
+  private[transit] def q1ServiceStopRouteCounts(t: TransitTables): DataFrame =
+    t.stopTimes.select("trip_id", "stop_id")
+      .join(t.trips.select("trip_id", "route_id", "service_id"), "trip_id")
+      .groupBy(col("service_id"), col("stop_id"), col("route_id"))
+      .agg(count(lit(1)).as("c"))
 
   /** Q2 CTE `trip_stats`: per-trip duration (secs, from >24h-safe seconds
     * ints) and distance span, keeping trips longer than 60 s (data-quality
@@ -95,14 +123,7 @@ object Queries {
             avg(col("trip_distance")).as("avg_trip_distance_km"),
             (sum(col("trip_duration_seconds")).cast("double") / count(lit(1)) / 60.0).as("avg_duration_min"),
             avg(speed).as("avg_speed_kmh"))
-        perService
-          .groupBy(col("route_id"))
-          .agg(
-            sum(col("num_trips")).as("num_trips"),
-            (sum(col("avg_trip_distance_km") * col("num_trips")) / sum(col("num_trips"))).as("avg_trip_distance_km"),
-            (sum(col("avg_duration_min") * col("num_trips")) / sum(col("num_trips"))).as("avg_duration_min"),
-            lit(null).cast("double").as("duration_stddev_min"),
-            (sum(col("avg_speed_kmh") * col("num_trips")) / sum(col("num_trips"))).as("avg_speed_kmh"))
+        q2WeekWeighted(perService)
       case _ =>
         tripStats(t, service)
           .groupBy(col("route_id"))
@@ -113,34 +134,20 @@ object Queries {
             (stddev_pop(col("trip_duration_seconds").cast("double")) / 60.0).as("duration_stddev_min"),
             avg(speed).as("avg_speed_kmh"))
     }
-    stats
-      .join(broadcast(t.routes), Seq("route_id"))
-      .select(
-        col("route_id"), col("route_long_name"), col("route_short_name"),
-        col("num_trips"),
-        round(col("avg_trip_distance_km"), 4).as("avg_trip_distance_km"),
-        round(col("avg_duration_min"), 4).as("avg_duration_min"),
-        round(col("duration_stddev_min"), 4).as("duration_stddev_min"),
-        round(col("avg_speed_kmh"), 4).as("avg_speed_kmh"))
+    q2FromStats(stats, t.routes)
       .orderBy(col("avg_duration_min").desc, col("route_id"))
       .transform(limit.apply)
   }
 
-  /** Q2's whole-week per-service DETAIL rows for the top-k globally-ranked
-    * routes — the reference computes the rank query, collects the selected
-    * route names in Python, and filters the per-service rows against that
-    * set (reference `SQL/sql_utils.py:230-243`); here the app-side set
-    * membership is the J5 `left_semi` join against the rank frame. */
-  def q2ServiceDetail(t: TransitTables, limit: Limit = Limit.default): DataFrame = {
+  /** Q2's per-(route, service) stats base — the full 5-column aggregate
+    * over [[tripStats]] (shared by [[q2ServiceDetail]] and the snapshot
+    * build, which re-derives every per-service AND whole-week tag from
+    * this one fact pass; the stddev column simply goes unused by the
+    * whole-week weighting, exactly as in [[q2ServiceDetail]]). */
+  private[transit] def q2PerServiceStats(t: TransitTables): DataFrame = {
     val speed = col("trip_distance") /
       nullif(col("trip_duration_seconds").cast("double"), lit(0.0)) * 3600.0
-    // one per-service aggregation feeds BOTH the global rank and the
-    // detail rows. Catalyst column-prunes the rank side down to
-    // (num_trips, avg_duration) — so the two sides compile to different
-    // (cheaper) exchanges rather than one reused one; that trade
-    // (pruned double-scan over unpruned shared exchange) is the right
-    // one for columnar sources
-    val perService = tripStats(t, ServiceFilter.WholeWeek)
+    tripStats(t, ServiceFilter.WholeWeek)
       .groupBy(col("route_id"), col("service_id"))
       .agg(
         count(lit(1)).as("num_trips"),
@@ -150,6 +157,53 @@ object Queries {
         (stddev_pop(col("trip_duration_seconds").cast("double")) / 60.0)
           .as("duration_stddev_min"),
         avg(speed).as("avg_speed_kmh"))
+  }
+
+  /** The whole-week ('4') semantics: trip-count-weighted mean of the
+    * per-service rows, stddev NULL (reference `SQL/generate_csv.py:96-106`)
+    * — factored so the live path and the snapshot build run the literal
+    * same expressions. Only the four weighted columns are referenced, so
+    * a 5-column input (the snapshot base) weights identically to the
+    * live path's 4-column frame. */
+  private[transit] def q2WeekWeighted(perService: DataFrame): DataFrame =
+    perService
+      .groupBy(col("route_id"))
+      .agg(
+        sum(col("num_trips")).as("num_trips"),
+        (sum(col("avg_trip_distance_km") * col("num_trips")) / sum(col("num_trips"))).as("avg_trip_distance_km"),
+        (sum(col("avg_duration_min") * col("num_trips")) / sum(col("num_trips"))).as("avg_duration_min"),
+        lit(null).cast("double").as("duration_stddev_min"),
+        (sum(col("avg_speed_kmh") * col("num_trips")) / sum(col("num_trips"))).as("avg_speed_kmh"))
+
+  /** Q2's presentation step (dim join + 4-dp rounding) over an UNROUNDED
+    * per-route stats frame — UNORDERED/UNLIMITED, shared by live (sorts
+    * above) and snapshot build (writes unsorted; serving re-sorts). */
+  private[transit] def q2FromStats(stats: DataFrame, routes: DataFrame,
+      extra: Seq[String] = Nil): DataFrame =
+    stats
+      .join(broadcast(routes), Seq("route_id"))
+      .select(Seq(
+        col("route_id"), col("route_long_name"), col("route_short_name"),
+        col("num_trips"),
+        round(col("avg_trip_distance_km"), 4).as("avg_trip_distance_km"),
+        round(col("avg_duration_min"), 4).as("avg_duration_min"),
+        round(col("duration_stddev_min"), 4).as("duration_stddev_min"),
+        round(col("avg_speed_kmh"), 4).as("avg_speed_kmh"))
+        ++ extra.map(col): _*)
+
+  /** Q2's whole-week per-service DETAIL rows for the top-k globally-ranked
+    * routes — the reference computes the rank query, collects the selected
+    * route names in Python, and filters the per-service rows against that
+    * set (reference `SQL/sql_utils.py:230-243`); here the app-side set
+    * membership is the J5 `left_semi` join against the rank frame. */
+  def q2ServiceDetail(t: TransitTables, limit: Limit = Limit.default): DataFrame = {
+    // one per-service aggregation feeds BOTH the global rank and the
+    // detail rows. Catalyst column-prunes the rank side down to
+    // (num_trips, avg_duration) — so the two sides compile to different
+    // (cheaper) exchanges rather than one reused one; that trade
+    // (pruned double-scan over unpruned shared exchange) is the right
+    // one for columnar sources
+    val perService = q2PerServiceStats(t)
       .repartition(col("route_id"))
     // same rank criterion as q2RouteStats(WholeWeek): trip-count-weighted
     // mean duration, rounded to 4 dp, route_id tie-break
@@ -223,18 +277,30 @@ object Queries {
   /** Q3 — transfer points: stops served by ≥ 2 distinct routes.
     * Whole-week = unfiltered, same as Q1. */
   def q3TransferPoints(t: TransitTables, service: ServiceFilter, limit: Limit = Limit.default): DataFrame =
-    uniqueStopRoutes(t, service)
-      .groupBy(col("stop_id"))
-      .agg(count(col("route_id")).as("num_unique_routes"))
+    q3FromCounts(
+      uniqueStopRoutes(t, service)
+        .groupBy(col("stop_id"))
+        .agg(count(col("route_id")).as("num_unique_routes")),
+      t.stops)
+      .orderBy(col("num_unique_routes").desc, col("stop_id"))
+      .transform(limit.apply)
+
+  /** Q3's ≥2-routes filter + presentation over an already-aggregated
+    * per-stop route-count frame — UNORDERED/UNLIMITED, shared by the live
+    * path (which sorts above) and the snapshot build (which derives the
+    * counts from the one-pass [[q1ServiceStopRouteCounts]] base and
+    * writes unsorted). */
+  private[transit] def q3FromCounts(counts: DataFrame, stops: DataFrame,
+      extra: Seq[String] = Nil): DataFrame =
+    counts
       .filter(col("num_unique_routes") >= 2)
-      .join(broadcast(t.stops), Seq("stop_id"))
-      .select(
+      .join(broadcast(stops), Seq("stop_id"))
+      .select(Seq(
         col("stop_id"), col("stop_name"),
         round(col("stop_lat"), 6).as("stop_lat"),
         round(col("stop_lon"), 6).as("stop_lon"),
         col("num_unique_routes"))
-      .orderBy(col("num_unique_routes").desc, col("stop_id"))
-      .transform(limit.apply)
+        ++ extra.map(col): _*)
 
   /** GTFS hour bucket: `floor(dep_secs/3600)` — legitimately 24..28+ for
     * after-midnight service; never `hour()` on a timestamp (SURVEY §2.8 F1). */
@@ -265,7 +331,18 @@ object Queries {
     * calls re-read the materialized aggregate instead of the fact table,
     * mirroring the reference's `vw_hourly_frequency` reuse (SURVEY §4 R3). */
   def q4ServiceFrequencyFrom(hf: DataFrame, routes: DataFrame,
-      service: ServiceFilter, limit: Limit = Limit.default): DataFrame = {
+      service: ServiceFilter, limit: Limit = Limit.default): DataFrame =
+    q4FromHourly(hf, routes, service)
+      .orderBy(col("total_daily_trips").desc, col("route_id"))
+      .transform(limit.apply)
+
+  /** Q4's rollup + profile-string + dim join over the hourly view —
+    * UNORDERED/UNLIMITED core of [[q4ServiceFrequencyFrom]]; the snapshot
+    * build writes it as-is per tag from ONE checkpointed hourly view
+    * (serving re-sorts, so the per-tag sort before a partitioned write
+    * was a pure throwaway — guide §2.4). */
+  private[transit] def q4FromHourly(hf: DataFrame, routes: DataFrame,
+      service: ServiceFilter): DataFrame = {
     val perHour = service match {
       case ServiceFilter.WholeWeek =>
         hf.groupBy(col("route_id"), col("hour_of_day"))
@@ -274,8 +351,17 @@ object Queries {
         hf.filter(col("service_id") === s.sid.get)
           .select("route_id", "hour_of_day", "trips_per_hour")
     }
+    q4Rollup(perHour, routes)
+  }
+
+  /** Q4's per-route rollup + ordered profile string + dim join over a
+    * per-(route, hour) frame — the shared tail of [[q4FromHourly]] and the
+    * snapshot build's one-pass exploded-tag pipeline (`extra` = the tag,
+    * which then rides the group keys and the final select). */
+  private[transit] def q4Rollup(perHour: DataFrame, routes: DataFrame,
+      extra: Seq[String] = Nil): DataFrame =
     perHour
-      .groupBy(col("route_id"))
+      .groupBy((extra :+ "route_id").map(col): _*)
       .agg(
         sum(col("trips_per_hour")).as("total_daily_trips"),
         concat_ws(" | ",
@@ -284,11 +370,8 @@ object Queries {
             x => concat(x("hour_of_day").cast("string"), lit(":"), x("trips_per_hour").cast("string")))
         ).as("hourly_profile"))
       .join(broadcast(routes), Seq("route_id"))
-      .select(col("route_id"), col("route_long_name"), col("route_short_name"),
-        col("total_daily_trips"), col("hourly_profile"))
-      .orderBy(col("total_daily_trips").desc, col("route_id"))
-      .transform(limit.apply)
-  }
+      .select(Seq(col("route_id"), col("route_long_name"), col("route_short_name"),
+        col("total_daily_trips"), col("hourly_profile")) ++ extra.map(col): _*)
 
   /** Q4's whole-week NESTED response shape (reference
     * `SQL/sql_utils.py:354-417`): per top-k route, the hourly profile
@@ -638,6 +721,24 @@ object Queries {
       .distinct()
   }
 
+  /** Both orientations of an edge frame in ONE subtree (r16, guide §1.2 /
+    * §2.4): the `e.select(a,b).union(e.select(b,a))` idiom every
+    * symmetrization here used REFERENCES `e` TWICE, and Catalyst plans a
+    * DataFrame reference by inlining its subtree — so the fact-table
+    * self-join behind the edge list ran once per union branch (the
+    * assortativity plan showed 4 parquet scans of stop_times for one
+    * logical edge build). `explode(array(fwd, rev))` emits the same two
+    * rows per edge from a single pass — same multiset, half the subtree —
+    * and every consumer is an aggregate/join, so row order is
+    * unobservable. `carry` columns (weights) ride both orientations
+    * unchanged. */
+  private def symmetrized(df: DataFrame, a: String, b: String,
+      outA: String, outB: String, carry: String*): DataFrame = {
+    val fwd = struct(col(a).as(outA) +: col(b).as(outB) +: carry.map(col): _*)
+    val rev = struct(col(b).as(outA) +: col(a).as(outB) +: carry.map(col): _*)
+    df.select(explode(array(fwd, rev)).as("_e")).select(col("_e.*"))
+  }
+
   /** Onion-layer census (iterative k-core peeling, Batagelj–Zaveršnik
     * shape): repeatedly remove stops whose alive-degree in the undirected
     * adjacency graph falls below k, tagging each stop with the round it
@@ -656,8 +757,7 @@ object Queries {
     * round and still match. */
   def coreLayers(t: TransitTables, rounds: Int = 6): DataFrame = {
     val und = undirectedEdges(t)
-    val sym = und.select(col("u").as("s"), col("v").as("t"))
-      .union(und.select(col("v").as("s"), col("u").as("t")))
+    val sym = symmetrized(und, "u", "v", "s", "t")
       .localCheckpoint(true)
     // k is a single scalar over the already-checkpointed edge list: fetch
     // it ONCE with the eager staging pattern (stageEdges/dupSpans
@@ -671,7 +771,16 @@ object Queries {
       .head.getLong(0)
     var state = sym.select(col("s").as("stop_id")).distinct()
       .withColumn("layer", lit(null).cast("int")).localCheckpoint(true)
-    for (r <- 1 to rounds) {
+    // Early-exit on a no-removal round (r16, guide §1.2 — don't compute
+    // what you throw away): the doc above spec-pins that peeling past the
+    // fixpoint is idempotent (alive set unchanged → degrees unchanged →
+    // removals empty forever), so rounds past convergence were pure no-op
+    // job waves — ~8 jobs each on a face that is scheduling-bound. The
+    // check is one filter-count on the just-checkpointed state. The census
+    // is identical whether or not the tail rounds run.
+    var r = 1
+    var fell = true
+    while (r <= rounds && fell) {
       val alive = state.filter(col("layer").isNull).select(col("stop_id"))
       val deg = sym
         .join(alive.select(col("stop_id").as("s")), Seq("s"), "left_semi")
@@ -684,6 +793,8 @@ object Queries {
       state = state.join(removed, Seq("stop_id"), "left")
         .select(col("stop_id"), coalesce(col("layer"), col("nl")).as("layer"))
         .localCheckpoint(true)
+      fell = state.filter(col("layer") === r).count() > 0
+      r += 1
     }
     state.groupBy(coalesce(col("layer"), lit(0)).as("layer"))
       .agg(count(lit(1)).as("n_stops"))
@@ -704,8 +815,11 @@ object Queries {
     * a single global aggregate — no windows, no iteration. */
   def assortativity(t: TransitTables): DataFrame = {
     val und = undirectedEdges(t)
-    val sym = und.select(col("u").as("s"), col("v").as("t"))
-      .union(und.select(col("v").as("s"), col("u").as("t")))
+    // checkpointed (r16): sym has three consumers (the degree frame twice
+    // via broadcast plus the probe side) and no fixpoint had forced a
+    // lineage cut here — un-checkpointed, the fact self-join subtree was
+    // inlined once per consumer (4 stop_times scans in the before plan)
+    val sym = symmetrized(und, "u", "v", "s", "t").localCheckpoint(true)
     val deg = sym.groupBy(col("s")).agg(count(lit(1)).as("d"))
     sym
       .join(broadcast(deg.select(col("s"), col("d").as("dx"))), Seq("s"))
@@ -744,8 +858,9 @@ object Queries {
     * explode in the first place. */
   def clusteringCoef(t: TransitTables): DataFrame = {
     val und = undirectedEdges(t)
-    val sym = und.select(col("u").as("s"), col("v").as("t"))
-      .union(und.select(col("v").as("s"), col("u").as("t")))
+    // checkpointed (r16): four consumers (deg, words, both sides of the
+    // per-edge popcount join) each inlined the edge-build subtree before
+    val sym = symmetrized(und, "u", "v", "s", "t").localCheckpoint(true)
     val deg = sym.groupBy(col("s")).agg(count(lit(1)).as("d"))
     val words = sym
       .select(col("s"), expr("t DIV 63").as("w"),
@@ -795,8 +910,7 @@ object Queries {
     // a 4-way union whose members otherwise chain lineage — the fact-
     // table self-join would replan/rescan once per union member and each
     // round would recompute every earlier round (the CC-fixpoint rule)
-    val sym = und.select(col("u").as("s"), col("v").as("nbr"))
-      .union(und.select(col("v").as("s"), col("u").as("nbr")))
+    val sym = symmetrized(und, "u", "v", "s", "nbr")
       .localCheckpoint(true)
     val starts = sym.select(col("s")).distinct()
       .select(col("s").as("walk_id"), lit(0).as("step"), col("s").as("node"))
@@ -836,8 +950,7 @@ object Queries {
     // self-join, and the 3-branch trajectory union re-plans/re-scans each
     // earlier round once per branch (the CC-fixpoint rule everywhere
     // else; values unchanged — the oracle unrolls the identical chain)
-    val sym = und.select(col("u").as("s"), col("v").as("nbr"))
-      .union(und.select(col("v").as("s"), col("u").as("nbr")))
+    val sym = symmetrized(und, "u", "v", "s", "nbr")
       .localCheckpoint(true)
     var labels = sym.select(col("s")).distinct().select(col("s"), col("s").as("lbl"))
     var trajectory: DataFrame = null
@@ -1002,8 +1115,9 @@ object Queries {
       .select(least(col("a.stop_id"), col("b.stop_id")).as("src"),
         greatest(col("a.stop_id"), col("b.stop_id")).as("dst"))
     val w = pr.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
-    val sym = w.unionByName(
-      w.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    // one-subtree symmetrization: the union referenced w (the fact
+    // self-join + co-occurrence agg) once per orientation
+    val sym = symmetrized(w, "src", "dst", "src", "dst", "w")
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(col("w").desc, col("dst"))
     val e = sym.withColumn("rk", row_number().over(wTop))
@@ -1369,8 +1483,10 @@ object Queries {
       .select(least(col("a.stop_id"), col("b.stop_id")).as("s"),
         greatest(col("a.stop_id"), col("b.stop_id")).as("d"))
     val w = pr.groupBy(col("s"), col("d")).agg(count(lit(1)).as("w"))
-    val sym = w.select(col("s").as("src"), col("d").as("dst"), col("w"))
-      .unionByName(w.select(col("d").as("src"), col("s").as("dst"), col("w")))
+    // both unions here referenced their input twice (w, then und) — the
+    // grouped co-occurrence agg and the top-k window each ran once per
+    // orientation; symmetrized() emits both orientations from one subtree
+    val sym = symmetrized(w, "s", "d", "src", "dst", "w")
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(col("w").desc, col("dst"))
     val und = sym.withColumn("rk", row_number().over(wTop))
@@ -1378,8 +1494,7 @@ object Queries {
       .select(least(col("src"), col("dst")).as("s"),
         greatest(col("src"), col("dst")).as("d"))
       .distinct()
-    und.select(col("s").as("src"), col("d").as("dst"))
-      .unionByName(und.select(col("d").as("src"), col("s").as("dst")))
+    symmetrized(und, "s", "d", "src", "dst")
       .localCheckpoint(true)
   }
 

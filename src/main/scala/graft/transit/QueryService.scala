@@ -136,46 +136,119 @@ object QueryService {
 
   private def serviceTag(s: ServiceFilter): String = s.sid.getOrElse("4")
 
-  private val allServices: Seq[ServiceFilter] = Seq(
-    ServiceFilter.Weekday, ServiceFilter.Saturday, ServiceFilter.Sunday,
-    ServiceFilter.WholeWeek)
-
-  /** One tagged superset frame per query: per-service rows plus the
-    * whole-week rows, UNLIMITED (`Limit.All`) — serving slices later,
+  /** One tagged superset frame per query: per-service rows ('1'/'2'/'3')
+    * plus the whole-week '4' rows, UNLIMITED — serving slices later,
     * exactly like `SQL/generate_csv.py` concatenating the four frames.
-    * Whole-week is computed as its own pass because its semantics are not
-    * a rollup of the per-service rows (trichotomy per SURVEY §1.5). */
-  private def tagged(f: ServiceFilter => DataFrame): DataFrame =
-    allServices
-      .map(s => f(s).withColumn(TAG, lit(serviceTag(s))))
-      .reduce(_.unionByName(_))
+    * Whole-week is its own DERIVATION because its semantics are not a
+    * rollup of the per-service ROWS (trichotomy per SURVEY §1.5) — but
+    * all four tags ARE exact re-aggregations of one per-service base
+    * frame, so the build is ONE linear pipeline (r16, guide §1.2/§2.4):
+    * each base row explodes into (its own service tag, '4') and a single
+    * grouped pass per level computes every tag's aggregate. The shapes
+    * this replaces, both measured worse:
+    *  - the r15 per-tag union re-planned AND re-scanned the fact table
+    *    once per tag (24 parquet scans / 24–29 exchanges in the before
+    *    plans) because each tag's filter sits below its own aggregation;
+    *  - filtering a shared base per tag does NOT fix that — the tag
+    *    filter is on the base's GROUP KEY, so Catalyst pushes it through
+    *    the aggregate back into four separate fact scans (verified in the
+    *    executed AQE plan: only the dim broadcast was reused);
+    *  - an eager `localCheckpoint` on the base does force one scan, but
+    *    the materialization barrier serializes the build and cost ~+0.5 s
+    *    per face at sf0.1 vs the union it replaced.
+    * Exploding the TAG as data instead of encoding it as plan structure
+    * gives the one fact scan without a barrier, and the explode sits
+    * above the base aggregation so it multiplies ~50 k aggregated rows,
+    * not the fact table. Values are identical to the per-tag plans':
+    * per-service tags aggregate single-row groups (integer sums are
+    * exact; doubles pass through `max` over one row bit-identically),
+    * whole-week tags use the live WholeWeek paths' own expressions. The
+    * exploded tag domain is exactly {'1','2','3','4'} because
+    * `TransitTables.fromTpch` pins service_id = o_orderkey%3+1. Per-tag
+    * ORDER is dropped: the write is partitioned parquet (order never
+    * survives) and every serve re-sorts its slice ([[slice]]). */
+  private def taggedQ1(t: TransitTables): DataFrame = {
+    val counts = Queries.q1ServiceStopRouteCounts(t)
+      .select(explode(array(col("service_id"), lit("4"))).as(TAG),
+        col("stop_id"), col("route_id"), col("c"))
+      .groupBy(col(TAG), col("stop_id"), col("route_id"))
+      .agg(sum(col("c")).as("c2"))
+      .groupBy(col(TAG), col("stop_id"))
+      .agg(sum(col("c2")).as("total_trip_events"),
+        count(lit(1)).as("num_unique_routes"))
+    Queries.q1FromCounts(counts, t.stops, Seq(TAG))
+  }
+
+  private def taggedQ2(t: TransitTables): DataFrame = {
+    val isWeek = col(TAG) === "4"
+    val stats = Queries.q2PerServiceStats(t)
+      .select(explode(array(col("service_id"), lit("4"))).as(TAG),
+        col("route_id"), col("num_trips"), col("avg_trip_distance_km"),
+        col("avg_duration_min"), col("duration_stddev_min"), col("avg_speed_kmh"))
+      .groupBy(col(TAG), col("route_id"))
+      .agg(
+        sum(col("num_trips")).as("num_trips"),
+        // whole-week legs: q2WeekWeighted's trip-count-weighted means,
+        // expression-for-expression
+        (sum(col("avg_trip_distance_km") * col("num_trips")) / sum(col("num_trips"))).as("w_km"),
+        (sum(col("avg_duration_min") * col("num_trips")) / sum(col("num_trips"))).as("w_dur"),
+        (sum(col("avg_speed_kmh") * col("num_trips")) / sum(col("num_trips"))).as("w_speed"),
+        // per-service legs: the group holds exactly ONE base row (key was
+        // (route_id, service_id)), so max() is a bit-exact pass-through
+        max(col("avg_trip_distance_km")).as("p_km"),
+        max(col("avg_duration_min")).as("p_dur"),
+        max(col("duration_stddev_min")).as("p_sd"),
+        max(col("avg_speed_kmh")).as("p_speed"))
+      .select(col(TAG), col("route_id"), col("num_trips"),
+        when(isWeek, col("w_km")).otherwise(col("p_km")).as("avg_trip_distance_km"),
+        when(isWeek, col("w_dur")).otherwise(col("p_dur")).as("avg_duration_min"),
+        // whole-week stddev is NULL by spec (reference generate_csv.py)
+        when(isWeek, lit(null).cast("double")).otherwise(col("p_sd")).as("duration_stddev_min"),
+        when(isWeek, col("w_speed")).otherwise(col("p_speed")).as("avg_speed_kmh"))
+    Queries.q2FromStats(stats, t.routes, Seq(TAG))
+  }
+
+  private def taggedQ3(t: TransitTables): DataFrame = {
+    val counts = Queries.q1ServiceStopRouteCounts(t)
+      .select(explode(array(col("service_id"), lit("4"))).as(TAG),
+        col("stop_id"), col("route_id"))
+      .distinct()
+      .groupBy(col(TAG), col("stop_id"))
+      .agg(count(col("route_id")).as("num_unique_routes"))
+    Queries.q3FromCounts(counts, t.stops, Seq(TAG))
+  }
+
+  private def taggedQ4(t: TransitTables): DataFrame = {
+    val perHour = Queries.hourlyFrequency(t)
+      .select(explode(array(col("service_id"), lit("4"))).as(TAG),
+        col("route_id"), col("hour_of_day"), col("trips_per_hour"))
+      .groupBy(col(TAG), col("route_id"), col("hour_of_day"))
+      .agg(sum(col("trips_per_hour")).as("trips_per_hour"))
+    Queries.q4Rollup(perHour, t.routes, Seq(TAG))
+  }
 
   /** The R4 batch job (`SQL/generate_csv.py:main`): materialize all four
     * analytics snapshots, partitioned by the service tag so serving prunes
     * to one partition. Overwrite-mode — rerunnable on feed refresh. */
-  def buildAnalyticsSnapshots(t: TransitTables, dir: String): Unit = {
-    Writers.snapshotParquet(
-      tagged(s => Queries.q1BusiestStops(t, s, Limit.All)), s"$dir/$Q1", Seq(TAG))
-    Writers.snapshotParquet(
-      tagged(s => Queries.q2RouteStats(t, s, Limit.All)), s"$dir/$Q2", Seq(TAG))
-    Writers.snapshotParquet(
-      tagged(s => Queries.q3TransferPoints(t, s, Limit.All)), s"$dir/$Q3", Seq(TAG))
-    Writers.snapshotParquet(
-      tagged(s => Queries.q4ServiceFrequency(t, s, Limit.All)), s"$dir/$Q4", Seq(TAG))
-  }
+  def buildAnalyticsSnapshots(t: TransitTables, dir: String): Unit =
+    Seq(Q1, Q2, Q3, Q4).foreach(buildSnapshot(t, dir, _))
+
+  /** The tagged frame one snapshot build writes — exposed (package-
+    * private) so plan-evidence tooling (`tools.PlanSnap`) can explain the
+    * build itself, not just the read-back face. */
+  private[graft] def snapshotFrame(t: TransitTables, name: String): DataFrame =
+    name match {
+      case Q1 => taggedQ1(t)
+      case Q2 => taggedQ2(t)
+      case Q3 => taggedQ3(t)
+      case Q4 => taggedQ4(t)
+      case other => throw new IllegalArgumentException(s"no snapshot named $other")
+    }
 
   /** Snapshot build for ONE query — each registered read-back face uses
     * this so its measured cost is one snapshot's ETL, not all four. */
-  def buildSnapshot(t: TransitTables, dir: String, name: String): Unit = {
-    val live: ServiceFilter => DataFrame = name match {
-      case Q1 => Queries.q1BusiestStops(t, _, Limit.All)
-      case Q2 => Queries.q2RouteStats(t, _, Limit.All)
-      case Q3 => Queries.q3TransferPoints(t, _, Limit.All)
-      case Q4 => Queries.q4ServiceFrequency(t, _, Limit.All)
-      case other => throw new IllegalArgumentException(s"no snapshot named $other")
-    }
-    Writers.snapshotParquet(tagged(live), s"$dir/$name", Seq(TAG))
-  }
+  def buildSnapshot(t: TransitTables, dir: String, name: String): Unit =
+    Writers.snapshotParquet(snapshotFrame(t, name), s"$dir/$name", Seq(TAG))
 
   def buildQ1Snapshot(t: TransitTables, dir: String): Unit =
     buildSnapshot(t, dir, Q1)
