@@ -541,8 +541,18 @@ object Dedup {
     * the corpus; without this the loop schedules corpus-scale task waves
     * over kilobytes of data. Coalesce is shuffle-free. */
   def stageEdges(pairs: DataFrame): DataFrame = {
-    val raw = pairs.select(col("id1").as("src"), col("id2").as("dst"))
-      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+    // Both orientations from ONE subtree (r16, guide §1.2): the old
+    // `pairs.select(...) union pairs.select(swapped)` referenced `pairs`
+    // twice, and Catalyst inlines a DataFrame reference per use — so the
+    // candidate-pair build (the banded minhash join feeding most callers)
+    // ran once per orientation INSIDE this checkpoint's materialization.
+    // explode(array(fwd, rev)) emits the same two rows per pair from a
+    // single pass; every consumer aggregates or joins, so row order is
+    // unobservable.
+    val raw = pairs.select(explode(array(
+        struct(col("id1").as("src"), col("id2").as("dst")),
+        struct(col("id2").as("src"), col("id1").as("dst")))).as("_e"))
+      .select(col("_e.*"))
       .localCheckpoint(true)
     val parts = ccPartitions(raw.count(),
       raw.sparkSession.sessionState.conf.numShufflePartitions)
@@ -581,9 +591,12 @@ object Dedup {
     val edges = stageEdges(pairs)
     // seed with min(self, neighbors) instead of self: the first propagation
     // round folds into the (already materialized) edge list — one groupBy,
-    // one fewer driver round in the loop
-    var labels = edges.select(col("dst").as("doc_id"), col("src").as("cluster_id"))
-      .unionByName(edges.select(col("src").as("doc_id"), col("src").as("cluster_id")))
+    // one fewer driver round in the loop. Same one-subtree explode idiom
+    // as stageEdges: one scan of the checkpointed edge list, not two.
+    var labels = edges.select(explode(array(
+        struct(col("dst").as("doc_id"), col("src").as("cluster_id")),
+        struct(col("src").as("doc_id"), col("src").as("cluster_id")))).as("_s"))
+      .select(col("_s.*"))
       .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
       .localCheckpoint(true)
     var converged = false

@@ -1241,15 +1241,20 @@ object Queries {
       .agg(min(col("dep_secs")).as("dep_secs"))
     v1.write.mode("overwrite").parquet(snapPath)
     val landed = spark.read.parquet(snapPath)
-    // v2: the same deterministic derivation as [[feedDiff]]
-    val v2 = v1.filter(col("trip_id") % 13 =!= 0)
+    // v2/changes derive from the LANDED snapshot, not from v1's plan: the
+    // landed parquet IS v1 materialized (long/int columns, lossless), and
+    // re-deriving v1 here would inline its fact-table aggregation into
+    // every reference — the before plan ran that agg 4× (the write + two
+    // v2 branches + the diff's left side); now it runs once and the other
+    // three legs are pruned scans of the tiny snapshot (r16, guide §1.2).
+    val v2 = landed.filter(col("trip_id") % 13 =!= 0)
       .withColumn("dep_secs",
         when(col("trip_id") % 7 === 0, col("dep_secs") + 300L)
           .otherwise(col("dep_secs")))
-      .unionByName(v1.filter(col("trip_id") % 11 === 0)
+      .unionByName(landed.filter(col("trip_id") % 11 === 0)
         .withColumn("trip_id", -col("trip_id")))
     // changeset off the diff: only slots that CHANGED ship in the upsert
-    val changes = v1.select(col("trip_id"), col("stop_id"), col("seq"),
+    val changes = landed.select(col("trip_id"), col("stop_id"), col("seq"),
         col("dep_secs").as("dep1"))
       .join(v2.select(col("trip_id"), col("stop_id"), col("seq"),
         col("dep_secs").as("dep2")),
@@ -1502,11 +1507,15 @@ object Queries {
     * shared by [[stressCentrality]] and [[kHopCensus]]. */
   private def shortestPaths3(e: DataFrame): DataFrame = {
     val a1 = e.select(col("src"), col("dst"), lit(1).as("k"), lit(1L).as("n"))
+    // checkpointed (r16): a2 has TWO consumers (the 3-level union and
+    // a3's build) and Catalyst inlines a reference per use — the 2-hop
+    // self-join + agg ran twice per face
     val a2 = e.as("x").join(e.as("y"), col("x.dst") === col("y.src"))
       .filter(col("x.src") =!= col("y.dst"))
       .groupBy(col("x.src").as("src"), col("y.dst").as("dst"))
       .agg(count(lit(1)).as("n"))
       .select(col("src"), col("dst"), lit(2).as("k"), col("n"))
+      .localCheckpoint(true)
     val a3 = a2.as("x").join(e.as("y"), col("x.dst") === col("y.src"))
       .filter(col("x.src") =!= col("y.dst"))
       .groupBy(col("x.src").as("src"), col("y.dst").as("dst"))

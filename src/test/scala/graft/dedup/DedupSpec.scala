@@ -153,6 +153,23 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(Dedup.stageEdges(big).rdd.getNumPartitions == 3)
   }
 
+  test("stageEdges emits exactly both orientations of every pair (one-subtree explode form)") {
+    import spark.implicits._
+    // r16: the symmetrization switched from self-union (which inlines the
+    // pair-build subtree twice) to a single-pass explode — the edge
+    // MULTISET must be unchanged: (a,b) and (b,a) once per input pair,
+    // including self-loops (one per orientation = twice) and duplicate
+    // input pairs (duplicated edges, as before — dedup is the caller's
+    // groupBy's job)
+    val pairs = Seq((1L, 2L), (2L, 3L), (2L, 3L), (7L, 7L)).toDF("id1", "id2")
+    val got = Dedup.stageEdges(pairs).groupBy("src", "dst").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (1L, 2L) -> 1L, (2L, 1L) -> 1L,
+      (2L, 3L) -> 2L, (3L, 2L) -> 2L,
+      (7L, 7L) -> 2L))
+  }
+
   test("containment: planted sub-document scores 1.0 while jaccard stays at the size ratio") {
     // B = A ++ appendix: every trigram of A survives in B (only boundary
     // trigrams are new), so c(A→B)=1 while jaccard = |A|/|B| — the
